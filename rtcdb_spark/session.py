@@ -1,0 +1,72 @@
+"""SparkSession construction and tuning.
+
+Local test mode runs ``local[N]`` in one JVM; the config below is chosen so
+the same code scales to a real cluster: AQE handles runtime re-planning and
+skew, shuffle partitions are sized to cores locally (and would be sized to
+~2-3x total cores / target 128-256MB per task on a cluster), and the session
+timezone is pinned to UTC so timestamp semantics are deterministic and match
+the DuckDB correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to *any* session (including one handed to us
+# by an external driver). Only confs that Spark allows to change at runtime
+# belong here.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # pushdown/pruning are on by default; pinned here so a misconfigured
+    # parent session can't silently disable the scan-level optimizations.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: reference semantics are permissive (no overflow errors) and
+    # the DuckDB oracle comparison uses plain floating/long arithmetic.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build — startup default applies
+    return spark
+
+
+def get_spark(
+    app_name: str = "rtcdb-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle partitions
+    default to the core count — right for local mode; on a cluster this would
+    be set to ~2-3x total executor cores (or left to AQE coalescing from a
+    higher initial value).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(4, cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,49 @@
+"""Parquet table loaders for the driver fixture star schema.
+
+Analogue of the reference's scan path (``read_all`` + ``create_readers``,
+reference src/storage.rs:189-222, 299-327) — but expressed as a declarative
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column pruning
+and row-group skipping for free (the reference only *designed* those,
+README.md:51-62).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rtcdb_spark.session import tune
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables — always broadcast-join candidates. At 100 TB the
+# fact tables (lineitem, orders, events) scale with data volume; these stay
+# tiny (region=5, nation=25 rows regardless of SF) or sub-GB (supplier, part,
+# customer grow slowly), so broadcasting them avoids shuffling the fact side.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Schema comes from the parquet footer."""
+    tune(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
