@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall-clock of the headline suite (median of REPS runs
+per query, after one warm-up). Execution uses the `noop` sink so the full
+physical plan runs without driver-collect overhead — the same way a cluster
+job would be bounded by scan+shuffle+agg, not toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from rtcdb_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "scan_filter_project",
+]
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def run_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("rtcdb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rtcdb_spark.queries import REGISTRY
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in REGISTRY]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        run_once(fn, spark, sf_dir)  # warm-up (JIT, file listing, broadcast)
+        timings[name] = round(
+            statistics.median(run_once(fn, spark, sf_dir) for _ in range(REPS)), 4
+        )
+
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
