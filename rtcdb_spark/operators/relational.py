@@ -1,0 +1,103 @@
+"""Relational operators Spark lacks as single calls, built scalably.
+
+These are "custom operators" in the SURVEY §2 C-IV/C-VI sense: compositions
+of built-in DataFrame ops chosen for their shuffle behavior at 100 TB — no
+driver-side loops, no cartesian products, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number.
+
+    One shuffle on the group key; within-partition sort is bounded. Pass
+    fully-deterministic `order_cols` (include a unique tiebreaker) so results
+    are stable across engines and runs.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` (direction="backward") sharing the key ``on``.
+
+    Implementation is the *merge* strategy, not a range join: union both
+    sides tagged, sort within key by time, and carry the last-seen right
+    attributes forward with ``last(..., ignorenulls=True)``. Cost is one
+    shuffle on the key + one within-partition sort — linear at any scale,
+    whereas the naive join-then-rank explodes on key×key pair counts.
+    (Analogue of pandas merge_asof / QuestDB ASOF JOIN; reference has no
+    join support at all, README.md:15.)
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    lt = F.col(left_time)
+    l_tag = left.withColumn("__t", lt).withColumn("__is_left", F.lit(1))
+    r_proj = right.select(
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    ).withColumn("__is_left", F.lit(0))
+    unioned = l_tag.unionByName(r_proj, allowMissingColumns=True)
+    # Right rows sort before left rows at equal timestamps so `<=` holds.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"right_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop(
+        "__t", "__is_left", *[f"__r_{c}" for c in right_cols]
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign session ids via gaps-and-islands: a new session starts when the
+    gap to the previous event of the same key exceeds ``gap_seconds``.
+
+    One shuffle on the key; two window passes (lag + running sum) over the
+    same partitioning — Spark reuses the sort. Returns the input plus
+    ``session_id`` (key-scoped ordinal, 1-based).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col("event_id") if "event_id" in events.columns else F.col(ts))
+    cur_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(F.col(ts)).over(w).cast("timestamp"))
+    is_new = (
+        prev_us.isNull() | ((cur_us - prev_us) > gap_seconds * 1_000_000)
+    ).cast("long")
+    return events.withColumn("__new_session", is_new).withColumn(
+        "session_id", F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("__new_session")

@@ -1,1 +1,256 @@
-"""Placeholder — populated in a later milestone."""
+"""Aggregation surface (SURVEY §2 C-III): distinct, approx-distinct,
+grouping sets (rollup/cube), exact percentiles, and the reference's own
+min/max semantics (reference src/data.rs:22-60 `get_min`/`get_max` — string =
+lexicographic, numeric = numeric) as `F.min`/`F.max`.
+
+Scale notes: count-distinct on a high-cardinality key is the one aggregate
+that can't partial-combine cheaply; Spark plans it as a two-phase expand —
+for 100 TB use `approx_count_distinct` (HLL, mergeable sketches, no row
+explosion) which is provided here as the scale path with a rows-only check
+(HLL implementations differ across engines, so no value-level oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.queries.base import dsum, query, sql_dsum
+from rtcdb_spark.sources import load_table
+
+
+@query(
+    "agg_min_max",
+    """
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           MIN(l_linestatus) AS min_status,
+           MAX(l_linestatus) AS max_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A8 semantics (`get_min`/`get_max`, src/data.rs:22-60): numeric
+    min/max on doubles, lexicographic on strings, plus timestamps (which the
+    reference stored as Uint64)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.min("l_linestatus").alias("min_status"),
+            F.max("l_linestatus").alias("max_status"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column count-distinct (Spark plans an Expand + two-phase agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    None,  # HLL sketches differ across engines — driver does rows-only check;
+    # tests/test_aggregates.py asserts <2% relative error vs exact instead.
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale distinct path: mergeable HLL sketch, no shuffle blowup."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_rollup",
+    f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region → nation → grand total."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", alias="total_acctbal"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@query(
+    "agg_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-dimensional subtotals over two low-cardinality dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", alias="total_price"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    f"""
+    SELECT c_mktsegment, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+    ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent groupings in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j.createOrReplaceTempView("orders_customers_gs")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS total_price
+        FROM orders_customers_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+        ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The approx scale path is `percentile_approx` — see
+    `agg_percentiles_approx`."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_percentiles_approx",
+    None,  # t-digest/GK sketches differ across engines — rows-only check;
+    # tests assert bounded error vs exact percentile.
+    tags=("agg", "approx", "percentile"),
+)
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the mergeable, single-pass 100 TB path."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price_approx"),
+            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_conditional",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_total,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / COUNT(*) AS urgent_frac
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "conditional"),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (CASE-gated measures)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+            dsum(F.when(urgent, F.col("o_totalprice")).otherwise(0.0), alias="urgent_total"),
+            (F.count(F.when(urgent, 1)).cast("double") / F.count(F.lit(1))).alias("urgent_frac"),
+        )
+        .orderBy("o_orderstatus")
+    )

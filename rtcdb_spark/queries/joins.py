@@ -1,1 +1,241 @@
-"""Placeholder — populated in a later milestone."""
+"""Join surface (SURVEY §2 C-IV): inner/outer/semi/anti/full equi-joins,
+broadcast strategy, and the as-of (time-travel) join.
+
+The reference declares joins a non-feature (reference README.md:15); the
+fixture star schema requires them. Strategy at 100 TB: dimensions broadcast
+(no shuffle of the fact side); fact↔fact joins shuffle on the join key with
+AQE skew-splitting enabled (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.operators import asof_join
+from rtcdb_spark.queries.base import dsum, query, sql_dsum
+from rtcdb_spark.sources import load_table
+
+
+@query(
+    "join_left_outer",
+    f"""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE({sql_dsum('o_totalprice')}, 0.0) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders (NULL-aware count)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+          AND o_totalprice > 150000
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 qualifying order, no row duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers who never placed an urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    f"""
+    WITH cn AS (
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ), sn AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    ORDER BY nationkey
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated sides (nation coverage asymmetry)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "join_range_nonequi",
+    f"""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+      AND l_extendedprice BETWEEN p_retailprice * 8 AND p_retailprice * 60
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("join", "range"),
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a residual range predicate: the equi key keeps it a hash
+    join (broadcast here), the BETWEEN runs as a post-join filter — never a
+    cartesian. (Pure range joins without an equi key should be bucketized
+    first; see operators.asof_join for the time variant.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (l.l_partkey == p.p_partkey)
+        & (l.l_extendedprice >= p.p_retailprice * 8)
+        & (l.l_extendedprice <= p.p_retailprice * 60)
+    )
+    return (
+        l.join(F.broadcast(p), cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", alias="total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "join_asof_events_orders",
+    """
+    WITH o1 AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+            ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           o1.o_orderkey AS last_orderkey,
+           o1.o_totalprice AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN o1
+      ON e.user_id = o1.o_custkey AND o1.o_orderdate <= e.ts
+    ORDER BY e.event_id
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's most recent order at/before the
+    event time. Spark side uses the scalable union+carry-forward merge
+    (operators.asof_join — one shuffle, no pair explosion); oracle uses
+    DuckDB's native ASOF JOIN.
+
+    Tie-break note: o_orderdate has day granularity so a user can have several
+    orders on the asof date; both engines then pick an arbitrary one. To stay
+    deterministic we pre-reduce the right side to one row per (custkey, date)
+    — the max orderkey — which fixes the same winner on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    # Deterministic right side: one order per (custkey, orderdate).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    o1 = o.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return _asof_events_orders(e, o1).orderBy("event_id")
+
+
+def _asof_events_orders(e: DataFrame, o1: DataFrame) -> DataFrame:
+    # asof_join needs a shared key column name; align orders to user_id.
+    o_aligned = o1.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    joined = asof_join(
+        e,
+        o_aligned,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("right_o_orderkey").alias("last_orderkey"),
+        F.col("right_o_totalprice").alias("last_totalprice"),
+    )

@@ -1,1 +1,135 @@
-"""Placeholder — populated in a later milestone."""
+"""Sort / limit / distinct / set operations (SURVEY §2 C-V).
+
+The reference's sorted-table contract (reference README.md:44 — rows sorted
+by column order, writer-side) maps to explicit `orderBy` /
+`sortWithinPartitions`; global top-k compiles to TakeOrderedAndProject
+(per-partition heap + driver merge — no global sort shuffle at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+
+@query(
+    "sort_multi_key_limit",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+    tags=("sort", "limit"),
+)
+def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key top-k: mixed-direction sort with unique tiebreaker; compiles
+    to TakeOrderedAndProject (no full sort materialization)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(F.asc("o_orderstatus"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "distinct_values",
+    """
+    SELECT DISTINCT event_type, CAST(ts AS DATE) AS event_date
+    FROM events
+    ORDER BY event_type, event_date
+    """,
+    tags=("distinct",),
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection — partial-aggregate dedup before shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.col("ts").cast("date").alias("event_date"))
+        .distinct()
+        .orderBy("event_type", "event_date")
+    )
+
+
+@query(
+    "set_union_all",
+    """
+    SELECT nationkey, kind FROM (
+        SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+    )
+    ORDER BY nationkey, kind
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) with a provenance tag."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s).orderBy("nationkey", "kind")
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): nations having both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    ORDER BY nationkey
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): nations with customers but no well-capitalized
+    supplier."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s).orderBy("nationkey")  # subtract == EXCEPT DISTINCT
+
+
+@query(
+    "sort_within_partitions",
+    None,  # partition-local ordering isn't SQL-observable — rows-only check;
+    # tests/test_operators.py asserts the within-partition monotonicity.
+    tags=("sort",),
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's writer-side sort contract (README.md:44): cluster by a
+    key, order within partitions — the layout that makes parquet min/max
+    stats selective — then verify global row content is unchanged."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.repartition(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )

@@ -30,6 +30,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # ANSI off: reference semantics are permissive (no overflow errors) and
     # the DuckDB oracle comparison uses plain floating/long arithmetic.
     "spark.sql.ansi.enabled": "false",
+    # events.parquet stores ts as timestamp[ns], which Spark's reader rejects;
+    # read it as a long and convert in sources.tables.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rtcdb_spark.session import tune
 
@@ -40,9 +41,21 @@ def default_sf_dir() -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table. Schema comes from the parquet footer."""
+    """Load one fixture table. Schema comes from the parquet footer.
+
+    ``events.ts`` is stored as parquet timestamp[ns]; Spark reads it as a
+    nanosecond long (legacy.parquet.nanosAsLong) and we floor-convert to a
+    microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies, keeping
+    the type aligned with the other tables' timestamp[ms] → NTZ columns.
+    """
     tune(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
+        )
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
