@@ -38,12 +38,19 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Normalize a cell, keeping the numeric *kind* (int vs float vs bool)
+    distinct — the driver's value-hash stringifies, so `2` vs `2.0` is a
+    mismatch there and must be one here too."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v + 0.0  # -0.0 -> 0.0
+            return ("f", "NaN")
+        return ("f", str(v + 0.0))  # -0.0 -> 0.0
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
