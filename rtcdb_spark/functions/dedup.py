@@ -1,0 +1,168 @@
+"""Deduplication operators (SURVEY §2 C-IX): exact, MinHash+LSH near-dup,
+SimHash, and n-gram Jaccard.
+
+All operators are pure DataFrame compositions over the stable md5-based hash
+(functions.text) — deterministic, cross-engine reproducible, and free of
+Python UDFs. Scale design:
+
+- exact dedup: one hash-groupBy shuffle on the digest — the canonical
+  100 TB dedup (digest is uniform, so no skew).
+- MinHash: explode shingles → per-doc min over k permutations. The explode
+  is the expensive step (~tokens×1 rows); the aggregate is a partial-combine
+  min, so the shuffle carries only k values per doc.
+- LSH banding: docs shuffle by (band_id, band_signature) — each doc appears
+  in exactly `bands` buckets, so candidate generation is linear, never the
+  O(n²) all-pairs join. Pair verification joins shingle sets only for
+  candidate pairs.
+- SimHash: token-bit matrix aggregates to a single 32-bit signature per doc;
+  near-dup lookup is then a cheap signature equality / small-radius probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rtcdb_spark.functions.text import (
+    MERSENNE_P,
+    shingles,
+    stable_hash_mod,
+)
+
+# Fixed random-affine permutation constants (seed=42, generated offline):
+# minhash_j(S) = min_{s in S} (A[j]*h(s) + B[j]) mod P. Hardcoded so every
+# engine, run, and test sees the identical signature space.
+MINHASH_AB: list[tuple[int, int]] = [
+    (1373158607, 239081663), (53710185, 1592467581), (590620972, 525901256),
+    (479341424, 299655412), (1581559893, 220106707), (1453201079, 1590571865),
+    (1915941033, 1171165722), (186699714, 1268073012), (906070221, 68252793),
+    (63989048, 201209005), (469521478, 499635468), (1085242217, 1292825378),
+    (56985562, 1205264595), (427000597, 1537640408), (1395616197, 1506083910),
+    (1170252924, 900911954),
+]
+N_PERM = len(MINHASH_AB)
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest: (digest, keep_id, n_dups).
+    keep_id is the smallest id in the group — the canonical survivor."""
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct (id, shingle_hash) pairs — the set representation used by
+    MinHash and Jaccard. Hashes are in [0, P)."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+        .select(id_col, stable_hash_mod("shingle").alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k=16 MinHash values per doc as columns mh0..mh15.
+
+    One aggregation pass: each permutation is an independent `min` aggregate,
+    partial-combined map-side, so the shuffle is k longs per doc."""
+    aggs = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Docs are exploded into `N_BANDS` (band_id, signature) keys and
+    self-joined within buckets — linear in corpus size for non-degenerate
+    data. Dedup across bands keeps each pair once."""
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.sig")
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "sig")
+    return (
+        a.join(b, ["band_id", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard similarity for the given (id_a, id_b) pairs from the
+    shingle-set representation: |A∩B| / (|A|+|B|-|A∩B|), exact rational
+    arithmetic until the final double division."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document over token hashes (frequency-weighted).
+
+    bit b of the signature is 1 iff sum over tokens of ±1 (per that token's
+    hash bit b) is > 0. Computed as an explode over (token × 32 bit
+    positions) then two aggregations — all JVM-side."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(id_col, stable_hash_mod("tok").alias("h"))
+    bits = toks.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).select(
+        id_col,
+        "b",
+        F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END").alias("w"),
+    )
+    per_bit = bits.groupBy(id_col, "b").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).alias("simhash")
+    )

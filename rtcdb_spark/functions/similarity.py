@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (SURVEY §2 C-IX).
+
+Two paths, mirroring how a 100 TB vector corpus is actually served:
+
+- **Brute-force cosine top-k** — exact; one broadcast of the (small) query
+  set against a single scan of the corpus, top-k per query via window rank.
+  Linear in corpus size, embarrassingly parallel, no shuffle of the corpus.
+  The right baseline and the right tool when the query set is small.
+
+- **Sign-LSH (random hyperplane) bucketing** — approximate; each vector maps
+  to an `n_planes`-bit signature (sign of projection onto fixed hyperplanes).
+  Bucket equality is a hash-join key: candidate generation becomes an
+  equi-join on the signature instead of a corpus×query product. This is the
+  scale path: signatures are computed once per vector in a single pass and
+  cluster cosine-similar vectors with probability 1 - θ/π per plane.
+
+All arithmetic is double-precision array folds (`F.aggregate`/`zip_with`) —
+JVM-side, deterministic left-to-right, bit-identical to the DuckDB oracle's
+`list_dot_product` loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rtcdb_spark.functions._planes import PLANES
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+
+def with_norm(df: DataFrame, vec_col: str = "v", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.sqrt(_dot(vec_col, vec_col)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, cos_sim, rank), self-matches excluded.
+
+    Plan: the filtered query set is broadcast; the corpus is scanned once;
+    ranking is a window over qid (small partitions — one per query)."""
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    base = with_norm(base)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            id_col,
+            (_dot("v", "qv") / (F.col("norm") * F.col("qnorm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_signature(vec_col: str = "v") -> F.Column:
+    """n_planes-bit sign signature of a double-array column as a string like
+    '10110010' (deterministic hyperplanes from functions._planes)."""
+    bits = [
+        F.when(_dot(vec_col, f"array({', '.join(f'{w}D' for w in plane)})") > 0, "1").otherwise("0")
+        for plane in PLANES
+    ]
+    return F.concat(*bits)
+
+
+def sql_lsh_signature(vec_expr: str) -> str:
+    """DuckDB twin of :func:`lsh_signature`."""
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {list(plane)}) > 0 THEN '1' ELSE '0' END)"
+        for plane in PLANES
+    )
+    return f"({bits})"
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, then exact cosine
+    re-rank within the bucket. Output (qid, vec_id, cos_sim, rank)."""
+    base = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("sig", lsh_signature())
+    )
+    base = with_norm(base)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("sig").alias("qsig"),
+    )
+    cands = base.join(
+        F.broadcast(q), (F.col("sig") == F.col("qsig")) & (F.col(id_col) != F.col("qid"))
+    )
+    scored = cands.select(
+        "qid",
+        id_col,
+        (_dot("v", "qv") / (F.col("norm") * F.col("qnorm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

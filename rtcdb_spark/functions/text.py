@@ -1,0 +1,63 @@
+"""Text-analysis primitives: tokenization, shingling, and a cross-engine
+stable hash (SURVEY §2 C-IX).
+
+The hash primitive is the foundation of every dedup/fingerprint operator
+here: a 60-bit integer from an md5 prefix, reduced mod the Mersenne prime
+2^31-1. md5 is available and bit-identical in Spark, DuckDB, and Python, so
+pipelines built on it are reproducible across engines — unlike xxhash64 /
+murmur, which are engine-specific. (Spark's xxhash64 is the faster choice
+when cross-engine reproducibility doesn't matter; both run JVM-side.)
+
+Everything in this module is built from `pyspark.sql.functions` expressions —
+no Python UDFs — so the whole pipeline stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for all hash arithmetic: Mersenne prime 2^31 - 1. Keeping hashes
+# < 2^31 lets (a * h + b) stay under 2^62 — no int64 overflow on any engine.
+MERSENNE_P = 2_147_483_647
+
+
+def stable_hash60(col: Column | str) -> Column:
+    """60-bit integer hash of a string via md5 prefix (engine-portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def stable_hash_mod(col: Column | str, p: int = MERSENNE_P) -> Column:
+    """`stable_hash60` reduced into [0, p)."""
+    return stable_hash60(col) % F.lit(p)
+
+
+def sql_stable_hash_mod(expr: str, p: int = MERSENNE_P) -> str:
+    """DuckDB twin of :func:`stable_hash_mod`."""
+    return f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {p})"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (fixture documents are space-separated words)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>: position i joins tokens
+    [i, i+n). Documents shorter than n tokens yield their whole text."""
+    toks = tokens(col)
+    make = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return make
+
+
+def sql_shingles(expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (1-based inclusive list slicing)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len(string_split({expr}, ' ')) - {n - 1}, 1)), "
+        f"i -> array_to_string(string_split({expr}, ' ')[i:i+{n - 1}], ' '))"
+    )

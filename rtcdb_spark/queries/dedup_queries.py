@@ -1,1 +1,214 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup query surface (SURVEY §2 C-IX): exact, MinHash, LSH, Jaccard,
+SimHash — each checked value-exact against a DuckDB re-implementation built
+from the same md5-based hash primitive and the same hardcoded permutation
+constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.functions.dedup import (
+    MINHASH_AB,
+    N_BANDS,
+    ROWS_PER_BAND,
+    doc_shingles,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash32,
+)
+from rtcdb_spark.functions.text import MERSENNE_P, sql_shingles, sql_stable_hash_mod
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+_SQL_SH = f"""
+    sh AS (
+        SELECT DISTINCT doc_id, {sql_stable_hash_mod('shingle')} AS sh
+        FROM (
+            SELECT doc_id, unnest({sql_shingles('text')}) AS shingle
+            FROM documents
+        )
+    )
+"""
+
+_SQL_MH_COLS = ",\n           ".join(
+    f"min(({a} * sh + {b}) % {MERSENNE_P}) AS mh{j}" for j, (a, b) in enumerate(MINHASH_AB)
+)
+
+_SQL_SIGS = f"sigs AS (SELECT doc_id, {_SQL_MH_COLS} FROM sh GROUP BY doc_id)"
+
+_SQL_BANDS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, "
+    + " || '-' || ".join(
+        f"CAST(mh{{b}} * 0 + mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    + " AS sig FROM sigs"
+    for b in range(N_BANDS)
+)
+# simpler: regenerate cleanly below (the mh{b}*0 trick above is needless)
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + " || '-' || ".join(f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND))
+    + " AS sig FROM sigs"
+    for b in range(N_BANDS)
+)
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT sha256(text) AS digest,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_id
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: sha256 digest → group → canonical survivor.
+    The uniform digest key shuffles without skew at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d).orderBy("keep_id")
+
+
+@query(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SQL_SH}
+    SELECT doc_id,
+           {_SQL_MH_COLS}
+    FROM sh
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash pipeline: 3-token shingles → stable hash → 16 affine
+    permutations → per-doc min. Value-exact across engines by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(doc_shingles(d)).orderBy("doc_id")
+
+
+@query(
+    "dedup_lsh_pairs",
+    f"""
+    WITH {_SQL_SH},
+    {_SQL_SIGS},
+    bands AS ({_SQL_BANDS}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, sig)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / (za.n + zb.n - COALESCE(i.n_common, 0)) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i USING (id_a, id_b)
+    JOIN sizes za ON za.doc_id = p.id_a
+    JOIN sizes zb ON zb.doc_id = p.id_b
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (4 bands × 4 rows) with exact Jaccard
+    verification — the linear-time near-dedup path for a 100 TB corpus (the
+    banded self-join replaces the O(n²) all-pairs comparison)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    return jaccard_pairs(sh, pairs).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SQL_SH},
+    sample AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / (za.n + zb.n - COALESCE(i.n_common, 0)) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i USING (id_a, id_b)
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+    )
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard on a bounded sample (doc_id < 60):
+    the brute-force ground truth the LSH path approximates. Bounded on
+    purpose — all-pairs is quadratic and is NOT the scale path."""
+    d = load_table(spark, sf_dir, "documents")
+    sample = d.filter(F.col("doc_id") < 60)
+    sh = doc_shingles(sample)
+    ids = sample.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        jaccard_pairs(sh, pairs)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {sql_stable_hash_mod('tok')} AS h FROM toks),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS w
+        FROM h CROSS JOIN generate_series(0, 31) t(b)
+    ),
+    per_bit AS (SELECT doc_id, b, SUM(w) AS s FROM bits GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM per_bit
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (frequency-weighted token bits) — near-dup
+    detection by small Hamming distance; signature computation is two
+    aggregations, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash32(d).orderBy("doc_id")

@@ -1,1 +1,123 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search query surface (SURVEY §2 C-IX): exact cosine top-k,
+sign-LSH bucketing, and LSH-probed approximate top-k — all value-exact
+against DuckDB (shared hyperplane constants, identical double arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.functions.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    lsh_signature,
+    sql_lsh_signature,
+)
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+_SQL_COS = """
+    base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM base
+        WHERE vec_id IN (0, 1, 2, 3, 4)
+    )
+"""
+
+
+@query(
+    "similarity_cosine_topk",
+    f"""
+    WITH {_SQL_COS},
+    scored AS (
+        SELECT q.qid, b.vec_id,
+               list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) AS cos_sim
+        FROM base b JOIN q ON b.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim, rank FROM (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cos_sim DESC, vec_id
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    ORDER BY qid, rank
+    """,
+    tags=("similarity",),
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors: broadcast query
+    set × one corpus scan; no corpus shuffle at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(e, _QUERY_IDS, k=10).orderBy("qid", "rank")
+
+
+@query(
+    "similarity_lsh_buckets",
+    f"""
+    SELECT {sql_lsh_signature('embedding::DOUBLE[]')} AS sig,
+           COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec_id
+    FROM embeddings
+    GROUP BY 1
+    ORDER BY sig
+    """,
+    tags=("similarity", "lsh"),
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket histogram: 8-bit hyperplane signatures partition the
+    corpus; bucket sizes show the candidate-set reduction the ANN path gets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("sig", lsh_signature())
+        .groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("sig")
+    )
+
+
+@query(
+    "similarity_ann_lsh_topk",
+    f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+               {sql_lsh_signature('embedding::DOUBLE[]')} AS sig
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, v AS qv, norm AS qnorm, sig AS qsig
+        FROM sigs WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    scored AS (
+        SELECT q.qid, s.vec_id,
+               list_dot_product(s.v, q.qv) / (s.norm * q.qnorm) AS cos_sim
+        FROM sigs s JOIN q ON s.sig = q.qsig AND s.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim, rank FROM (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cos_sim DESC, vec_id
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY qid, rank
+    """,
+    tags=("similarity", "lsh", "ann"),
+)
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via LSH bucket probing + exact re-rank — the
+    sublinear ANN path: candidates come from a signature equi-join, not a
+    full corpus scan per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(e, _QUERY_IDS, k=5).orderBy("qid", "rank")

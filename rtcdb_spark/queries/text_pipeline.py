@@ -1,1 +1,223 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis query surface (SURVEY §2 C-IX): per-document statistics,
+quality scoring, heuristic language-ID, regex token counting, and rolling-
+hash fingerprinting. All pure column expressions — the pipeline stays in
+whole-stage codegen at any corpus size (one scan, no shuffles except the
+explicit final sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.functions.text import MERSENNE_P, sql_stable_hash_mod, stable_hash_mod
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+# Tiny per-language stopword lists for the n-gram/lexicon language heuristic.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def _sql_in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_stats",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+           len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stopwords,
+           CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+               / len(toks) AS stopword_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: char/token/unique counts, type-token ratio,
+    average token length, stopword ratio — the standard quality-filter
+    features for an LLM training corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique"),
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+                "type_token_ratio"
+            ),
+            (
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+                / F.size(toks)
+            ).alias("avg_token_len"),
+            n_stop.alias("n_stopwords"),
+            (n_stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality_filter",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, ttr,
+           (n_tokens >= 20 AND n_tokens <= 120 AND ttr >= 0.3) AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate: length band + lexical-diversity threshold → keep
+    flag. (The filter columns are emitted rather than applied so the oracle
+    checks the decision boundary itself.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n.alias("n_tokens"),
+            ttr.alias("ttr"),
+            ((n >= 20) & (n <= 120) & (ttr >= 0.3)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LANG_SCORE_SQL = ",\n           ".join(
+    f"len(list_filter(toks, t -> t IN ({_sql_in_list(ws)}))) AS score_{lang}"
+    for lang, ws in LANG_STOPWORDS.items()
+)
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    scores AS (
+        SELECT doc_id,
+           {_LANG_SCORE_SQL}
+        FROM t
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM scores
+    ORDER BY doc_id
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword-lexicon hit counts,
+    argmax with a fixed preference order for ties. (A real system swaps the
+    lexicons for char-n-gram profiles; the operator shape is identical.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def count_hits(ws: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: count_hits(ws) for lang, ws in LANG_STOPWORDS.items()}
+    s = d.select("doc_id", *[c.alias(f"score_{lang}") for lang, c in scores.items()])
+    e, g, p, f_ = (F.col("score_en"), F.col("score_de"), F.col("score_es"), F.col("score_fr"))
+    pred = (
+        F.when((e >= g) & (e >= p) & (e >= f_), "en")
+        .when((g >= p) & (g >= f_), "de")
+        .when(p >= f_, "es")
+        .otherwise("fr")
+    )
+    return s.withColumn("pred_lang", pred).orderBy("doc_id")
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+           len(regexp_extract_all(text, ' ')) + 1 AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: BPE-ish regex classes, alpha runs,
+    whitespace splits — the cost-estimation primitives for LLM data budgets."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def n_matches(pat: str) -> F.Column:
+        return F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+
+    return (
+        d.select(
+            "doc_id",
+            n_matches("[a-z]+|[0-9]+|[^a-z0-9 ]").alias("n_bpe_ish"),
+            n_matches("[a-z]+").alias("n_alpha_runs"),
+            (n_matches(" ") + 1).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              tok -> {sql_stable_hash_mod('tok')}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce([CAST(0 AS BIGINT)] || hs,
+                       (acc, x) -> (acc * 31 + x) % {MERSENNE_P}) AS fingerprint
+    FROM t
+    ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    token hashes mod 2^31-1. Equal fingerprints ⇒ (w.h.p.) identical token
+    sequences — cheaper to store/compare than the text itself."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    hashes = F.transform(toks, lambda t: stable_hash_mod(t))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(MERSENNE_P),
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
