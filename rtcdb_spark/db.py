@@ -1,0 +1,189 @@
+"""The reference-shaped embedded database API over Spark + Parquet.
+
+API parity with the reference engine (see SURVEY.md §1/§3; citations are
+reference file:line):
+
+- ``Database.init(path, tables)``   ↔ `DB::init` (src/lib.rs:31-38): create a
+  database directory with a ``metadata.json`` catalog.
+- ``Database.open(path)``           ↔ `DB::open` (src/lib.rs:22-29): reload
+  the catalog (src/metadata.rs:44-60).
+- ``db.write_data(table, rows)``    ↔ `DB::write_data` (src/lib.rs:40-49 →
+  src/storage.rs:224-297): type-checked, row-oriented append. The reference
+  chunks into 1024-row LZ4 blocks with 40-byte min/max index entries
+  (src/storage.rs:17, 72-78); here each append writes sorted parquet — row
+  groups, compression, and column min/max statistics are the industrial form
+  of exactly those three mechanisms (reference README.md:10-12).
+- ``db.scan(table, columns, predicate)`` ↔ the designed-but-unbuilt read path
+  (reference README.md:51-62 stages 1-3): Catalyst pushes the predicate into
+  the parquet scan (row-group stat skipping = the reference's sparse-index
+  pruning design) and prunes columns (= per-column files).
+
+Differences by design, not accident:
+- Types beyond Uint64/String (reference src/data.rs:4-7) are supported via a
+  dtype map — the driver fixtures need timestamps, doubles, arrays.
+- The reference's unsigned 64-bit range shrinks to signed 2^63 (LongType) —
+  documented ceiling, see SURVEY.md §1.2.
+- The sort contract (reference README.md:44 — rows assumed sorted by column
+  order, never enforced) is *enforced* here at write time via
+  sortWithinPartitions, which is what makes parquet min/max stats selective.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rtcdb_spark.session import tune
+
+# dtype name ↔ Spark type. "uint64"/"string" are the reference's two types
+# (src/data.rs:4-7); the rest are the new engine's extensions (SURVEY §1.4).
+_DTYPES: dict[str, T.DataType] = {
+    "uint64": T.LongType(),
+    "int64": T.LongType(),
+    "int32": T.IntegerType(),
+    "string": T.StringType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "bool": T.BooleanType(),
+    "timestamp": T.TimestampNTZType(),
+    "binary": T.BinaryType(),
+    "array<float>": T.ArrayType(T.FloatType()),
+    "array<double>": T.ArrayType(T.DoubleType()),
+}
+_METADATA_FILE = "metadata.json"
+
+
+class SchemaError(ValueError):
+    """Raised on unknown tables/dtypes or ill-typed rows (the reference
+    panics or errors in these cases: src/storage.rs:250-252, src/data.rs:38)."""
+
+
+@dataclass
+class TableMeta:
+    """↔ reference `TableMetaData` {name, columns} (src/metadata.rs:10-13)."""
+
+    name: str
+    columns: list[tuple[str, str]]  # (column name, dtype name)
+
+    def spark_schema(self) -> T.StructType:
+        fields = []
+        for col, dtype in self.columns:
+            if dtype not in _DTYPES:
+                raise SchemaError(f"unknown dtype {dtype!r} for column {col!r}")
+            fields.append(T.StructField(col, _DTYPES[dtype], nullable=False))
+        return T.StructType(fields)
+
+
+@dataclass
+class Database:
+    """↔ reference `DB` {path, tables} (src/lib.rs:16-19)."""
+
+    path: str
+    tables: dict[str, TableMeta] = field(default_factory=dict)
+    spark: SparkSession | None = None
+
+    # -- catalog lifecycle ---------------------------------------------------
+
+    @classmethod
+    def init(cls, spark: SparkSession, path: str, tables: list[TableMeta]) -> "Database":
+        """Create a database: write metadata.json (↔ src/metadata.rs:62-71)."""
+        os.makedirs(path, exist_ok=True)
+        db = cls(path=path, tables={t.name: t for t in tables}, spark=tune(spark))
+        db._save_metadata()
+        return db
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "Database":
+        """Open an existing database (↔ src/lib.rs:22-29)."""
+        with open(os.path.join(path, _METADATA_FILE)) as fh:
+            meta = json.load(fh)
+        tables = {
+            t["name"]: TableMeta(t["name"], [(c["name"], c["dtype"]) for c in t["columns"]])
+            for t in meta["tables"]
+        }
+        return cls(path=path, tables=tables, spark=tune(spark))
+
+    def _save_metadata(self) -> None:
+        meta = {
+            "tables": [
+                {
+                    "name": t.name,
+                    "columns": [{"name": c, "dtype": d} for c, d in t.columns],
+                }
+                for t in self.tables.values()
+            ]
+        }
+        with open(os.path.join(self.path, _METADATA_FILE), "w") as fh:
+            json.dump(meta, fh, indent=2)
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def _meta(self, name: str) -> TableMeta:
+        if name not in self.tables:  # ↔ src/lib.rs:42-44 catalog lookup
+            raise SchemaError(f"no such table: {name}")
+        return self.tables[name]
+
+    # -- write path ------------------------------------------------------—--
+
+    def write_data(self, table: str, rows: list[list]) -> None:
+        """Row-oriented type-checked append (↔ src/storage.rs:224-297).
+
+        Rows are sorted by column order before writing (the reference's
+        *assumed* sort contract, README.md:44, enforced here) so parquet
+        row-group min/max stats — the engine's sparse index — stay selective.
+        """
+        meta = self._meta(table)
+        schema = meta.spark_schema()
+        width = len(meta.columns)
+        for i, row in enumerate(rows):
+            if len(row) != width:  # the reference panics on ragged rows
+                raise SchemaError(f"row {i} has {len(row)} cells, expected {width}")
+        df = self.spark.createDataFrame(rows, schema)
+        self.append(table, df)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        """Columnar append of a DataFrame (the batch/bulk form of write_data)."""
+        meta = self._meta(table)
+        schema = meta.spark_schema()
+        if [f.name for f in df.schema.fields] != [f.name for f in schema.fields]:
+            raise SchemaError(
+                f"schema mismatch for {table}: {df.columns} vs {[c for c, _ in meta.columns]}"
+            )
+        sort_cols = [c for c, _ in meta.columns]
+        (
+            df.sortWithinPartitions(*sort_cols)
+            .write.mode("append")
+            .parquet(self._table_path(table))
+        )
+
+    # -- read path ------------------------------------------------------—--
+
+    def table(self, name: str) -> DataFrame:
+        """Full table as a DataFrame (↔ the read_all stub, src/storage.rs:299,
+        but lazy and actually functional — see SURVEY §4.3 bug 2)."""
+        self._meta(name)
+        return self.spark.read.schema(self._meta(name).spark_schema()).parquet(
+            self._table_path(name)
+        )
+
+    def scan(
+        self,
+        name: str,
+        columns: list[str] | None = None,
+        predicate: Column | str | None = None,
+    ) -> DataFrame:
+        """Projection + filter scan — the reference's designed query stages 1-3
+        (README.md:51-58). Catalyst pushes `predicate` into the parquet scan
+        (row-group skipping via min/max stats) and reads only `columns`."""
+        df = self.table(name)
+        if predicate is not None:
+            df = df.filter(predicate)
+        if columns:
+            df = df.select(*columns)
+        return df
