@@ -23,5 +23,6 @@ from rtcdb_spark.queries import text_pipeline  # noqa: E402,F401
 from rtcdb_spark.queries import dedup_queries  # noqa: E402,F401
 from rtcdb_spark.queries import similarity_queries  # noqa: E402,F401
 from rtcdb_spark.queries import multimodal_queries  # noqa: E402,F401
+from rtcdb_spark.queries import streaming_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

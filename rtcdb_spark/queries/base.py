@@ -50,28 +50,5 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# --- deterministic aggregate builders (Spark side) -------------------------
-
-
-def dsum(col: Column | str, scale: int = 2, alias: str | None = None) -> Column:
-    """Order-independent SUM of a money-ish double via exact DECIMAL addition."""
-    c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
-    return out.alias(alias) if alias else out
-
-
-def davg(col: Column | str, scale: int = 2, alias: str | None = None) -> Column:
-    """Order-independent AVG: exact decimal sum / count, one double division."""
-    c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
-    return out.alias(alias) if alias else out
-
-
-def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB-side twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
-
-
-def sql_davg(expr: str, scale: int = 2) -> str:
-    """DuckDB-side twin of :func:`davg`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr})"
+# --- deterministic aggregate builders (re-exported; see rtcdb_spark.deterministic)
+from rtcdb_spark.deterministic import davg, dsum, sql_davg, sql_dsum  # noqa: E402,F401

@@ -1,0 +1,116 @@
+"""Streaming-mode queries for the correctness gate (SURVEY §2 C-VIII).
+
+Each entry runs a Structured Streaming plan to completion over the finite
+fixture input (``trigger(availableNow=True)`` into a memory sink) and returns
+the result as a batch DataFrame — so the SAME DuckDB oracles that check the
+batch window queries also check the streaming operators' state machinery
+(multi-batch merge, watermark bookkeeping, session-window state).
+
+The reference has no streaming (SURVEY §3: no threads/async anywhere); this
+is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.queries.base import query, sql_dsum
+from rtcdb_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    stream_dedup,
+    stream_session,
+    stream_tumbling,
+    stream_user_running_totals,
+)
+
+
+@query(
+    "stream_window_tumbling",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+    tags=("streaming", "window"),
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling windows, run to completion — must equal the batch
+    ``window_tumbling`` answer exactly (complete output mode keeps all state)."""
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_available_now(stream_tumbling(sdf), output_mode="complete")
+    return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_window_session",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session"),
+)
+def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) run to completion — state-store
+    session merge must reproduce the batch gaps-and-islands answer."""
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_available_now(stream_session(sdf), output_mode="complete")
+    return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_count",
+    "SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` over the stream; the surviving-row
+    count must equal COUNT(DISTINCT event_id)."""
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_available_now(stream_dedup(sdf), output_mode="append")
+    return out.agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@query(
+    "stream_running_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state operator (`applyInPandasWithState`): one micro-batch
+    over the full input emits each user's final running count. total_value is
+    dropped from the check — a Python-side float fold is order-dependent."""
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_available_now(stream_user_running_totals(sdf), output_mode="update")
+    return out.select("user_id", "n_events").orderBy("user_id")

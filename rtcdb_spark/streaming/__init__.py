@@ -1,0 +1,27 @@
+"""Structured Streaming mode for the event operators (SURVEY §2 C-VIII).
+
+The reference has no streaming at all (no threads/async anywhere — SURVEY §3);
+this package is north-star surface. Batch and streaming share the SAME
+windowing operators (`F.window` / `F.session_window`) — the batch forms in
+``rtcdb_spark.queries.events_time`` are the oracle-checkable twins of these.
+"""
+
+from rtcdb_spark.streaming.events import (  # noqa: F401
+    read_events_stream,
+    run_available_now,
+    stream_dedup,
+    stream_session,
+    stream_sliding,
+    stream_tumbling,
+)
+from rtcdb_spark.streaming.stateful import stream_user_running_totals  # noqa: F401
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now",
+    "stream_dedup",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "stream_user_running_totals",
+]

@@ -1,0 +1,135 @@
+"""Streaming source + windowed operators over the events table.
+
+Design (Spark-first, scales to a real cluster):
+- Source: the file streaming source over the fixture parquet (on a cluster
+  this would be Kafka/Kinesis — the transformations are source-agnostic).
+  ``maxFilesPerTrigger`` simulates micro-batch arrival in tests.
+- Watermarks bound state: every stateful op here takes ``watermark`` so late
+  data past the bound is dropped and window state is evicted — the thing that
+  makes these operators runnable forever on an unbounded stream.
+- Aggregations are partial (map-side combine) before the shuffle, exactly as
+  in batch mode; state lives in the HDFS/RocksDB state store per shuffle
+  partition, so state capacity scales with executors.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.deterministic import dsum
+from rtcdb_spark.session import tune
+
+_MEMSINK_IDS = itertools.count()
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """readStream over the events parquet, ts normalized to TIMESTAMP_NTZ.
+
+    The file source requires an explicit schema; we take it from the batch
+    footer (one cheap metadata read). ``path`` overrides the default
+    ``<sf_dir>/events.parquet`` — tests point it at a directory of
+    time-split files to exercise multi-batch watermark advancement.
+    """
+    tune(spark)
+    src = path or os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(src):
+        # The file source needs a directory; select just this file via glob.
+        reader = reader.option("pathGlobFilter", os.path.basename(src))
+        src = os.path.dirname(src)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(src)
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # Watermarks require TIMESTAMP; with session tz pinned to UTC the
+        # cast is value-identical to the batch reader's TIMESTAMP_NTZ.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def stream_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows per event type — streaming twin of the batch
+    ``window_tumbling`` query (same plan + a watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 1-hour/30-minute windows — streaming twin of ``window_sliding``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def stream_session(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Session windows (30-minute gap) per user — streaming twin of
+    ``window_session``. Session state merges across micro-batches and is
+    evicted once the watermark passes session_end + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exactly-once dedup on event_id within the watermark horizon
+    (`dropDuplicatesWithinWatermark`): dedup state is bounded — an event_id
+    seen again after the watermark has passed would NOT be suppressed, which
+    is the price of bounded state on an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over all currently-available
+    input (`trigger(availableNow=True)`) into a memory sink; return the result
+    as a batch DataFrame. This is how the driver/oracle can check streaming
+    plans: same operators, finite input, deterministic output."""
+    spark = sdf.sparkSession
+    qname = name or f"rtcdb_stream_{os.getpid()}_{next(_MEMSINK_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)

@@ -1,0 +1,125 @@
+"""Structured Streaming operators produce the same answers as their batch twins.
+
+Strategy: split the sf0.001 events into three time-ordered parquet files, feed
+them through the file streaming source one-per-micro-batch (maxFilesPerTrigger),
+run each stateful operator to completion with trigger(availableNow=True), and
+compare against the identical batch aggregation over the same data. This
+exercises multi-batch state merge + watermark advancement, which a single-batch
+run would not.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rtcdb_spark.queries.base import dsum
+from rtcdb_spark.sources import load_table
+from rtcdb_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    stream_dedup,
+    stream_session,
+    stream_tumbling,
+    stream_user_running_totals,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_smoke, tmp_path_factory) -> str:
+    """Events (ts already TIMESTAMP_NTZ) split into 3 time-ranged files."""
+    root = str(tmp_path_factory.mktemp("events_stream"))
+    e = load_table(spark, sf_smoke, "events").orderBy("ts")
+    splits = e.select(
+        F.percentile_approx("ts", [1 / 3, 2 / 3], 10000).alias("qs")
+    ).first()["qs"]
+    lo, hi = splits[0], splits[1]
+    parts = [
+        e.filter(F.col("ts") <= F.lit(lo)),
+        e.filter((F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi))),
+        e.filter(F.col("ts") > F.lit(hi)),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(root)
+    return root
+
+
+def _batch_events(spark, stream_dir):
+    return spark.read.parquet(stream_dir)
+
+
+def _collect_sorted(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_stream_tumbling_matches_batch(spark, sf_smoke, stream_dir):
+    sdf = read_events_stream(spark, sf_smoke, max_files_per_trigger=1, path=stream_dir)
+    got = run_available_now(stream_tumbling(sdf), output_mode="complete")
+    e = _batch_events(spark, stream_dir)
+    want = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    key = ["window_start", "event_type"]
+    assert _collect_sorted(got, *key) == _collect_sorted(want, *key)
+
+
+def test_stream_session_matches_batch(spark, sf_smoke, stream_dir):
+    sdf = read_events_stream(spark, sf_smoke, max_files_per_trigger=1, path=stream_dir)
+    got = run_available_now(stream_session(sdf), output_mode="complete")
+    e = _batch_events(spark, stream_dir)
+    want = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    key = ["user_id", "session_start"]
+    assert _collect_sorted(got, *key) == _collect_sorted(want, *key)
+
+
+def test_stream_dedup(spark, sf_smoke, stream_dir):
+    sdf = read_events_stream(spark, sf_smoke, max_files_per_trigger=1, path=stream_dir)
+    got = run_available_now(stream_dedup(sdf), output_mode="append")
+    e = _batch_events(spark, stream_dir)
+    n_distinct = e.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_running_totals_single_batch(spark, sf_smoke, stream_dir):
+    # One micro-batch -> exactly one emitted row per user == the batch answer.
+    sdf = read_events_stream(spark, sf_smoke, path=stream_dir)
+    got = run_available_now(stream_user_running_totals(sdf), output_mode="update")
+    e = _batch_events(spark, stream_dir)
+    want = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    g = {r["user_id"]: r["n_events"] for r in got.collect()}
+    w = {r["user_id"]: r["n_events"] for r in want.collect()}
+    assert g == w
+
+
+def test_stream_running_totals_multi_batch(spark, sf_smoke, stream_dir):
+    # Per-batch updates: the max n_events per user is the final running count.
+    sdf = read_events_stream(spark, sf_smoke, max_files_per_trigger=1, path=stream_dir)
+    got = run_available_now(stream_user_running_totals(sdf), output_mode="update")
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    e = _batch_events(spark, stream_dir)
+    want = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    g = {r["user_id"]: r["n_events"] for r in final.collect()}
+    w = {r["user_id"]: r["n_events"] for r in want.collect()}
+    assert g == w
