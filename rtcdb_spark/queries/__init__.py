@@ -15,6 +15,7 @@ from rtcdb_spark.queries.base import REGISTRY, Query, query  # noqa: F401
 from rtcdb_spark.queries import relational  # noqa: E402,F401
 from rtcdb_spark.queries import aggregates  # noqa: E402,F401
 from rtcdb_spark.queries import joins  # noqa: E402,F401
+from rtcdb_spark.queries import tpch_more  # noqa: E402,F401
 from rtcdb_spark.queries import sort_set  # noqa: E402,F401
 from rtcdb_spark.queries import windows  # noqa: E402,F401
 from rtcdb_spark.queries import scalar_fns  # noqa: E402,F401
@@ -24,5 +25,7 @@ from rtcdb_spark.queries import dedup_queries  # noqa: E402,F401
 from rtcdb_spark.queries import similarity_queries  # noqa: E402,F401
 from rtcdb_spark.queries import multimodal_queries  # noqa: E402,F401
 from rtcdb_spark.queries import streaming_queries  # noqa: E402,F401
+from rtcdb_spark.queries import udf_queries  # noqa: E402,F401
+from rtcdb_spark.queries import source_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

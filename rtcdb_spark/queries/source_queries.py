@@ -1,0 +1,94 @@
+"""CSV / JSON source + sink coverage (SURVEY §2 C-I).
+
+The reference's only format is its custom columnar block layout; the Spark
+engine's native format is Parquet. These queries prove the text-format edges
+of the source surface: write a table slice out as CSV / JSON-lines, read it
+back with an explicit schema, and aggregate — the oracle computes the same
+aggregate from the original parquet, so any roundtrip loss would mismatch.
+
+Only roundtrip-safe columns go through text formats (strings without
+delimiter collisions, integers): floats/timestamps through CSV are a known
+precision/format trap and parquet is the engine's real storage (SURVEY §1.3).
+
+Scale notes: CSV/JSON scans parallelize by file split like any Spark source;
+an explicit schema avoids the full inference pass (one extra read of every
+byte at 100 TB). Writes here coalesce(1) only because the fixture slice is
+tiny — a real export keeps default parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+_IO_ROOT = os.path.join(tempfile.gettempdir(), "rtcdb_spark_io")
+
+
+@query(
+    "source_csv_roundtrip",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → CSV (header) → read back with explicit schema → aggregate.
+    Matches the oracle's aggregate over the original parquet iff the CSV
+    roundtrip is lossless for the selected columns."""
+    out = os.path.join(_IO_ROOT, "documents_csv")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    d.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("doc_id long, lang string, source string, n_chars long")
+        .option("header", True)
+        .csv(out)
+    )
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("source", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines → read back with explicit schema → aggregate."""
+    out = os.path.join(_IO_ROOT, "events_json")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    e.coalesce(1).write.mode("overwrite").json(out)
+    back = spark.read.schema("event_id long, user_id long, event_type string").json(
+        out
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

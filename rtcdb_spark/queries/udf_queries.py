@@ -1,0 +1,158 @@
+"""UDF surface (SURVEY §2 C-X): vectorized scalar pandas UDF, grouped-map
+UDAF (`applyInPandas`), and a lateral-join Python UDTF.
+
+The reference has no UDF facility of any kind (643 LoC, storage only); this
+is the declared extension surface. All three forms are Arrow-batched — no
+row-at-a-time Python anywhere:
+
+- scalar `pandas_udf`: whole-column NumPy arithmetic per Arrow batch;
+- `applyInPandas`: one pandas frame per group per task, state never leaves
+  the executor, output is a per-group reduction (constant rows/group);
+- UDTF: row→rows expansion evaluated per-partition, composed via LATERAL.
+
+Determinism for the oracle: scalar arithmetic is per-row IEEE double (same
+result in any order); the grouped UDAF emits only order-independent measures
+(count, min, max, and an exact integer-valued sum).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+
+@pandas_udf(DoubleType())
+def _charge(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    # Vectorized per-row double math — IEEE-identical to the SQL expression.
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@query(
+    "udf_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF computing the line charge, row-exact vs the SQL
+    expression. (In production this slot is for logic Spark can't express —
+    plain arithmetic like this belongs in built-ins; here it pins the Arrow
+    path's numeric fidelity.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def _flag_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    # One group per (returnflag, linestatus): order-independent measures only.
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+            "n_lines": [int(len(pdf))],
+            "min_price": [float(pdf["l_extendedprice"].min())],
+            "max_price": [float(pdf["l_extendedprice"].max())],
+            "sum_qty": [float(pdf["l_quantity"].sum())],  # integer-valued → exact
+        }
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("udf", "udaf", "pandas"),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via `applyInPandas`: per-group pandas reduction shuffled on
+    the grouping key. Scale note: each group must fit in one task's memory —
+    fine for low-cardinality keys; high-cardinality custom aggs should use
+    partial-aggregate built-ins instead."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out_schema = (
+        "l_returnflag string, l_linestatus string, n_lines long, "
+        "min_price double, max_price double, sum_qty double"
+    )
+    return (
+        l.select(
+            "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .applyInPandas(_flag_stats, out_schema)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@udtf(returnType="pos int, token string")
+class _TokenizeWs:
+    """Whitespace tokenizer UDTF: one input string → (position, token) rows.
+    Split on single spaces, matching DuckDB's string_split(text, ' ')."""
+
+    def eval(self, text: str) -> Iterator[tuple[int, str]]:
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
+            yield i, tok
+
+
+@query(
+    "udf_udtf_tokenize",
+    """
+    SELECT doc_id,
+           unnest(generate_series(1, len(toks))) - 1 AS pos,
+           unnest(toks) AS token
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 20
+    )
+    ORDER BY doc_id, pos
+    """,
+    tags=("udf", "udtf"),
+)
+def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF applied via LATERAL join: tokenizes each document into
+    (pos, token) rows. The expansion runs per-partition with no shuffle."""
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("documents_udtf_in")
+    spark.udtf.register("tokenize_ws", _TokenizeWs)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents_udtf_in d, LATERAL tokenize_ws(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
