@@ -21,12 +21,22 @@ import time
 from rtcdb_spark.session import get_spark
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q10_returned_items",
     "scan_filter_project",
+    # subquery / multi-join forms
+    "q7_volume_shipping",
+    "q18_large_volume_orders",
+    # windows / event analytics
+    "window_session",
+    # LLM-pipeline operators
+    "dedup_lsh_pairs",
+    "similarity_cosine_topk",
+    "text_token_count",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -80,9 +80,14 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    Docs are exploded into `N_BANDS` (band_id, signature) keys and
-    self-joined within buckets — linear in corpus size for non-degenerate
-    data. Dedup across bands keeps each pair once."""
+    Docs are exploded into `N_BANDS` (band_id, signature) keys, grouped into
+    buckets, and pairs are expanded *within* each bucket — ONE shuffle on the
+    bucket key, no self-join (a self-join would evaluate the whole upstream
+    minhash pipeline once per join side). Linear in corpus size for
+    non-degenerate data; a pathological bucket (e.g. millions of identical
+    docs) is inherently quadratic in pairs under any algorithm — cap bucket
+    size upstream if that is a live risk. Dedup across bands keeps each pair
+    once."""
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -103,12 +108,22 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.sig")
-    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "sig")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "sig")
+    buckets = (
+        bands.groupBy("band_id", "sig")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(b, ["band_id", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -136,7 +136,9 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification — the linear-time near-dedup path for a 100 TB corpus (the
     banded self-join replaces the O(n²) all-pairs comparison)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(d)
+    # The shingle set feeds four plan subtrees (minhash + sizes + both sides
+    # of the intersection join); persist so the explode+distinct runs once.
+    sh = doc_shingles(d).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return jaccard_pairs(sh, pairs).orderBy("id_a", "id_b")
 
