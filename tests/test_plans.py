@@ -1,0 +1,68 @@
+"""Plan-contract tests: the optimizations SCALE.md claims must actually fire.
+
+These fail on *performance* regressions (lost pushdown, a dimension join
+degrading to sort-merge, top-k becoming a global sort), independent of
+result correctness.
+"""
+
+from __future__ import annotations
+
+from rtcdb_spark.plans import inspect_plan
+from rtcdb_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_smoke, name):
+    return inspect_plan(REGISTRY[name].fn(spark, sf_smoke))
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "q1_pricing_summary")
+    assert any("l_shipdate" in f for f in p.pushed), p.pushed
+    # column pruning: far fewer columns than the 11 in lineitem
+    assert all(len(cols) <= 7 for cols in p.schemas), p.schemas
+    assert p.has_partial_agg, p.describe()
+    assert p.sort_merge_joins == 0 and p.cartesian_products == 0, p.describe()
+
+
+def test_q3_broadcast_star_and_topk(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "q3_shipping_priority")
+    # every scan has a pushed filter; dimension joins broadcast; top-k never
+    # becomes a global sort
+    assert all(f for f in p.pushed), p.pushed
+    assert p.broadcast_joins >= 2, p.describe()
+    assert p.sort_merge_joins == 0, p.describe()
+    assert p.has_take_ordered, p.describe()
+
+
+def test_q19_disjunction_pushed_both_sides(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "q19_disjunctive_predicates")
+    assert any("l_quantity" in f and "Or(" in f for f in p.pushed), p.pushed
+    assert any("p_brand" in f and "Or(" in f for f in p.pushed), p.pushed
+    assert p.broadcast_joins >= 1 and p.cartesian_products == 0, p.describe()
+
+
+def test_scan_projection_pruned(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "scan_filter_project")
+    assert all(len(cols) <= 6 for cols in p.schemas), p.schemas  # 11 in lineitem
+    assert any(f for f in p.pushed), p.pushed
+
+
+def test_q7_all_dimensions_broadcast(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "q7_volume_shipping")
+    # supplier, customer, nation×2 broadcast; lineitem↔orders is the only
+    # shuffle join allowed
+    assert p.broadcast_joins >= 4, p.describe()
+    assert p.cartesian_products == 0 and p.nested_loop_joins == 0, p.describe()
+
+
+def test_similarity_topk_no_corpus_shuffle(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "similarity_cosine_topk")
+    # query set broadcast against corpus scan: the non-equi self join must be
+    # a broadcast nested-loop against the tiny query side, never cartesian
+    assert p.cartesian_products == 0, p.describe()
+    assert p.broadcast_exchanges >= 1, p.describe()
+
+
+def test_window_topk_single_shuffle(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "window_topk_per_group")
+    assert p.sort_merge_joins == 0 and p.cartesian_products == 0, p.describe()
