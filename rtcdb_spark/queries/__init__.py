@@ -16,6 +16,7 @@ from rtcdb_spark.queries import relational  # noqa: E402,F401
 from rtcdb_spark.queries import aggregates  # noqa: E402,F401
 from rtcdb_spark.queries import joins  # noqa: E402,F401
 from rtcdb_spark.queries import tpch_more  # noqa: E402,F401
+from rtcdb_spark.queries import tpch_complete  # noqa: E402,F401
 from rtcdb_spark.queries import sort_set  # noqa: E402,F401
 from rtcdb_spark.queries import windows  # noqa: E402,F401
 from rtcdb_spark.queries import scalar_fns  # noqa: E402,F401
