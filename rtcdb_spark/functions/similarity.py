@@ -85,6 +85,67 @@ def sql_lsh_signature(vec_expr: str) -> str:
     return f"({bits})"
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into `n_cells`
+    Voronoi cells around deterministic centroids (the vectors with the
+    `n_cells` lowest ids — a stand-in for trained k-means centroids, keeping
+    the oracle reproducible), then probe only the `n_probe` cells nearest to
+    each query and re-rank exactly inside them.
+
+    Plan shape at scale: centroids are a broadcast (n_cells rows); cell
+    assignment is one corpus scan + per-row argmax over the broadcast — no
+    shuffle; the probe step joins candidates on the (low-cardinality) cell id,
+    touching ~n_probe/n_cells of the corpus instead of all of it. Output
+    (qid, vec_id, cos_sim, rank)."""
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    base = with_norm(base)
+    cents = base.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc(F.col("ccos")), F.asc("cid")
+    )
+    assign = (
+        base.join(F.broadcast(cents))
+        .withColumn("ccos", _dot("v", "cv") / (F.col("norm") * F.col("cnorm")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "norm", "cid")
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc(F.col("qcos")), F.asc("cid"))
+    probe = (
+        q.join(F.broadcast(cents))
+        .withColumn("qcos", _dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "qv", "qnorm", "cid")
+    )
+    scored = (
+        assign.join(
+            F.broadcast(probe),
+            (assign.cid == probe.cid) & (F.col(id_col) != F.col("qid")),
+        )
+        .select(
+            "qid",
+            id_col,
+            (_dot("v", "qv") / (F.col("norm") * F.col("qnorm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -1,0 +1,154 @@
+"""Additional analytic surface: distribution window functions
+(ntile/percent_rank/cume_dist), TF-IDF token scoring, and the multimodal
+frame-sampling offset plan.
+
+All three are declared Tier-C north-star surface (SURVEY §2 C-VI, C-IX); the
+reference implements none of them (its query engine is unimplemented —
+reference README.md:51-62 is a design sketch only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+
+@query(
+    "window_ntile_distribution",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS balance_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+    tags=("window", "distribution"),
+)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucketing and relative rank
+    of each customer's balance within its nation. The window order includes
+    the key (c_custkey) so bucket boundaries are total-order deterministic.
+    percent_rank/cume_dist are rank-ratio doubles: one division of two exact
+    integers, bit-identical across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+               CAST(CAST(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+                    AS DECIMAL(18,8)) AS DOUBLE) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, rnk FROM (
+        SELECT doc_id, token, tf, df, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token
+               ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3 AND doc_id < 200
+    ORDER BY doc_id, rnk
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF tokens per document (first 200 docs) — the classic
+    keyword-extraction pipeline: explode to tokens, per-doc term frequency,
+    corpus document frequency, idf = ln(N/df). The score is rounded through
+    DECIMAL(18,8) before ranking: libm ln() differs by ULPs across engines,
+    and both the values and the rank order must hash-match the oracle.
+
+    Scale notes: tf is a (doc, token) group-by of the exploded corpus — one
+    shuffle of token rows; dfreq is a token group-by of the SAME exploded
+    relation (Spark reuses the scan); the dfreq side is tiny post-aggregation
+    and broadcasts into the join. N is a scalar broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")))
+            .cast("decimal(18,8)")
+            .cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 200))
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
+    "multimodal_frame_index",
+    """
+    SELECT doc_id,
+           unnest(range(0, CAST(ceil(n_bytes / 64.0) AS BIGINT))) AS frame_no,
+           n_bytes
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+    WHERE doc_id < 100
+    ORDER BY doc_id, frame_no
+    """,
+    tags=("multimodal", "explode"),
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling offset plan for opaque binary payloads: one output row
+    per 64-byte frame of each payload (doc text bytes stand in for video — the
+    actual frame decode is the stubbed ``functions.multimodal.frame_sample``).
+    This is the fan-out half of a video pipeline: `sequence` + `explode`
+    stays in whole-stage codegen, and at 100 TB the explode happens after
+    partition-local pruning, never materializing the corpus."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.col("n_bytes") / F.lit(64.0)).cast("long") - 1,
+                )
+            ).alias("frame_no"),
+            "n_bytes",
+        )
+        .orderBy("doc_id", "frame_no")
+    )

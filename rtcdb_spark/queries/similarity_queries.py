@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from rtcdb_spark.functions.similarity import (
     ann_lsh_topk,
     cosine_topk,
+    ivf_topk,
     lsh_signature,
     sql_lsh_signature,
 )
@@ -121,3 +122,61 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full corpus scan per query."""
     e = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(e, _QUERY_IDS, k=5).orderBy("qid", "rank")
+
+
+@query(
+    "similarity_ivf_topk",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM base WHERE vec_id < 16
+    ),
+    assign AS (
+        SELECT vec_id, v, norm, cid FROM (
+            SELECT b.vec_id, b.v, b.norm, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.v, c.cv) / (b.norm * c.cnorm) DESC, c.cid
+                   ) AS rn
+            FROM base b CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM base
+        WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    probe AS (
+        SELECT qid, qv, qnorm, cid FROM (
+            SELECT q.qid, q.qv, q.qnorm, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_dot_product(q.qv, c.cv) / (q.qnorm * c.cnorm) DESC, c.cid
+                   ) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 4
+    )
+    SELECT qid, vec_id, cos_sim, rank FROM (
+        SELECT p.qid, a.vec_id,
+               list_dot_product(a.v, p.qv) / (a.norm * p.qnorm) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY list_dot_product(a.v, p.qv) / (a.norm * p.qnorm) DESC, a.vec_id
+               ) AS rank
+        FROM assign a JOIN probe p ON a.cid = p.cid AND a.vec_id <> p.qid
+    )
+    WHERE rank <= 5
+    ORDER BY qid, rank
+    """,
+    tags=("similarity", "ivf", "ann"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroids, Voronoi cell assignment in one
+    corpus scan, probe the 4 nearest of 16 cells per query, exact re-rank.
+    The scale path when LSH bucket skew is a concern: cell granularity is
+    explicit and candidate volume is bounded by n_probe/n_cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, _QUERY_IDS, k=5, n_cells=16, n_probe=4).orderBy("qid", "rank")

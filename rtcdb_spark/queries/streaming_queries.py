@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from rtcdb_spark.queries.base import query, sql_dsum
 from rtcdb_spark.streaming import (
+    stream_stream_join,
     read_events_stream,
     run_available_now,
     stream_dedup,
@@ -114,3 +115,35 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = read_events_stream(spark, sf_dir)
     out = run_available_now(stream_user_running_totals(sdf), output_mode="update")
     return out.select("user_id", "n_events").orderBy("user_id")
+
+
+@query(
+    "stream_join_click_purchase",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 2 HOUR
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join run to completion: purchases matched to the
+    same user's clicks within the prior 2 hours. Both sides watermarked; the
+    two-sided time bound is what makes join state evictable on an unbounded
+    stream. Must equal the equivalent batch time-range join."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = run_available_now(
+        stream_stream_join(clicks, purchases), output_mode="append"
+    )
+    return out.orderBy("user_id", "click_id", "purchase_id")

@@ -12,6 +12,7 @@ from rtcdb_spark.streaming.events import (  # noqa: F401
     stream_dedup,
     stream_session,
     stream_sliding,
+    stream_stream_join,
     stream_tumbling,
 )
 from rtcdb_spark.streaming.stateful import stream_user_running_totals  # noqa: F401
@@ -22,6 +23,7 @@ __all__ = [
     "stream_dedup",
     "stream_session",
     "stream_sliding",
+    "stream_stream_join",
     "stream_tumbling",
     "stream_user_running_totals",
 ]

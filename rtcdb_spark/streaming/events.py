@@ -115,6 +115,55 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    click events in the preceding ``horizon``. Both inputs are watermarked and
+    the join condition bounds event time on BOTH sides, so each side's join
+    state is evictable — the requirement for an unbounded stream-stream join.
+
+    At scale both streams shuffle once on user_id (co-partitioned state);
+    the time-range predicate is evaluated within each state partition."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_available_now(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

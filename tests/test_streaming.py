@@ -123,3 +123,45 @@ def test_stream_running_totals_multi_batch(spark, sf_smoke, stream_dir):
     g = {r["user_id"]: r["n_events"] for r in final.collect()}
     w = {r["user_id"]: r["n_events"] for r in want.collect()}
     assert g == w
+
+
+def test_stream_stream_join_matches_batch(spark, sf_smoke, stream_dir):
+    from rtcdb_spark.streaming import stream_stream_join
+
+    sdf = read_events_stream(spark, sf_smoke, max_files_per_trigger=1, path=stream_dir)
+    got = run_available_now(
+        stream_stream_join(
+            sdf.filter(F.col("event_type") == "click"),
+            sdf.filter(F.col("event_type") == "purchase"),
+        ),
+        output_mode="append",
+    )
+    e = _batch_events(spark, stream_dir)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+    assert _collect_sorted(got, "user_id", "click_id", "purchase_id") == _collect_sorted(
+        want, "user_id", "click_id", "purchase_id"
+    )
+    assert got.count() > 0
