@@ -181,3 +181,58 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Undirected edges → (node, group_id) where group_id = min node id in the
+    connected component. The grouping step of near-dedup: LSH/Jaccard pairs in,
+    duplicate clusters out (keep the min id per cluster, drop the rest).
+
+    Iterative min-label propagation: every node starts labeled with itself;
+    each round takes the min of its own and all neighbors' labels; fixpoint =
+    components. The fixpoint is unique, so the result is deterministic
+    regardless of execution order. Rounds needed = graph diameter — near-dup
+    components are bucket-cliques with diameter ≤ ~2, so 2-3 rounds in
+    practice (an adversarial path graph needs O(n); alternate large/small-star
+    if that is a live risk). Each round is one join + one partial-min
+    aggregate on the edge relation — all distributed, nothing driver-side
+    except the convergence check (a `LIMIT 1` existence probe, not a
+    collect). `localCheckpoint` truncates the growing lineage each round
+    (on a cluster, use a checkpoint dir for fault tolerance instead)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.select("node", F.col("label").alias("old_label"))
+            .join(new_labels, "node")
+            .filter(F.col("old_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("group_id"))

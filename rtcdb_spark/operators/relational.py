@@ -101,3 +101,39 @@ def sessionize(
     return events.withColumn("__new_session", is_new).withColumn(
         "session_id", F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("__new_session")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join for when one fact key is pathologically hot
+    (one user producing a large share of all events) and the other side is
+    too big to broadcast.
+
+    Mechanics: every fact row gets a deterministic salt in [0, n_salts) —
+    `xxhash64` of the whole row, so hot-key rows spread across n_salts
+    partitions instead of one; the dim side is replicated n_salts times (one
+    copy per salt) via an `explode` of a literal range. The join key becomes
+    (key, salt): same results as the plain join, but the hottest partition
+    shrinks by ~n_salts×. Cost: dim-side shuffle volume × n_salts — use only
+    when skew is the bottleneck (AQE's skew-join split is the first resort;
+    salting is for skew AQE can't fix, e.g. a single key bigger than one
+    executor's memory)."""
+    fact_cols = [F.col(c) for c in fact.columns]
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact_cols), F.lit(n_salts)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["_salt"] == salted_dim["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

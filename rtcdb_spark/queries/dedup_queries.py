@@ -275,3 +275,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.3)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dedup_connected_groups",
+    f"""
+    WITH RECURSIVE {_SQL_SH},
+    {_SQL_SIGS},
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, sig)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+        FROM cand p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    ),
+    edges AS (
+        SELECT p.id_a, p.id_b
+        FROM cand p
+        JOIN inter i USING (id_a, id_b)
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+        WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT e.src, q.r FROM sym e JOIN reach q ON q.node = e.dst
+    )
+    SELECT node, MIN(r) AS group_id FROM reach GROUP BY node ORDER BY node
+    """,
+    tags=("dedup", "lsh", "connected-components", "iterative"),
+)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidates → Jaccard ≥ 0.5 edges →
+    connected components (iterative min-label propagation; DuckDB oracle uses
+    a recursive CTE over the same edges). group_id = min doc_id per cluster —
+    the canonical survivor; dropping every node with node != group_id IS the
+    dedup. The fixpoint is unique, so both engines agree exactly."""
+    from rtcdb_spark.functions.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d).persist()
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    edges = jaccard_pairs(sh, cand).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    return connected_components(edges).orderBy("node")

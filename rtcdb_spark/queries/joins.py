@@ -239,3 +239,32 @@ def _asof_events_orders(e: DataFrame, o1: DataFrame) -> DataFrame:
         F.col("right_o_orderkey").alias("last_orderkey"),
         F.col("right_o_totalprice").alias("last_totalprice"),
     )
+
+
+@query(
+    "join_skew_salted",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "skew", "salt"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: events salted into 8 sub-keys, customer replicated
+    8x, joined on (key, salt) — result identical to the plain join (the
+    oracle IS the plain join), but a pathologically hot user_id spreads over
+    8 partitions. The tool for skew beyond what AQE's skew-split can fix."""
+    from rtcdb_spark.operators.relational import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(e, c, "user_id", "c_custkey", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
+        .orderBy("c_mktsegment")
+    )

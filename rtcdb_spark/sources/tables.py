@@ -60,3 +60,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by a join key.
+
+    Bucketing is the co-located-join mechanism: two tables bucketed by the
+    same key into the same bucket count join with NO exchange on either side
+    (verified in tests/test_bucketing.py) — at 100 TB this removes the
+    biggest shuffle in fact-fact joins like lineitem↔orders. This is the
+    industrial version of the reference's "rows sorted by column order"
+    contract (reference README.md:44): there sorting enables binary search;
+    here bucket+sort enables shuffle-free merge joins and bucket pruning."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
