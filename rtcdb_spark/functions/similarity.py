@@ -176,3 +176,91 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column → (cid, cv)
+    centroid table, for IVF cell assignment (`ivf_topk`'s trained upgrade).
+
+    Initialization is deterministic (the ``n_cells`` lowest-id vectors), so
+    runs are reproducible. Each iteration is the canonical two-step,
+    expressed as DataFrame ops only:
+
+    1. **assign** — broadcast the centroids, score every vector against all
+       of them in one pass (per-row argmin over a broadcast; the corpus
+       never shuffles);
+    2. **recenter** — new centroid = element-wise mean of assigned vectors:
+       `posexplode` each vector, partial-sum per (cid, dim) — the only
+       shuffle, carrying n_cells × dim partial sums per partition, not
+       vectors — then reassemble the mean arrays.
+
+    Empty cells keep their previous centroid (standard Lloyd's fallback).
+    Cost per iteration: one corpus scan + one (cid, dim)-key aggregate —
+    at 100 TB the shuffle volume is O(n_cells × dim × n_partitions), corpus
+    bytes never move."""
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (
+        base.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).cast("int").alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        best = (
+            base.join(F.broadcast(cents))
+            .withColumn(
+                "d2",
+                F.expr("aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x)"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))),
+            )
+            .filter(F.col("rn") == 1)
+            .select("cid", "v")
+        )
+        sums = (
+            best.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "sx", "n"))),
+                    lambda s: s["sx"] / s["n"],
+                ).alias("new_cv")
+            )
+        )
+        cents = (
+            cents.join(sums, "cid", "left")
+            .select("cid", F.coalesce("new_cv", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest trained centroid → (id, v, norm,
+    cid). One broadcast + one corpus scan, no shuffle — the build side of a
+    trained-IVF index."""
+    base = with_norm(emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")))
+    return (
+        base.join(F.broadcast(with_norm(cents, "cv", "cnorm")))
+        .withColumn("ccos", _dot("v", "cv") / (F.col("norm") * F.col("cnorm")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "norm", "cid")
+    )

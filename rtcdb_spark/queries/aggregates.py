@@ -254,3 +254,71 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_moments_stats",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                             * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sy / CAST(n AS DOUBLE) AS mean_price,
+           (syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_pop_price,
+           sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS std_pop_price,
+           (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS covar_pop_qty_price,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))
+               AS corr_qty_price
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "statistics", "moments"),
+)
+def agg_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics (variance, stddev, covariance, correlation)
+    from exact decimal moments. Engine-native VAR/CORR accumulate doubles in
+    execution order — non-deterministic under parallelism — so each moment
+    (Σx, Σx², Σxy) is an exact DECIMAL sum (associative, any partial-agg
+    order), cast once to double, and the statistic is one fixed IEEE
+    expression both engines evaluate identically. Scale shape: a plain
+    partial/final hash aggregate — the moments are mergeable, so the shuffle
+    carries 6 numbers per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
+    n_d = F.col("n").cast("double")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum((qd * qd).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((pd_ * pd_).cast("decimal(38,4)")).cast("double").alias("syy"),
+        F.sum((qd * pd_).cast("decimal(38,4)")).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.col("sy") / n_d).alias("mean_price"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / n_d) / n_d).alias("var_pop_price"),
+        F.sqrt((F.col("syy") - F.col("sy") * F.col("sy") / n_d) / n_d).alias("std_pop_price"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / n_d) / n_d).alias("covar_pop_qty_price"),
+        (
+            (n_d * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

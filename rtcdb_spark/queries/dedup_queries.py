@@ -331,3 +331,78 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(minhash_signatures(sh))
     edges = jaccard_pairs(sh, cand).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
     return connected_components(edges).orderBy("node")
+
+
+_SQL_CC_EDGES = f"""
+    {_SQL_SH},
+    {_SQL_SIGS},
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, sig)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+        FROM cand p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    ),
+    edges AS (
+        SELECT p.id_a, p.id_b
+        FROM cand p
+        JOIN inter i USING (id_a, id_b)
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+        WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT e.src, q.r FROM sym e JOIN reach q ON q.node = e.dst
+    ),
+    groups AS (SELECT node, MIN(r) AS group_id FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "dedup_materialize_survivors",
+    f"""
+    WITH RECURSIVE {_SQL_CC_EDGES}
+    SELECT d.doc_id, length(d.text) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM groups WHERE node <> group_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "materialize", "pipeline"),
+)
+def dedup_materialize_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup pipeline's OUTPUT: the corpus with duplicate
+    clusters collapsed to their canonical member (min doc_id). Everything
+    upstream (LSH → Jaccard → connected components) produces a *removal
+    list* — nodes whose label differs from their own id; one left-anti join
+    applies it. At 100 TB the removal list is tiny next to the corpus, so
+    the anti-join broadcasts and the corpus never shuffles."""
+    from rtcdb_spark.functions.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d).persist()
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    edges = jaccard_pairs(sh, cand).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    removals = (
+        connected_components(edges)
+        .filter(F.col("node") != F.col("group_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        d.join(F.broadcast(removals), "doc_id", "left_anti")
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )

@@ -180,3 +180,55 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit and candidate volume is bounded by n_probe/n_cells."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, _QUERY_IDS, k=5, n_cells=16, n_probe=4).orderBy("qid", "rank")
+
+
+@query(
+    "similarity_ivf_trained_topk",
+    None,  # iterative k-means training is not SQL-expressible; rows-only check
+    tags=("similarity", "ann", "ivf", "kmeans", "iterative"),
+)
+def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN: Lloyd's k-means (3 distributed iterations,
+    deterministic init) learns the cell centroids, the corpus is assigned
+    once (broadcast argmax, no shuffle), and each query probes its 4 nearest
+    cells with exact re-ranking inside. The trained upgrade of
+    `similarity_ivf_topk` — same probe plan, data-adaptive cells. Iterative
+    training has no single-SQL equivalent, so the driver records the
+    rows-only check; determinism is pinned by unit test instead
+    (tests/test_operators.py)."""
+    from rtcdb_spark.functions.similarity import ivf_assign, kmeans_centroids, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_cells=16, n_iter=3)
+    assign = ivf_assign(emb, cents)
+    q = with_norm(
+        emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qv")
+        ),
+        "qv",
+        "qnorm",
+    )
+    from pyspark.sql import Window
+    from rtcdb_spark.functions.similarity import _dot
+
+    cents_n = with_norm(cents, "cv", "cnorm")
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("cid"))
+    probe = (
+        q.join(F.broadcast(cents_n))
+        .withColumn("qcos", _dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 4)
+        .select("qid", "qv", "qnorm", "cid")
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        assign.join(F.broadcast(probe), (assign.cid == probe.cid) & (F.col("vec_id") != F.col("qid")))
+        .select(
+            "qid",
+            "vec_id",
+            (_dot("v", "qv") / (F.col("norm") * F.col("qnorm"))).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .orderBy("qid", "rank")
+    )

@@ -1,0 +1,140 @@
+"""Partitioned layout: directory-level partition pruning and compaction.
+
+Pins the two layout properties the 100 TB design depends on:
+- a predicate on the partition column reaches the scan as a PartitionFilter
+  (directories eliminated at planning time, before any file I/O);
+- compaction shrinks file count without changing logical content.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from rtcdb_spark.plans.inspect import formatted_plan
+from rtcdb_spark.sources import load_table
+from rtcdb_spark.sources.layout import compact, write_partitioned, _parquet_file_count
+
+
+@pytest.fixture(scope="module")
+def partitioned_events(spark, sf_smoke, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "events_by_day")
+    e = load_table(spark, sf_smoke, "events").withColumn("event_date", F.to_date("ts"))
+    write_partitioned(e, path, ["event_date"], sort_cols=["user_id", "ts"])
+    return path
+
+
+def test_partition_filter_reaches_scan(spark, partitioned_events):
+    df = spark.read.parquet(partitioned_events)
+    one_day = df.select(F.min("event_date")).first()[0]
+    q = df.filter(F.col("event_date") == F.lit(one_day)).groupBy("event_type").count()
+    plan = formatted_plan(q)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    # The partition predicate must NOT degrade to a post-scan row filter on
+    # data columns; pruning happens at the directory level.
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "event_date" not in pushed.group(1)
+
+
+def test_partitioned_roundtrip_content(spark, sf_smoke, partitioned_events):
+    e = load_table(spark, sf_smoke, "events")
+    back = spark.read.parquet(partitioned_events)
+    assert back.count() == e.count()
+    got = back.groupBy("event_type").count()
+    want = e.groupBy("event_type").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_compact_reduces_file_count(spark, sf_smoke, tmp_path):
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    e = load_table(spark, sf_smoke, "events")
+    e.repartition(40).write.parquet(src)  # simulate micro-batch fragmentation
+    before, after = compact(spark, src, dst, sort_cols=["ts"])
+    assert before >= 40
+    assert after <= 2, (before, after)
+    assert spark.read.parquet(dst).count() == e.count()
+
+
+def test_compact_partitioned_keeps_pruning(spark, sf_smoke, tmp_path):
+    src = str(tmp_path / "frag_part")
+    dst = str(tmp_path / "compact_part")
+    e = load_table(spark, sf_smoke, "events").withColumn("event_date", F.to_date("ts"))
+    e.repartition(20).write.partitionBy("event_date").parquet(src)
+    before, after = compact(spark, src, dst, partition_cols=["event_date"], sort_cols=["ts"])
+    assert after < before
+    back = spark.read.parquet(dst)
+    assert back.count() == e.count()
+    one_day = back.select(F.min("event_date")).first()[0]
+    plan = formatted_plan(back.filter(F.col("event_date") == F.lit(one_day)))
+    assert re.search(r"PartitionFilters: \[[^\]]*event_date", plan), plan
+
+
+def _rowgroup_spans(path, col):
+    """Per-row-group normalized (max-min) span of `col` across all files."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    spans, lo, hi = [], None, None
+    files = [
+        _os.path.join(r, f)
+        for r, _d, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    metas = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            metas.append((st.min, st.max))
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    width = (hi - lo) or 1
+    for mn, mx in metas:
+        spans.append((mx - mn) / width)
+    return sum(spans) / len(spans)
+
+
+def test_zorder_bounds_all_dimensions(spark, sf_smoke, tmp_path):
+    from rtcdb_spark.sources.layout import write_zordered
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    lexi = str(tmp_path / "lexi")
+    zord = str(tmp_path / "zord")
+    # lexicographic: perfect on the leading column, blind on the second
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.option("maxRecordsPerFile", 200).parquet(lexi)
+    )
+    write_zordered(li, zord, ["l_orderkey", "l_partkey"], n_files=8, max_records_per_file=200)
+
+    span_partkey_lexi = _rowgroup_spans(lexi, "l_partkey")
+    span_partkey_zord = _rowgroup_spans(zord, "l_partkey")
+    # Z-order must materially shrink the second dimension's per-group range
+    assert span_partkey_zord < span_partkey_lexi * 0.7, (
+        span_partkey_lexi,
+        span_partkey_zord,
+    )
+    assert spark.read.parquet(zord).count() == li.count()
+
+
+def test_zorder_value_is_deterministic_expression(spark, sf_smoke):
+    from rtcdb_spark.sources.layout import zorder_value
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    z1 = li.select(zorder_value(li, ["l_orderkey", "l_partkey"]).alias("z")).agg(
+        F.sum("z")
+    ).first()[0]
+    z2 = li.select(zorder_value(li, ["l_orderkey", "l_partkey"]).alias("z")).agg(
+        F.sum("z")
+    ).first()[0]
+    assert z1 == z2

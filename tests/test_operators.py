@@ -55,3 +55,39 @@ def test_salted_join_preserves_columns(spark, sf_smoke):
     out = salted_join(e, c, "user_id", "c_custkey", n_salts=4)
     assert "_salt" not in out.columns
     assert set(e.columns) | set(c.columns) == set(out.columns)
+
+
+def test_kmeans_centroids_deterministic_and_complete(spark, sf_smoke):
+    from rtcdb_spark.functions.similarity import ivf_assign, kmeans_centroids
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    c1 = kmeans_centroids(emb, n_cells=8, n_iter=2)
+    c2 = kmeans_centroids(emb, n_cells=8, n_iter=2)
+    r1 = sorted((r["cid"], tuple(r["cv"])) for r in c1.collect())
+    r2 = sorted((r["cid"], tuple(r["cv"])) for r in c2.collect())
+    assert r1 == r2  # deterministic init + deterministic iteration
+    assert len(r1) == 8
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(cv) == dim for _, cv in r1)
+
+    assign = ivf_assign(emb, c1)
+    assert assign.count() == emb.count()  # every vector lands in exactly one cell
+
+
+def test_kmeans_iterations_reduce_wcss(spark, sf_smoke):
+    from pyspark.sql import functions as F
+    from rtcdb_spark.functions.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def wcss(cents):
+        scored = base.join(F.broadcast(cents)).withColumn(
+            "d2",
+            F.expr("aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x)"),
+        )
+        return scored.groupBy("vec_id").agg(F.min("d2").alias("d2")).agg(F.sum("d2")).first()[0]
+
+    w0 = wcss(kmeans_centroids(emb, n_cells=8, n_iter=0))
+    w3 = wcss(kmeans_centroids(emb, n_cells=8, n_iter=3))
+    assert w3 <= w0  # Lloyd's never increases the objective
