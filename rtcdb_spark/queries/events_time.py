@@ -232,3 +232,87 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(datediff('week', CAST(f.cohort_week AS TIMESTAMP), date_trunc('week', e.ts)) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    counted once per (cohort, weeks-since-first) cell. Classic product
+    analytics. Scale shape: the firsts CTE is one groupBy(user_id) — high
+    cardinality but uniform; the join back is user_id-keyed (co-partitioned
+    with the aggregate's shuffle); the final cell count is tiny. No window
+    over an unbounded partition anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+                )
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "histogram_value_bins",
+    """
+    WITH b AS (
+        SELECT event_type,
+               LEAST(GREATEST(CAST(floor(value / 10.0) AS BIGINT), 0), 9) AS bin
+        FROM events
+        WHERE value IS NOT NULL
+    )
+    SELECT event_type, bin, COUNT(*) AS n
+    FROM b
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (10 bins, clamped).
+    Binning is a per-row expression → the aggregate partial-combines to at
+    most (#types × 10) cells per partition; the shuffle is constant-size
+    regardless of input volume."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_col = F.least(
+        F.greatest(F.floor(F.col("value") / 10.0).cast("long"), F.lit(0)), F.lit(9)
+    ).alias("bin")
+    return (
+        e.select("event_type", bin_col)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )

@@ -133,3 +133,40 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query(
+    "set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("setop", "bag"),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): keeps min(multiplicity) copies per
+    value — the multiset variant Spark plans as an aggregate of per-side
+    counts, not a join explosion."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s).orderBy("nationkey")
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("setop", "bag"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicity-aware difference —
+    max(count_left - count_right, 0) copies per value."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).orderBy("nationkey")

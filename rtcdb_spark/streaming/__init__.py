@@ -15,7 +15,11 @@ from rtcdb_spark.streaming.events import (  # noqa: F401
     stream_stream_join,
     stream_tumbling,
 )
-from rtcdb_spark.streaming.stateful import stream_user_running_totals  # noqa: F401
+from rtcdb_spark.streaming.stateful import (  # noqa: F401
+    stream_user_running_totals,
+    stream_user_value_stats,
+    transform_with_state_available,
+)
 
 __all__ = [
     "read_events_stream",
@@ -26,4 +30,6 @@ __all__ = [
     "stream_stream_join",
     "stream_tumbling",
     "stream_user_running_totals",
+    "stream_user_value_stats",
+    "transform_with_state_available",
 ]

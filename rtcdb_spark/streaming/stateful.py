@@ -65,3 +65,82 @@ def stream_user_running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def transform_with_state_available() -> bool:
+    """`transformWithStateInPandas` needs the protobuf runtime (its driver
+    worker speaks protobuf to the JVM); absent here, so the operator is
+    import-gated per the environment contract (no pip installs)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_user_value_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-user running (count, sum, min, max) of `value` via the
+    `transformWithStateInPandas` stateful-processor API — the successor to
+    `applyInPandasWithState` with typed, composable state primitives
+    (ValueState here; ListState/MapState and per-key timers are the same
+    handle). Same scale property as above: one fixed-size ValueState row per
+    user in the partitioned state store, O(#keys) state forever.
+
+    Requires the protobuf runtime (see `transform_with_state_available`);
+    the functional twin on the always-available API is
+    `stream_user_running_totals`. Equivalent batch query:
+    ``events.groupBy("user_id").agg(count(*), sum(value), min(value),
+    max(value))`` — checked multi-batch in tests/test_streaming.py when the
+    runtime supports it.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ValueStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n LONG, total DOUBLE, vmin DOUBLE, vmax DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, vmin, vmax = (
+                self._state.get() if self._state.exists() else (0, 0.0, None, None)
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+                bmin, bmax = float(pdf["value"].min()), float(pdf["value"].max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+            self._state.update((n, total, vmin, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "min_value": [vmin],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_ValueStats(),
+            outputStructType=(
+                "user_id LONG, n_events LONG, total_value DOUBLE, "
+                "min_value DOUBLE, max_value DOUBLE"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

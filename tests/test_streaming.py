@@ -165,3 +165,42 @@ def test_stream_stream_join_matches_batch(spark, sf_smoke, stream_dir):
         want, "user_id", "click_id", "purchase_id"
     )
     assert got.count() > 0
+
+
+def test_stream_value_stats_matches_batch(spark, sf_smoke, stream_dir):
+    from rtcdb_spark.streaming import (
+        stream_user_value_stats,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("transformWithStateInPandas needs the protobuf runtime")
+
+    sdf = read_events_stream(spark, sf_smoke, max_files_per_trigger=1, path=stream_dir)
+    got_all = run_available_now(stream_user_value_stats(sdf), output_mode="update")
+    # update mode emits one row per user per batch; the LAST emission per
+    # user is the final running stat
+    w_last = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        ).orderBy(F.desc("n_events"))
+    )
+    got = (
+        got_all.withColumn("rn", w_last).filter(F.col("rn") == 1).drop("rn")
+    )
+    e = _batch_events(spark, stream_dir)
+    want = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    got_rows = [
+        (r["user_id"], r["n_events"], round(r["total_value"], 6), r["min_value"], r["max_value"])
+        for r in got.orderBy("user_id").collect()
+    ]
+    want_rows = [
+        (r["user_id"], r["n_events"], round(r["total_value"], 6), r["min_value"], r["max_value"])
+        for r in want.orderBy("user_id").collect()
+    ]
+    assert got_rows == want_rows
