@@ -322,3 +322,29 @@ def agg_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_hll_sketch_union",
+    None,  # Apache DataSketches HLL — estimates differ from DuckDB's HLL
+    tags=("agg", "sketch", "hll"),
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    sketch per lang via `hll_sketch_agg`, re-merged with `hll_union_agg`
+    for the corpus-wide estimate. The point vs `approx_count_distinct`:
+    the sketch is a *value* — persistable and unionable across partitions,
+    days, or tables without re-scanning, which is how 100 TB rollups avoid
+    recomputing distincts. Sketches are order-independent (register-max),
+    so results are deterministic; rows-only check because DuckDB's HLL is a
+    different implementation with different estimates."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.hll_sketch_agg("doc_id").alias("sk"))
+    lang_est = per_lang.select(
+        "lang", F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct")
+    )
+    overall = per_lang.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("lang"),
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct"),
+    )
+    return lang_est.unionByName(overall).orderBy("lang")

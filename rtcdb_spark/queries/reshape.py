@@ -1,0 +1,188 @@
+"""Reshape / sampling / lateral / time-series operators (SURVEY §2 C-II/C-V+).
+
+Four operator families the reference has no analogue for but any analytics
+engine at 100 TB needs:
+
+- **unpivot (melt)** — wide→long reshaping, `df.unpivot` (Spark 3.4+). The
+  reference stores wide rows (reference README.md:8); melting is how wide
+  metrics become groupable key/value pairs.
+- **deterministic hash sampling** — `WHERE h(key) % N = 0` with a hash both
+  engines compute identically (md5 hex prefix → int). Unlike `TABLESAMPLE` /
+  `df.sample` (RNG-dependent, not reproducible cross-engine), a hash sample
+  is a pure row-local predicate: it pushes down to the scan, needs no
+  shuffle, is stable under repartitioning, and at 100 TB gives every
+  executor an unbiased slice with zero coordination.
+- **LATERAL correlated subquery** — per-outer-row top-N, the SQL-standard
+  form Spark plans as a correlated join; complements the window-rank top-k
+  in `window_topk_per_group`.
+- **time-series gap-fill + forward-fill** — date spine via `sequence()` +
+  explode, left join, then `last(value, ignorenulls=True)` over an ordered
+  window. The spine is O(days × #series) — tiny next to the fact table —
+  and the ffill window partitions by series, so state per partition is one
+  running value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rtcdb_spark.queries.base import dsum, query, sql_dsum
+from rtcdb_spark.sources import load_table
+
+
+@query(
+    "reshape_unpivot",
+    f"""
+    WITH a AS (
+        SELECT l_returnflag,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+    ORDER BY l_returnflag, metric
+    """,
+    tags=("reshape", "unpivot"),
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt: per-returnflag totals unpivoted to (key, metric, value)
+    rows via `df.unpivot`. The unpivot itself is a per-row expansion (no
+    shuffle); only the upstream aggregate exchanges data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", alias="sum_qty"),
+        dsum("l_extendedprice", alias="sum_price"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "metric")
+
+
+@query(
+    "sample_hash_deterministic",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("sampling", "hash"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% Bernoulli sample keyed on md5(o_orderkey): reproducible on any
+    engine, any partitioning, any run — the property RNG-based TABLESAMPLE
+    lacks. The predicate is row-local, so Catalyst keeps it in the scan
+    stage; at 100 TB the sample costs one full scan and zero shuffles, and
+    consistent keying means the *same* entities are sampled in every table
+    (sample orders and their lineitems stay joinable)."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+    return (
+        o.filter(h.cast("long") % 20 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_lateral_topn",
+    """
+    SELECT n_name, c.c_name, c.c_acctbal
+    FROM nation, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+    ORDER BY n_name, c_acctbal DESC, c_name
+    """,
+    tags=("join", "lateral"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 customers by balance as a LATERAL correlated
+    subquery (SQL-standard; Spark ≥3.2 plans it as a correlated join and
+    decorrelates where it can). Functional twin of window-rank top-k; kept
+    as the SQL-form coverage of the same operator."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_name, c.c_acctbal
+        FROM nation, LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) c
+        ORDER BY n_name, c_acctbal DESC, c_name
+        """
+    )
+
+
+@query(
+    "timeseries_gapfill_ffill",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {sql_dsum('value', 4)} AS day_value
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, gs.day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM bounds
+        ) gs
+    )
+    SELECT s.event_type, s.day, d.day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s
+    LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+    ORDER BY s.event_type, s.day
+    """,
+    tags=("timeseries", "gapfill", "window"),
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize a daily series: build a complete date spine per event_type
+    (sequence + explode), left-join the observed daily totals, forward-fill
+    gaps with `last(ignorenulls=True)`. Scale shape: the spine is
+    O(#days × #series) — negligible vs the events fact table; the daily
+    aggregate partial-combines before its shuffle; the ffill window holds
+    one running value per series partition. The aggregated daily side is
+    broadcast (O(#days × #series) rows however big the fact table is) — it
+    must be the build side since the spine is the preserved side of the
+    left join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(dsum("value", scale=4, alias="day_value"))
+    bounds = e.select(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    spine = e.select("event_type").distinct().crossJoin(days)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .select("event_type", "day", "day_value", "filled_value")
+        .orderBy("event_type", "day")
+    )

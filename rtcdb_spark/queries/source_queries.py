@@ -92,3 +92,36 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → read back → aggregate. ORC is the second columnar
+    format (stripe statistics + predicate pushdown like parquet row groups),
+    lossless for doubles/longs — the oracle aggregates the original parquet,
+    so any roundtrip loss would mismatch."""
+    out = os.path.join(_IO_ROOT, "events_orc")
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

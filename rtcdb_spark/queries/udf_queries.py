@@ -156,3 +156,47 @@ def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+def _minmax_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Per-group min-max normalization. min/max are exact; the subtract+divide
+    # are single IEEE double ops in the same order as the oracle SQL, so the
+    # result is bit-identical cross-engine.
+    vmin, vmax = pdf["value"].min(), pdf["value"].max()
+    rng = vmax - vmin
+    out = pdf[["event_id", "event_type"]].copy()
+    out["value_norm"] = 0.0 if rng == 0.0 else (pdf["value"] - vmin) / rng
+    return out
+
+
+@query(
+    "udf_grouped_map",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS value_norm
+    FROM (
+        SELECT event_id, event_type, value,
+               MIN(value) OVER (PARTITION BY event_type) AS mn,
+               MAX(value) OVER (PARTITION BY event_type) AS mx
+        FROM events WHERE value IS NOT NULL
+    )
+    ORDER BY event_id
+    """,
+    tags=("udf", "grouped-map"),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map `applyInPandas`: per-event-type min-max normalization —
+    a row-preserving per-group transform (vs `udf_grouped_agg`'s per-group
+    reduction). Each group arrives as one pandas frame on one executor; at
+    scale the group key (event_type) must be low-skew or pre-salted since
+    one group = one task's memory. The oracle is the window-function
+    formulation of the same math."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        e.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            _minmax_norm, "event_id long, event_type string, value_norm double"
+        )
+        .orderBy("event_id")
+    )
