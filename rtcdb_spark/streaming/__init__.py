@@ -15,6 +15,10 @@ from rtcdb_spark.streaming.events import (  # noqa: F401
     stream_stream_join,
     stream_tumbling,
 )
+from rtcdb_spark.streaming.sinks import (  # noqa: F401
+    stream_agg_foreach_batch,
+    stream_to_parquet,
+)
 from rtcdb_spark.streaming.stateful import (  # noqa: F401
     stream_user_running_totals,
     stream_user_value_stats,
@@ -29,6 +33,8 @@ __all__ = [
     "stream_sliding",
     "stream_stream_join",
     "stream_tumbling",
+    "stream_agg_foreach_batch",
+    "stream_to_parquet",
     "stream_user_running_totals",
     "stream_user_value_stats",
     "transform_with_state_available",

@@ -1,0 +1,99 @@
+"""Streaming sinks: exactly-once file sink and idempotent foreachBatch.
+
+The reference's only sink is a local columnar append with no crash story
+(a torn write corrupts the index — reference SURVEY §4.3 bug 1). Spark's
+streaming sinks are the industrial answer, and these two cover the surface:
+
+- **file sink** (`stream_to_parquet`): append-mode parquet with a checkpoint
+  directory. Exactly-once comes from two logs: the source's checkpoint
+  (which input files/offsets each batch consumed) and the sink's
+  `_spark_metadata` commit log (which output files each batch committed).
+  A restart replays only uncommitted batches, and readers only see files
+  named in the commit log — a half-written batch is invisible.
+- **foreachBatch** (`stream_agg_foreach_batch`): for stateful aggregates in
+  update mode, the per-batch callback gets (batch_df, batch_id) and must be
+  idempotent because a batch can be re-run after a crash. Here each batch
+  *overwrites* the aggregate snapshot — rerunning batch N yields the same
+  state. At 100 TB the same pattern scopes the overwrite to the partitions
+  a batch touches (dynamic partition overwrite keyed by window date) or
+  MERGEs into a transactional table; whole-snapshot replace is right for
+  bounded-cardinality rollups like per-type daily totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rtcdb_spark.deterministic import dsum
+
+
+def stream_to_parquet(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_value: float = 0.0,
+) -> None:
+    """Stateless filter+project streamed to an append-mode parquet sink,
+    exactly-once under restart (checkpoint + `_spark_metadata` commit log).
+    Runs to completion over available input (`availableNow`)."""
+    q = (
+        events.filter(F.col("value") >= F.lit(min_value))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_agg_foreach_batch(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Per-event-type running totals maintained in an external parquet
+    snapshot via foreachBatch (update mode). The callback replaces the
+    snapshot atomically per batch — idempotent under batch replay, so the
+    pipeline is effectively exactly-once end-to-end."""
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", alias="total_value"),
+        )
+    )
+
+    def _write_snapshot(batch_df: DataFrame, batch_id: int) -> None:
+        # Update mode emits only changed groups; keep unchanged groups from
+        # the previous snapshot. Read-then-overwrite is safe here because
+        # foreachBatch callbacks are serialized per query.
+        spark = batch_df.sparkSession
+        try:
+            prev = spark.read.parquet(out_dir)
+        except Exception:
+            prev = None
+        merged = batch_df
+        if prev is not None:
+            merged = prev.join(
+                batch_df.select("event_type"), "event_type", "left_anti"
+            ).unionByName(batch_df)
+        # Materialize before overwriting the directory being read.
+        snapshot = merged.collect()
+        spark.createDataFrame(snapshot, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(_write_snapshot)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -204,3 +204,44 @@ def test_stream_value_stats_matches_batch(spark, sf_smoke, stream_dir):
         for r in want.orderBy("user_id").collect()
     ]
     assert got_rows == want_rows
+
+
+def test_file_sink_exactly_once_across_restarts(spark, sf_smoke, stream_dir, tmp_path):
+    from rtcdb_spark.streaming.sinks import stream_to_parquet
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def run():
+        sdf = read_events_stream(
+            spark, sf_smoke, max_files_per_trigger=1, path=stream_dir
+        )
+        stream_to_parquet(sdf, out, ckpt, min_value=0.0)
+
+    run()
+    want = _batch_events(spark, stream_dir).filter(F.col("value") >= 0.0).count()
+    got1 = spark.read.parquet(out).count()
+    assert got1 == want
+    # Restart with the same checkpoint and no new input: every batch is
+    # already committed, so the sink must not grow (exactly-once).
+    run()
+    got2 = spark.read.parquet(out).count()
+    assert got2 == want
+    # Distinct event_ids — no duplicate rows snuck in via partial replays.
+    assert spark.read.parquet(out).select("event_id").distinct().count() == want
+
+
+def test_foreach_batch_snapshot_matches_batch(spark, sf_smoke, stream_dir, tmp_path):
+    from rtcdb_spark.streaming.sinks import stream_agg_foreach_batch
+
+    out = str(tmp_path / "agg_out")
+    ckpt = str(tmp_path / "agg_ckpt")
+    sdf = read_events_stream(spark, sf_smoke, max_files_per_trigger=1, path=stream_dir)
+    stream_agg_foreach_batch(sdf, out, ckpt)
+    got = spark.read.parquet(out)
+    want = (
+        _batch_events(spark, stream_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
+    )
+    assert _collect_sorted(got, "event_type") == _collect_sorted(want, "event_type")
