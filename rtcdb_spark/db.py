@@ -187,3 +187,33 @@ class Database:
         if columns:
             df = df.select(*columns)
         return df
+
+    # -- sparse index (file-level manifest) ----------------------------—--
+
+    def build_index(self, table: str, columns: list[str]) -> str:
+        """Build the file-level min/max manifest for ``columns`` — the engine's
+        form of the reference's ``<table>.<col>.index`` sparse index files
+        (reference src/storage.rs:72-106, 353-355). The reference writes index
+        entries inline during ``write_data``; here indexing is an explicit
+        (re-runnable, distributed) pass so appends stay index-free and cheap.
+        """
+        from rtcdb_spark.sources.manifest import build_file_index
+
+        self._meta(table)
+        return build_file_index(self.spark, self._table_path(table), columns)
+
+    def indexed_scan(
+        self,
+        table: str,
+        intervals: dict[str, tuple],
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Scan with manifest-driven file skipping — the reference's designed
+        stage-1/2 read path (index search + zone-map pruning, README.md:51-56)
+        made real at file granularity. Exact: the interval predicate is
+        re-applied row-level after pruning. Falls back to a plain filtered
+        scan when no index has been built."""
+        from rtcdb_spark.sources.manifest import pruned_scan
+
+        self._meta(table)
+        return pruned_scan(self.spark, self._table_path(table), intervals, columns)

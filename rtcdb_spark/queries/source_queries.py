@@ -125,3 +125,51 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "source_indexed_scan",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1995-08-31 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("source", "index"),
+)
+def source_indexed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned scan (the reference's sparse-index read path,
+    README.md:51-56, at file granularity — see sources/manifest.py): rewrite
+    lineitem range-partitioned+sorted by l_shipdate into many files, build the
+    per-file min/max manifest, then answer a date-range aggregate through
+    ``pruned_scan`` — only files whose [min,max] intersects the range are read.
+    The oracle computes the same aggregate on the original table, so a file
+    wrongly skipped (unsound pruning) or double-read would mismatch."""
+    from rtcdb_spark.sources.manifest import build_file_index, pruned_scan
+
+    out = os.path.join(_IO_ROOT, "lineitem_by_shipdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    build_file_index(spark, out, ["l_shipdate"])
+    lo = F.lit("1995-03-01").cast("timestamp")
+    hi = F.lit("1995-08-31").cast("timestamp")
+    pruned = pruned_scan(spark, out, {"l_shipdate": (lo, hi)})
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
