@@ -188,6 +188,20 @@ class Database:
             df = df.select(*columns)
         return df
 
+    # -- SQL surface ----------------------------------------------------—--
+
+    def sql(self, statement: str) -> DataFrame:
+        """Run SQL over this database's tables (registered as temp views).
+
+        SQL is an explicit non-feature of the reference (README.md:14 "no
+        SQL") — here it is free: every catalog table becomes a temp view and
+        the statement goes through Catalyst, so the full optimizer surface
+        (pushdown, pruning, join planning, AQE) applies to ad-hoc SQL the
+        same as to the DataFrame API."""
+        for name in self.tables:
+            self.table(name).createOrReplaceTempView(name)
+        return self.spark.sql(statement)
+
     # -- merge (upsert) -------------------------------------------------—--
 
     def merge(self, table: str, source: DataFrame, keys: list[str]) -> None:

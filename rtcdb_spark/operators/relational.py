@@ -189,3 +189,38 @@ def scd2_intervals(
         .withColumn("valid_to", F.lead(order_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Exact semi-join with a bloom pre-filter on the fact side.
+
+    Two phases: (1) the dim keys build an n_bits bloom filter (KB-scale,
+    see functions.sketches.bloom_bits) whose membership test runs inside the
+    fact *scan* stage — false positives pass, false negatives are impossible,
+    so phase (2), the real semi-join, sees a superset of the true matches
+    and makes the result exact.
+
+    Why at 100 TB: when dim is too large to broadcast, a plain semi-join
+    shuffles the full fact table on the key. The bloom test drops
+    non-matching fact rows before that exchange — the same idea as Spark's
+    AQE runtime bloom filter (`spark.sql.optimizer.runtime.bloomFilter.*`),
+    here explicit, inspectable and tunable (bits/hashes ≈ false-positive
+    rate; 64 Ki bits / 5 hashes ≈ 2% FP at 10k keys).
+    """
+    from rtcdb_spark.functions.sketches import bloom_bits, bloom_might_contain
+
+    keys = dim.select(dim_key).distinct()
+    words = bloom_bits(keys, dim_key, n_bits, n_hashes)
+    prefiltered = fact.filter(
+        bloom_might_contain(words, F.col(fact_key), n_bits, n_hashes)
+    )
+    return prefiltered.join(
+        F.broadcast(keys), prefiltered[fact_key] == keys[dim_key], "left_semi"
+    )

@@ -101,3 +101,19 @@ def test_schema_mismatch_on_append(db, spark):
     df = spark.createDataFrame([(1, "a")], ["id", "event"])
     with pytest.raises(SchemaError):
         db.append("events", df)
+
+
+def test_sql_surface(spark, tmp_path):
+    db = Database.init(spark, str(tmp_path / "sqldb"), [EVENTS])
+    db.write_data(
+        "events",
+        [["a", 10, 1], ["b", 20, 2], ["a", 30, 3], ["c", 40, 4]],
+    )
+    got = {
+        r["event"]: (r["n"], r["max_ts"])
+        for r in db.sql(
+            "SELECT event, COUNT(*) AS n, MAX(timestamp) AS max_ts "
+            "FROM events GROUP BY event"
+        ).collect()
+    }
+    assert got == {"a": (2, 30), "b": (1, 20), "c": (1, 40)}

@@ -150,3 +150,40 @@ def test_scd2_intervals_chain(spark):
     assert rows[(1, 20)] == (20, 30, False)
     assert rows[(1, 30)] == (30, None, True)
     assert rows[(2, 15)] == (15, None, True)
+
+
+def test_cms_never_undercounts(spark, sf_smoke):
+    import pyspark.sql.functions as F
+
+    from rtcdb_spark.functions.sketches import cms_build, cms_estimate
+    from rtcdb_spark.sources import load_table
+
+    toks = load_table(spark, sf_smoke, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    cms = cms_build(toks, "tok", 3, 256)
+    est = cms_estimate(cms, toks.distinct(), "tok", 3, 256)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = est.join(exact, "tok").collect()
+    assert joined
+    assert all(r["est"] >= r["cnt"] for r in joined)  # CMS only over-counts
+
+
+def test_bloom_no_false_negatives(spark):
+    import pyspark.sql.functions as F
+
+    from rtcdb_spark.functions.sketches import bloom_bits, bloom_might_contain
+
+    keys = spark.range(0, 1000, 3).select(F.col("id").cast("string").alias("k"))
+    words = bloom_bits(keys, "k", 1 << 12, 5)
+    probe = spark.range(0, 1000).select(F.col("id").cast("string").alias("k"))
+    kept = {
+        r["k"]
+        for r in probe.filter(
+            bloom_might_contain(words, F.col("k"), 1 << 12, 5)
+        ).collect()
+    }
+    member = {str(i) for i in range(0, 1000, 3)}
+    assert member <= kept  # every true member passes
+    # and the filter actually rejects most non-members
+    assert len(kept - member) < 300
