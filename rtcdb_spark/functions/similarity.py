@@ -264,3 +264,129 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select(id_col, "v", "norm", "cid")
     )
+
+
+# --- product quantization (PQ) -------------------------------------------—--
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks: split each vector into ``m`` contiguous subspaces
+    and run k-means (``kmeans_centroids``) independently in each →
+    ``(sub, cid, cv)`` with ``m × k`` rows.
+
+    Product quantization compresses a float vector to ``m`` small codes
+    (here m bytes for k ≤ 256): at 100 TB this turns a 512-byte embedding
+    column into a handful of bytes, letting the *entire* corpus index stay
+    in memory while raw vectors stay in cold storage. Training cost is m
+    independent k-means runs over the sub-vectors — each the same
+    broadcast-argmin + (cid, dim) partial-sum shape as IVF training; the
+    corpus never shuffles."""
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    books = None
+    for j in range(m):
+        sub = base.select(id_col, F.slice("v", j * sd + 1, sd).alias("sv"))
+        cb = kmeans_centroids(sub, n_cells=k, n_iter=n_iter, id_col=id_col, vec_col="sv")
+        cb = cb.select(F.lit(j).alias("sub"), "cid", "cv")
+        books = cb if books is None else books.unionByName(cb)
+    return books.localCheckpoint()
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-codeword ids →
+    ``(id, codes array<int>)``. One corpus scan against the broadcast
+    codebooks (m × k rows); the shuffle key is the vector id for the final
+    code-array assembly only."""
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    sd = dim // m
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    subs = base.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"), F.slice("v", j * sd + 1, sd).alias("sv")
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "s.sub", "s.sv")
+    scored = (
+        subs.join(F.broadcast(books), "sub")
+        .withColumn(
+            "d2",
+            F.expr("aggregate(zip_with(sv, cv, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x)"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col, "sub").orderBy(F.asc("d2"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return scored.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))), lambda s: s["cid"]
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    books: DataFrame,
+    query_vec: list[float],
+    m: int,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes → (id, adc_d2).
+
+    The query is NOT quantized: its exact distance to every codeword builds
+    an m × k lookup table (tiny, broadcast), and each corpus vector's
+    approximate distance is the sum of m table entries selected by its
+    codes. Per corpus row that is m integer lookups — no float vector is
+    read at query time. Distance assembly folds a sorted (sub, pd) list
+    left-to-right so the double sum is order-deterministic."""
+    sd = len(query_vec) // m
+    dtable = books.withColumn(
+        "qsv",
+        F.array(*[F.lit(float(x)) for x in query_vec]),
+    ).select(
+        "sub",
+        "cid",
+        F.expr(
+            f"aggregate(zip_with(slice(qsv, sub * {sd} + 1, {sd}), cv,"
+            " (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x)"
+        ).alias("pd"),
+    )
+    probed = (
+        codes.select(id_col, F.posexplode("codes").alias("sub", "cid"))
+        .join(F.broadcast(dtable), ["sub", "cid"])
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(sub, pd))), 0D,"
+                " (a, s) -> a + s.pd)"
+            ).alias("adc_d2")
+        )
+    )
+    return probed.orderBy(F.asc("adc_d2"), F.asc(id_col)).limit(top_k)

@@ -152,3 +152,64 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_no")
     )
+
+
+@query(
+    "anomaly_zscore_daily",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(cnt) AS s1,
+               SUM(cnt * cnt) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.event_date, d.cnt,
+           ROUND((d.cnt - CAST(s.s1 AS DOUBLE) / s.n)
+                 / sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n) / (s.n - 1)),
+                 6) AS z,
+           ABS((d.cnt - CAST(s.s1 AS DOUBLE) / s.n)
+               / sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n) / (s.n - 1))) > 2
+               AS is_anomaly
+    FROM daily d JOIN stats s USING (event_type)
+    ORDER BY event_type, event_date
+    """,
+    tags=("analytics", "anomaly", "zscore"),
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per event type, z-score each day's event
+    count against that type's mean/std and flag |z| > 2. The moments come
+    from exact integer sums (s1, s2 are BIGINTs — no float accumulation
+    order anywhere), then one identical double expression on both engines —
+    the same exact-moments trick as agg_moments_stats. Shuffle shape: two
+    map-combined aggregates on (type, day) then (type); the stats side is
+    tiny and broadcast into the final join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "event_date",
+            "cnt",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "event_date")
+    )

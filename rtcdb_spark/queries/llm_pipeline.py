@@ -1,0 +1,346 @@
+"""LLM-training-data pipeline operators beyond dedup/similarity (SURVEY §2
+C-IX): PII redaction, context-window chunking, sequence packing, BM25
+retrieval, and benchmark-contamination detection. All pure column
+expressions / relational plans — no Python UDFs — so every operator here
+runs JVM-side and scales linearly with the corpus: one scan plus only the
+shuffles the semantics force (BM25's doc-frequency aggregate, contamination's
+semi-join against the broadcast benchmark gram set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rtcdb_spark.functions.text import shingles, sql_shingles
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+# --- PII redaction -----------------------------------------------------------
+
+_EMAIL_PAT = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+_PHONE_PAT = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' reach user' || doc_id ||
+               '@mail.example.com ph 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_PAT}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_PHONE_PAT}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    ORDER BY doc_id
+    """,
+    tags=("text", "pii", "llm-pipeline"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for a training corpus: count and mask email/phone spans with
+    typed placeholder tokens. (The fixture text is synthetic, so a per-doc
+    email+phone is appended first — the operator under test is the regex
+    scrubber itself.) Pure `regexp_replace`/`regexp_extract_all` column
+    expressions: stays in whole-stage codegen, zero shuffles before the
+    display sort, and at 100 TB it is a map-only pass."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ph 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return (
+        d.select("doc_id", aug.alias("text"))
+        .select(
+            "doc_id",
+            F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_PAT}', 0)")).alias(
+                "n_emails"
+            ),
+            F.size(F.expr(f"regexp_extract_all(text, '{_PHONE_PAT}', 0)")).alias(
+                "n_phones"
+            ),
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_PAT, "<EMAIL>"),
+                _PHONE_PAT,
+                "<PHONE>",
+            ).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- context-window chunking -------------------------------------------------
+
+_CHUNK = 16  # tokens per chunk
+_STRIDE = 12  # chunk start stride (overlap = CHUNK - STRIDE = 4 tokens)
+
+
+@query(
+    "text_chunk_overlap",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    n AS (
+        SELECT doc_id, toks,
+               CAST(floor((greatest(len(toks) - {_CHUNK}, 0) + {_STRIDE} - 1)
+                          / {_STRIDE}) AS BIGINT) + 1 AS n_chunks
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_no,
+           array_to_string(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}], ' ')
+               AS chunk_text,
+           len(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}]) AS chunk_tokens
+    FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    ORDER BY doc_id, chunk_no
+    """,
+    tags=("text", "chunking", "llm-pipeline"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into 16-token chunks with
+    a 4-token overlap (stride 12) — the standard context-window prep for
+    embedding/RAG pipelines. `sequence` + `explode` + `slice` keeps the
+    fan-out inside codegen; output rows ≈ corpus_tokens / stride with no
+    shuffle (explode is pipelined into the scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = (
+        F.floor(
+            (F.greatest(F.size(toks) - _CHUNK, F.lit(0)) + _STRIDE - 1) / _STRIDE
+        ).cast("bigint")
+        + 1
+    )
+    e = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("i"),
+    )
+    piece = F.slice("toks", F.col("i").cast("int") * _STRIDE + 1, _CHUNK)
+    return e.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_no"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("chunk_tokens"),
+    ).orderBy("doc_id", "chunk_no")
+
+
+# --- sequence packing --------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per training sequence
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+           start_offset % {_PACK_BUDGET} AS offset_in_pack
+    FROM c
+    ORDER BY doc_id
+    """,
+    tags=("text", "packing", "llm-pipeline"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate the corpus in doc_id order
+    and cut it into fixed 256-token sequences — each document gets its global
+    token start offset, the pack (sequence) it starts in, and its offset
+    inside that pack. This is the concat-then-chunk packing GPT-style
+    pretraining uses (no padding waste). The running offset is one window
+    cumsum; at scale the ORDER BY doc_id window is a single range-partitioned
+    sort — in a real pipeline the corpus is already written sorted by doc_id
+    (our `Database.write_data` sort contract) so the sort is a no-op merge."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    t = d.select("doc_id", n.cast("bigint").alias("n_tokens"))
+    c = t.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / _PACK_BUDGET).cast("bigint").alias("pack_id"),
+        (F.col("start_offset") % _PACK_BUDGET).alias("offset_in_pack"),
+    ).orderBy("doc_id")
+
+
+# --- BM25 retrieval ----------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "hash")
+_K1, _B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_search",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+    corpus AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, dl, term,
+               len(list_filter(toks, x -> x = term)) AS tf
+        FROM dl, unnest(['spark', 'window', 'hash']) AS u(term)
+    ),
+    df AS (
+        SELECT term, COUNT(*) FILTER (WHERE tf > 0) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                     * tf.tf * ({_K1} + 1)
+                     / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / corpus.avgdl)),
+                     6) AS s
+        FROM tf JOIN df USING (term) CROSS JOIN corpus
+        WHERE tf.tf > 0
+    ),
+    total AS (
+        SELECT doc_id,
+               ROUND(list_reduce(
+                   [CAST(0 AS DOUBLE)] ||
+                   list_transform(
+                       list_sort(list({{'term': term, 's': s}})), e -> e.s),
+                   (a, x) -> a + x), 6) AS score,
+               COUNT(*) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_terms_hit
+    FROM total
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "search", "bm25", "llm-pipeline"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for the fixed query
+    ``spark window hash``: classic idf × saturated-tf scoring with document-
+    length normalization, top-20 docs. Corpus stats (N, avgdl, per-term df)
+    are two tiny aggregates broadcast back into the per-doc scoring pass; the
+    per-doc term sum folds a sorted (term, score) list so double addition
+    order is engine-deterministic. At 100 TB this is the standard two-pass
+    scatter/gather retrieval shape — no row explosion beyond docs × |query|."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    dl = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = dl.select(
+        "doc_id",
+        "dl",
+        F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term"),
+        "toks",
+    ).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    sat = (
+        F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "term", F.round(idf * sat, 6).alias("s"))
+    )
+    total = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                F.lit(0.0),
+                lambda a, e: a + e["s"],
+            ),
+            6,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return total.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+# --- benchmark contamination -------------------------------------------------
+
+_GRAM_N = 5
+_BENCH_DOCS = 10  # doc_id < 10 plays the role of the held-out benchmark set
+
+
+@query(
+    "text_contamination",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_distinct({sql_shingles('text', _GRAM_N)})) AS gram
+        FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT gram, 1 AS hit FROM grams WHERE doc_id < {_BENCH_DOCS}
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               COUNT(b.hit) AS n_contaminated
+        FROM grams g LEFT JOIN bench b USING (gram)
+        WHERE g.doc_id >= {_BENCH_DOCS}
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+           ROUND(CAST(n_contaminated AS DOUBLE) / n_grams, 6) AS contamination_rate,
+           CAST(n_contaminated AS DOUBLE) / n_grams > 0.5 AS flagged
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("text", "contamination", "llm-pipeline"),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: treat docs 0..9 as the held-out eval
+    set, build its distinct 5-gram set, and score every training doc by the
+    fraction of its distinct 5-grams that appear in the benchmark — the
+    n-gram-overlap decontamination step every LLM data pipeline runs before
+    training. The benchmark gram set is small by construction (eval sets
+    are), so it broadcasts and the per-doc pass is a broadcast left join —
+    the 100 TB corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", _GRAM_N))).alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") < _BENCH_DOCS).select("gram").distinct()
+    hit = grams.filter(F.col("doc_id") >= _BENCH_DOCS).join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
+    )
+    scored = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("hit").alias("n_contaminated"),
+    )
+    rate = F.col("n_contaminated").cast("double") / F.col("n_grams")
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round(rate, 6).alias("contamination_rate"),
+        (rate > 0.5).alias("flagged"),
+    ).orderBy("doc_id")

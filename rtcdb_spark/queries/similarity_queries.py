@@ -232,3 +232,29 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "similarity_pq_topk",
+    None,  # iterative per-subspace k-means training; rows-only check
+    tags=("similarity", "ann", "pq", "compression", "iterative"),
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace k-means codebooks (8 subspaces
+    × 32 codewords over the 64-d embeddings) compress each vector to 8 small
+    codes; search is asymmetric-distance (ADC) — the query's exact distances
+    to all codewords form a broadcast lookup table and each corpus vector
+    costs 8 integer lookups, no float vectors read at query time
+    (functions.similarity.pq_train/pq_encode/pq_topk). At 100 TB the code
+    column is ~64× smaller than the embeddings — the index fits where the
+    vectors cannot. Training is iterative (no SQL twin) → rows-only;
+    recall and determinism are pinned in tests/test_operators.py."""
+    from rtcdb_spark.functions.similarity import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=32, n_iter=2)
+    codes = pq_encode(emb, books, 8)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return pq_topk(codes, books, qv, 8, top_k=10).select(
+        "vec_id", F.round("adc_d2", 6).alias("adc_d2")
+    )

@@ -187,3 +187,39 @@ def test_bloom_no_false_negatives(spark):
     assert member <= kept  # every true member passes
     # and the filter actually rejects most non-members
     assert len(kept - member) < 300
+
+
+def test_pq_encode_and_adc_recall(spark, sf_smoke):
+    import pyspark.sql.functions as F
+
+    from rtcdb_spark.functions.similarity import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    books = pq_train(emb, m=8, k=32, n_iter=2)
+    assert books.count() == 8 * 32
+    codes = pq_encode(emb, books, 8)
+    first = codes.first()["codes"]
+    assert len(first) == 8 and all(0 <= c < 32 for c in first)
+
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    pq_ids = [r["vec_id"] for r in pq_topk(codes, books, q, 8, top_k=10).collect()]
+    # the query vector itself quantizes to the nearest codewords → rank 1
+    assert pq_ids[0] == 0
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    bf_ids = [
+        r["vec_id"]
+        for r in base.withColumn("q_", qlit)
+        .withColumn(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(v, q_, (x,y)->(x-y)*(x-y)), 0D, (a,x)->a+x)"
+            ),
+        )
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    # near-random fixture embeddings: modest but real recall, deterministic
+    assert len(set(pq_ids) & set(bf_ids)) >= 2
