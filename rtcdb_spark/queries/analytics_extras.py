@@ -1,0 +1,207 @@
+"""Warehouse-maintenance and analytics extras: CDC snapshot diff, rolling
+median, weighted sampling, and fuzzy string matching (SURVEY §2 C-III/C-VI
+plus the warehouse surface). Each shows a scale-critical shape: the CDC diff
+is the co-partitioned full-outer join incremental pipelines run per batch;
+the rolling median is an exact order-statistic over a bounded window frame;
+weighted sampling is the one-pass A-ES scheme whose top-k needs no global
+sort of the corpus; the fuzzy join is deliberately sample-bounded (edit
+distance is quadratic — the scale path is LSH, see dedup_lsh_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rtcdb_spark.functions.text import MERSENNE_P, sql_stable_hash_mod, stable_hash_mod
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+
+@query(
+    "cdc_snapshot_diff",
+    """
+    WITH v_old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    v_new AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_orderstatus AS old_status,
+           n.o_orderstatus AS new_status
+    FROM v_old o FULL OUTER JOIN v_new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus
+    ORDER BY o_orderkey
+    """,
+    tags=("warehouse", "cdc", "diff"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full-outer join on
+    the key classifies every row as insert / delete / update (value drift on
+    non-key columns), emitting the change feed an incremental consumer
+    (MERGE, SCD2 — see warehouse.py) would apply. The two snapshots are
+    carved deterministically from `orders` (drop-mod-7 vs drop-mod-11, with
+    a status rewrite playing the 'updated' rows). At 100 TB both snapshots
+    hash-partition on the key — AQE handles the join; if snapshots are
+    bucketed on the key (sources.write_bucketed) the diff is exchange-free."""
+    o = load_table(spark, sf_dir, "orders")
+    v_old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    v_new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    j = v_old.alias("o").join(v_new.alias("n"), "o_orderkey", "full_outer")
+    old_k, new_k = F.col("o.o_orderstatus"), F.col("n.o_orderstatus")
+    return (
+        j.filter(old_k.isNull() | new_k.isNull() | (old_k != new_k))
+        .select(
+            "o_orderkey",
+            F.when(old_k.isNull(), "insert")
+            .when(new_k.isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            old_k.alias("old_status"),
+            new_k.alias("new_status"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "window_rolling_median",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    framed AS (
+        SELECT d, cnt,
+               list(cnt) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS frame
+        FROM daily
+    )
+    SELECT d, cnt,
+           len(frame) AS n_days,
+           list_sort(frame)[(len(frame) + 1) // 2] AS rolling_median
+    FROM framed
+    ORDER BY d
+    """,
+    tags=("window", "median", "timeseries"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling (lower) median of daily order counts: collect the
+    bounded frame, sort it, index the middle — an exact order statistic no
+    built-in moving aggregate provides. The frame is ≤7 integers so the
+    per-row cost is O(1); the only shuffle is the daily pre-aggregate (the
+    raw table never enters the window). Integer medians keep the result
+    bit-exact across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    framed = daily.withColumn("frame", F.collect_list("cnt").over(w))
+    srt = F.array_sort("frame")
+    n = F.size("frame")
+    return framed.select(
+        "d",
+        "cnt",
+        n.cast("bigint").alias("n_days"),
+        F.element_at(srt, ((n + 1) / 2).cast("int")).alias("rolling_median"),
+    ).orderBy("d")
+
+
+@query(
+    "sample_weighted",
+    f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               ROUND(ln((CAST({sql_stable_hash_mod('CAST(o_orderkey AS VARCHAR)')}
+                         AS DOUBLE) + 1) / {MERSENNE_P + 1})
+                     / o_totalprice, 12) AS k
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, k
+    FROM keyed
+    ORDER BY k DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("sampling", "weighted"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row draws u ∈ (0,1] from a *deterministic* md5-based hash of its
+    key and ranks by ln(u)/w — the top-k under that key is a weighted sample
+    favoring high `o_totalprice`. One scan, no RNG state, reproducible on
+    any engine/cluster/partitioning; top-k via TakeOrderedAndProject means
+    no global sort at 100 TB. (ln(u)/w is the log-space form of u^(1/w) —
+    monotone-equivalent, numerically safer for large weights.)"""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        stable_hash_mod(F.col("o_orderkey").cast("string")).cast("double") + 1
+    ) / (MERSENNE_P + 1)
+    k = F.round(F.log(u) / F.col("o_totalprice"), 12)
+    return (
+        o.select("o_orderkey", "o_totalprice", k.alias("k"))
+        .orderBy(F.desc("k"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    """
+    WITH s AS (
+        SELECT p_partkey, p_name FROM part WHERE p_partkey < 100
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM s a JOIN s b
+      ON a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY key_a, key_b
+    """,
+    tags=("join", "fuzzy", "levenshtein"),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: edit-distance ≤ 2 pairs over a bounded sample
+    of part names, with a length-difference band as the cheap pre-filter
+    (|len(a)-len(b)| ≤ 2 is implied by dist ≤ 2, and it prunes before the
+    O(len²) levenshtein evaluates). Sample-bounded on purpose: all-pairs
+    edit distance is quadratic; the 100 TB path blocks candidates first
+    (LSH/shingle buckets, dedup_lsh_pairs) and runs levenshtein only inside
+    buckets."""
+    p = load_table(spark, sf_dir, "part")
+    s = p.filter(F.col("p_partkey") < 100).select("p_partkey", "p_name")
+    a = s.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = s.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            ),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("key_a", "key_b")
+    )
