@@ -205,3 +205,68 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "name_a", "name_b", "dist")
         .orderBy("key_a", "key_b")
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_WINDOW = 14  # days of history per point
+
+
+@query(
+    "timeseries_ewma",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    framed AS (
+        SELECT d, cnt,
+               list({{'d': d, 'cnt': cnt}}) OVER
+                   (ORDER BY d ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+                   AS frame
+        FROM daily
+    )
+    SELECT d, cnt,
+           ROUND(
+               list_reduce([CAST(0 AS DOUBLE)] ||
+                   list_transform(list_sort(frame),
+                       e -> e.cnt * power(1 - {_EWMA_ALPHA}, date_diff('day', e.d, d))),
+                   (a, x) -> a + x)
+               /
+               list_reduce([CAST(0 AS DOUBLE)] ||
+                   list_transform(list_sort(frame),
+                       e -> power(1 - {_EWMA_ALPHA}, date_diff('day', e.d, d))),
+                   (a, x) -> a + x),
+               6) AS ewma
+    FROM framed
+    ORDER BY d
+    """,
+    tags=("timeseries", "ewma", "smoothing"),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order volume
+    (α=0.3, 14-day window): each day's smoothed value weights its frame by
+    (1-α)^age-in-days and normalizes — the standard trend/anomaly smoother.
+    Computed as a fold over the bounded collected frame in *date-sorted
+    order* so double accumulation is engine-deterministic; the gap-aware
+    day-difference weighting (not row offsets) makes missing days decay
+    correctly. Only the vocabulary-sized daily table enters the window."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("d").rowsBetween(-(_EWMA_WINDOW - 1), 0)
+    framed = daily.withColumn(
+        "frame", F.collect_list(F.struct("d", "cnt")).over(w)
+    )
+    decay = lambda e: F.pow(  # noqa: E731
+        F.lit(1 - _EWMA_ALPHA), F.datediff(F.col("d"), e["d"])
+    )
+    num = F.aggregate(
+        F.array_sort("frame"), F.lit(0.0), lambda a, e: a + e["cnt"] * decay(e)
+    )
+    den = F.aggregate(
+        F.array_sort("frame"), F.lit(0.0), lambda a, e: a + decay(e)
+    )
+    return framed.select(
+        "d", "cnt", F.round(num / den, 6).alias("ewma")
+    ).orderBy("d")

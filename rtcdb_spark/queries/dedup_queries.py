@@ -406,3 +406,90 @@ def dedup_materialize_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.length("text").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+_PF_T = 0.6  # Jaccard threshold for the prefix-filtering join
+
+
+@query(
+    "dedup_prefix_filter_pairs",
+    f"""
+    WITH {_SQL_SH},
+    freq AS (SELECT sh, COUNT(*) AS f FROM sh GROUP BY sh),
+    sized AS (
+        SELECT doc_id, sh, f,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f ASC, sh ASC) AS rn
+        FROM sh JOIN freq USING (sh)
+    ),
+    prefix AS (
+        SELECT doc_id, sh FROM sized
+        WHERE rn <= n - CAST(ceil({_PF_T} * n) AS BIGINT) + 1
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN prefix b USING (sh)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / (za.n + zb.n - COALESCE(i.n_common, 0)) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i USING (id_a, id_b)
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+    )
+    WHERE jaccard >= {_PF_T}
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "prefix-filter", "ppjoin"),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join via prefix filtering (PPJoin's candidate scheme):
+    for Jaccard ≥ t, two sets must share a shingle within each one's
+    (n - ⌈t·n⌉ + 1)-element prefix when shingles are ordered rarest-first —
+    so candidates come from joining only the short prefixes, then exact
+    Jaccard verifies. Complements MinHash-LSH (dedup_lsh_pairs): exact (no
+    probabilistic misses) while still never comparing all pairs. At 100 TB
+    the global-frequency table is a broadcast side, the prefix join keys on
+    rare shingles (few collisions ⇒ no skew), and verification touches only
+    surviving candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d).persist()
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id")
+    sized = (
+        sh.join(freq, "sh")
+        .withColumn("n", F.count(F.lit(1)).over(wd))
+        .withColumn(
+            "rn", F.row_number().over(wd.orderBy(F.asc("f"), F.asc("sh")))
+        )
+    )
+    prefix = sized.filter(
+        F.col("rn") <= F.col("n") - F.ceil(_PF_T * F.col("n")).cast("bigint") + 1
+    ).select("doc_id", "sh")
+    pairs = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    return (
+        jaccard_pairs(sh, pairs)
+        .filter(F.col("jaccard") >= _PF_T)
+        .orderBy("id_a", "id_b")
+    )

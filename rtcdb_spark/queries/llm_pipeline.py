@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rtcdb_spark.functions.text import shingles, sql_shingles
+from rtcdb_spark.functions.text import (
+    MERSENNE_P,
+    shingles,
+    sql_shingles,
+    sql_stable_hash_mod,
+    stable_hash_mod,
+)
 from rtcdb_spark.queries.base import query
 from rtcdb_spark.sources import load_table
 
@@ -344,3 +350,100 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("contamination_rate"),
         (rate > 0.5).alias("flagged"),
     ).orderBy("doc_id")
+
+
+# --- tokenizer vocabulary ----------------------------------------------------
+
+_VOCAB_SIZE = 500
+
+
+@query(
+    "text_vocab_build",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+    total AS (SELECT SUM(freq) AS tot FROM counts)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) - 1
+               AS token_id,
+           token, freq,
+           ROUND(CAST(freq AS DOUBLE) / tot, 6) AS p
+    FROM counts, total
+    ORDER BY token_id
+    LIMIT {_VOCAB_SIZE}
+    """,
+    tags=("text", "vocab", "llm-pipeline"),
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction: corpus-wide token frequencies →
+    rank-assigned token ids (frequency desc, token asc for determinism) with
+    unigram probabilities — the seed vocabulary a BPE/unigram trainer starts
+    from. The shape is one explode + one map-combined count; the ranking
+    window only ever sees the distinct-token table, which is vocabulary-
+    sized (sub-linear in corpus), never the corpus itself."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("tot"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            (F.row_number().over(w).cast("bigint") - 1).alias("token_id"),
+            "token",
+            "freq",
+            F.round(F.col("freq").cast("double") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("token_id")
+        .limit(_VOCAB_SIZE)
+    )
+
+
+# --- train/val/test split ----------------------------------------------------
+
+
+@query(
+    "split_train_val_test",
+    f"""
+    WITH u AS (
+        SELECT doc_id, lang,
+               CAST({sql_stable_hash_mod("'split:' || CAST(doc_id AS VARCHAR)")}
+                    AS DOUBLE) / 2147483647 AS u
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    ORDER BY doc_id
+    """,
+    tags=("text", "split", "llm-pipeline"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: a salted md5 hash of the
+    doc id maps to u ∈ [0,1) and fixed thresholds assign the split — stable
+    across engines, runs, partitionings, and corpus growth (a doc's split
+    never changes when new docs arrive, unlike modulo-on-row-number
+    schemes). Map-only at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        stable_hash_mod(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        / MERSENNE_P
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+        .orderBy("doc_id")
+    )
