@@ -1,0 +1,93 @@
+"""Distributed graph primitives on edge-list DataFrames (SURVEY §2 C-IX
+adjunct — duplicate-cluster graphs, co-occurrence graphs).
+
+Connected components (min-label propagation) lives in
+`rtcdb_spark.functions.dedup.connected_components`; this module adds degree
+computation and PageRank. Everything operates on plain `(src, dst)` edge
+DataFrames — no graph library, no driver-side adjacency: each iteration is
+one equi-join + one aggregate, the same shuffle shape at 1k or 10^11 edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view of an edge list: both orientations, self-loops
+    dropped, duplicates collapsed."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Out-degree per node of a directed edge list → (node, deg)."""
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    round_to: int = 12,
+) -> DataFrame:
+    """PageRank by power iteration over a directed edge list → (node, rank).
+
+    Per iteration: contributions flow along edges (rank/outdeg), are summed
+    per destination by folding a *sorted* contribution list (double addition
+    order fixed ⇒ bit-reproducible across engines, partitionings, and
+    retries), and blend with the (1-d)/N teleport term. Rounding each
+    iteration to `round_to` decimals keeps cross-engine drift at zero.
+
+    Scale shape: the edge list is the only large relation; each iteration is
+    one join against the (nodes-sized) rank table and one aggregate — the
+    rank table is typically broadcastable, so the edges never shuffle.
+    Dangling nodes (no out-edges) keep teleport mass only, matching the
+    classic formulation without a dangling-redistribution pass; symmetrize()
+    first for undirected graphs (no dangling nodes by construction).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out = degrees(edges)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .join(F.broadcast(out), "node")
+            .select(
+                F.col("dst").alias("node"),
+                F.col("src"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda a, e: a + e["c"],
+            ).alias("s")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport) + damping * F.coalesce(F.col("s"), F.lit(0.0)),
+                    round_to,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1,0 +1,131 @@
+"""Graph analytics over an event-derived co-occurrence graph (SURVEY §2
+C-IX adjunct): degree distribution and PageRank. The graph is deterministic
+— an edge links consecutive users within each event_type's time-ordered
+stream (a co-activity graph), symmetrized and deduplicated — so both engines
+build the identical edge list and the oracle checks PageRank value-exact
+(sorted-fold summation + per-iteration rounding pin the float arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rtcdb_spark.functions.graph import degrees, pagerank, symmetrize
+from rtcdb_spark.queries.base import query
+from rtcdb_spark.sources import load_table
+
+_D = 0.85
+_ITERS = 3
+
+_SQL_GRAPH = """
+    raw AS (
+        SELECT user_id,
+               LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                   AS nxt
+        FROM events
+    ),
+    e0 AS (
+        SELECT DISTINCT user_id AS src, nxt AS dst
+        FROM raw WHERE nxt IS NOT NULL AND user_id <> nxt
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        )
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)
+"""
+
+
+def _sql_pagerank_iters(n_iter: int) -> str:
+    parts = [f"r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank FROM nodes, nn)"]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+    c{k} AS (
+        SELECT e.dst AS node, e.src AS src, r.rank / d.deg AS c
+        FROM edges e
+        JOIN r{k - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.node
+    ),
+    s{k} AS (
+        SELECT node,
+               list_reduce([CAST(0 AS DOUBLE)] ||
+                   list_transform(list_sort(list({{'src': src, 'c': c}})), x -> x.c),
+                   (a, x) -> a + x) AS s
+        FROM c{k} GROUP BY node
+    ),
+    r{k} AS (
+        SELECT n.node,
+               ROUND(CAST({1 - _D} AS DOUBLE) / nn.n
+                     + CAST({_D} AS DOUBLE) * COALESCE(s.s, 0), 12) AS rank
+        FROM nodes n LEFT JOIN s{k} s ON n.node = s.node, nn
+    )""")
+    return ",\n".join(parts)
+
+
+def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    raw = e.select("user_id", F.lead("user_id").over(w).alias("nxt"))
+    directed = (
+        raw.filter(F.col("nxt").isNotNull() & (F.col("user_id") != F.col("nxt")))
+        .select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+    )
+    return symmetrize(directed)
+
+
+@query(
+    "graph_degree_distribution",
+    f"""
+    WITH {_SQL_GRAPH}
+    SELECT deg, COUNT(*) AS n_nodes
+    FROM deg GROUP BY deg
+    ORDER BY deg
+    """,
+    tags=("graph", "degree"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-activity graph — the first diagnostic for
+    any graph workload (skew detection: a power-law hub means the node's
+    edge partition is hot). Two map-combined aggregates; the edge list never
+    leaves its partitioning."""
+    edges = _event_edges(spark, sf_dir)
+    return (
+        degrees(edges)
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+@query(
+    "graph_pagerank",
+    f"""
+    WITH {_SQL_GRAPH},
+    {_sql_pagerank_iters(_ITERS)}
+    SELECT node AS user_id, rank FROM r{_ITERS}
+    ORDER BY rank DESC, user_id
+    LIMIT 25
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the undirected co-activity
+    graph; top-25 most central users. Checked *value-exact* against a fully
+    unrolled SQL twin: contributions fold in sorted order and every
+    iteration rounds to 12 decimals, so both engines produce bit-identical
+    doubles (`functions.graph.pagerank`). Per iteration the edge list joins
+    a broadcastable node-sized rank table — edges never shuffle; rounds are
+    checkpointed to truncate lineage. Undirected construction ⇒ no dangling
+    nodes, matching the oracle's formulation."""
+    edges = _event_edges(spark, sf_dir)
+    ranks = pagerank(edges, n_iter=_ITERS, damping=_D)
+    return (
+        ranks.select(F.col("node").alias("user_id"), "rank")
+        .orderBy(F.desc("rank"), F.asc("user_id"))
+        .limit(25)
+    )

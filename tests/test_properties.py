@@ -1,0 +1,176 @@
+"""Property-based tests (hypothesis) — the randomized layer SURVEY §5 calls
+for on top of the fixture-pinned oracle tests. Each property checks an
+algebraic invariant of an operator against an independent, trivially-correct
+Python model on arbitrary generated inputs, so the operators' guarantees
+don't silently narrow to "works on the driver fixtures".
+
+Examples are kept small (Spark job per example); max_examples trades
+coverage for wall-clock.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_token = st.text(alphabet="abcdefgh xyz0123", min_size=0, max_size=12)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),
+            _token,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_db_roundtrip_multiset(spark, rows):
+    """write_data → scan returns exactly the written multiset (the read-back
+    assertion the reference never had, SURVEY §4.3 bug 2)."""
+    from rtcdb_spark.db import Database, TableMeta
+
+    path = tempfile.mkdtemp(prefix="rtcdb_prop_")
+    try:
+        meta = TableMeta("t", [("k", "uint64"), ("s", "string")])
+        db = Database.init(spark, path, [meta])
+        db.write_data("t", [[k, s] for k, s in rows])
+        got = sorted((r["k"], r["s"]) for r in db.table("t").collect())
+        assert got == sorted(rows)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(**SETTINGS)
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=30
+    ),
+    dim=st.lists(st.integers(0, 5), min_size=0, max_size=6),
+)
+def test_salted_join_equals_plain_join(spark, fact, dim):
+    """salted_join must be result-identical to the plain equi-join — salting
+    changes the physical shuffle, never the relation."""
+    from rtcdb_spark.operators.relational import salted_join
+
+    dim = sorted(set(dim))
+    f = spark.createDataFrame(
+        [(k, v) for k, v in fact] or [(None, None)], "k int, v int"
+    ).filter("k is not null")
+    d = spark.createDataFrame(
+        [(k, f"d{k}") for k in dim] or [(None, None)], "dk int, label string"
+    ).filter("dk is not null")
+    salted = salted_join(f, d, "k", "dk", n_salts=4)
+    plain = f.join(d, f["k"] == d["dk"])
+    cols = ["k", "v", "dk", "label"]
+    got = sorted(tuple(r[c] for c in cols) for r in salted.select(cols).collect())
+    want = sorted(tuple(r[c] for c in cols) for r in plain.select(cols).collect())
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(strings=st.lists(_token, min_size=1, max_size=25, unique=True))
+def test_stable_hash_portable_three_engines(spark, strings):
+    """stable_hash_mod (the foundation of every dedup/fingerprint operator)
+    must agree bit-for-bit across Spark, DuckDB, and pure Python."""
+    import duckdb
+
+    from rtcdb_spark.functions.text import (
+        MERSENNE_P,
+        sql_stable_hash_mod,
+        stable_hash_mod,
+    )
+
+    sdf = spark.createDataFrame([(s,) for s in strings], "s string")
+    got_spark = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", stable_hash_mod("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in strings])
+    got_duck = dict(
+        con.execute(f"SELECT s, {sql_stable_hash_mod('s')} FROM t").fetchall()
+    )
+    for s in strings:
+        py = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MERSENNE_P
+        assert got_spark[s] == py, s
+        assert got_duck[s] == py, s
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp = {}
+    for n in nodes:
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    return {n: min(members) for root, members in comp.items() for n in members}
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=25
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must produce exactly the same
+    (node → min-id-of-component) map as a sequential union-find."""
+    from rtcdb_spark.functions.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["group_id"] for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges, nodes)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=40
+    ),
+    perm=st.randoms(use_true_random=False),
+)
+def test_dsum_order_independent(spark, vals, perm):
+    """dsum (exact DECIMAL accumulation) must be identical under any row
+    order / partitioning — the invariant the whole oracle strategy rests on."""
+    from rtcdb_spark.deterministic import dsum
+
+    shuffled = list(vals)
+    perm.shuffle(shuffled)
+
+    def total(xs, parts):
+        df = spark.createDataFrame([(x,) for x in xs], "v double").repartition(parts)
+        return df.agg(dsum("v", alias="s")).collect()[0]["s"]
+
+    assert total(vals, 1) == total(shuffled, 7)
