@@ -66,3 +66,50 @@ def test_similarity_topk_no_corpus_shuffle(spark, sf_smoke):
 def test_window_topk_single_shuffle(spark, sf_smoke):
     p = _plan(spark, sf_smoke, "window_topk_per_group")
     assert p.sort_merge_joins == 0 and p.cartesian_products == 0, p.describe()
+
+
+def test_contamination_benchmark_broadcast(spark, sf_smoke):
+    # the corpus-side gram stream must join the benchmark gram set via
+    # broadcast — a shuffle here would move the (100 TB) corpus
+    p = _plan(spark, sf_smoke, "text_contamination")
+    assert p.broadcast_joins >= 1, p.describe()
+    assert p.sort_merge_joins == 0, p.describe()
+
+
+def test_profiler_single_scan(spark, sf_smoke):
+    # ONE parquet scan feeds all per-column aggregates (vs one scan per
+    # column); the formatted plan names each scan once in the tree and once
+    # in the node-details section
+    import re
+
+    p = _plan(spark, sf_smoke, "profile_columns")
+    scans = re.findall(r"^\(\d+\) Scan parquet", p.plan, flags=re.M)
+    assert len(scans) == 1, p.plan
+
+
+def test_chunking_is_map_only(spark, sf_smoke):
+    # explode + slice chunking must add no shuffle beyond the display sort
+    p = _plan(spark, sf_smoke, "text_chunk_overlap")
+    assert p.shuffle_exchanges <= 1, p.describe()  # the final orderBy only
+    assert "Scan parquet" in p.plan and p.sort_merge_joins == 0
+
+
+def test_pii_redact_map_only(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "text_pii_redact")
+    assert p.shuffle_exchanges <= 1, p.describe()  # final orderBy only
+    assert p.broadcast_exchanges == 0, p.describe()
+
+
+def test_bm25_stats_broadcast(spark, sf_smoke):
+    # df/corpus stats join back into the scoring pass as broadcasts; the
+    # only shuffles are the aggregates themselves
+    p = _plan(spark, sf_smoke, "text_bm25_search")
+    assert p.broadcast_joins + p.nested_loop_joins >= 2, p.describe()
+    assert p.sort_merge_joins == 0, p.describe()
+    assert p.has_take_ordered, p.describe()
+
+
+def test_weighted_sample_topk_no_global_sort(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "sample_weighted")
+    assert p.has_take_ordered, p.describe()
+    assert p.shuffle_exchanges == 0, p.describe()  # map-only + top-k merge
