@@ -37,6 +37,11 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "similarity_cosine_topk",
     "text_token_count",
+    "text_bm25_search",
+    "text_contamination",
+    # rollup maintenance + iterative graph
+    "rollup_cascade",
+    "graph_pagerank",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -37,6 +37,7 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     round_to: int = 12,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank by power iteration over a directed edge list → (node, rank).
 
@@ -53,16 +54,21 @@ def pagerank(
     classic formulation without a dangling-redistribution pass; symmetrize()
     first for undirected graphs (no dangling nodes by construction).
     """
+    # Every iteration re-reads the edge list and node set; without a persist
+    # the whole upstream pipeline (source scan, symmetrize distincts) would
+    # re-execute once per iteration.
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
     out = degrees(edges)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contribs = (
             edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
             .join(F.broadcast(out), "node")
@@ -79,15 +85,16 @@ def pagerank(
                 lambda a, e: a + e["c"],
             ).alias("s")
         )
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(teleport) + damping * F.coalesce(F.col("s"), F.lit(0.0)),
-                    round_to,
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(teleport) + damping * F.coalesce(F.col("s"), F.lit(0.0)),
+                round_to,
+            ).alias("rank"),
         )
+        # Lineage grows linearly with iterations; materialize periodically so
+        # long runs don't re-execute the whole chain per job or blow the
+        # planner, but short runs stay a single lazy plan (no extra jobs).
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
     return ranks

@@ -97,3 +97,68 @@ def stream_agg_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_rollup_cascade(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Incremental multi-resolution rollup maintenance — the streaming twin
+    of the batch `rollup_cascade` query (queries/profiling.py): minute-level
+    windowed aggregates stream in update mode; each batch upserts the
+    changed minute buckets into a parquet snapshot, then re-derives the
+    hour and day levels *from the minute partials* (exact DECIMAL sums are
+    associative, so cascading re-aggregation equals direct aggregation).
+
+    Scale shape: only minute buckets touched by a batch are emitted
+    (update mode); the hour/day refresh reads the minute *snapshot* — which
+    is bounded by time-cardinality, not corpus size. At 100 TB the
+    whole-snapshot overwrite becomes dynamic partition overwrite keyed by
+    date, same cascade."""
+    minute = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sdec"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n_events", "sdec")
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        minute_dir = f"{out_dir}/minute"
+        try:
+            prev = spark.read.parquet(minute_dir)
+        except Exception:
+            prev = None
+        merged = batch_df
+        if prev is not None:
+            merged = prev.join(
+                batch_df.select("bucket"), "bucket", "left_anti"
+            ).unionByName(batch_df)
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(minute_dir)
+        m = spark.read.parquet(minute_dir)
+        for level, trunc_src in (("hour", "minute"), ("day", "hour")):
+            src = spark.read.parquet(f"{out_dir}/{trunc_src}")
+            rolled = src.groupBy(
+                F.date_trunc(level, "bucket").alias("bucket")
+            ).agg(F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec"))
+            rows = rolled.collect()
+            spark.createDataFrame(rows, rolled.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/{level}")
+
+    q = (
+        minute.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -223,3 +223,27 @@ def test_pq_encode_and_adc_recall(spark, sf_smoke):
     ]
     # near-random fixture embeddings: modest but real recall, deterministic
     assert len(set(pq_ids) & set(bf_ids)) >= 2
+
+
+def test_skew_diagnostics(spark):
+    import pyspark.sql.functions as F
+
+    from rtcdb_spark.operators.diagnostics import (
+        key_skew_report,
+        partition_histogram,
+        skew_factor,
+    )
+
+    # 900 rows of key 0 + 100 distinct cold keys
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, 0).otherwise(F.col("id")).alias("k")
+    )
+    top = key_skew_report(df, "k", top_n=3).collect()
+    assert top[0]["value"] == "0" and top[0]["cnt"] == 900
+    assert abs(top[0]["share"] - 0.9) < 1e-9
+
+    skewed = df.repartition(8, "k")
+    hist = {r["partition_id"]: r["cnt"] for r in partition_histogram(skewed).collect()}
+    assert sum(hist.values()) == 1000
+    assert skew_factor(skewed) > 4  # hot key dominates one partition
+    assert skew_factor(df.repartition(8, "id" if "id" in df.columns else "k")) >= 1.0

@@ -245,3 +245,22 @@ def test_foreach_batch_snapshot_matches_batch(spark, sf_smoke, stream_dir, tmp_p
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
     )
     assert _collect_sorted(got, "event_type") == _collect_sorted(want, "event_type")
+
+
+def test_stream_rollup_cascade_matches_batch(spark, sf_smoke, stream_dir, tmp_path):
+    from rtcdb_spark.streaming.sinks import stream_rollup_cascade
+
+    out = str(tmp_path / "rollup_out")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    sdf = read_events_stream(spark, sf_smoke, max_files_per_trigger=1, path=stream_dir)
+    stream_rollup_cascade(sdf, out, ckpt)
+    e = _batch_events(spark, stream_dir)
+    for level in ("minute", "hour", "day"):
+        got = spark.read.parquet(f"{out}/{level}").select(
+            "bucket", "n_events", F.col("sdec").cast("double").alias("tv")
+        )
+        want = e.groupBy(F.date_trunc(level, "ts").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        assert _collect_sorted(got, "bucket") == _collect_sorted(want, "bucket"), level
