@@ -270,3 +270,119 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.select(
         "d", "cnt", F.round(num / den, 6).alias("ewma")
     ).orderBy("d")
+
+
+@query(
+    "histogram_equidepth",
+    """
+    WITH ranked AS (
+        SELECT value,
+               NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM ranked GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("agg", "histogram", "quantile"),
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram: NTILE(10) over the value order gives
+    ten equal-population buckets with their [lo, hi] ranges — the histogram
+    CBOs and data-quality monitors want when the distribution is skewed
+    (equi-width puts 99% of rows in one bin). Exact NTILE needs a global
+    sort; at 100 TB swap in approx_percentile boundaries + a per-row bucket
+    lookup (same output schema, one pass, no sort) — the exact form here is
+    what the oracle can pin value-identical."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.orderBy("value", "event_id")
+    return (
+        e.select("value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "events_user_paths",
+    """
+    WITH ordered AS (
+        SELECT user_id,
+               list(event_type ORDER BY ts, event_id) AS evs
+        FROM events GROUP BY user_id
+    ),
+    paths AS (
+        SELECT user_id, array_to_string(evs[1:3], '>') AS path
+        FROM ordered
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    tags=("analytics", "path", "funnel"),
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user's first three event types (time-ordered,
+    event_id tie-break) joined into a path string; top-20 most common entry
+    paths — the product-analytics companion to funnel_conversion, but
+    pattern-discovering rather than pattern-matching. One (user)-keyed
+    aggregate whose state is 3 strings per user, then a tiny path count —
+    no global sort, no self-join; at 100 TB the user-key shuffle is the
+    only data movement."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "fn_bitwise",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and,
+           o_orderkey | 4096 AS b_or,
+           xor(o_orderkey, 255) AS b_xor,
+           o_orderkey << 2 AS b_shl,
+           o_orderkey >> 3 AS b_shr
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (AND/OR/XOR/shifts) — the tool kit behind
+    bitmap flags, hash mixing, and bucket masks elsewhere in the engine.
+    Pure codegen expressions."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(255)).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+    ).orderBy("o_orderkey")
