@@ -386,3 +386,69 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("b_shl"),
         F.shiftright(k, 3).alias("b_shr"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "agg_string_agg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("agg", "string_agg"),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped string aggregation (LISTAGG/STRING_AGG): collect, sort for
+    determinism, join — collect_list order is partition-dependent in a
+    distributed engine, so the explicit array_sort is what makes the result
+    well-defined at any parallelism."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "window_moving_distinct",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, list(DISTINCT user_id) AS users
+        FROM events GROUP BY 1
+    )
+    SELECT d,
+           len(list_distinct(flatten(list(users) OVER
+               (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))))
+               AS active_7d
+    FROM daily
+    ORDER BY d
+    """,
+    tags=("window", "distinct", "timeseries"),
+)
+def window_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users — the classic WAU-style metric.
+    COUNT(DISTINCT) isn't frameable in any engine, so each day first
+    reduces to its distinct-user set (corpus-sized aggregate, map-combined)
+    and the window unions/dedups the ≤7 small sets per row. At 100 TB the
+    window input is days × daily-actives, not events; if daily actives
+    outgrow frame unions, swap the sets for mergeable HLL sketches
+    (agg_hll_sketch_union) and trade exactness for fixed size."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.collect_set("user_id").alias("users")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w)))).alias(
+            "active_7d"
+        ),
+    ).orderBy("d")
