@@ -452,3 +452,65 @@ def window_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_7d"
         ),
     ).orderBy("d")
+
+
+@query(
+    "fn_datetime_intervals",
+    """
+    WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+               FROM orders WHERE o_orderkey < 500)
+    SELECT o_orderkey, od,
+           CAST(od + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           last_day(od) AS month_end,
+           date_diff('day', od, DATE '1998-12-31') AS days_to_eoy,
+           date_diff('day', DATE '1992-01-01', od) // 7 AS weeks_since_epoch_start,
+           CAST(date_trunc('week', od) AS DATE) AS week_start
+    FROM d
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime", "interval"),
+)
+def fn_datetime_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic family: month addition (end-of-month clamped the
+    same way in both engines), last_day, day/week differences, week
+    truncation. Complements fn_datetime's extraction family; all codegen
+    expressions."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        od.alias("od"),
+        F.add_months(od, 3).alias("plus_3m"),
+        F.last_day(od).alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), od).alias("days_to_eoy"),
+        F.floor(
+            F.datediff(od, F.lit("1992-01-01").cast("date")) / 7
+        ).cast("bigint").alias("weeks_since_epoch_start"),
+        F.date_trunc("week", od).cast("date").alias("week_start"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "join_cross_small",
+    """
+    SELECT a.r_name AS name_a, b.r_name AS name_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    ORDER BY name_a, name_b
+    """,
+    tags=("join", "cross"),
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (bounded: region × region, 5×5) with a
+    post-filter — the all-pairs primitive under the sample-bounded fuzzy/
+    Jaccard joins. Deliberately small: an unbounded cross join is the one
+    plan shape that has no 100 TB story; every scale path in this engine
+    replaces it with blocking (LSH buckets, prefix filters, cells)."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("name_a"))
+    b = r.select(F.col("r_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .orderBy("name_a", "name_b")
+    )
