@@ -247,3 +247,34 @@ def test_skew_diagnostics(spark):
     assert sum(hist.values()) == 1000
     assert skew_factor(skewed) > 4  # hot key dominates one partition
     assert skew_factor(df.repartition(8, "id" if "id" in df.columns else "k")) >= 1.0
+
+
+def test_pagerank_invariants(spark):
+    import pyspark.sql.functions as F
+
+    from rtcdb_spark.functions.graph import degrees, pagerank, symmetrize
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (5, 4), (2, 1)], "src long, dst long"
+    )
+    und = symmetrize(edges)
+    # symmetrize: every edge present both ways, no self-loops, no dupes
+    pairs = {(r["src"], r["dst"]) for r in und.collect()}
+    assert all((b, a) in pairs for a, b in pairs)
+    assert all(a != b for a, b in pairs)
+
+    ranks = pagerank(und, n_iter=8)
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    # undirected graph has no dangling nodes -> total rank mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert all(v > 0 for v in got.values())
+    # degree-3 hub (3) must outrank the degree-1 leaf (5)
+    assert got[3] > got[5]
+    # deterministic under a different partitioning
+    again = {
+        r["node"]: r["rank"] for r in pagerank(und.repartition(7), n_iter=8).collect()
+    }
+    assert got == again
+    # degrees: undirected degree of node 3 is 3
+    degs = {r["node"]: r["deg"] for r in degrees(und).collect()}
+    assert degs[3] == 3 and degs[5] == 1
