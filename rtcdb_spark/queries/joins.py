@@ -268,3 +268,28 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "join_right_outer",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderstatus
+    FROM orders
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey < 200
+    ORDER BY c_custkey, o_orderkey NULLS FIRST
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving customers without orders — the mirror of
+    join_left_outer at the row level (no aggregation), pinning NULL-side
+    column semantics. Planner note: Spark rewrites right outer to left outer
+    with sides swapped, so the same broadcast/shuffle strategies apply."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderstatus")
+        .orderBy("c_custkey", F.asc_nulls_first("o_orderkey"))
+    )

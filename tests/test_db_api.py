@@ -117,3 +117,26 @@ def test_sql_surface(spark, tmp_path):
         ).collect()
     }
     assert got == {"a": (2, 30), "b": (1, 20), "c": (1, 40)}
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Column-add evolution via parquet mergeSchema — explicitly a
+    non-feature in the reference (README.md:18 'no schema migrations');
+    the new engine reads old+new files in one scan, nulling the added
+    column for old rows."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {r["id"]: (r["s"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[3] == ("c", 9.5)
+    # evolved column is filterable (null-safe) across the whole table
+    assert df.filter(F.col("score").isNotNull()).count() == 1
