@@ -170,3 +170,33 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s).orderBy("nationkey")
+
+
+@query(
+    "set_union_distinct",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ORDER BY custkey
+    """,
+    tags=("setop",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with set semantics (dedup across both inputs) — completes the
+    set-op family alongside UNION ALL / INTERSECT [ALL] / EXCEPT [ALL].
+    Spark plans union+distinct as one hash aggregate over the concatenated
+    children: a single shuffle on the key, map-side combined."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .unionByName(
+            c.filter(F.col("c_acctbal") > 5000).select(
+                F.col("c_custkey").alias("custkey")
+            )
+        )
+        .distinct()
+        .orderBy("custkey")
+    )
