@@ -348,3 +348,43 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct"),
     )
     return lang_est.unionByName(overall).orderBy("lang")
+
+
+@query(
+    "agg_argmax",
+    """
+    SELECT c_nationkey,
+           MAX_BY(c_name, c_custkey) AS newest_customer,
+           MIN_BY(c_name, c_custkey) AS oldest_customer,
+           MAX_BY(c_mktsegment, c_acctbal * 1e6 + c_custkey) AS richest_segment,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (MAX_BY / MIN_BY): fetch the value of one
+    column at the extremum of another in a single hash-aggregate pass — no
+    self-join or window needed, so it partial-combines map-side like any
+    other agg (each partial keeps only its best (value, ordering) pair).
+    Determinism: the ordering values are collision-free by construction —
+    c_custkey is unique, and the acctbal ordering is disambiguated by
+    folding the unique key into the low digits (acctbal has 2 decimal
+    places, so *1e6 leaves room for sf up to ~1e4 keys exactly within
+    double precision). At 100 TB this replaces the common
+    window-row_number-filter idiom for "row with max X per group" at a
+    fraction of the cost (no sort, no shuffle beyond the agg's own)."""
+    c = load_table(spark, sf_dir, "customer")
+    tiebreak = F.col("c_acctbal") * F.lit(1e6) + F.col("c_custkey")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "c_custkey").alias("newest_customer"),
+            F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+            F.max_by("c_mktsegment", tiebreak).alias("richest_segment"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )

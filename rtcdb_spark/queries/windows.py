@@ -199,3 +199,41 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_nth_value",
+    """
+    SELECT DISTINCT user_id,
+           NTH_VALUE(event_type, 2) OVER w AS second_type,
+           NTH_VALUE(event_type, 3) OVER w AS third_type
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    ORDER BY user_id
+    """,
+    tags=("window", "analytic"),
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over an unbounded frame — the user's 2nd and 3rd events
+    (NULL when the journey is shorter). Completes the analytic family next
+    to first/last/lag/lead. Ordering includes the unique event_id so the
+    frame is total and both engines agree. Same scale shape as any
+    partitioned window: one shuffle on user_id, sort within partitions."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+            F.nth_value("event_type", 3).over(w).alias("third_type"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
