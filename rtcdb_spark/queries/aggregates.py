@@ -388,3 +388,35 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "agg_grouping_id",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over a ROLLUP: distinguishes "NULL
+    because subtotal row" from "NULL because the data was NULL" — required
+    for downstream consumers of multi-level aggregates. Spark evaluates the
+    rollup as one Expand + hash aggregate (single shuffle)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )

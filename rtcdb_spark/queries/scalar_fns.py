@@ -311,3 +311,35 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fn_try_cast",
+    """
+    SELECT c_custkey,
+           TRY_CAST(SUBSTRING(c_name, 10) AS BIGINT) AS name_num,
+           TRY_CAST(c_mktsegment AS BIGINT) AS seg_num,
+           TRY_CAST('2024-13-01' AS DATE) AS bad_date
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 500
+    """,
+    tags=("fn", "cast"),
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-cast family (TRY_CAST): malformed input yields NULL instead of
+    a job-killing exception — essential for 100 TB ingest of dirty data,
+    where one bad cell must not fail a 1000-executor stage. Covers a
+    succeeding numeric parse (the digits of c_name), a failing string→int,
+    and a failing date literal. try_cast stays inside codegen (no UDF)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.substring("c_name", 10, 100).try_cast("bigint").alias("name_num"),
+            F.col("c_mktsegment").try_cast("bigint").alias("seg_num"),
+            F.lit("2024-13-01").try_cast("date").alias("bad_date"),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )
