@@ -186,3 +186,37 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "day_value", "filled_value")
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "reshape_posexplode",
+    """
+    SELECT vec_id, pos, ROUND(CAST(val AS DOUBLE), 6) AS val
+    FROM (
+        SELECT vec_id,
+               UNNEST(range(len(embedding))) AS pos,
+               UNNEST(embedding) AS val
+        FROM embeddings
+        WHERE vec_id < 5
+    )
+    ORDER BY vec_id, pos
+    """,
+    tags=("reshape", "array"),
+)
+def reshape_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (posexplode): array → (position, value) rows, the
+    long-format bridge used by the IVF/PQ kernels internally
+    (functions/similarity.py). Map-side only — row count multiplies by the
+    vector dimension, so downstream aggregates should partial-combine before
+    any shuffle (the k-means update in functions.similarity does exactly
+    that)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )

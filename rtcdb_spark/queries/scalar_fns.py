@@ -343,3 +343,64 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(500)
     )
+
+
+@query(
+    "fn_json_map",
+    """
+    SELECT json_keys(props) AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY k_mod
+    """,
+    tags=("scalar", "json", "map"),
+)
+def fn_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed map path for JSON props (SURVEY C-VII map/json): `from_json` →
+    MapType, then `map_keys` / `element_at` — the alternative to
+    get_json_object when many fields are read (parse once, not per field).
+    Map parsing is JVM-side Jackson; no Python boundary."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        e.select(
+            F.map_keys(m).alias("prop_keys"),
+            (F.element_at(m, F.lit("k")) % 10).alias("k_mod"),
+        )
+        .groupBy("prop_keys", "k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_mod")
+    )
+
+
+@query(
+    "fn_string_split",
+    """
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS first_word,
+           split_part(text, ' ', 3) AS third_word,
+           len(str_split(text, ' ')) AS n_space_tokens,
+           len(regexp_extract_all(text, '[aeiou]')) AS n_vowels
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field extraction without full tokenization: split_part for positional
+    fields (log/CSV-ish lines) and regexp_extract_all for occurrence counts.
+    All codegen'd string ops — map-only, no shuffle before the final sort."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        d.select(
+            "doc_id",
+            F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.split_part(F.col("text"), F.lit(" "), F.lit(3)).alias("third_word"),
+            F.size(F.split("text", " ")).alias("n_space_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+        )
+        .orderBy("doc_id")
+    )

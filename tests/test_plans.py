@@ -113,3 +113,21 @@ def test_weighted_sample_topk_no_global_sort(spark, sf_smoke):
     p = _plan(spark, sf_smoke, "sample_weighted")
     assert p.has_take_ordered, p.describe()
     assert p.shuffle_exchanges == 0, p.describe()  # map-only + top-k merge
+
+
+def test_argmax_is_single_pass_agg(spark, sf_smoke):
+    # MAX_BY/MIN_BY must plan as one partial/final hash aggregate —
+    # no window, no self-join (the idioms it replaces)
+    p = _plan(spark, sf_smoke, "agg_argmax")
+    assert p.has_partial_agg, p.describe()
+    assert "Window" not in p.plan, p.describe()
+    assert p.sort_merge_joins == 0 and p.broadcast_joins == 0, p.describe()
+    assert p.shuffle_exchanges <= 2, p.describe()  # agg hash + final sort only
+
+
+def test_nth_value_single_partition_shuffle(spark, sf_smoke):
+    # one hash shuffle on user_id for the window; never an empty partitionBy
+    p = _plan(spark, sf_smoke, "window_nth_value")
+    assert "Window" in p.plan, p.describe()
+    assert "hashpartitioning(user_id" in p.plan, p.plan[:500]
+    assert p.shuffle_exchanges <= 3, p.describe()  # window + distinct + sort
