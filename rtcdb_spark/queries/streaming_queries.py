@@ -147,3 +147,32 @@ def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_join(clicks, purchases), output_mode="append"
     )
     return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "stream_enrich_segments",
+    f"""
+    SELECT c_mktsegment AS segment,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment run to completion — must equal the
+    equivalent batch join + aggregate exactly (stateless join, complete-mode
+    aggregate)."""
+    from rtcdb_spark.sources import load_table
+    from rtcdb_spark.streaming import stream_enrich_static
+
+    sdf = read_events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer")
+    out = run_available_now(
+        stream_enrich_static(sdf, customers), output_mode="complete"
+    )
+    return out.orderBy("segment", "event_type")

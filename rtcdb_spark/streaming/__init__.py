@@ -10,6 +10,7 @@ from rtcdb_spark.streaming.events import (  # noqa: F401
     read_events_stream,
     run_available_now,
     stream_dedup,
+    stream_enrich_static,
     stream_session,
     stream_sliding,
     stream_stream_join,
@@ -29,6 +30,7 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "stream_dedup",
+    "stream_enrich_static",
     "stream_session",
     "stream_sliding",
     "stream_stream_join",

@@ -164,6 +164,29 @@ def stream_stream_join(
     )
 
 
+def stream_enrich_static(
+    events: DataFrame, customers: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table
+    (customer segment), then aggregate per segment × event type.
+
+    The static side is broadcast — each micro-batch joins against the
+    executor-local copy, so the stream never shuffles for the join and no
+    join state accumulates (stream-static joins are stateless, unlike
+    stream-stream). This is the canonical streaming-enrichment shape at
+    100 TB/day: dimensions are size-capped, facts stream through map-side.
+    The reference has no streaming or joins at all (README.md:14-19)."""
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(customers.select(F.col("c_custkey"), F.col("c_mktsegment"))),
+        events["user_id"] == F.col("c_custkey"),
+        "inner",
+    )
+    return (
+        enriched.groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
+    )
+
+
 def run_available_now(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

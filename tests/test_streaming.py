@@ -264,3 +264,25 @@ def test_stream_rollup_cascade_matches_batch(spark, sf_smoke, stream_dir, tmp_pa
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
         )
         assert _collect_sorted(got, "bucket") == _collect_sorted(want, "bucket"), level
+
+
+def test_stream_enrich_static_multi_batch(spark, sf_smoke, stream_dir):
+    # stream-static broadcast join across multiple micro-batches must equal
+    # the batch join+aggregate (stateless join; complete-mode agg re-emits)
+    from rtcdb_spark.sources import load_table
+    from rtcdb_spark.streaming import stream_enrich_static
+
+    sdf = read_events_stream(spark, sf_smoke, max_files_per_trigger=1, path=stream_dir)
+    customers = load_table(spark, sf_smoke, "customer")
+    got = run_available_now(stream_enrich_static(sdf, customers), output_mode="complete")
+    e = _batch_events(spark, stream_dir)
+    want = (
+        e.join(
+            customers.select("c_custkey", "c_mktsegment"),
+            e["user_id"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", alias="total_value"))
+    )
+    key = ["segment", "event_type"]
+    assert _collect_sorted(got, *key) == _collect_sorted(want, *key)
