@@ -1,0 +1,164 @@
+"""Snapshot-versioned tables: a file-manifest commit log with time travel.
+
+Transactions/versioning are explicit non-features of the reference engine
+(reference README.md:14-19 — append-only storage, no updates, no
+transactions). This module supersedes that the way modern lakehouse formats
+do: a **commit log of file manifests** (the minimal form of Delta Lake's
+`_delta_log` / Iceberg's snapshot list, both public designs).
+
+Layout:
+
+    <root>/data/commit-<N>/part-*.parquet   -- immutable data files
+    <root>/_log/<N:012d>.json               -- manifest: file list of version N
+
+A commit writes its data files under a fresh ``commit-<N>`` directory, then
+publishes the version by atomically renaming a manifest tmp-file into the
+log. Readers plan from a manifest's explicit file list, so:
+
+- **Time travel is O(1) metadata**: reading version N is `spark.read.parquet`
+  over N's file list — no data copying, no log replay over row data.
+- **Appends are cheap**: manifest N = manifest N-1's files + the new files
+  (metadata grows with file count, never row count).
+- **Overwrites retain history**: old files stay on disk until `vacuum`,
+  which deletes only files unreferenced by any kept version.
+
+Scale posture (100 TB): the manifest is a JSON file list — at ~1 M data files
+it is tens of MB, read once by the driver at plan time; production formats
+shard it (Iceberg manifest lists) but the commit protocol (write files →
+atomic pointer swap) is exactly this one. Concurrency: single-writer
+last-wins; the atomic rename makes a torn manifest impossible — a real
+multi-writer needs the conditional-put of an ACID log, noted not built.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+class VersionedTable:
+    """A parquet table with a linear history of snapshot versions."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+
+    # -- log bookkeeping ---------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _LOG_DIR, f"{version:012d}.json")
+
+    def versions(self) -> list[int]:
+        names = os.listdir(os.path.join(self.root, _LOG_DIR))
+        return sorted(int(n[:-5]) for n in names if n.endswith(".json"))
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_manifest(self, version: int) -> dict[str, Any]:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise ValueError(f"no such version: {version} (have {self.versions()})")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict[str, Any]]:
+        """Commit history, oldest first: version, op, files added/total."""
+        out = []
+        for v in self.versions():
+            m = self._read_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": m["op"],
+                    "n_files": len(m["files"]),
+                    "n_added": m["n_added"],
+                }
+            )
+        return out
+
+    # -- write path --------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as a new version; returns the version number.
+
+        ``append`` keeps prior files in the new manifest; ``overwrite``
+        starts the manifest from only the new files (prior versions remain
+        readable — their files are untouched until vacuum).
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        commit_dir = os.path.join(_DATA_DIR, f"commit-{version}")
+        df.write.mode("error").parquet(os.path.join(self.root, commit_dir))
+        new_files = sorted(
+            os.path.join(commit_dir, f)
+            for f in os.listdir(os.path.join(self.root, commit_dir))
+            if f.endswith(".parquet")
+        )
+        files = new_files if mode == "overwrite" or prev is None else (
+            self._read_manifest(prev)["files"] + new_files
+        )
+        manifest = {
+            "version": version,
+            "op": mode,
+            "files": files,
+            "n_added": len(new_files),
+        }
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, self._manifest_path(version))  # atomic publish
+        return version
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest). Plans directly from
+        the manifest's file list — predicate pushdown / column pruning apply
+        per-file exactly as for a plain parquet scan."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no commits")
+        m = self._read_manifest(v)
+        paths = [os.path.join(self.root, f) for f in m["files"]]
+        return self.spark.read.parquet(*paths)
+
+    # -- retention ---------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Drop all but the last ``keep_last`` versions and delete data files
+        no kept manifest references. Returns number of files deleted."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        referenced = set()
+        for v in keep:
+            referenced.update(self._read_manifest(v)["files"])
+        deleted = 0
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for commit_name in os.listdir(data_root):
+            commit_dir = os.path.join(data_root, commit_name)
+            for f in os.listdir(commit_dir):
+                rel = os.path.join(_DATA_DIR, commit_name, f)
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(commit_dir, f))
+                    deleted += 1
+            if not any(f.endswith(".parquet") for f in os.listdir(commit_dir)):
+                for f in os.listdir(commit_dir):
+                    os.remove(os.path.join(commit_dir, f))
+                os.rmdir(commit_dir)
+        for v in drop:
+            os.remove(self._manifest_path(v))
+        return deleted
