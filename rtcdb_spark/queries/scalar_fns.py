@@ -404,3 +404,39 @@ def fn_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fn_array_setops",
+    """
+    SELECT user_id,
+           list_sort(list_intersect(a, b)) AS common,
+           list_sort(list_distinct(list_concat(a, b))) AS united,
+           list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS only_a
+    FROM (
+        SELECT user_id,
+               generate_series(1, user_id % 5 + 3) AS a,
+               generate_series(2, 6) AS b
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    ORDER BY user_id
+    """,
+    tags=("scalar", "array", "setop"),
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect / union / except) — element-level
+    set algebra inside a row, used by the shingle/token pipelines before
+    any explode. Results are sort-normalized because neither engine
+    guarantees an output order for set ops. All codegen'd; map-only."""
+    e = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    a = F.sequence(F.lit(1), F.col("user_id") % 5 + 3)
+    b = F.sequence(F.lit(2), F.lit(6))
+    return (
+        e.select(
+            "user_id",
+            F.sort_array(F.array_intersect(a, b)).alias("common"),
+            F.sort_array(F.array_union(a, b)).alias("united"),
+            F.sort_array(F.array_except(a, b)).alias("only_a"),
+        )
+        .orderBy("user_id")
+    )
