@@ -174,3 +174,41 @@ def test_dsum_order_independent(spark, vals, perm):
         return df.agg(dsum("v", alias="s")).collect()[0]["s"]
 
     assert total(vals, 1) == total(shuffled, 7)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    script=st.lists(
+        st.tuples(
+            st.booleans(),  # True = overwrite, False = append
+            st.lists(st.integers(0, 1000), min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_versioned_table_matches_model(spark, script):
+    """VersionedTable vs a Python model: after any commit script, every
+    version reads back exactly the model's multiset for that version, and
+    vacuum(keep_last=1) preserves the latest while dropping history."""
+    from rtcdb_spark.sources import VersionedTable
+
+    path = tempfile.mkdtemp(prefix="rtcdb_vt_prop_")
+    try:
+        vt = VersionedTable(spark, path)
+        model, snapshots = [], []
+        for overwrite, batch in script:
+            df = spark.createDataFrame([(v,) for v in batch], "v: long")
+            vt.commit(df, mode="overwrite" if overwrite else "append")
+            model = list(batch) if overwrite else model + list(batch)
+            snapshots.append(sorted(model))
+        for v, want in enumerate(snapshots):
+            got = sorted(r["v"] for r in vt.read(v).collect())
+            assert got == want, f"version {v}"
+        vt.vacuum(keep_last=1)
+        got = sorted(r["v"] for r in vt.read().collect())
+        assert got == snapshots[-1]
+        assert vt.versions() == [len(snapshots) - 1]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
