@@ -25,10 +25,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dsum(col: Column | str, scale: int = 2, alias: str | None = None) -> Column:
-    """Order-independent SUM of a money-ish double via exact DECIMAL addition."""
+def dsum(
+    col: Column | str,
+    scale: int = 2,
+    alias: str | None = None,
+    precision: int = 18,
+) -> Column:
+    """Order-independent SUM of a money-ish double via exact DECIMAL addition.
+
+    ``precision``/``scale`` size the per-row quantization: money uses the
+    default ``(18, 2)``; high-resolution scores (PageRank contributions, BM25
+    terms) use e.g. ``(38, 18)`` so the 1e-18 quantum sits far below the
+    final display rounding while the integer headroom still cannot overflow.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    out = F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
     return out.alias(alias) if alias else out
 
 
@@ -39,9 +50,9 @@ def davg(col: Column | str, scale: int = 2, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
-def sql_dsum(expr: str, scale: int = 2) -> str:
+def sql_dsum(expr: str, scale: int = 2, precision: int = 18) -> str:
     """DuckDB-side twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:

@@ -42,10 +42,14 @@ def pagerank(
     """PageRank by power iteration over a directed edge list → (node, rank).
 
     Per iteration: contributions flow along edges (rank/outdeg), are summed
-    per destination by folding a *sorted* contribution list (double addition
-    order fixed ⇒ bit-reproducible across engines, partitionings, and
-    retries), and blend with the (1-d)/N teleport term. Rounding each
-    iteration to `round_to` decimals keeps cross-engine drift at zero.
+    per destination as exact DECIMAL(38,18) — decimal addition is exact and
+    associative, so any aggregation order (Spark partials, DuckDB parallel
+    groups, retries) yields the same total, and the 1e-18 quantum sits six
+    orders below the per-iteration rounding — then blend with the (1-d)/N
+    teleport term. Rounding each iteration to `round_to` decimals keeps
+    cross-engine drift at zero. Unlike a sorted-list fold, the decimal sum
+    keeps map-side partial aggregation: the shuffle carries one partial per
+    (node, partition), not every edge contribution.
 
     Scale shape: the edge list is the only large relation; each iteration is
     one join against the (nodes-sized) rank table and one aggregate — the
@@ -74,16 +78,11 @@ def pagerank(
             .join(F.broadcast(out), "node")
             .select(
                 F.col("dst").alias("node"),
-                F.col("src"),
                 (F.col("rank") / F.col("deg")).alias("c"),
             )
         )
         summed = contribs.groupBy("node").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("src", "c"))),
-                F.lit(0.0),
-                lambda a, e: a + e["c"],
-            ).alias("s")
+            F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s")
         )
         ranks = nodes.join(summed, "node", "left").select(
             "node",

@@ -3,7 +3,8 @@ C-IX adjunct): degree distribution and PageRank. The graph is deterministic
 — an edge links consecutive users within each event_type's time-ordered
 stream (a co-activity graph), symmetrized and deduplicated — so both engines
 build the identical edge list and the oracle checks PageRank value-exact
-(sorted-fold summation + per-iteration rounding pin the float arithmetic).
+(exact DECIMAL(38,18) contribution sums + per-iteration rounding pin the
+float arithmetic while keeping map-side partial aggregation).
 """
 
 from __future__ import annotations
@@ -45,16 +46,14 @@ def _sql_pagerank_iters(n_iter: int) -> str:
     for k in range(1, n_iter + 1):
         parts.append(f"""
     c{k} AS (
-        SELECT e.dst AS node, e.src AS src, r.rank / d.deg AS c
+        SELECT e.dst AS node, r.rank / d.deg AS c
         FROM edges e
         JOIN r{k - 1} r ON e.src = r.node
         JOIN deg d ON e.src = d.node
     ),
     s{k} AS (
         SELECT node,
-               list_reduce([CAST(0 AS DOUBLE)] ||
-                   list_transform(list_sort(list({{'src': src, 'c': c}})), x -> x.c),
-                   (a, x) -> a + x) AS s
+               CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS s
         FROM c{k} GROUP BY node
     ),
     r{k} AS (
@@ -116,7 +115,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 power iterations, d=0.85) over the undirected co-activity
     graph; top-25 most central users. Checked *value-exact* against a fully
-    unrolled SQL twin: contributions fold in sorted order and every
+    unrolled SQL twin: contributions sum as exact DECIMAL(38,18) and every
     iteration rounds to 12 decimals, so both engines produce bit-identical
     doubles (`functions.graph.pagerank`). Per iteration the edge list joins
     a broadcastable node-sized rank table — edges never shuffle; rounds are

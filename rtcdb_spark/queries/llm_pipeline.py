@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rtcdb_spark.deterministic import dsum
 from rtcdb_spark.functions.text import (
     MERSENNE_P,
     shingles,
@@ -212,20 +213,16 @@ _K1, _B = 1.2, 0.75
     ),
     scored AS (
         SELECT tf.doc_id, tf.term,
-               ROUND(ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1)
                      * tf.tf * ({_K1} + 1)
-                     / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / corpus.avgdl)),
-                     6) AS s
+                     / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / corpus.avgdl))
+                   AS s
         FROM tf JOIN df USING (term) CROSS JOIN corpus
         WHERE tf.tf > 0
     ),
     total AS (
         SELECT doc_id,
-               ROUND(list_reduce(
-                   [CAST(0 AS DOUBLE)] ||
-                   list_transform(
-                       list_sort(list({{'term': term, 's': s}})), e -> e.s),
-                   (a, x) -> a + x), 6) AS score,
+               ROUND(CAST(SUM(CAST(s AS DECIMAL(18,8))) AS DOUBLE), 6) AS score,
                COUNT(*) AS n_terms_hit
         FROM scored GROUP BY doc_id
     )
@@ -241,8 +238,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark window hash``: classic idf × saturated-tf scoring with document-
     length normalization, top-20 docs. Corpus stats (N, avgdl, per-term df)
     are two tiny aggregates broadcast back into the per-doc scoring pass; the
-    per-doc term sum folds a sorted (term, score) list so double addition
-    order is engine-deterministic. At 100 TB this is the standard two-pass
+    per-doc term sum quantizes each term score to exact DECIMAL(18,8) so
+    addition is order-independent (engine-deterministic) while keeping
+    map-side partial aggregation. At 100 TB this is the standard two-pass
     scatter/gather retrieval shape — no row explosion beyond docs × |query|."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -274,17 +272,10 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.filter(F.col("tf") > 0)
         .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(corpus))
-        .select("doc_id", "term", F.round(idf * sat, 6).alias("s"))
+        .select("doc_id", "term", (idf * sat).alias("s"))
     )
     total = scored.groupBy("doc_id").agg(
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "s"))),
-                F.lit(0.0),
-                lambda a, e: a + e["s"],
-            ),
-            6,
-        ).alias("score"),
+        F.round(dsum("s", scale=8), 6).alias("score"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
     return total.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
