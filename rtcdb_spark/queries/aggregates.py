@@ -426,7 +426,7 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_array",
     """
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            COUNT(DISTINCT o_orderstatus) AS n_statuses
     FROM orders
     GROUP BY o_orderpriority
@@ -438,14 +438,19 @@ def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collect-to-array aggregation (collect_set → sorted array): folds a
     group's values into one array cell — the bridge from relational rows to
     the array functions (C-VII). Sorted for determinism (collect order is
-    partition-dependent). Scale note: the array must fit in one row —
-    collect only bounded-cardinality values (statuses, tags), never raw
-    event streams; for unbounded groups use the windowed/top-k forms."""
+    partition-dependent), then serialized to a canonical comma-joined string
+    so cross-engine comparators can hash the cell (array cells are not
+    hashable in pandas-based canonicalizers). Scale note: the array must fit
+    in one row — collect only bounded-cardinality values (statuses, tags),
+    never raw event streams; for unbounded groups use the windowed/top-k
+    forms."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
             F.countDistinct("o_orderstatus").alias("n_statuses"),
         )
         .orderBy("o_orderpriority")

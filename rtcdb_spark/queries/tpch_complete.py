@@ -101,7 +101,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, part_value
     FROM part_value
     WHERE part_value > (
-        SELECT 0.001 * {sql_dsum('l_extendedprice', 2)} FROM lineitem
+        SELECT 0.0008 * {sql_dsum('l_extendedprice', 2)} FROM lineitem
     )
     ORDER BY part_value DESC, l_partkey
     """,
@@ -109,7 +109,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (no partsupp → lineitem value): parts whose total
-    shipped value exceeds 0.1% of the global total. The scalar threshold is a
+    shipped value exceeds 0.08% of the global total. The scalar threshold is a
     one-row aggregate broadcast against the per-part aggregate — at scale both
     sides of the comparison are post-aggregation (tiny)."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -117,7 +117,7 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice", 2, alias="part_value")
     )
     threshold = l.agg(
-        (F.lit(0.001) * dsum("l_extendedprice", 2)).alias("threshold")
+        (F.lit(0.0008) * dsum("l_extendedprice", 2)).alias("threshold")
     )
     return (
         part_value.join(F.broadcast(threshold))
@@ -264,7 +264,7 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supp_part_qty
         JOIN part_qty USING (l_partkey)
         JOIN part ON p_partkey = l_partkey
-        WHERE p_name LIKE '%3%' AND supp_qty > 0.3 * total_qty
+        WHERE p_name LIKE '%red%' AND supp_qty > 0.2 * total_qty
     )
     ORDER BY s_suppkey
     """,
@@ -272,7 +272,7 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (no partsupp availqty → share-of-shipments): suppliers
-    who shipped >30% of some '%3%' part's total quantity. Both CTEs are
+    who shipped >20% of some '%red%' part's total quantity. Both CTEs are
     aggregates of the same scan; the IN becomes a semi-join of the tiny
     supplier table against an aggregated relation. Quantities are
     integer-valued doubles → sums exact, no decimal cast needed."""
@@ -294,7 +294,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM supp_part_qty
             JOIN part_qty USING (l_partkey)
             JOIN part ON p_partkey = l_partkey
-            WHERE p_name LIKE '%3%' AND supp_qty > 0.3 * total_qty
+            WHERE p_name LIKE '%red%' AND supp_qty > 0.2 * total_qty
         )
         ORDER BY s_suppkey
         """
@@ -368,7 +368,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT {sql_davg('c_acctbal', 2)} FROM customer WHERE c_acctbal > 0.0
     )
       AND NOT EXISTS (
-          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
       )
     GROUP BY c_nationkey
     ORDER BY c_nationkey
@@ -377,9 +378,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (no c_phone → nation instead of phone prefix):
-    customers with above-average balance and no orders, grouped by nation.
-    Scalar AVG threshold (deterministic decimal avg) + anti-join against the
-    distinct order custkeys."""
+    customers with above-average balance and no *urgent* orders, grouped by
+    nation (plain no-orders is vacuous on the fixture: every customer has
+    orders). Scalar AVG threshold (deterministic decimal avg) + anti-join
+    against the filtered order custkeys."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     from rtcdb_spark.queries.base import davg
@@ -390,7 +392,11 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
