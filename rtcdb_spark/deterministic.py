@@ -6,7 +6,12 @@ every money aggregate goes through a DECIMAL cast first:
 
 - per-row double arithmetic (``price * (1 - discount)``) is IEEE-deterministic
   and identical on both engines when written identically;
-- casting the per-row double to DECIMAL(18, s) rounds it identically;
+- casting the per-row double to DECIMAL(p, s) rounds it identically on both
+  engines *provided* the unscaled value fits double-exact range: |v|·10^s
+  < 2^53. Outside that regime (e.g. scale 18 on sub-1.0 scores) DuckDB's
+  cast multiplies in double space and diverges from Spark's BigDecimal cast
+  by ±1 ulp on ~half of inputs — so keep scale ≤ 15 for values < 1 and
+  scale ≤ 2-4 for money magnitudes;
 - DECIMAL addition is exact and associative → any aggregation order (Spark's
   partial/final partials, DuckDB's parallel groups) yields the same total;
 - the final cast back to DOUBLE is exact for |v| < 2^53.
@@ -35,8 +40,10 @@ def dsum(
 
     ``precision``/``scale`` size the per-row quantization: money uses the
     default ``(18, 2)``; high-resolution scores (PageRank contributions, BM25
-    terms) use e.g. ``(38, 18)`` so the 1e-18 quantum sits far below the
+    terms) use e.g. ``(38, 15)`` so the 1e-15 quantum sits far below the
     final display rounding while the integer headroom still cannot overflow.
+    Cross-engine cast identity requires |v|·10^scale < 2^53 — for sub-1.0
+    scores that caps scale at ~15; scale 18 is only statistically identical.
     """
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")

@@ -42,21 +42,28 @@ def pagerank(
     """PageRank by power iteration over a directed edge list → (node, rank).
 
     Per iteration: contributions flow along edges (rank/outdeg), are summed
-    per destination as exact DECIMAL(38,18) — decimal addition is exact and
+    per destination as exact DECIMAL(38,15) — decimal addition is exact and
     associative, so any aggregation order (Spark partials, DuckDB parallel
-    groups, retries) yields the same total, and the 1e-18 quantum sits six
-    orders below the per-iteration rounding — then blend with the (1-d)/N
+    groups, retries) yields the same total — then blend with the (1-d)/N
     teleport term. Rounding each iteration to `round_to` decimals keeps
-    cross-engine drift at zero. Unlike a sorted-list fold, the decimal sum
-    keeps map-side partial aggregation: the shuffle carries one partial per
-    (node, partition), not every edge contribution.
+    cross-engine drift at zero. Scale 15 (not 18) is deliberate: for
+    contributions < 1 the unscaled value |v|*10^15 stays under 2^53, so the
+    double→decimal cast itself is bit-identical across engines (at scale 18
+    the cast multiplies outside double-exact range and diverges ±1 ulp on
+    ~half of inputs); 1e-15 still sits three orders below the per-iteration
+    rounding. Unlike a sorted-list fold, the decimal sum keeps map-side
+    partial aggregation: the shuffle carries one partial per (node,
+    partition), not every edge contribution.
 
     Scale shape: the edge list is the only large relation; each iteration is
-    one join against the (nodes-sized) rank table and one aggregate — the
-    rank table is typically broadcastable, so the edges never shuffle.
-    Dangling nodes (no out-edges) keep teleport mass only, matching the
-    classic formulation without a dangling-redistribution pass; symmetrize()
-    first for undirected graphs (no dangling nodes by construction).
+    one join against the (nodes-sized) rank table and one aggregate. The
+    rank/out-degree tables get no broadcast hint — they are node-cardinality,
+    which at web scale (10^9+ nodes) must not be forced driver-side; AQE
+    broadcasts them when they actually fit and falls back to a shuffle hash
+    join keyed on src otherwise. Dangling nodes (no out-edges) keep teleport
+    mass only, matching the classic formulation without a
+    dangling-redistribution pass; symmetrize() first for undirected graphs
+    (no dangling nodes by construction).
     """
     # Every iteration re-reads the edge list and node set; without a persist
     # the whole upstream pipeline (source scan, symmetrize distincts) would
@@ -74,15 +81,15 @@ def pagerank(
     teleport = (1.0 - damping) / n
     for it in range(n_iter):
         contribs = (
-            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
-            .join(F.broadcast(out), "node")
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(out, "node")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("c"),
             )
         )
         summed = contribs.groupBy("node").agg(
-            F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s")
+            F.sum(F.col("c").cast("decimal(38,15)")).cast("double").alias("s")
         )
         ranks = nodes.join(summed, "node", "left").select(
             "node",

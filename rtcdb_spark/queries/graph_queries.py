@@ -3,8 +3,10 @@ C-IX adjunct): degree distribution and PageRank. The graph is deterministic
 — an edge links consecutive users within each event_type's time-ordered
 stream (a co-activity graph), symmetrized and deduplicated — so both engines
 build the identical edge list and the oracle checks PageRank value-exact
-(exact DECIMAL(38,18) contribution sums + per-iteration rounding pin the
-float arithmetic while keeping map-side partial aggregation).
+(exact DECIMAL(38,15) contribution sums + per-iteration rounding pin the
+float arithmetic while keeping map-side partial aggregation; scale 15 keeps
+the double→decimal cast inside the 2^53-exact regime so the cast itself is
+bit-identical cross-engine — at scale 18 it is only statistically so).
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ def _sql_pagerank_iters(n_iter: int) -> str:
     ),
     s{k} AS (
         SELECT node,
-               CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS s
+               CAST(SUM(CAST(c AS DECIMAL(38,15))) AS DOUBLE) AS s
         FROM c{k} GROUP BY node
     ),
     r{k} AS (
@@ -115,11 +117,14 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 power iterations, d=0.85) over the undirected co-activity
     graph; top-25 most central users. Checked *value-exact* against a fully
-    unrolled SQL twin: contributions sum as exact DECIMAL(38,18) and every
-    iteration rounds to 12 decimals, so both engines produce bit-identical
-    doubles (`functions.graph.pagerank`). Per iteration the edge list joins
-    a broadcastable node-sized rank table — edges never shuffle; rounds are
-    checkpointed to truncate lineage. Undirected construction ⇒ no dangling
+    unrolled SQL twin: contributions sum as exact DECIMAL(38,15) — scale
+    chosen so |v|*10^15 < 2^53 keeps the double→decimal cast bit-identical
+    on both engines — and every iteration rounds to 12 decimals, so both
+    engines produce identical doubles (`functions.graph.pagerank`). Per
+    iteration the edge list joins the node-sized rank table with no forced
+    broadcast (AQE picks broadcast only when it fits — node tables at web
+    scale must not be pinned driver-side); rounds are checkpointed to
+    truncate lineage. Undirected construction ⇒ no dangling
     nodes, matching the oracle's formulation."""
     edges = _event_edges(spark, sf_dir)
     ranks = pagerank(edges, n_iter=_ITERS, damping=_D)
