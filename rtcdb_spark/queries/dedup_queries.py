@@ -19,6 +19,8 @@ from rtcdb_spark.functions.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash32,
+    simhash64,
+    simhash_hamming_pairs,
 )
 from rtcdb_spark.functions.text import MERSENNE_P, sql_shingles, sql_stable_hash_mod
 from rtcdb_spark.functions.similarity import (
@@ -220,6 +222,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations, no UDFs."""
     d = load_table(spark, sf_dir, "documents")
     return simhash32(d).orderBy("doc_id")
+
+
+_SQL_SIMHASH64 = """
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h_hi,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h_lo
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN (CASE WHEN b < 32 THEN (h_lo >> b)
+                          ELSE (h_hi >> (b - 32)) END) & 1 = 1
+                    THEN 1 ELSE -1 END AS w
+        FROM h CROSS JOIN generate_series(0, 63) t(b)
+    ),
+    per_bit AS (SELECT doc_id, b, SUM(w) AS s FROM bits GROUP BY doc_id, b),
+    sigs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 AND b >= 32
+                             THEN (CAST(1 AS BIGINT) << (b % 32)) ELSE 0 END)
+                    AS BIGINT) AS sim_hi,
+               CAST(SUM(CASE WHEN s > 0 AND b < 32
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS sim_lo
+        FROM per_bit GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_simhash_probe",
+    f"""
+    WITH {_SQL_SIMHASH64}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+          + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs within Hamming radius 3 via banded
+    multi-probe (`functions.dedup.simhash_hamming_pairs`): 4×16-bit bands
+    make candidate lookup an equi-join with *exact* recall at radius ≤ 3
+    (pigeonhole), so the Spark side never does the all-pairs product the
+    brute-force oracle uses. One bucket-key shuffle; Hamming verified inline
+    with bit_count(xor) on the carried signature words."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_hamming_pairs(simhash64(d))
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(

@@ -278,3 +278,67 @@ def test_pagerank_invariants(spark):
     # degrees: undirected degree of node 3 is 3
     degs = {r["node"]: r["deg"] for r in degrees(und).collect()}
     assert degs[3] == 3 and degs[5] == 1
+
+
+def test_simhash_probe_finds_planted_near_dups(spark):
+    from rtcdb_spark.functions.dedup import simhash64, simhash_hamming_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup → hamming 0
+            (3, base + "tiny extra suffix"),  # near dup → small hamming
+            (4, "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = simhash64(docs)
+    rows = {r["doc_id"]: (r["sim_hi"], r["sim_lo"]) for r in sigs.collect()}
+    assert len(rows) == 4
+    for hi, lo in rows.values():  # two 32-bit words, both non-negative
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+    assert rows[1] == rows[2]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(sigs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # near-dup found iff within radius; doc 4 must never pair with 1/2/3
+    assert all(4 not in p for p in pairs)
+    # exact recall at radius <= 3: brute-force check agrees with the probe
+    import itertools
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    brute = {
+        (i, j): ham(rows[i], rows[j])
+        for i, j in itertools.combinations(sorted(rows), 2)
+        if ham(rows[i], rows[j]) <= 3
+    }
+    assert pairs == brute
+
+
+def test_bmp_wav_codecs_round_trip():
+    from rtcdb_spark.functions import multimodal as mm
+
+    bmp = mm.make_bmp(5, 3, seed=9)
+    m = mm.decode_image(bmp)
+    assert m == {"width": 5, "height": 3, "bpp": 24, "n_bytes": len(bmp)}
+    # stride pads rows to 4 bytes: 5px*3B=15 -> 16
+    assert len(bmp) == 54 + 16 * 3
+
+    wav = mm.make_wav(16000, 75, seed=4)
+    a = mm.decode_audio(wav)
+    assert a == {"channels": 1, "sample_rate": 16000, "bits": 16, "n_samples": 75}
+    frames = mm.frame_sample(wav, every_n=10)
+    assert len(frames) == 8 and all(len(f) == 2 for f in frames)
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04....")
