@@ -22,10 +22,31 @@ streaming sinks are the industrial answer, and these two cover the surface:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rtcdb_spark.deterministic import dsum
+
+
+def _swap_in(df: DataFrame, out_dir: str) -> None:
+    """Distributed snapshot replace: write to a staging sibling directory
+    with a normal parallel parquet job, then swap it into place with a
+    directory rename. No driver-side collect, no single-file funnel. The
+    staging path is deterministic, so a crash between write and swap is
+    healed by the batch replay (the rewrite overwrites staging and re-swaps
+    — idempotent). Reading the previous snapshot while writing staging is
+    safe because the directory being read is never the one being written.
+    On HDFS the rename is the FileSystem API; on object stores /
+    transactional tables the same pattern is dynamic partition overwrite
+    keyed by the snapshot's partition column."""
+    staging = out_dir.rstrip("/") + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(staging, out_dir)
 
 
 def stream_to_parquet(
@@ -71,8 +92,9 @@ def stream_agg_foreach_batch(
 
     def _write_snapshot(batch_df: DataFrame, batch_id: int) -> None:
         # Update mode emits only changed groups; keep unchanged groups from
-        # the previous snapshot. Read-then-overwrite is safe here because
-        # foreachBatch callbacks are serialized per query.
+        # the previous snapshot. Merging reads the live snapshot while the
+        # staging write runs, then _swap_in renames staging into place —
+        # fully distributed, nothing through the driver.
         spark = batch_df.sparkSession
         try:
             prev = spark.read.parquet(out_dir)
@@ -83,11 +105,7 @@ def stream_agg_foreach_batch(
             merged = prev.join(
                 batch_df.select("event_type"), "event_type", "left_anti"
             ).unionByName(batch_df)
-        # Materialize before overwriting the directory being read.
-        snapshot = merged.collect()
-        spark.createDataFrame(snapshot, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out_dir)
+        _swap_in(merged, out_dir)
 
     q = (
         agg.writeStream.foreachBatch(_write_snapshot)
@@ -139,20 +157,13 @@ def stream_rollup_cascade(
             merged = prev.join(
                 batch_df.select("bucket"), "bucket", "left_anti"
             ).unionByName(batch_df)
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(minute_dir)
-        m = spark.read.parquet(minute_dir)
+        _swap_in(merged, minute_dir)
         for level, trunc_src in (("hour", "minute"), ("day", "hour")):
             src = spark.read.parquet(f"{out_dir}/{trunc_src}")
             rolled = src.groupBy(
                 F.date_trunc(level, "bucket").alias("bucket")
             ).agg(F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec"))
-            rows = rolled.collect()
-            spark.createDataFrame(rows, rolled.schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{out_dir}/{level}")
+            _swap_in(rolled, f"{out_dir}/{level}")
 
     q = (
         minute.writeStream.foreachBatch(_apply)
