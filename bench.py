@@ -35,10 +35,15 @@ HEADLINE = [
     "window_session",
     # LLM-pipeline operators
     "dedup_lsh_pairs",
+    "dedup_simhash_probe",
     "similarity_cosine_topk",
+    "similarity_ann_lsh_topk",
     "text_token_count",
     "text_bm25_search",
     "text_contamination",
+    # streaming machinery, run to completion over the fixture input
+    "stream_window_tumbling",
+    "stream_running_totals",
     # rollup maintenance + iterative graph
     "rollup_cascade",
     "graph_pagerank",

@@ -107,7 +107,9 @@ def ivf_topk(
     (qid, vec_id, cos_sim, rank)."""
     base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     base = with_norm(base)
-    cents = base.filter(F.col(id_col) < n_cells).select(
+    # IN-list (not a range predicate) so the plan carries an explicit
+    # cardinality bound — the broadcast build side is provably n_cells rows.
+    cents = base.filter(F.col(id_col).isin(*range(n_cells))).select(
         F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
     w_assign = Window.partitionBy(id_col).orderBy(

@@ -73,6 +73,127 @@ class PlanInfo:
         )
 
 
+_TREE_LINE = re.compile(r"^(?P<prefix>[\s:+\-*]*)(?P<name>[A-Za-z][\w .]*?)\s*\((?P<id>\d+)\)\s*$")
+
+# Operators that bound the cardinality of whatever flows through them —
+# a broadcast subtree containing one of these is size-bounded even if it
+# scans an unbounded fact table.
+_BOUNDING_OPS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def scan_tables(plan: str) -> dict[str, str]:
+    """Map scan node id → table name, from the formatted plan's details
+    section (the Location line names the parquet path)."""
+    out: dict[str, str] = {}
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet[^\n]*\n(?:.*\n)*?Location:[^\n]*?(\w+)\.parquet",
+        plan,
+    ):
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+# First column of each fixture table — identifies a logical `Relation
+# [cols] parquet` line, which (unlike the physical plan) carries no path.
+_FIRST_COL_TO_TABLE = {
+    "r_regionkey": "region",
+    "n_nationkey": "nation",
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "l_orderkey": "lineitem",
+    "event_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+
+def _logical_tree(text: str) -> list[tuple[int, str]]:
+    """(depth, node_text) per line of a logical plan string. Spark indents
+    each tree level by 3 chars drawn from ':- ', '+- ', ':  ', '   '."""
+    out = []
+    for line in text.splitlines():
+        stripped = line.lstrip(" :+-")
+        if not stripped:
+            continue
+        depth = (len(line) - len(stripped)) // 3
+        out.append((depth, stripped))
+    return out
+
+
+def broadcast_fact_violations(df: DataFrame, fact_tables: set[str]) -> list[str]:
+    """Scale contract: no broadcast *hint* may force an unbounded fact-table
+    relation (one that grows with corpus size) to the build side of a join.
+
+    This is exactly the failure class of a node-sized `F.broadcast(ranks)`:
+    correct and fast at test scale, OOM at 10^9 rows. Only hinted broadcasts
+    count — at test scale the planner legitimately broadcasts fact tables
+    because their stats ARE small, and the identical plan re-derives to a
+    shuffle join at production stats; a hint overrides stats at every scale.
+
+    The hinted join side is located in the optimized logical plan
+    (`leftHint`/`rightHint=(strategy=broadcast)`); its subtree is unbounded
+    unless an Aggregate, a Limit, or an IN-list filter (bounded key lookup)
+    sits between the hint and the fact relation. Caveat: a grouped Aggregate
+    on a high-cardinality key (distinct doc ids) still reads as "bounded" —
+    group-key cardinality is not derivable from the plan text."""
+    try:
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return []  # logical plan unavailable (connect mode) → nothing to check
+    if "strategy=broadcast" not in optimized:
+        return []
+    tree = _logical_tree(optimized)
+    violations = []
+    for i, (depth, node) in enumerate(tree):
+        if "strategy=broadcast" not in node:
+            continue
+        # Children of the join: consecutive depth+1 subtrees following it.
+        child_spans: list[list[tuple[int, str]]] = []
+        j = i + 1
+        while j < len(tree) and tree[j][0] > depth:
+            if tree[j][0] == depth + 1:
+                child_spans.append([])
+            if child_spans:
+                child_spans[-1].append(tree[j])
+            j += 1
+        hinted_sides = []
+        if "leftHint=(strategy=broadcast" in node and child_spans:
+            hinted_sides.append(child_spans[0])
+        if "rightHint=(strategy=broadcast" in node and len(child_spans) > 1:
+            hinted_sides.append(child_spans[-1])
+        for side in hinted_sides:
+            facts = []
+            bounded = False
+            for _, n in side:
+                if n.startswith("Relation"):
+                    first_col = n.split("[", 1)[-1].split("#", 1)[0].strip()
+                    t = _FIRST_COL_TO_TABLE.get(first_col)
+                    if t in fact_tables:
+                        facts.append(t)
+                if n.startswith(("Aggregate", "GlobalLimit", "LocalLimit")) or (
+                    # IN-list key lookup (Catalyst rewrites long lists to INSET)
+                    n.startswith("Filter")
+                    and (" IN (" in n or " INSET " in n)
+                ):
+                    bounded = True
+            if facts and not bounded:
+                violations.append(
+                    f"broadcast hint forces unbounded fact relation(s) {facts}: "
+                    + node[:120]
+                )
+    return violations
+
+
 def inspect_plan(df: DataFrame) -> PlanInfo:
     plan = formatted_plan(df)
     return PlanInfo(

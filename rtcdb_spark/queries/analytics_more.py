@@ -87,14 +87,18 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,8) before ranking: libm ln() differs by ULPs across engines,
     and both the values and the rank order must hash-match the oracle.
 
-    Scale notes: tf is a (doc, token) group-by of the exploded corpus — one
-    shuffle of token rows; dfreq is a token group-by of the SAME exploded
-    relation (Spark reuses the scan); the dfreq side is tiny post-aggregation
-    and broadcasts into the join. N is a scalar broadcast."""
+    Scale notes: the corpus explodes ONCE into the (doc, token) tf group-by —
+    one shuffle of token rows; dfreq derives from tf (tf has exactly one row
+    per distinct (doc, token), so df = row count per token — no second
+    explode, no countDistinct shuffle of raw tokens). tf is persisted because
+    two consumers (dfreq + scoring join) would otherwise each re-run the
+    explode; post-aggregation it is vocabulary×doc sized, far smaller than
+    the exploded corpus. The dfreq side is tiny post-aggregation and
+    broadcasts into the join. N is a scalar broadcast."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")

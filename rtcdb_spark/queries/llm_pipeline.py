@@ -248,16 +248,23 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
-    tf = dl.select(
-        "doc_id",
-        "dl",
-        F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term"),
-        "toks",
-    ).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+    # Persisted: both the df aggregate and the scoring join consume tf; a
+    # recompute would scan + tokenize the corpus twice. Post-expansion tf is
+    # docs × |query| short rows — tiny next to the corpus text it replaces.
+    tf = (
+        dl.select(
+            "doc_id",
+            "dl",
+            F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+        )
+        .persist()
     )
     df_ = tf.groupBy("term").agg(
         F.count(F.when(F.col("tf") > 0, 1)).alias("df")
@@ -322,11 +329,20 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     are), so it broadcasts and the per-doc pass is a broadcast left join —
     the 100 TB corpus never shuffles."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text", _GRAM_N))).alias("gram")
+    # Bench and training sides are built from separately-filtered scans (not
+    # post-explode filters of one shared gram relation) so the doc_id
+    # predicate reaches each parquet scan structurally — the bench branch
+    # reads only the handful of benchmark docs at any corpus scale.
+    def _grams(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", _GRAM_N))).alias("gram"),
+        )
+
+    bench = (
+        _grams(d.filter(F.col("doc_id") < _BENCH_DOCS)).select("gram").distinct()
     )
-    bench = grams.filter(F.col("doc_id") < _BENCH_DOCS).select("gram").distinct()
-    hit = grams.filter(F.col("doc_id") >= _BENCH_DOCS).join(
+    hit = _grams(d.filter(F.col("doc_id") >= _BENCH_DOCS)).join(
         F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
     )
     scored = hit.groupBy("doc_id").agg(
@@ -374,10 +390,14 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     window only ever sees the distinct-token table, which is vocabulary-
     sized (sub-linear in corpus), never the corpus itself."""
     d = load_table(spark, sf_dir, "documents")
+    # Persisted: the scalar total and the ranked output both consume counts;
+    # without it each branch re-runs the corpus explode. counts is
+    # vocabulary-sized — cheap to cache at any corpus scale.
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
     )
     total = counts.agg(F.sum("freq").alias("tot"))
     w = Window.orderBy(F.desc("freq"), F.asc("token"))

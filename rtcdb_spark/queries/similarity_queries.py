@@ -133,7 +133,7 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     cents AS (
-        SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM base WHERE vec_id < 16
+        SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM base WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)
     ),
     assign AS (
         SELECT vec_id, v, norm, cid FROM (

@@ -131,3 +131,47 @@ def test_nth_value_single_partition_shuffle(spark, sf_smoke):
     assert "Window" in p.plan, p.describe()
     assert "hashpartitioning(user_id" in p.plan, p.plan[:500]
     assert p.shuffle_exchanges <= 3, p.describe()  # window + distinct + sort
+
+
+# --- registry-wide plan contracts -------------------------------------------
+
+import pytest
+
+from rtcdb_spark.plans import inspect_plan as _inspect
+from rtcdb_spark.plans.inspect import broadcast_fact_violations
+
+# Tables whose size grows with corpus scale; everything else is a bounded
+# dimension and may broadcast freely.
+FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+# Queries whose physical plan is legitimately exempt:
+#   join_cross_small — deliberately bounded 5×5 cross-product primitive.
+CARTESIAN_ALLOWED = {"join_cross_small"}
+
+_BATCH_QUERIES = sorted(
+    name for name, q in REGISTRY.items() if "streaming" not in q.tags
+)
+
+
+@pytest.mark.parametrize("name", _BATCH_QUERIES)
+def test_registry_plan_contract(spark, sf_smoke, name):
+    """Every batch query's physical plan must be scale-safe: no cartesian
+    product (quadratic at any scale) and no BroadcastExchange whose subtree
+    scans a fact table without an aggregate/limit bounding it first (a
+    node-sized broadcast OOMs the driver at 1000× data)."""
+    df = REGISTRY[name].fn(spark, sf_smoke)
+    p = _inspect(df)
+    if name not in CARTESIAN_ALLOWED:
+        assert p.cartesian_products == 0, f"{name}: {p.describe()}"
+    violations = broadcast_fact_violations(df, FACT_TABLES)
+    assert not violations, f"{name}: {violations}"
+
+
+def test_pagerank_never_hints_broadcast(spark, sf_smoke):
+    """Regression pin for the node-sized `F.broadcast(ranks)` bug: the rank
+    and degree tables are node-cardinality, so PageRank must leave join
+    strategy to AQE stats (the generic contract test can't see this — the
+    rank subtree contains a distinct/Aggregate which reads as 'bounded')."""
+    df = REGISTRY["graph_pagerank"].fn(spark, sf_smoke)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized
