@@ -196,8 +196,13 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Token bits come from two md5 prefix windows (chars 1-8 → high word,
     9-16 → low word); bit b of the signature is 1 iff the ±1 sum over token
-    frequencies at bit b is > 0. Explode over (token × 64 bits) then two
-    map-combined aggregations — all JVM expressions, no Python."""
+    frequencies at bit b is > 0. Computed as 64 independent ±1 SUM
+    aggregates in ONE groupBy (the MinHash trick): the shuffle carries 64
+    longs per (doc, partition) partial and the row count stays at token
+    cardinality — never the tokens×64 row materialization of the naive
+    per-bit explode (equal wall-clock at sf0.1 where codegen hides the
+    explode, but 64× less intermediate row churn to spill at corpus
+    scale). All JVM expressions, no Python."""
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -206,28 +211,26 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
         F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
     )
-    bits = toks.select(
-        id_col,
-        "h_hi",
-        "h_lo",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-    ).select(
-        id_col,
-        "b",
-        F.expr(
-            "CASE WHEN (CASE WHEN b < 32 THEN shiftright(h_lo, b) "
-            "ELSE shiftright(h_hi, b - 32) END) & 1 = 1 THEN 1 ELSE -1 END"
-        ).alias("w"),
+
+    def bit_weight(b: int) -> F.Column:
+        word, shift = ("h_hi", b - 32) if b >= 32 else ("h_lo", b)
+        return F.when(
+            F.shiftright(F.col(word), shift).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    per_bit = toks.groupBy(id_col).agg(
+        *[F.sum(bit_weight(b)).alias(f"s{b}") for b in range(64)]
     )
-    per_bit = bits.groupBy(id_col, "b").agg(F.sum("w").alias("s"))
-    one = F.expr("shiftleft(CAST(1 AS BIGINT), b % 32)")
-    return per_bit.groupBy(id_col).agg(
-        F.sum(F.when((F.col("s") > 0) & (F.col("b") >= 32), one).otherwise(0)).alias(
-            "sim_hi"
-        ),
-        F.sum(F.when((F.col("s") > 0) & (F.col("b") < 32), one).otherwise(0)).alias(
-            "sim_lo"
-        ),
+    def word(lo_bit: int) -> F.Column:
+        acc = F.lit(0).cast("bigint")
+        for b in range(lo_bit, lo_bit + 32):
+            acc = acc + F.when(
+                F.col(f"s{b}") > 0, F.lit(1 << (b - lo_bit)).cast("bigint")
+            ).otherwise(0)
+        return acc
+
+    return per_bit.select(
+        id_col, word(32).alias("sim_hi"), word(0).alias("sim_lo")
     )
 
 
