@@ -181,9 +181,14 @@ def broadcast_fact_violations(df: DataFrame, fact_tables: set[str]) -> list[str]
                     if t in fact_tables:
                         facts.append(t)
                 if n.startswith(("Aggregate", "GlobalLimit", "LocalLimit")) or (
-                    # IN-list key lookup (Catalyst rewrites long lists to INSET)
+                    # bounded key lookup: IN-list (Catalyst rewrites long
+                    # lists to INSET) or equality to a literal (1-row case)
                     n.startswith("Filter")
-                    and (" IN (" in n or " INSET " in n)
+                    and (
+                        " IN (" in n
+                        or " INSET " in n
+                        or re.search(r"= \d+(\.\d+)?\)", n)
+                    )
                 ):
                     bounded = True
             if facts and not bounded:

@@ -555,3 +555,45 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _PF_T)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    """
+    WITH d AS (SELECT source, sha256(text) AS digest FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT digest) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6)
+               AS dup_rate
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "profiling", "llm-pipeline"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication audit: exact-duplicate rate per provenance
+    bucket (`source` column) — the first report a data-curation pipeline
+    produces when deciding which crawls/feeds to keep. One hash-groupBy
+    shape: count-distinct over the content digest per source; Spark plans
+    it as a partial-combined two-phase aggregate, so the shuffle carries
+    per-(source, digest-partial) rows, never documents."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("source", F.sha2("text", 256).alias("digest"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                1.0 - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -242,6 +242,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition is order-independent (engine-deterministic) while keeping
     map-side partial aggregation. At 100 TB this is the standard two-pass
     scatter/gather retrieval shape — no row explosion beyond docs × |query|."""
+    return _bm25_totals(spark, sf_dir).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(20)
+
+
+def _bm25_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 totals for the fixed query terms (shared by the plain
+    BM25 search and the RRF hybrid fusion)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     dl = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
@@ -285,7 +293,142 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dsum("s", scale=8), 6).alias("score"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
-    return total.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return total
+
+
+# --- hybrid retrieval: reciprocal rank fusion --------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 50  # list depth per retriever
+
+
+_SQL_BM25_TOTALS = """
+    t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+    corpus AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, dl, term,
+               len(list_filter(toks, x -> x = term)) AS tf
+        FROM dl, unnest(['spark', 'window', 'hash']) AS u(term)
+    ),
+    df AS (
+        SELECT term, COUNT(*) FILTER (WHERE tf > 0) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / corpus.avgdl))
+                   AS s
+        FROM tf JOIN df USING (term) CROSS JOIN corpus
+        WHERE tf.tf > 0
+    ),
+    total AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(s AS DECIMAL(18,8))) AS DOUBLE), 6) AS score,
+               COUNT(*) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "search_rrf_fusion",
+    f"""
+    WITH {_SQL_BM25_TOTALS},
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        FROM (SELECT * FROM total ORDER BY score DESC, doc_id LIMIT {_RRF_DEPTH})
+    ),
+    qv AS (
+        SELECT embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings WHERE vec_id = 0
+    ),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], qv.v)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * qv.norm), 6) AS cs
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r_sem
+        FROM (SELECT * FROM cos ORDER BY cs DESC, doc_id LIMIT {_RRF_DEPTH})
+    )
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           r_lex, r_sem,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + r_lex), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + r_sem), 0), 9) AS rrf_score
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("search", "hybrid", "rrf", "llm-pipeline"),
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (k=60): the lexical list
+    (BM25 over the fixed query terms) and the semantic list (cosine against
+    embedding 0, vec_id keyed to doc_id) each contribute 1/(k+rank); docs
+    appearing in either top-{_RRF_DEPTH} list fuse by summed contribution —
+    the standard way production search merges keyword and vector retrieval
+    without score calibration.
+
+    Determinism: both rankings order by a decimal-rounded score with doc_id
+    tie-break, so ranks are engine-exact; the fused score is two exact
+    1/(60+r) terms summed in fixed order. Scale shape: each retriever ends
+    in TakeOrderedAndProject(depth); ranking windows run on the already-
+    top-k (constant-size) relations; the fusion join is depth-bounded."""
+    totals = _bm25_totals(spark, sf_dir)
+    lex_top = totals.orderBy(F.desc("score"), F.asc("doc_id")).limit(_RRF_DEPTH)
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("bigint").alias("r_lex")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+    base = e.select(F.col("vec_id").alias("doc_id"), v.alias("v"), norm.alias("nrm"))
+    qv = base.filter(F.col("doc_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = (
+        base.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", F.round(dot / (F.col("nrm") * F.col("qnrm")), 6).alias("cs"))
+    )
+    sem_top = cos.orderBy(F.desc("cs"), F.asc("doc_id")).limit(_RRF_DEPTH)
+    w_sem = Window.orderBy(F.desc("cs"), F.asc("doc_id"))
+    sem = sem_top.select(
+        "doc_id", F.row_number().over(w_sem).cast("bigint").alias("r_sem")
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_sem")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
 
 
 # --- benchmark contamination -------------------------------------------------

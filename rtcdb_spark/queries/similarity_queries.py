@@ -258,3 +258,73 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, books, qv, 8, top_k=10).select(
         "vec_id", F.round("adc_d2", 6).alias("adc_d2")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM base
+    ),
+    q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+        FROM scaled
+    )
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           ROUND(scale, 9) AS scale,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS max_code,
+           ROUND(list_max(list_transform(generate_series(1, len(v)),
+                 i -> abs(qv[i] * scale - v[i]))), 9) AS max_abs_err
+    FROM q
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "quantization", "llm-pipeline"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column — the
+    standard 4× compression applied before shipping vectors to an ANN index
+    or a training shard — plus the reconstruction-error audit (max |dequant
+    - original| per vector). Quantized code = floor(x/scale + 0.5) with
+    scale = max|x|/127; floor(+0.5) not round() because HALF_UP tie behavior
+    is engine-specific while floor is IEEE-exact everywhere.
+
+    Scale shape: pure array expressions per row (transform/zip_with/
+    aggregate) — map-only, no shuffle, whole-stage codegen; at 100 TB this
+    is one streaming pass over the embedding column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    base = e.select("vec_id", v.alias("v"), scale.alias("scale"))
+    qv = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))
+    quant = base.withColumn("qv", qv)
+    err = F.array_max(
+        F.zip_with(
+            F.col("qv"), F.col("v"), lambda q, x: F.abs(q * F.col("scale") - x)
+        )
+    )
+    # Raw values first, rounding in a SEPARATE select: a lambda's
+    # F.col("scale") resolves lazily, and an output alias reusing the name
+    # in the same projection would silently rebind it to the rounded value.
+    raw = quant.select(
+        "vec_id",
+        F.size("v").cast("bigint").alias("n_dims"),
+        F.col("scale").alias("raw_scale"),
+        F.array_max(F.transform(F.col("qv"), lambda q: F.abs(q)))
+        .cast("bigint")
+        .alias("max_code"),
+        err.alias("raw_err"),
+    )
+    return raw.select(
+        "vec_id",
+        "n_dims",
+        F.round("raw_scale", 9).alias("scale"),
+        "max_code",
+        F.round("raw_err", 9).alias("max_abs_err"),
+    ).orderBy("vec_id")

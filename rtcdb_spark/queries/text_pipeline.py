@@ -221,3 +221,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % F.lit(MERSENNE_P),
     )
     return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_quality",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    pd AS (
+        SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_tokens
+        FROM tc GROUP BY doc_id
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+               ) AS g
+        FROM documents
+    ),
+    gd AS (
+        SELECT doc_id,
+               CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) AS dupf
+        FROM sh
+    )
+    SELECT pd.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+           ROUND(dupf, 6) AS dup_3gram_frac,
+           (CAST(top_cnt AS DOUBLE) / n_tokens > 0.12 OR dupf > 0.55) AS flagged
+    FROM pd JOIN gd ON pd.doc_id = gd.doc_id
+    ORDER BY pd.doc_id
+    """,
+    tags=("text", "quality", "repetition", "llm-pipeline"),
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/RefinedWeb family):
+    fraction of tokens taken by the single most frequent token, and the
+    fraction of 3-gram positions that repeat an earlier 3-gram — the two
+    classic detectors of boilerplate/spam/looped generations that
+    length/stopword stats miss.
+
+    Scale shape: top-token fraction is explode → (doc, token) count →
+    per-doc max/sum (two map-combined aggregates, token-row shuffle carries
+    combined counts); the 3-gram duplicate fraction is PURE array math on
+    the shingle array (size - size∘distinct) — map-only, no shuffle. The
+    two doc-keyed branches join on doc_id post-aggregation. Thresholds are
+    fixture-calibrated to flag a non-trivial subset."""
+    from rtcdb_spark.functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pd_ = tc.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"), F.sum("c").alias("n_tokens")
+    )
+    g = shingles("text", 3)
+    gd = d.select(
+        "doc_id",
+        (
+            (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(g)
+        ).alias("dupf"),
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    return (
+        pd_.join(gd, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(top_frac, 6).alias("top_token_frac"),
+            F.round("dupf", 6).alias("dup_3gram_frac"),
+            ((top_frac > 0.12) | (F.col("dupf") > 0.55)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
