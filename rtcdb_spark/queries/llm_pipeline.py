@@ -601,3 +601,147 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- end-to-end curation funnel ----------------------------------------------
+
+
+@query(
+    "curation_pipeline_funnel",
+    f"""
+    WITH train AS (
+        SELECT doc_id, text, sha256(text) AS digest
+        FROM documents WHERE doc_id >= {_BENCH_DOCS}
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM train
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    rep AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+        FROM tc GROUP BY doc_id
+    ),
+    dup3 AS (
+        SELECT doc_id,
+               CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) AS dupf
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                   ) AS g
+            FROM train
+        )
+    ),
+    quality AS (
+        SELECT t.doc_id, t.digest, t.text
+        FROM train t
+        JOIN rep USING (doc_id) JOIN dup3 USING (doc_id)
+        WHERE rep.top_frac <= 0.12 AND dup3.dupf <= 0.55
+    ),
+    unique_docs AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY digest
+    ),
+    bench_grams AS (
+        SELECT DISTINCT gram FROM (
+            SELECT unnest(list_distinct({sql_shingles('text', _GRAM_N)})) AS gram
+            FROM documents WHERE doc_id < {_BENCH_DOCS}
+        )
+    ),
+    doc_grams AS (
+        SELECT q.doc_id,
+               unnest(list_distinct({sql_shingles('q.text', _GRAM_N)})) AS gram
+        FROM quality q JOIN unique_docs u ON q.doc_id = u.doc_id
+    ),
+    contam AS (
+        SELECT g.doc_id,
+               CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*) AS rate
+        FROM doc_grams g LEFT JOIN bench_grams b USING (gram)
+        GROUP BY g.doc_id
+    ),
+    clean AS (SELECT doc_id FROM contam WHERE rate <= 0.5)
+    SELECT * FROM (
+        SELECT 0 AS stage_no, 'raw' AS stage,
+               (SELECT COUNT(*) FROM documents) AS n_docs
+        UNION ALL SELECT 1, 'train_split',   (SELECT COUNT(*) FROM train)
+        UNION ALL SELECT 2, 'quality_pass',  (SELECT COUNT(*) FROM quality)
+        UNION ALL SELECT 3, 'exact_unique',  (SELECT COUNT(*) FROM unique_docs)
+        UNION ALL SELECT 4, 'decontaminated',(SELECT COUNT(*) FROM clean)
+    ) ORDER BY stage_no
+    """,
+    tags=("llm-pipeline", "funnel", "composition"),
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as one funnel report — survivor counts
+    after each stage a production LLM data pipeline runs: eval/train split,
+    repetition-quality filter, exact dedup (min-id survivor per digest),
+    benchmark decontamination (distinct-5-gram overlap ≤ 0.5). The point is
+    COMPOSITION: every stage is one of this engine's audited operators
+    chained as plain DataFrames, and the oracle recomputes the identical
+    funnel in SQL.
+
+    Scale shape: each stage narrows the corpus before the next (filters are
+    map-only; dedup is one digest shuffle; decontamination broadcasts the
+    eval-sized gram set), and the five stage counts are scalar aggregates
+    unioned into a 5-row report — nothing corpus-sized ever reaches the
+    driver."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") >= _BENCH_DOCS).select(
+        "doc_id", "text", F.sha2("text", 256).alias("digest")
+    )
+
+    tc = (
+        train.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rep = tc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_frac")
+    )
+    g3 = shingles("text", 3)
+    dup3 = train.select(
+        "doc_id",
+        ((F.size(g3) - F.size(F.array_distinct(g3))).cast("double") / F.size(g3)).alias(
+            "dupf"
+        ),
+    )
+    quality = (
+        train.join(rep, "doc_id")
+        .join(dup3, "doc_id")
+        .filter((F.col("top_frac") <= 0.12) & (F.col("dupf") <= 0.55))
+        .select("doc_id", "digest", "text")
+    )
+    unique_docs = quality.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+
+    bench_grams = (
+        d.filter(F.col("doc_id") < _BENCH_DOCS)
+        .select(F.explode(F.array_distinct(shingles("text", _GRAM_N))).alias("gram"))
+        .distinct()
+    )
+    doc_grams = quality.join(
+        unique_docs.select("doc_id"), "doc_id"
+    ).select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", _GRAM_N))).alias("gram")
+    )
+    contam = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("hit", F.lit(1))), "gram", "left"
+    ).groupBy("doc_id").agg(
+        (F.count("hit").cast("double") / F.count(F.lit(1))).alias("rate")
+    )
+    clean = contam.filter(F.col("rate") <= 0.5)
+
+    def stage(no: int, name: str, rel: DataFrame) -> DataFrame:
+        return rel.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(0, "raw", d)
+        .unionByName(stage(1, "train_split", train))
+        .unionByName(stage(2, "quality_pass", quality))
+        .unionByName(stage(3, "exact_unique", unique_docs))
+        .unionByName(stage(4, "decontaminated", clean))
+        .orderBy("stage_no")
+    )

@@ -300,3 +300,71 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_lang_audit",
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    scores AS (
+        SELECT doc_id, lang,
+           {_LANG_SCORE_SQL}
+        FROM t
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+                 WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                 WHEN score_es >= score_fr THEN 'es'
+                 ELSE 'fr'
+               END AS pred_lang
+        FROM scores
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM pred
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+    tags=("text", "langid", "audit", "llm-pipeline"),
+)
+def text_lang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label audit: confusion matrix between the corpus's declared
+    `lang` column and the heuristic language ID — the standard check a data
+    pipeline runs on incoming labeled corpora before trusting either signal
+    (each cell keeps a min-id example doc for inspection). Map-only scoring
+    followed by one small groupBy — the confusion matrix is |langs|² rows
+    at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def count_hits(ws: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: count_hits(ws) for lang, ws in LANG_STOPWORDS.items()}
+    s = d.select(
+        "doc_id", "lang", *[c.alias(f"score_{lang}") for lang, c in scores.items()]
+    )
+    e, g, p, f_ = (
+        F.col("score_en"),
+        F.col("score_de"),
+        F.col("score_es"),
+        F.col("score_fr"),
+    )
+    pred = (
+        F.when((e >= g) & (e >= p) & (e >= f_), "en")
+        .when((g >= p) & (g >= f_), "de")
+        .when(p >= f_, "es")
+        .otherwise("fr")
+    )
+    return (
+        s.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .orderBy("lang", "pred_lang")
+    )

@@ -212,3 +212,78 @@ def test_versioned_table_matches_model(spark, script):
         assert vt.versions() == [len(snapshots) - 1]
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=1, max_size=30),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    )
+)
+def test_simhash_probe_equals_brute_force(spark, texts):
+    """The banded Hamming probe must return EXACTLY the pairs a brute-force
+    all-pairs scan finds at radius <= 3 (pigeonhole recall is a theorem; this
+    checks the implementation on arbitrary token streams), and every
+    signature stays within two non-negative 32-bit words."""
+    from rtcdb_spark.functions.dedup import simhash64, simhash_hamming_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sigs = {
+        r["doc_id"]: (r["sim_hi"], r["sim_lo"]) for r in simhash64(docs).collect()
+    }
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in sigs.values())
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(simhash64(docs)).collect()
+    }
+    import itertools
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    want = {
+        (i, j): ham(sigs[i], sigs[j])
+        for i, j in itertools.combinations(sorted(sigs), 2)
+        if ham(sigs[i], sigs[j]) <= 3
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+            ).filter(lambda x: abs(x) > 1e-6),
+            min_size=2,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_int8_quantization_error_bound(spark, vecs):
+    """Symmetric int8 quantization invariants on arbitrary vectors: codes
+    stay in [-127, 127] and the reconstruction error never exceeds half a
+    quantization step (scale/2, plus one ulp of slack)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    base = df.select("vec_id", v.alias("v"), scale.alias("scale"))
+    qv = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))
+    rows = base.withColumn("qv", qv).collect()
+    for r in rows:
+        s = r["scale"]
+        for q, x in zip(r["qv"], r["v"]):
+            assert -127 <= q <= 127, (q, x, s)
+            assert abs(q * s - x) <= s / 2 + 1e-12, (q, x, s)
