@@ -41,6 +41,8 @@ HEADLINE = [
     "text_token_count",
     "text_bm25_search",
     "text_contamination",
+    "search_rrf_fusion",
+    "curation_pipeline_funnel",
     # streaming machinery, run to completion over the fixture input
     "stream_window_tumbling",
     "stream_running_totals",

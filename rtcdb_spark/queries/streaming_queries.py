@@ -176,3 +176,41 @@ def stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_enrich_static(sdf, customers), output_mode="complete"
     )
     return out.orderBy("segment", "event_type")
+
+
+@query(
+    "stream_rollup_snapshot",
+    f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("streaming", "sink", "rollup"),
+)
+def stream_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the full foreachBatch rollup-cascade SINK end-to-end
+    (`streaming.sinks.stream_rollup_cascade`): minute-level streaming
+    aggregates upsert a parquet snapshot per batch via the staged
+    atomic-swap writer, and hour/day levels re-derive from the minute
+    partials (exact decimal sums make the cascade equal direct
+    aggregation). Returns the day-level snapshot read back from disk — so
+    the oracle checks the whole path: stream → state → distributed snapshot
+    write → swap → re-read."""
+    import tempfile
+
+    from rtcdb_spark.streaming.sinks import stream_rollup_cascade
+
+    sdf = read_events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="rtcdb_rollup_snap_")
+    stream_rollup_cascade(
+        sdf, f"{out_dir}/levels", f"{out_dir}/ckpt", watermark="1 hour"
+    )
+    day = spark.read.parquet(f"{out_dir}/levels/day")
+    return day.select(
+        "bucket",
+        "n_events",
+        F.col("sdec").cast("double").alias("total_value"),
+    ).orderBy("bucket")

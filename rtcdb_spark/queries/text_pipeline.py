@@ -368,3 +368,60 @@ def text_lang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+@query(
+    "text_unigram_nll",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT SUM(c) AS tot FROM freq),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(-ln(CAST(f.c AS DOUBLE) / total.tot) AS DECIMAL(18,8)) AS nll
+        FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN total
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "perplexity", "llm-pipeline"),
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train token probabilities on the
+    corpus itself, then score every document by its mean negative
+    log-likelihood — the perplexity-based quality signal (KenLM stand-in;
+    swap the unigram table for n-gram counts and the shape is unchanged).
+    High avg_nll = rare-token-heavy documents (gibberish, codes, boilerplate
+    in other scripts) — the standard complement to rule-based filters.
+
+    Determinism: per-token NLL is quantized to DECIMAL(18,8) before the
+    per-doc sum, so addition is order-independent; the final division is
+    one double op. Scale shape: freq is vocabulary-sized → broadcast back
+    into the token stream; one (doc) aggregate with map-side combine; total
+    is a scalar broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    total = freq.agg(F.sum("c").alias("tot"))
+    nll = (-F.log(F.col("c").cast("double") / F.col("tot"))).cast("decimal(18,8)")
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_nll"
+            ),
+        )
+        .orderBy("doc_id")
+    )
