@@ -305,6 +305,81 @@ def simhash_hamming_pairs(
     return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Undirected edges → (node, group_id = min node id in component) via
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    Round complexity is O(log n) on ANY graph — the upgrade over plain
+    min-label propagation (`connected_components` below), whose round count
+    equals the component diameter and degenerates to O(n) on path graphs.
+    Use this variant when the duplicate graph's shape is not known to be
+    bucket-cliques (e.g. chained near-dups from sliding-window shingles).
+
+    Per round: large-star hangs every neighbor larger than u off u's
+    minimum neighbor (one groupBy-min + join of the edge relation);
+    small-star re-hangs the smaller neighbors; both are map-combined
+    aggregates plus one equi-join — no driver-side data, and the edge set
+    contracts geometrically. Convergence = edge-set fixpoint, detected with
+    a count + order-independent hash-sum signature (two scalars, not a
+    set-difference shuffle). The fixpoint is the unique min-rooted star
+    forest, so the result is deterministic."""
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(rel: DataFrame) -> tuple:
+        row = rel.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(rel: DataFrame) -> DataFrame:
+        both = rel.union(rel.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = both.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        return (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(rel: DataFrame) -> DataFrame:
+        directed = rel.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        joined = directed.join(mins, "u")
+        hang_nbrs = joined.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        hang_self = mins.select(F.col("u"), F.col("m").alias("v"))
+        return hang_nbrs.union(hang_self).filter(F.col("u") != F.col("v")).distinct()
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Fixpoint edges are (child, root) star links; roots label themselves.
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("group_id"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("group_id")).distinct()
+    return children.union(roots).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",

@@ -597,3 +597,65 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_connected_groups_star",
+    f"""
+    WITH RECURSIVE {_SQL_SH},
+    {_SQL_SIGS},
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, sig)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+        FROM cand p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    ),
+    edges AS (
+        SELECT p.id_a, p.id_b
+        FROM cand p
+        JOIN inter i USING (id_a, id_b)
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+        WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT e.src, q.r FROM sym e JOIN reach q ON q.node = e.dst
+    )
+    SELECT node, MIN(r) AS group_id FROM reach GROUP BY node ORDER BY node
+    """,
+    tags=("dedup", "lsh", "connected-components", "iterative", "star"),
+)
+def dedup_connected_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via alternating large-star/small-star
+    (`functions.dedup.connected_components_star`) — identical result to
+    `dedup_connected_groups` (the fixpoint is the unique min-rooted star
+    forest) but O(log n) rounds on ANY graph shape instead of O(diameter):
+    the scale-safe choice when near-dup chains can be long (sliding-window
+    shingles, boilerplate series). Oracle = the same recursive-CTE
+    reachability the label-propagation variant checks against."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d).persist()
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    edges = (
+        jaccard_pairs(sh, cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    from rtcdb_spark.functions.dedup import connected_components_star
+
+    return connected_components_star(edges).orderBy("node")

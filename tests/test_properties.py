@@ -287,3 +287,43 @@ def test_int8_quantization_error_bound(spark, vecs):
         for q, x in zip(r["qv"], r["v"]):
             assert -127 <= q <= 127, (q, x, s)
             assert abs(q * s - x) <= s / 2 + 1e-12, (q, x, s)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_cc_equals_union_find(spark, edges):
+    """Alternating large-star/small-star must produce exactly the min-label
+    components a sequential union-find computes, on arbitrary graphs —
+    including the long-path shapes where plain label propagation needs
+    O(diameter) rounds."""
+    from rtcdb_spark.functions.dedup import connected_components_star
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((n, find(n)) for n in parent)
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(
+        (r["node"], r["group_id"])
+        for r in connected_components_star(df).collect()
+    )
+    assert got == want
