@@ -705,11 +705,16 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dupf"
         ),
     )
+    # Persisted: three consumers (stage count, digest dedup, gram explode)
+    # would each re-run the repetition scoring joins. Disk-spillable cache of
+    # the filtered corpus — the narrowing trade a real pipeline makes too
+    # (materialize each stage once, never recompute upstream stages).
     quality = (
         train.join(rep, "doc_id")
         .join(dup3, "doc_id")
         .filter((F.col("top_frac") <= 0.12) & (F.col("dupf") <= 0.55))
         .select("doc_id", "digest", "text")
+        .persist()
     )
     unique_docs = quality.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
 

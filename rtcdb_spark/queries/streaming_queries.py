@@ -100,8 +100,9 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_running_totals",
-    """
-    SELECT user_id, COUNT(*) AS n_events
+    f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
     FROM events
     GROUP BY user_id
     ORDER BY user_id
@@ -110,11 +111,14 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state operator (`applyInPandasWithState`): one micro-batch
-    over the full input emits each user's final running count. total_value is
-    dropped from the check — a Python-side float fold is order-dependent."""
+    over the full input emits each user's final running totals. The state
+    keeps integer cents (HALF_UP quantization identical to the engines'
+    double→DECIMAL(18,2) cast), so total_value is order-independent,
+    replay-stable, and value-exact against the batch decimal-sum oracle —
+    a raw float fold would be none of those."""
     sdf = read_events_stream(spark, sf_dir)
     out = run_available_now(stream_user_running_totals(sdf), output_mode="update")
-    return out.select("user_id", "n_events").orderBy("user_id")
+    return out.select("user_id", "n_events", "total_value").orderBy("user_id")
 
 
 @query(

@@ -43,10 +43,18 @@ def _swap_in(df: DataFrame, out_dir: str) -> None:
     transactional tables the same pattern is dynamic partition overwrite
     keyed by the snapshot's partition column."""
     staging = out_dir.rstrip("/") + "__staging"
+    trash = out_dir.rstrip("/") + "__old"
     df.write.mode("overwrite").parquet(staging)
+    # Two renames, then delete: the live path is missing only for the gap
+    # between two atomic renames — never for the duration of a recursive
+    # delete of the old snapshot.
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
     if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+        os.rename(out_dir, trash)
     os.rename(staging, out_dir)
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
 
 
 def stream_to_parquet(

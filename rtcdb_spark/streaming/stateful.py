@@ -24,7 +24,17 @@ if TYPE_CHECKING:  # pragma: no cover
     pass
 
 _OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
-_STATE_SCHEMA = "n LONG, total DOUBLE"
+_STATE_SCHEMA = "n LONG, total_cents LONG"
+
+
+def _to_cents(v: float) -> int:
+    """Quantize one double to integer cents with HALF_UP on its exact binary
+    expansion — bit-identical to both engines' double→DECIMAL(18,2) cast
+    (Spark BigDecimal.setScale, DuckDB decimal cast), so integer-cent state
+    makes the streaming fold order-independent AND cross-engine exact."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(v).quantize(Decimal("0.01"), ROUND_HALF_UP).scaleb(2))
 
 
 def _update_running_totals(
@@ -32,15 +42,21 @@ def _update_running_totals(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Fold this micro-batch's events for one user into (count, sum) state and
-    emit the updated running totals — one output row per key per batch."""
-    n, total = state.get if state.exists else (0, 0.0)
+    """Fold this micro-batch's events for one user into (count, cent-sum)
+    state and emit the updated running totals — one output row per key per
+    batch. Integer-cent state: exact, associative, replay-stable (a float
+    accumulator would drift with batch boundaries and retries)."""
+    n, total_cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += int(len(pdf))
-        total += float(pdf["value"].sum()) if len(pdf) else 0.0
-    state.update((n, total))
+        total_cents += sum(_to_cents(v) for v in pdf["value"])
+    state.update((n, total_cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total_cents / 100.0],
+        }
     )
 
 
