@@ -88,6 +88,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Attach the recorded baseline for the same query set when available, so
+    # the ratio is visible directly in the bench line.
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", "bench", "baseline.json")) as f:
+            base = json.load(f)["spark"]["queries"]
+        covered = [n for n in timings if n in base]
+        if covered:
+            base_total = round(sum(base[n] for n in covered), 4)
+            out["baseline_value"] = base_total
+            out["ratio_vs_baseline"] = round(out["value"] / base_total, 4)
+    except Exception:
+        pass
     print(json.dumps(out))
     spark.stop()
 
