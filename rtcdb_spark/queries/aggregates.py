@@ -455,3 +455,50 @@ def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_corr_regression",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS price_at_zero,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "statistics", "regression"),
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates: Pearson correlation, sample
+    covariance, and ordinary-least-squares regression (slope / intercept /
+    R²) of price against quantity per return flag — the profiling layer
+    above the univariate moments (`agg_moments_stats`). All are single-pass
+    co-moment aggregates: Spark plans one partial/final hash aggregate
+    carrying constant-size (n, Σx, Σy, Σxx, Σyy, Σxy) state per group — the
+    same shuffle shape as a plain SUM at any scale. Cross-engine float
+    caveat: co-moment accumulation differs in rounding at ~1e-12 relative,
+    so outputs are display-rounded well above that divergence."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 4
+            ).alias("price_per_qty"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("price_at_zero"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -220,3 +220,39 @@ def reshape_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+@query(
+    "reshape_explode_outer",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN []
+                    ELSE string_split(text, ' ')[1:3] END AS toks
+        FROM documents
+        WHERE doc_id < 100
+    )
+    SELECT doc_id, u.tok
+    FROM t LEFT JOIN (
+        SELECT doc_id, unnest(toks) AS tok FROM t
+    ) u USING (doc_id)
+    ORDER BY doc_id, tok NULLS FIRST
+    """,
+    tags=("reshape", "explode", "nulls"),
+)
+def reshape_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (`explode_outer`): rows with empty arrays
+    survive as a single null row instead of vanishing — the difference
+    between an inner and outer lateral flatten, and the semantics a
+    row-accounting pipeline needs (every input doc appears in the output,
+    exploded or not). Map-side operation, no shuffle; the oracle emulates
+    it with unnest + left join since DuckDB's unnest drops empties."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.when(F.col("doc_id") % 7 == 0, F.array().cast("array<string>")).otherwise(
+        F.slice(F.split("text", " "), 1, 3)
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode_outer("toks").alias("tok"))
+        .orderBy("doc_id", F.asc_nulls_first("tok"))
+    )

@@ -18,6 +18,7 @@ result in any order); the grouped UDAF emits only order-independent measures
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
@@ -200,3 +201,69 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def _cogroup_user_balance(
+    events_pdf: "pd.DataFrame", orders_pdf: "pd.DataFrame"
+) -> "pd.DataFrame":
+    """Per-user co-grouped merge: event count and order count + decimal-cent
+    order total for one user's two frames (either may be empty)."""
+    if len(events_pdf):
+        user = int(events_pdf["user_id"].iloc[0])
+    else:
+        user = int(orders_pdf["o_custkey"].iloc[0])
+    cents = int(
+        sum(
+            int(Decimal(float(v)).quantize(Decimal("0.01"), ROUND_HALF_UP).scaleb(2))
+            for v in orders_pdf["o_totalprice"]
+        )
+    )
+    return pd.DataFrame(
+        {
+            "user_id": [user],
+            "n_events": [len(events_pdf)],
+            "n_orders": [len(orders_pdf)],
+            "order_total": [cents / 100.0],
+        }
+    )
+
+
+@query(
+    "udf_cogrouped_map",
+    f"""
+    WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+    oc AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               {{dsum_sql}} AS order_total
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(ev.user_id, oc.o_custkey) AS user_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(order_total, 0.0) AS order_total
+    FROM ev FULL OUTER JOIN oc ON ev.user_id = oc.o_custkey
+    ORDER BY user_id
+    """.format(dsum_sql="CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"),
+    tags=("udf", "cogrouped-map"),
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped map (`groupBy().cogroup().applyInPandas`) — the C-X API
+    for aligning TWO relations per key in one Python callback: each user's
+    events frame and orders frame arrive together, merged here into a
+    per-user activity/balance row (integer-cent fold keeps the order total
+    value-exact against the decimal-sum oracle). This is the pandas-side
+    twin of a full-outer join + two aggregates — use it when the per-key
+    merge logic is genuinely imperative (sessionized attribution, custom
+    ledgers); both groups must fit one task's memory, so keys must be
+    user-grained, never global."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    out = (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            _cogroup_user_balance,
+            "user_id long, n_events long, n_orders long, order_total double",
+        )
+    )
+    return out.orderBy("user_id")

@@ -237,3 +237,35 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_percent_rank_cume",
+    """
+    SELECT event_type, event_id,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM events
+    WHERE event_id < 2000
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_type, event_id
+    """,
+    tags=("window", "ranking", "distribution"),
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions: percent_rank (rank-1)/(n-1),
+    cume_dist, and quartile assignment per event type — the percentile-of-
+    peer-group primitives behind scorecards and outlier reports. Both are
+    rank arithmetic over the same single hash-partition shuffle the ranking
+    family uses (deterministic via the (value, event_id) total order);
+    rounding to 6 pins the one double division cross-engine."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_type",
+        "event_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("event_type", "event_id")
