@@ -173,3 +173,43 @@ def source_indexed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "source_schema_evolution",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    ORDER BY o_orderkey
+    """,
+    tags=("source", "schema-evolution"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift at ingest: an early batch written WITHOUT a column and a
+    later batch written WITH it must read back as one table under
+    `mergeSchema` — old rows surface the new column as NULL. This is the
+    evolution contract every long-lived ingest directory needs (the
+    reference's fixed-schema catalog cannot represent it; SURVEY §1.3).
+    Footer-only schema merge at planning time; the data files are never
+    rewritten. (Production note: pin `mergeSchema` per-table, not globally
+    — it reads every footer at listing time, O(files) planning cost.)"""
+    out = os.path.join(_IO_ROOT, "orders_evolving")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )

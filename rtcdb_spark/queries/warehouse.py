@@ -96,3 +96,33 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+@query(
+    "versioned_changes_feed",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id < 250
+    ORDER BY doc_id
+    """,
+    tags=("warehouse", "versioned", "cdc"),
+)
+def versioned_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change-feed read against the snapshot-versioned table
+    (`VersionedTable.changes`, the Delta readChangeFeed / Iceberg
+    incremental-scan pattern): commit two document batches as table
+    versions, then read ONLY the rows the second commit added — planned as
+    a parquet scan of exactly the manifest file-set difference, O(new
+    files) regardless of table size. The oracle is the second batch's
+    defining predicate, so a hash match proves the manifest diff returns
+    precisely the appended rows."""
+    import tempfile
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_changes_"))
+    vt.commit(d.filter(F.col("doc_id") < 100))
+    vt.commit(d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 250)))
+    return vt.changes(0).orderBy("doc_id")

@@ -134,6 +134,33 @@ class VersionedTable:
         paths = [os.path.join(self.root, f) for f in m["files"]]
         return self.spark.read.parquet(*paths)
 
+    def changes(self, since_version: int, until_version: int | None = None) -> DataFrame:
+        """Incremental read: only rows ADDED after ``since_version`` up to
+        ``until_version`` (default latest) — the consumption pattern of an
+        incremental ETL / CDC reader against a versioned table (Delta's
+        `readChangeFeed` / Iceberg's incremental scan, for append commits).
+
+        Planned as a parquet scan of exactly the file-set difference between
+        the two manifests: O(new files) data read regardless of table size,
+        with pushdown/pruning applying per file as in ``read``. Raises on
+        an intervening ``overwrite`` commit — a rewrite breaks append-only
+        change semantics (rows can vanish), so the caller must fall back to
+        a full diff (`cdc_snapshot_diff`) across that boundary."""
+        until = self.latest_version() if until_version is None else until_version
+        if until is None or since_version > until:
+            raise ValueError(f"bad version range: ({since_version}, {until_version})")
+        for v in range(since_version + 1, until + 1):
+            if self._read_manifest(v)["op"] == "overwrite":
+                raise ValueError(
+                    f"version {v} is an overwrite commit; append-only change "
+                    "reads are undefined across a rewrite — use a snapshot diff"
+                )
+        base = set(self._read_manifest(since_version)["files"])
+        new = [f for f in self._read_manifest(until)["files"] if f not in base]
+        if not new:
+            return self.read(until).limit(0)
+        return self.spark.read.parquet(*[os.path.join(self.root, f) for f in new])
+
     # -- retention ---------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> int:

@@ -88,3 +88,28 @@ def test_read_empty_and_bad_version(spark, vt):
     vt.commit(_batch(spark, 0, 2))
     with pytest.raises(ValueError):
         vt.read(7)
+
+
+def test_changes_incremental_read(spark, tmp_path):
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    vt.commit(spark.createDataFrame([(1,), (2,)], "v long"))          # v0
+    vt.commit(spark.createDataFrame([(3,)], "v long"))                # v1
+    vt.commit(spark.createDataFrame([(4,), (5,)], "v long"))          # v2
+
+    got = sorted(r["v"] for r in vt.changes(0).collect())
+    assert got == [3, 4, 5]
+    got = sorted(r["v"] for r in vt.changes(0, until_version=1).collect())
+    assert got == [3]
+    got = sorted(r["v"] for r in vt.changes(1).collect())
+    assert got == [4, 5]
+    assert vt.changes(2).count() == 0  # no new commits → empty, same schema
+
+    import pytest
+
+    vt.commit(spark.createDataFrame([(9,)], "v long"), mode="overwrite")  # v3
+    with pytest.raises(ValueError, match="overwrite"):
+        vt.changes(1)
+    # range entirely before the rewrite still works
+    assert sorted(r["v"] for r in vt.changes(0, until_version=2).collect()) == [3, 4, 5]
