@@ -750,3 +750,128 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "decontaminated", clean))
         .orderBy("stage_no")
     )
+
+
+# --- source mixture balancing ------------------------------------------------
+
+_MIX_SCALE = 1_000_000  # hash-rate denominator for deterministic sampling
+
+
+@query(
+    "mixture_balance_sources",
+    f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    target AS (SELECT MIN(n) AS target_n FROM counts),
+    rated AS (
+        SELECT c.source, c.n,
+               CAST(t.target_n AS DOUBLE) / c.n AS rate
+        FROM counts c CROSS JOIN target t
+    ),
+    kept AS (
+        SELECT d.source, COUNT(*) AS n_kept
+        FROM documents d
+        JOIN rated r ON d.source = r.source
+        WHERE {sql_stable_hash_mod('d.text')} % {_MIX_SCALE}
+              < CAST(r.rate * {_MIX_SCALE} AS BIGINT)
+        GROUP BY d.source
+    )
+    SELECT r.source, r.n AS n_docs, ROUND(r.rate, 6) AS sample_rate,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM rated r LEFT JOIN kept k ON r.source = k.source
+    ORDER BY r.source
+    """,
+    tags=("sampling", "mixture", "llm-pipeline"),
+)
+def mixture_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture balancing: downsample every provenance bucket to the
+    smallest bucket's size with a DETERMINISTIC content-hash gate — the data
+    mixing step that keeps one crawl from dominating a training run, made
+    reproducible (same corpus → same sample, any cluster, any partitioning,
+    either engine — the gate is the md5-based portable hash, not rand()).
+
+    Scale shape: per-source counts are one map-combined aggregate; the rate
+    table is sources-sized → broadcast; the keep decision is a map-only
+    predicate on the corpus scan. Skew-free by construction (hash gate is
+    uniform within each source)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(F.min("n").alias("target_n"))
+    rated = counts.crossJoin(F.broadcast(target)).select(
+        "source", "n", (F.col("target_n").cast("double") / F.col("n")).alias("rate")
+    )
+    gate = stable_hash_mod("text") % _MIX_SCALE < (
+        F.col("rate") * _MIX_SCALE
+    ).cast("bigint")
+    kept = (
+        d.join(F.broadcast(rated), "source")
+        .filter(gate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rated.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round("rate", 6).alias("sample_rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_oov_rate",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+            ORDER BY freq DESC, tok LIMIT 200
+        )
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "vocab", "quality", "llm-pipeline"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's top-200
+    token vocabulary — the tokenizer-coverage audit run before committing
+    to a vocab size (high OOV docs either need a bigger vocab or are noise).
+    The vocabulary is a TakeOrdered top-K of the token counts (vocab-sized
+    → broadcast back into the token stream); per-doc OOV is one left join +
+    map-combined aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(200)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
