@@ -22,7 +22,12 @@ from rtcdb_spark.functions.dedup import (
     simhash64,
     simhash_hamming_pairs,
 )
-from rtcdb_spark.functions.text import MERSENNE_P, sql_shingles, sql_stable_hash_mod
+from rtcdb_spark.functions.text import (
+    MERSENNE_P,
+    shingles,
+    sql_shingles,
+    sql_stable_hash_mod,
+)
 from rtcdb_spark.functions.similarity import (
     _dot as _sim_dot,
     lsh_signature,
@@ -659,3 +664,57 @@ def dedup_connected_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rtcdb_spark.functions.dedup import connected_components_star
 
     return connected_components_star(edges).orderBy("node")
+
+
+_SPAN_N = 8  # tokens per span ("line" analogue for the single-line fixture text)
+_SPAN_MIN_DOCS = 3  # spans in at least this many docs are boilerplate (fixture-calibrated)
+
+
+@query(
+    "dedup_boilerplate_spans",
+    f"""
+    WITH spans AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - {_SPAN_N - 1}, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+{_SPAN_N - 1}], ' ')
+                   )
+               )) AS span
+        FROM documents
+    )
+    SELECT span,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM spans
+    GROUP BY span
+    HAVING COUNT(*) >= {_SPAN_MIN_DOCS}
+    ORDER BY n_docs DESC, span
+    """,
+    tags=("dedup", "boilerplate", "span", "llm-pipeline"),
+)
+def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (span-level) duplication — the CCNet/RefinedWeb
+    line-dedup step that document-level dedup cannot do: token spans
+    repeated across ≥{_SPAN_MIN_DOCS} distinct documents are boilerplate
+    (headers, navigation, license blurbs) to strip from otherwise-unique
+    docs. Spans are {_SPAN_N}-token windows (the fixture's 'line'
+    analogue); per-doc distinct spans explode → one (span) groupBy with
+    map-side combine; the HAVING threshold keeps the result
+    boilerplate-sized. At 100 TB this is the same single-shuffle shape as
+    exact dedup — the span hash is the key; removal is then a broadcast
+    anti-join of the (tiny) boilerplate set against the span stream."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", _SPAN_N))).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("span"))
+    )

@@ -328,3 +328,62 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_code",
         F.round("raw_err", 9).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+@query(
+    "embedding_label_centroids",
+    """
+    WITH dims AS (
+        SELECT label, u.dim, u.x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                             unnest(embedding::DOUBLE[]) AS x) u
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY label, dim
+    )
+    SELECT label,
+           COUNT(*) AS n_dims,
+           ROUND(SQRT(CAST(SUM(CAST(c * c AS DECIMAL(28,15))) AS DOUBLE)), 6)
+               AS centroid_norm,
+           ROUND(MAX(ABS(c)), 6) AS max_abs_component
+    FROM cent
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "embedding", "profiling", "llm-pipeline"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype computation
+    behind nearest-centroid classification, cluster drift monitoring, and
+    label-quality audits (a centroid norm near zero means the label's
+    vectors cancel out, i.e. the label is incoherent). Reported per label
+    as the centroid's L2 norm and largest component.
+
+    Element-wise mean over vectors is computed by exploding (vector, dim)
+    pairs into a (label, dim) decimal-sum aggregate — order-independent
+    cross-engine, map-side combined, shuffle carries |labels|×|dims|
+    partials per partition regardless of corpus size. The per-label
+    reduction of 64 centroid components is a second tiny aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "x")
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.round(
+                F.sqrt(F.sum((F.col("c") * F.col("c")).cast("decimal(28,15)")).cast("double")),
+                6,
+            ).alias("centroid_norm"),
+            F.round(F.max(F.abs("c")), 6).alias("max_abs_component"),
+        )
+        .orderBy("label")
+    )
