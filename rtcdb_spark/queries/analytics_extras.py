@@ -514,3 +514,106 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("name_a") < F.col("name_b"))
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "basket_brand_affinity",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT p_brand) > 1
+    ),
+    n_orders AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem
+    ),
+    brand_counts AS (
+        SELECT p_brand, COUNT(DISTINCT l_orderkey) AS n_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
+    ),
+    pairs AS (
+        SELECT u.a AS brand_a, u.b AS brand_b, COUNT(*) AS n_both
+        FROM baskets,
+             LATERAL (
+                 SELECT unnest(flatten(list_transform(brands, (x, i) ->
+                            list_transform(brands[i + 1:], y -> {'a': x, 'b': y}))),
+                        recursive := true)
+             ) u
+        GROUP BY u.a, u.b
+    )
+    SELECT brand_a, brand_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) * n.n
+                 / (ca.n_brand * cb.n_brand), 6) AS lift
+    FROM pairs
+    JOIN brand_counts ca ON ca.p_brand = brand_a
+    JOIN brand_counts cb ON cb.p_brand = brand_b
+    CROSS JOIN n_orders n
+    WHERE n_both >= 10
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+    tags=("analytics", "basket", "affinity"),
+)
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top brand pairs by lift = P(A∧B)/(P(A)P(B))
+    over orders containing both — the co-occurrence analysis behind
+    recommendations and assortment planning. The pair expansion runs
+    INSIDE each order's sorted distinct-brand array (the same
+    transform/slice trick as the LSH bucket expansion — no self-join of
+    the fact table, and per-order arrays are bounded by the brand
+    universe, not order size); supports and the order count are
+    map-combined aggregates broadcast back into the pair relation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    lb = l.join(p, F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_orderkey", "p_brand"
+    )
+    baskets = (
+        lb.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .filter(F.size("brands") > 1)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    n_orders = lb.agg(F.countDistinct("l_orderkey").alias("n"))
+    brand_counts = lb.groupBy("p_brand").agg(
+        F.countDistinct("l_orderkey").alias("n_brand")
+    )
+    ca = brand_counts.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("na")
+    )
+    cb = brand_counts.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("n_both") >= 10)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(25)
+    )

@@ -718,3 +718,37 @@ def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
         .orderBy(F.desc("n_docs"), F.asc("span"))
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS digest
+        FROM documents
+    )
+    SELECT digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM norm
+    GROUP BY digest
+    ORDER BY keep_id
+    """,
+    tags=("dedup", "normalize", "llm-pipeline"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup — the practical first dedup pass every corpus
+    pipeline runs before byte-exact hashing: lowercase, collapse repeated
+    whitespace, trim, THEN digest. Catches trivially-reformatted copies
+    (case changes, double spaces) that byte-exact dedup misses while
+    staying a pure map expression + one uniform digest-key shuffle — the
+    same scale shape as `dedup_exact`. Normalization is deliberately
+    conservative (no punctuation stripping / unicode folding here — those
+    change retrieval semantics and belong to a separate policy layer)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return (
+        d.select("doc_id", F.sha2(norm, 256).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("keep_id")
+    )
