@@ -141,10 +141,10 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id, ts,
-           SUM(is_new) OVER (
+           CAST(SUM(is_new) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_id
+           ) AS BIGINT) AS session_id
     FROM flagged
     ORDER BY user_id, event_id
     """,

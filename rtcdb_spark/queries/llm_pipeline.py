@@ -158,9 +158,9 @@ _PACK_BUDGET = 256  # tokens per training sequence
                    - n_tokens AS start_offset
         FROM t
     )
-    SELECT doc_id, n_tokens, start_offset,
+    SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
            CAST(floor(start_offset / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
-           start_offset % {_PACK_BUDGET} AS offset_in_pack
+           CAST(start_offset % {_PACK_BUDGET} AS BIGINT) AS offset_in_pack
     FROM c
     ORDER BY doc_id
     """,
@@ -774,7 +774,7 @@ _MIX_SCALE = 1_000_000  # hash-rate denominator for deterministic sampling
         FROM documents d
         JOIN rated r ON d.source = r.source
         WHERE {sql_stable_hash_mod('d.text')} % {_MIX_SCALE}
-              < CAST(r.rate * {_MIX_SCALE} AS BIGINT)
+              < CAST(floor(r.rate * {_MIX_SCALE}) AS BIGINT)
         GROUP BY d.source
     )
     SELECT r.source, r.n AS n_docs, ROUND(r.rate, 6) AS sample_rate,
@@ -801,7 +801,12 @@ def mixture_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     rated = counts.crossJoin(F.broadcast(target)).select(
         "source", "n", (F.col("target_n").cast("double") / F.col("n")).alias("rate")
     )
-    gate = stable_hash_mod("text") % _MIX_SCALE < (
+    # floor() on BOTH engines before the integer threshold: DuckDB's
+    # CAST(double AS BIGINT) rounds to nearest while Spark's .cast('bigint')
+    # truncates toward zero, so a raw cast diverges by 1 whenever
+    # frac(rate*1e6) >= 0.5 — floor is IEEE-exact everywhere (same rationale
+    # as embedding_quantize_int8).
+    gate = stable_hash_mod("text") % _MIX_SCALE < F.floor(
         F.col("rate") * _MIX_SCALE
     ).cast("bigint")
     kept = (

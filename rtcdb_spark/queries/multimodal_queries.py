@@ -22,7 +22,7 @@ from rtcdb_spark.sources import load_table
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
-           list_sum(list_transform(string_split(text, ''), ch -> ord(ch))) % 65521 AS byte_sum
+           CAST(list_sum(list_transform(string_split(text, ''), ch -> ord(ch))) % 65521 AS BIGINT) AS byte_sum
     FROM documents
     ORDER BY doc_id
     """,

@@ -33,7 +33,8 @@ _IO_ROOT = os.path.join(tempfile.gettempdir(), "rtcdb_spark_io")
 @query(
     "source_csv_roundtrip",
     """
-    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang, source
     ORDER BY lang, source

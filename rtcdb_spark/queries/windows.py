@@ -116,7 +116,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_frames",
     """
     SELECT user_id, event_id,
-           CAST(value AS DECIMAL(18,2)) AS v,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -151,7 +151,7 @@ def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "user_id",
             "event_id",
-            vdec.alias("v"),
+            vdec.cast("double").alias("v"),
             F.sum(vdec).over(cum).cast("double").alias("running_total"),
             (
                 F.sum(vdec).over(last3).cast("double")
