@@ -41,18 +41,20 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` (direction="backward") sharing the key ``on``.
+    ``right_time <= left_time`` (direction="backward") or the earliest right
+    row with ``right_time >= left_time`` (direction="forward"), sharing the
+    key ``on``.
 
     Implementation is the *merge* strategy, not a range join: union both
-    sides tagged, sort within key by time, and carry the last-seen right
-    attributes forward with ``last(..., ignorenulls=True)``. Cost is one
-    shuffle on the key + one within-partition sort — linear at any scale,
-    whereas the naive join-then-rank explodes on key×key pair counts.
-    (Analogue of pandas merge_asof / QuestDB ASOF JOIN; reference has no
-    join support at all, README.md:15.)
+    sides tagged, sort within key by time, and carry the nearest right
+    attributes across with ``last``/``first`` (ignorenulls) over a one-sided
+    frame. Cost is one shuffle on the key + one within-partition sort —
+    linear at any scale, whereas the naive join-then-rank explodes on
+    key×key pair counts. (Analogue of pandas merge_asof(direction=...) /
+    QuestDB ASOF JOIN; reference has no join support at all, README.md:15.)
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = F.col(left_time)
     l_tag = left.withColumn("__t", lt).withColumn("__is_left", F.lit(1))
     r_proj = right.select(
@@ -61,16 +63,28 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     ).withColumn("__is_left", F.lit(0))
     unioned = l_tag.unionByName(r_proj, allowMissingColumns=True)
-    # Right rows sort before left rows at equal timestamps so `<=` holds.
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__t"), F.col("__is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # Right rows sort before left rows at equal timestamps so `<=` holds;
+        # the trailing frame carries the last-seen right row forward.
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    else:
+        # Mirror: right rows sort *after* left rows at equal timestamps so
+        # `>=` holds; the leading frame pulls the first upcoming right row back.
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t"), F.desc("__is_left"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
     carried = unioned.select(
         "*",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"right_{c}")
+            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"right_{c}")
             for c in right_cols
         ],
     )

@@ -242,6 +242,70 @@ def _asof_events_orders(e: DataFrame, o1: DataFrame) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    """
+    WITH o1 AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey ASC
+            ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           o1.o_orderkey AS next_orderkey,
+           o1.o_totalprice AS next_totalprice
+    FROM events e
+    ASOF LEFT JOIN o1
+      ON e.user_id = o1.o_custkey AND o1.o_orderdate >= e.ts
+    ORDER BY e.event_id
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks the user's *next* order at/after
+    the event time ("what did this user buy next?"). Same scalable
+    union+merge strategy as the backward direction (operators.asof_join,
+    direction="forward" — one key shuffle, first-upcoming carried back over
+    a leading frame), mirrored ordering; oracle is DuckDB's native ASOF with
+    the >= comparator.
+
+    Tie-break note: as in join_asof_events_orders, o_orderdate is day-
+    granular, so the right side is pre-reduced to one deterministic row per
+    (custkey, date) — here the MIN orderkey — fixing the same winner on both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.asc("o_orderkey"))
+    o1 = o.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    o_aligned = o1.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    joined = asof_join(
+        e,
+        o_aligned,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("right_o_orderkey").alias("next_orderkey"),
+        F.col("right_o_totalprice").alias("next_totalprice"),
+    ).orderBy("event_id")
+
+
+@query(
     "join_skew_salted",
     f"""
     SELECT c_mktsegment,

@@ -342,3 +342,56 @@ def test_bmp_wav_codecs_round_trip():
         mm.decode_image(b"\x89PNG....")
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04....")
+
+
+def _asof_fixture(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, "k", dt(2024, 1, 1, 10, 0)),   # before any right row
+            (2, "k", dt(2024, 1, 1, 12, 0)),   # exactly ON a right row
+            (3, "k", dt(2024, 1, 1, 18, 0)),   # between right rows
+            (4, "k", dt(2024, 1, 2, 9, 0)),    # after all right rows
+            (5, "x", dt(2024, 1, 1, 12, 0)),   # key with no right rows at all
+        ],
+        ["lid", "key", "lt"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", dt(2024, 1, 1, 12, 0), 100),
+            ("k", dt(2024, 1, 1, 20, 0), 200),
+        ],
+        ["key", "rt", "val"],
+    )
+    return left, right
+
+
+def test_asof_backward_directions(spark):
+    from rtcdb_spark.operators.relational import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = {
+        r["lid"]: r["right_val"]
+        for r in asof_join(
+            left, right, on="key", left_time="lt", right_time="rt",
+            right_cols=["val"], direction="backward",
+        ).collect()
+    }
+    # equal timestamp matches (<=); no earlier row -> null; no rows -> null
+    assert got == {1: None, 2: 100, 3: 100, 4: 200, 5: None}
+
+
+def test_asof_forward_mirrors_backward(spark):
+    from rtcdb_spark.operators.relational import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = {
+        r["lid"]: r["right_val"]
+        for r in asof_join(
+            left, right, on="key", left_time="lt", right_time="rt",
+            right_cols=["val"], direction="forward",
+        ).collect()
+    }
+    # equal timestamp matches (>=); no later row -> null; no rows -> null
+    assert got == {1: 100, 2: 100, 3: 200, 4: None, 5: None}
