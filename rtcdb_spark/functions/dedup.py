@@ -79,17 +79,35 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_clique: int = 256
+) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    Docs are exploded into `N_BANDS` (band_id, signature) keys, grouped into
-    buckets, and pairs are expanded *within* each bucket — ONE shuffle on the
-    bucket key, no self-join (a self-join would evaluate the whole upstream
-    minhash pipeline once per join side). Linear in corpus size for
-    non-degenerate data; a pathological bucket (e.g. millions of identical
-    docs) is inherently quadratic in pairs under any algorithm — cap bucket
-    size upstream if that is a live risk. Dedup across bands keeps each pair
-    once."""
+    Docs are exploded into `N_BANDS` (band_id, signature) keys; within each
+    bucket, pairs are expanded in place — ONE shuffle on the bucket key, no
+    self-join (a self-join would evaluate the whole upstream minhash
+    pipeline once per join side). Linear in corpus size for non-degenerate
+    data.
+
+    Degenerate-bucket bound: a pathological hot bucket (e.g. millions of
+    byte-identical docs, or the empty-text signature) is inherently
+    quadratic under all-pairs expansion. The expansion is capped: only the
+    `max_clique` smallest ids form the full pairwise clique; every doc
+    beyond the cap emits a single star link to the bucket's min id instead
+    — both generated from the same aggregated bucket array in ONE
+    expression (no second window pass, no sort, no union: the bucket-key
+    groupBy stays the only shuffle). Per-bucket pair output is ≤
+    max_clique²/2 + n and every member stays connected to the bucket
+    component, so downstream connected-components grouping is unaffected;
+    what is lost is only the *direct* pair between two beyond-cap members
+    (their Jaccard is then never computed — immaterial for dedup grouping,
+    under-reports pair-level similarity inside oversized buckets; raise
+    max_clique if that matters). The aggregated id array itself remains
+    O(bucket) — 8 bytes/doc, linear and spill-safe; it is the quadratic
+    pair blowup that kills at scale, and that is what the cap removes.
+    Results are bit-identical to uncapped expansion whenever no bucket
+    exceeds max_clique. Dedup across bands keeps each pair once."""
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -115,16 +133,19 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS id_a, b AS id_b))))"
-                )
-            ).alias("p")
+    # Clique over the first max_clique ids + star links (ids[0], overflow_id)
+    # for the rest, emitted by one expression over the sorted bucket array.
+    pair_expr = f"""
+        concat(
+            flatten(transform(slice(ids, 1, {max_clique}), (a, i) ->
+                transform(slice(ids, i + 2, {max_clique} - i - 1),
+                          b -> struct(a AS id_a, b AS id_b)))),
+            transform(slice(ids, {max_clique} + 1, size(ids)),
+                      b -> struct(ids[0] AS id_a, b AS id_b))
         )
+    """
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -245,16 +266,32 @@ def simhash_hamming_pairs(
     sigs: DataFrame,
     max_hamming: int = SIMHASH_PROBE_RADIUS,
     id_col: str = "doc_id",
+    max_clique: int = 256,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming ≤ max_hamming) from 64-bit
     SimHash signatures via banded multi-probe.
 
     Same shuffle shape as :func:`lsh_candidate_pairs`: each doc explodes into
-    4 (band_id, band_val) keys carrying its signature words, buckets group on
-    the band key (ONE shuffle), pairs expand in-bucket with exact Hamming
-    verification (`bit_count(xor)`) inline — no self-join, no all-pairs, no
-    second pass to re-join signatures. Linear in corpus size for
-    non-degenerate band histograms."""
+    4 (band_id, band_val) keys carrying its signature words; pairs expand
+    in-bucket with exact Hamming verification (`bit_count(xor)`) inline — no
+    self-join, no all-pairs, no second pass to re-join signatures. Linear in
+    corpus size for non-degenerate band histograms.
+
+    Degenerate-bucket bound (same scheme as lsh_candidate_pairs): the
+    `max_clique` smallest-id docs form the full pairwise clique, and every
+    doc beyond the cap emits one star probe against the bucket's min-id
+    doc, still Hamming-verified inline — both generated from the sorted
+    bucket array in one expression (no extra sort/window/union; the
+    bucket-key groupBy stays the only shuffle, and the aggregated array is
+    O(bucket) while the removed blowup was the O(bucket²) pair output). In
+    the motivating degenerate case (a hot band value from, e.g., identical
+    empty-text signatures) overflow docs have hamming 0 to the min doc, so
+    connectivity of the duplicate component is preserved at O(n) pairs
+    instead of O(n²); a beyond-cap doc pair whose ONLY shared band is
+    oversized and whose distance to the bucket min exceeds the radius can
+    be missed — pigeonhole-exact recall at r ≤ max_hamming is guaranteed
+    only while no matching band bucket exceeds max_clique. Bit-identical
+    to the uncapped expansion whenever buckets fit the cap."""
     lo, hi = F.col("sim_lo"), F.col("sim_hi")
     mask = F.lit(0xFFFF)
     band_vals = [
@@ -286,15 +323,16 @@ def simhash_hamming_pairs(
         .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(docs, (a, i) -> "
-                "transform(slice(docs, i + 2, size(docs)), "
-                "b -> struct(a AS da, b AS db))))"
-            )
-        ).alias("p")
-    ).select(
+    pair_expr = f"""
+        concat(
+            flatten(transform(slice(docs, 1, {max_clique}), (a, i) ->
+                transform(slice(docs, i + 2, {max_clique} - i - 1),
+                          b -> struct(a AS da, b AS db)))),
+            transform(slice(docs, {max_clique} + 1, size(docs)),
+                      b -> struct(docs[0] AS da, b AS db))
+        )
+    """
+    pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
         F.col("p.da.id").alias("id_a"),
         F.col("p.db.id").alias("id_b"),
         (

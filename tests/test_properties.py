@@ -327,3 +327,63 @@ def test_star_cc_equals_union_find(spark, edges):
         for r in connected_components_star(df).collect()
     )
     assert got == want
+
+
+def test_degenerate_bucket_cap_bounds_pairs_and_keeps_connectivity(spark):
+    """Adversarial corpus: every doc identical -> every band bucket holds the
+    whole corpus. The cap must (a) bound pair output to clique + star size
+    instead of O(n^2), and (b) keep all docs in ONE connected component."""
+    from pyspark.sql import functions as F
+
+    from rtcdb_spark.functions.dedup import (
+        connected_components_star,
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash64,
+        simhash_hamming_pairs,
+    )
+
+    n, cap = 600, 256
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document body repeated verbatim").alias("text"),
+    )
+
+    expected = cap * (cap - 1) // 2 + (n - cap)  # bounded clique + star links
+
+    lsh = lsh_candidate_pairs(
+        minhash_signatures(doc_shingles(docs)), max_clique=cap
+    )
+    assert lsh.count() == expected  # uncapped would be n*(n-1)/2 = 179700
+
+    groups = connected_components_star(lsh).select("group_id").distinct()
+    assert groups.count() == 1
+
+    sim = simhash_hamming_pairs(simhash64(docs), max_clique=cap)
+    assert sim.count() == expected
+    assert sim.agg(F.max("hamming")).first()[0] == 0
+
+
+def test_bucket_cap_noop_below_threshold(spark):
+    """With buckets under the cap the output is bit-identical to uncapped."""
+    from pyspark.sql import functions as F
+
+    from rtcdb_spark.functions.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("doc body variant number "),
+            (F.col("id") % 5).cast("string"),
+            F.lit(" with shared filler words to collide bands"),
+        ).alias("text"),
+    )
+    sigs = minhash_signatures(doc_shingles(docs))
+    capped = {tuple(r) for r in lsh_candidate_pairs(sigs, max_clique=256).collect()}
+    uncapped = {tuple(r) for r in lsh_candidate_pairs(sigs, max_clique=10**9).collect()}
+    assert capped == uncapped and capped
