@@ -33,6 +33,18 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores ts as timestamp[ns], which Spark's reader rejects;
     # read it as a long and convert in sources.tables.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Constraint propagation OFF: this Spark build's Union.rewriteConstraints
+    # intermittently throws `NoSuchElementException: key not found: <attr>`
+    # when a union child's Project carries alias constraints referencing
+    # non-output attributes (ExpressionSet iteration order makes it
+    # exprId-dependent, i.e. flaky run-to-run). Observed on the
+    # connected-components star rounds (self-union of swapped edge
+    # orientations) and on capped LSH pair plans (clique ∪ star-overflow).
+    # Cost of disabling: only the *inferred* transitive/isnotnull filters —
+    # every explicit filter still pushes down; TPC-H keys are non-null so
+    # inferred null-pruning buys nothing here. Determinism of the whole
+    # query surface beats an optional optimizer inference.
+    "spark.sql.constraintPropagation.enabled": "false",
 }
 
 
