@@ -37,7 +37,7 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     round_to: int = 12,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """PageRank by power iteration over a directed edge list → (node, rank).
 
@@ -76,17 +76,21 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    out = degrees(edges)
+    # Out-degrees are loop-invariant: persist so the per-iteration plan reads
+    # a cached node-sized table instead of re-aggregating the edge list.
+    out = degrees(edges).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for it in range(n_iter):
-        contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(out, "node")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
-            )
+        # Pre-reduce to a per-source contribution *rate* (rank/outdeg) before
+        # touching the edge list: the two node-sized tables join each other
+        # first, so the (dominant) edge relation participates in ONE join per
+        # iteration instead of two — half the edge-sided join input.
+        rates = ranks.join(out, "node").select(
+            "node", (F.col("rank") / F.col("deg")).alias("w")
+        )
+        contribs = edges.join(rates, edges["src"] == rates["node"]).select(
+            F.col("dst").alias("node"), F.col("w").alias("c")
         )
         summed = contribs.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,15)")).cast("double").alias("s")
