@@ -31,19 +31,43 @@ from pyspark.sql import functions as F
 from rtcdb_spark.deterministic import dsum
 
 
+def _restore_if_interrupted(out_dir: str) -> None:
+    """Heal a crash that landed between _swap_in's two renames: the live dir
+    is missing but the old snapshot still sits in the trash sibling — the
+    ONLY state in which trash holds the sole surviving copy. Rename it back
+    before anyone reads or deletes, so batch replay merges against the real
+    previous snapshot instead of silently rebuilding from one batch."""
+    trash = out_dir.rstrip("/") + "__old"
+    if not os.path.exists(out_dir) and os.path.exists(trash):
+        os.rename(trash, out_dir)
+
+
+def _read_snapshot(spark, out_dir: str) -> DataFrame | None:
+    """Previous snapshot, or None only when none exists. Missing-path is the
+    one condition mapped to None (after interrupted-swap restore); a corrupt
+    or unreadable snapshot raises instead of being treated as empty state."""
+    _restore_if_interrupted(out_dir)
+    if not os.path.exists(out_dir):
+        return None
+    return spark.read.parquet(out_dir)
+
+
 def _swap_in(df: DataFrame, out_dir: str) -> None:
     """Distributed snapshot replace: write to a staging sibling directory
     with a normal parallel parquet job, then swap it into place with a
     directory rename. No driver-side collect, no single-file funnel. The
     staging path is deterministic, so a crash between write and swap is
     healed by the batch replay (the rewrite overwrites staging and re-swaps
-    — idempotent). Reading the previous snapshot while writing staging is
-    safe because the directory being read is never the one being written.
-    On HDFS the rename is the FileSystem API; on object stores /
+    — idempotent); a crash *between the two renames* leaves the old
+    snapshot in the trash sibling, which _restore_if_interrupted moves back
+    before any read or delete. Reading the previous snapshot while writing
+    staging is safe because the directory being read is never the one being
+    written. On HDFS the rename is the FileSystem API; on object stores /
     transactional tables the same pattern is dynamic partition overwrite
     keyed by the snapshot's partition column."""
     staging = out_dir.rstrip("/") + "__staging"
     trash = out_dir.rstrip("/") + "__old"
+    _restore_if_interrupted(out_dir)
     df.write.mode("overwrite").parquet(staging)
     # Two renames, then delete: the live path is missing only for the gap
     # between two atomic renames — never for the duration of a recursive
@@ -104,10 +128,7 @@ def stream_agg_foreach_batch(
         # staging write runs, then _swap_in renames staging into place —
         # fully distributed, nothing through the driver.
         spark = batch_df.sparkSession
-        try:
-            prev = spark.read.parquet(out_dir)
-        except Exception:
-            prev = None
+        prev = _read_snapshot(spark, out_dir)
         merged = batch_df
         if prev is not None:
             merged = prev.join(
@@ -156,10 +177,7 @@ def stream_rollup_cascade(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         minute_dir = f"{out_dir}/minute"
-        try:
-            prev = spark.read.parquet(minute_dir)
-        except Exception:
-            prev = None
+        prev = _read_snapshot(spark, minute_dir)
         merged = batch_df
         if prev is not None:
             merged = prev.join(

@@ -286,3 +286,39 @@ def test_stream_enrich_static_multi_batch(spark, sf_smoke, stream_dir):
     )
     key = ["segment", "event_type"]
     assert _collect_sorted(got, *key) == _collect_sorted(want, *key)
+
+
+def test_swap_in_recovers_interrupted_rename(spark, tmp_path):
+    """Crash between _swap_in's two renames leaves the live dir missing and
+    the only surviving snapshot in the __old trash sibling; the next read
+    must restore it instead of treating state as empty (which would silently
+    drop all previously merged groups)."""
+    import os
+
+    from rtcdb_spark.streaming.sinks import _read_snapshot, _swap_in
+
+    out = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    _swap_in(df1, out)
+    # Simulate the crash window: live renamed to trash, staging never landed.
+    os.rename(out, out + "__old")
+    prev = _read_snapshot(spark, out)
+    assert prev is not None, "interrupted swap must not read as empty state"
+    assert {(r["k"], r["v"]) for r in prev.collect()} == {("a", 1), ("b", 2)}
+    assert os.path.exists(out) and not os.path.exists(out + "__old")
+    # And a subsequent swap proceeds normally on the healed directory.
+    _swap_in(spark.createDataFrame([("c", 3)], ["k", "v"]), out)
+    assert {r["k"] for r in spark.read.parquet(out).collect()} == {"c"}
+
+
+def test_read_snapshot_missing_is_none_but_corrupt_raises(spark, tmp_path):
+    from rtcdb_spark.streaming.sinks import _read_snapshot
+
+    assert _read_snapshot(spark, str(tmp_path / "never_written")) is None
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _read_snapshot(spark, str(bad)).collect()
