@@ -175,3 +175,87 @@ def test_pagerank_never_hints_broadcast(spark, sf_smoke):
     df = REGISTRY["graph_pagerank"].fn(spark, sf_smoke)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in optimized
+
+
+# --- streaming plan contracts ------------------------------------------------
+# The streaming queries execute via run_available_now, so the registry-wide
+# test above can only see their *batch result*; these build each stream's
+# UNSTARTED DataFrame (the plan Spark will run per micro-batch) and assert
+# the stateful-operator shape: incremental state-store execution, watermark
+# present, stream-stream joins symmetric-hash (never cartesian / BNLJ), and
+# static enrichment broadcasting only the dimension side.
+
+
+def _stream_frames(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from rtcdb_spark.sources import load_table
+    from rtcdb_spark.streaming import (
+        read_events_stream,
+        stream_dedup,
+        stream_enrich_static,
+        stream_session,
+        stream_stream_join,
+        stream_tumbling,
+        stream_user_running_totals,
+    )
+
+    sdf = read_events_stream(spark, sf_smoke)
+    return {
+        "stream_window_tumbling": (
+            stream_tumbling(sdf), ["StateStoreSave", "EventTimeWatermark"]
+        ),
+        "stream_window_session": (
+            stream_session(sdf),
+            ["SessionWindowStateStoreSave", "MergingSessions"],
+        ),
+        "stream_dedup_count": (
+            stream_dedup(sdf), ["StreamingDeduplicateWithinWatermark"]
+        ),
+        "stream_running_totals": (
+            stream_user_running_totals(sdf),
+            ["FlatMapGroupsInPandasWithState", "EventTimeWatermark"],
+        ),
+        "stream_join_click_purchase": (
+            stream_stream_join(
+                sdf.filter(F.col("event_type") == "click"),
+                sdf.filter(F.col("event_type") == "purchase"),
+            ),
+            ["StreamingSymmetricHashJoin"],
+        ),
+        "stream_enrich_segments": (
+            stream_enrich_static(sdf, load_table(spark, sf_smoke, "customer")),
+            ["BroadcastHashJoin", "StateStoreSave"],
+        ),
+    }
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stream_window_tumbling",
+        "stream_window_session",
+        "stream_dedup_count",
+        "stream_running_totals",
+        "stream_join_click_purchase",
+        "stream_enrich_segments",
+    ],
+)
+def test_streaming_microbatch_plan_contract(spark, sf_smoke, name):
+    df, markers = _stream_frames(spark, sf_smoke)[name]
+    p = _inspect(df)
+    assert p.cartesian_products == 0 and p.nested_loop_joins == 0, (
+        f"{name}: {p.describe()}"
+    )
+    for marker in markers:
+        assert marker in p.plan, f"{name}: expected {marker} in plan"
+
+
+def test_stream_enrich_broadcasts_dimension_not_stream(spark, sf_smoke):
+    # the broadcast side must be the customer dimension — a broadcast whose
+    # subtree reads the (unbounded) event stream would buffer the stream
+    df, _ = _stream_frames(spark, sf_smoke)["stream_enrich_segments"]
+    p = _inspect(df)
+    assert p.broadcast_joins >= 1, p.describe()
+    violations = broadcast_fact_violations(df, FACT_TABLES)
+    assert not violations, violations
