@@ -49,6 +49,9 @@ HEADLINE = [
     # rollup maintenance + iterative graph
     "rollup_cascade",
     "graph_pagerank",
+    # round-3 additions: O(log n) star connected components + IVF ANN path
+    "dedup_connected_groups_star",
+    "similarity_ivf_topk",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
@@ -95,9 +98,15 @@ def main() -> None:
             base = json.load(f)["spark"]["queries"]
         covered = [n for n in timings if n in base]
         if covered:
+            # Numerator and denominator over the SAME covered subset — a
+            # headline query without a recorded baseline must not inflate
+            # the ratio (it still contributes to `value` above).
             base_total = round(sum(base[n] for n in covered), 4)
             out["baseline_value"] = base_total
-            out["ratio_vs_baseline"] = round(out["value"] / base_total, 4)
+            out["baseline_covered"] = len(covered)
+            out["ratio_vs_baseline"] = round(
+                round(sum(timings[n] for n in covered), 4) / base_total, 4
+            )
     except Exception:
         pass
     print(json.dumps(out))

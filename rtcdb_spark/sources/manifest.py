@@ -93,6 +93,12 @@ def select_files(
         if hi is not None:
             cond = cond & (F.col(f"min_{c}") <= F.lit(hi))
     total = manifest.count()
+    # Driver-side collect is METADATA-sized: one row per surviving data file,
+    # never data rows (the same driver-resident file list every format keeps —
+    # Delta/Iceberg do the identical step). Bound: at ~10^6 files × ~100 B
+    # path this is ~100 MB driver memory and an O(n_files) planning step —
+    # acceptable to ~1 M files; beyond that, compact files (sources.compact)
+    # or hand Spark the manifest-filtered paths as a partitioned table.
     files = [r["_file"] for r in manifest.filter(cond).select("_file").collect()]
     return files, total
 
