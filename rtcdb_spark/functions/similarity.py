@@ -392,3 +392,54 @@ def pq_topk(
         )
     )
     return probed.orderBy(F.asc("adc_d2"), F.asc(id_col)).limit(top_k)
+
+
+def jl_signs(k: int = 16, d: int = 64) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for a Johnson–Lindenstrauss (Achlioptas
+    2003 database-friendly) random projection: k output dims × d input dims,
+    generated by a fixed 64-bit LCG (Knuth MMIX constants) so BOTH engines
+    inline the exact same literals — no RNG at query time, no seed plumbing,
+    re-runnable forever."""
+    out: list[list[float]] = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(k):
+        row: list[float] = []
+        for _ in range(d):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1.0 if state >> 63 else -1.0)
+        out.append(row)
+    return out
+
+
+def random_projection(
+    df: DataFrame, vec_col: str = "v", k: int = 16, d: int = 64
+) -> DataFrame:
+    """Project a d-dim double array onto k ±1 sign vectors (scaled 1/√k):
+    the JL dimensionality-reduction step a 100 TB embedding pipeline runs
+    before clustering / coarse ANN to cut vector bytes (here 4×).
+
+    Map-only: k inlined-literal dot products per row, all inside
+    whole-stage codegen — no shuffle, no Python, no broadcast state. Each
+    dot is the same left-to-right `aggregate(zip_with(...))` fold as
+    `_dot`, bit-identical to DuckDB's `list_dot_product` loop; the 1/√k
+    scale is a single exact-for-√16 division."""
+    signs = jl_signs(k, d)
+    scale = float(k) ** 0.5
+    cols = [
+        (
+            _dot(vec_col, f"array({', '.join(f'{s}D' for s in row)})") / F.lit(scale)
+        ).alias(f"p{j:02d}")
+        for j, row in enumerate(signs)
+    ]
+    return df.select("*", *cols)
+
+
+def sql_random_projection(vec_expr: str, k: int = 16, d: int = 64) -> list[str]:
+    """DuckDB twin of :func:`random_projection`: one `list_dot_product(...,
+    [±1.0, ...]) / sqrt(k) AS pNN` select-item per output dim."""
+    signs = jl_signs(k, d)
+    scale = float(k) ** 0.5
+    return [
+        f"list_dot_product({vec_expr}, [{', '.join(str(s) for s in row)}]) / {scale!r} AS p{j:02d}"
+        for j, row in enumerate(signs)
+    ]

@@ -752,3 +752,76 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .orderBy("keep_id")
     )
+
+
+_SPAN_DROP_FRAC = 0.30  # drop a doc when ≥30% of its distinct spans are boilerplate
+
+
+@query(
+    "dedup_span_fraction",
+    f"""
+    WITH spans AS (
+        SELECT doc_id, unnest(list_distinct({sql_shingles('text', _SPAN_N)})) AS span
+        FROM documents
+    ),
+    counts AS (
+        SELECT span, COUNT(*) AS n_docs FROM spans GROUP BY span
+    ),
+    flagged AS (
+        SELECT s.doc_id,
+               CASE WHEN c.n_docs >= {_SPAN_MIN_DOCS} THEN 1 ELSE 0 END AS is_b
+        FROM spans s JOIN counts c USING (span)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(is_b) AS BIGINT) AS n_boiler,
+           CAST(SUM(is_b) AS BIGINT) / COUNT(*) AS dup_frac,
+           CAST(CAST(SUM(is_b) AS BIGINT) / COUNT(*) < {_SPAN_DROP_FRAC} AS BIGINT) AS keep
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "span", "filter", "llm-pipeline"),
+)
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction → keep/drop decision — the
+    RefinedWeb/CCNet line-dedup *filter* that `dedup_boilerplate_spans`
+    only inventories: a doc whose distinct {_SPAN_N}-token spans are
+    ≥{_SPAN_DROP_FRAC:.0%} boilerplate (spans shared by ≥{_SPAN_MIN_DOCS}
+    docs) is mostly navigation/template text and is dropped whole, even
+    when its exact hash is unique.
+
+    Scale shape: one explode of per-doc *distinct* spans (array_distinct
+    runs map-side, bounding the explode at the doc's span count), one
+    span-key shuffle for the global span→doc-count, then the count table
+    joins back to the span stream and ONE doc_id-key shuffle computes both
+    the span total and the boilerplate subtotal in a single aggregate. At
+    100 TB the span→count table is corpus-sized, so the join-back stays a
+    shuffle equi-join (not a broadcast) — but it carries only (span,
+    n_docs), and AQE converts it to a broadcast automatically whenever the
+    HAVING-style cardinality collapse makes it small. dup_frac is one
+    IEEE double division of two identical BIGINTs per row — bit-equal on
+    both engines; the keep flag is emitted as 0/1 BIGINT so the driver's
+    pandas canonicalizer sees the same dtype from both."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", _SPAN_N))).alias("span"),
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = spans.join(counts, "span").select(
+        "doc_id",
+        (F.col("n_docs") >= _SPAN_MIN_DOCS).cast("int").alias("is_b"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("is_b").cast("bigint").alias("n_boiler"),
+    )
+    dup_frac = F.col("n_boiler") / F.col("n_spans")
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_boiler",
+        dup_frac.alias("dup_frac"),
+        (dup_frac < F.lit(_SPAN_DROP_FRAC)).cast("bigint").alias("keep"),
+    ).orderBy("doc_id")

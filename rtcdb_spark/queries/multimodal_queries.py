@@ -6,6 +6,7 @@ against a DuckDB blob-function oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rtcdb_spark.functions.multimodal import (
     attach_payload,
@@ -71,3 +72,95 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is production-shaped: no driver hops, scales with cores."""
     d = load_table(spark, sf_dir, "documents")
     return synth_and_decode(d).orderBy("doc_id")
+
+
+@query(
+    "multimodal_audio_energy",
+    """
+    WITH wav AS (
+        SELECT doc_id, 50 + doc_id % 100 AS n
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    pcm AS (
+        SELECT doc_id, n,
+               list_transform(generate_series(0, n - 1),
+                              i -> (doc_id * 131 + i * 17) % 65536 - 32768) AS ss
+        FROM wav
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_max(list_transform(ss, x -> abs(x))) AS BIGINT) AS peak_abs,
+           CAST(list_sum(list_transform(generate_series(1, n - 1),
+                i -> CASE WHEN (ss[i] >= 0) <> (ss[i+1] >= 0) THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross,
+           CAST(list_sum(list_transform(ss, x -> x * x)) AS BIGINT) AS sum_sq,
+           sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS BIGINT) / n) AS rms
+    FROM pcm
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "feature-extract"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction end-to-end — the multimodal stage AFTER
+    metadata decode: every audio row's WAV payload is genuinely parsed
+    down to its PCM samples (RIFF walk + 16-bit unpack) inside one
+    Arrow-batched `mapInPandas` pass, emitting the classic speech-corpus
+    screens: peak amplitude (clipping), zero-crossing count (noisiness),
+    and RMS energy (silence). The oracle recomputes the features
+    analytically from the synthesis formula, so a hash match proves the
+    byte-level pack → sample-decode → feature math is exact. Sample math
+    is pure integer (sum-of-squares of int16 ≪ 2^53); RMS is the only
+    float op (one division + correctly-rounded sqrt, IEEE-identical)."""
+    from rtcdb_spark.functions.multimodal import synth_and_audio_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return synth_and_audio_features(d).orderBy("doc_id")
+
+
+@query(
+    "multimodal_image_stats",
+    """
+    WITH bmp AS (
+        SELECT doc_id,
+               1 + doc_id % 13 AS w,
+               1 + doc_id % 7 AS h,
+               ((3 * (1 + doc_id % 13) + 3) // 4) * 4 AS stride
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    sums AS (
+        SELECT doc_id, w, h,
+               CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                    list_transform(generate_series(0, w - 1), x ->
+                        (doc_id * 31 + (y * stride + 3 * x) * 7) % 256)))) AS BIGINT) AS sb,
+               CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                    list_transform(generate_series(0, w - 1), x ->
+                        (doc_id * 31 + (y * stride + 3 * x + 1) * 7) % 256)))) AS BIGINT) AS sg,
+               CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                    list_transform(generate_series(0, w - 1), x ->
+                        (doc_id * 31 + (y * stride + 3 * x + 2) * 7) % 256)))) AS BIGINT) AS sr
+        FROM bmp
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           sb / (w * h) AS mean_b,
+           sg / (w * h) AS mean_g,
+           sr / (w * h) AS mean_r,
+           (sb + sg + sr) / (3 * w * h) AS brightness
+    FROM sums
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "image", "feature-extract"),
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level image feature extraction — the step past header decode:
+    every image row's BMP payload is genuinely decoded scanline-by-scanline
+    (4-byte row padding skipped, BGR channel split) and averaged into the
+    brightness/color screens an image-corpus pipeline applies before
+    model-based scoring. The oracle recomputes the channel sums
+    analytically from the pixel synthesis formula over the SAME padded
+    layout, so a hash match proves byte-exact pixel addressing. Channel
+    sums are exact integers; each mean is one IEEE division."""
+    from rtcdb_spark.functions.multimodal import synth_and_image_stats
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return synth_and_image_stats(d).orderBy("doc_id")

@@ -387,3 +387,43 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+from rtcdb_spark.functions.similarity import random_projection, sql_random_projection
+
+_JL_K = 16
+_JL_D = 64
+_JL_SQL_ITEMS = ",\n           ".join(sql_random_projection("embedding::DOUBLE[]", _JL_K, _JL_D))
+
+
+@query(
+    "embedding_random_projection",
+    f"""
+    SELECT vec_id,
+           {_JL_SQL_ITEMS}
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "projection", "llm-pipeline"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction (Achlioptas ±1
+    variant): every {_JL_D}-dim embedding is projected to {_JL_K} dims by
+    {_JL_K} fixed ±1 sign vectors scaled 1/√{_JL_K} — the byte-diet step a
+    100 TB embedding corpus runs before k-means / coarse ANN (4× fewer
+    vector bytes; inner products preserved in expectation, distortion
+    O(√(log n / k))).
+
+    Scale shape: map-only — the sign matrix is inlined as literals into
+    the row expression (not even a broadcast), all {_JL_K} dot products run
+    inside one whole-stage-codegen projection, zero shuffles, zero Python.
+    Cross-engine: the same LCG-generated literals are baked into both the
+    Spark fold and the DuckDB `list_dot_product` twin, and both folds are
+    sequential left-to-right, so every output double is bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return (
+        random_projection(v, "v", _JL_K, _JL_D)
+        .drop("v")
+        .orderBy("vec_id")
+    )

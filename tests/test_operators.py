@@ -395,3 +395,57 @@ def test_asof_forward_mirrors_backward(spark):
     }
     # equal timestamp matches (>=); no later row -> null; no rows -> null
     assert got == {1: 100, 2: 100, 3: 200, 4: None, 5: None}
+
+
+def test_jl_projection_preserves_distances(spark, sf_smoke):
+    """JL guarantee, empirically: ±1 random projection to k=16 dims keeps
+    pairwise squared distances within a loose distortion band for most
+    pairs (E[‖Px−Py‖²] = ‖x−y‖²; k=16 → σ ≈ √(2/k) ≈ 0.35)."""
+    from rtcdb_spark.functions.similarity import random_projection
+
+    e = load_table(spark, sf_smoke, "embeddings").limit(20)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    proj = random_projection(v, "v", 16, 64).collect()
+    orig = {r["vec_id"]: r["v"] for r in proj}
+    red = {r["vec_id"]: [r[f"p{j:02d}"] for j in range(16)] for r in proj}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ids = sorted(orig)
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            od = d2(orig[ids[i]], orig[ids[j]])
+            if od > 1e-12:
+                ratios.append(d2(red[ids[i]], red[ids[j]]) / od)
+    assert ratios, "fixture produced no distinct pairs"
+    within = sum(1 for r in ratios if 0.25 <= r <= 4.0) / len(ratios)
+    assert within >= 0.9, f"only {within:.0%} of pairs within 4x distortion"
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.5 <= med <= 2.0, f"median distortion {med:.3f} off unity"
+
+
+def test_audio_features_known_waveform():
+    """audio_features on a hand-built WAV: a square wave alternating
+    +1000/-1000 has peak 1000, RMS exactly 1000, and a zero crossing at
+    every sample boundary."""
+    import struct as _struct
+
+    from rtcdb_spark.functions.multimodal import audio_features
+
+    samples = [1000 if i % 2 == 0 else -1000 for i in range(8)]
+    data = b"".join(_struct.pack("<h", s) for s in samples)
+    wav = (
+        _struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + _struct.pack("<4sI", b"fmt ", 16)
+        + _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + _struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    feats = audio_features(wav)
+    assert feats["n_samples"] == 8
+    assert feats["peak_abs"] == 1000
+    assert feats["zero_cross"] == 7
+    assert feats["sum_sq"] == 8 * 1000 * 1000
+    assert feats["rms"] == 1000.0
