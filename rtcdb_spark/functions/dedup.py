@@ -179,6 +179,42 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Da
     )
 
 
+def containment_pairs(sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard AND containment for the given (id_a, id_b) pairs:
+    containment = |A∩B| / min(|A|, |B|) — the asymmetric overlap measure
+    that catches near-SUPERSETS (a doc quoting another whole, boilerplate
+    wrapping a copied body) which Jaccard dilutes: a 10-shingle doc fully
+    contained in a 100-shingle doc has containment 1.0 but Jaccard 0.1.
+    Same join shape as :func:`jaccard_pairs` (Catalyst folds the shingle
+    equality into the (id, sh) hash-join key — no per-pair cross
+    product); both ratios are one double division of exact counts."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double") / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+    )
+
+
 def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per document over token hashes (frequency-weighted).
 

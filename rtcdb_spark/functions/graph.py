@@ -108,3 +108,56 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle census of an undirected graph → one row
+    (n_triangles, n_wedges, clustering_coeff).
+
+    Degree-ordered enumeration (Cohen's MapReduce scheme / Latapy's
+    compact-forward): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, generate wedges only at each edge's LOW
+    endpoint, and close them against the oriented edge set. Orientation
+    caps the per-node wedge fan-out at O(√m) on any graph — the hub that
+    would make naive wedge-join quadratic has huge in-degree but tiny
+    out-degree — so the wedge relation stays near-linear in m and the
+    whole census is two equi-joins plus map-combined aggregates; nothing
+    driver-side. The clustering coefficient divides two exact integers
+    once (IEEE-identical everywhere).
+
+    `edges` must be the symmetrized view (both orientations present);
+    wedge counts use the true undirected degree."""
+    deg = degrees(edges)
+    canon = edges.filter(F.col("src") < F.col("dst"))
+    with_deg = (
+        canon.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+    )
+    src_lower = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    directed = with_deg.select(
+        F.when(src_lower, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_lower, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(src_lower, F.col("ddeg")).otherwise(F.col("sdeg")).alias("hideg"),
+    )
+    p, q = directed.alias("p"), directed.alias("q")
+    wedges = p.join(q, F.col("p.lo") == F.col("q.lo")).filter(
+        (F.col("p.hideg") < F.col("q.hideg"))
+        | ((F.col("p.hideg") == F.col("q.hideg")) & (F.col("p.hi") < F.col("q.hi")))
+    ).select(F.col("p.hi").alias("y"), F.col("q.hi").alias("z"))
+    # The wedge filter orders (y, z) by the SAME (deg, id) rank that oriented
+    # the edges, so a closing edge {y, z} can only appear as lo=y → hi=z:
+    # one orientation to join against, half the probe input.
+    closed = wedges.join(
+        directed.select(F.col("lo").alias("y"), F.col("hi").alias("z")), ["y", "z"]
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    wed = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("bigint").alias("n_wedges")
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles",
+        "n_wedges",
+        ((F.lit(3) * F.col("n_triangles")) / F.col("n_wedges")).alias("clustering_coeff"),
+    )

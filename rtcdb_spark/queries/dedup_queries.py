@@ -825,3 +825,62 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_frac"),
         (dup_frac < F.lit(_SPAN_DROP_FRAC)).cast("bigint").alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_SQL_SH},
+    sample AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT id_a, id_b, jaccard, containment FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / (za.n + zb.n - COALESCE(i.n_common, 0)) AS jaccard,
+               CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / least(za.n, zb.n) AS containment
+        FROM pairs p
+        LEFT JOIN inter i USING (id_a, id_b)
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+    )
+    ORDER BY containment DESC, jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+    tags=("dedup", "containment", "llm-pipeline"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (near-superset) detection on the bounded ground-truth
+    sample: |A∩B| / min(|A|,|B|) alongside Jaccard, surfacing pairs where
+    one document nearly CONTAINS the other — quotes, boilerplate-wrapped
+    copies — which symmetric Jaccard dilutes toward zero as the size gap
+    grows. On the scale path the same expression drops into the LSH
+    verify stage (candidates from banding, exact containment verify);
+    here it runs over the bounded all-pairs sample so the oracle is
+    exhaustive."""
+    d = load_table(spark, sf_dir, "documents")
+    sample = d.filter(F.col("doc_id") < 60)
+    sh = doc_shingles(sample)
+    ids = sample.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    from rtcdb_spark.functions.dedup import containment_pairs
+
+    return (
+        containment_pairs(sh, pairs)
+        .orderBy(F.desc("containment"), F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+    )

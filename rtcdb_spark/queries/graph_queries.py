@@ -133,3 +133,40 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("user_id"))
         .limit(25)
     )
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH {_SQL_GRAPH},
+    canon AS (SELECT src AS u, dst AS v FROM edges WHERE src < dst),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM canon e1
+        JOIN canon e2 ON e2.u = e1.v
+        JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wed AS (
+        SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS w FROM deg
+    )
+    SELECT CAST(t AS BIGINT) AS n_triangles,
+           w AS n_wedges,
+           3 * t / w AS clustering_coeff
+    FROM tri, wed
+    """,
+    tags=("graph", "triangles"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census + global clustering coefficient of the
+    co-activity graph — the standard cohesion diagnostic (and the op whose
+    naive wedge join is the textbook quadratic blowup). The Spark side uses
+    degree-ordered orientation (`functions.graph.triangle_count`): wedges
+    are generated only at each edge's lower-(degree, id) endpoint, capping
+    fan-out at O(√m) per node, then closed with one equi-join against the
+    oriented edge set. The oracle counts the same triangles by plain
+    id-ordering (u<v<w) — orientation changes the join sizes, never the
+    count — so the match proves the oriented enumeration exact."""
+    edges = _event_edges(spark, sf_dir)
+    from rtcdb_spark.functions.graph import triangle_count
+
+    return triangle_count(edges)

@@ -449,3 +449,26 @@ def test_audio_features_known_waveform():
     assert feats["zero_cross"] == 7
     assert feats["sum_sq"] == 8 * 1000 * 1000
     assert feats["rms"] == 1000.0
+
+
+def test_triangle_count_known_graphs(spark):
+    """Triangle census on hand graphs: K4 → C(4,3)=4 triangles; a 4-cycle
+    → 0; K4 with a pendant vertex keeps 4."""
+    from rtcdb_spark.functions.dedup import connected_components  # noqa: F401 (module warm)
+    from rtcdb_spark.functions.graph import symmetrize, triangle_count
+
+    def census(pairs):
+        df = spark.createDataFrame(pairs, ["src", "dst"])
+        return triangle_count(symmetrize(df)).first()
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = census(k4)
+    assert r["n_triangles"] == 4
+    assert r["n_wedges"] == 4 * 3  # 4 nodes of degree 3 → C(3,2)=3 each
+    assert r["clustering_coeff"] == 1.0
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert census(square)["n_triangles"] == 0
+
+    k4_pendant = k4 + [(3, 9)]
+    assert census(k4_pendant)["n_triangles"] == 4
