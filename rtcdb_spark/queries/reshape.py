@@ -256,3 +256,111 @@ def reshape_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer("toks").alias("tok"))
         .orderBy("doc_id", F.asc_nulls_first("tok"))
     )
+
+
+@query(
+    "timeseries_resample_interp",
+    f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bkt,
+               {sql_dsum('value', 4)} AS bkt_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, gs.bkt
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bkt
+            FROM bounds
+        ) gs
+    ),
+    ctx AS (
+        SELECT s.event_type, s.bkt, h.bkt_value,
+               last_value(h.bkt_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN h.bkt_value IS NOT NULL THEN s.bkt END IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+               first_value(h.bkt_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bkt
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN h.bkt_value IS NOT NULL THEN s.bkt END IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bkt
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM spine s
+        LEFT JOIN hourly h ON s.event_type = h.event_type AND s.bkt = h.bkt
+    )
+    SELECT event_type, bkt, bkt_value,
+           CASE
+               WHEN bkt_value IS NOT NULL THEN bkt_value
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * (CAST(date_diff('hour', pd, bkt) AS DOUBLE)
+                                      / date_diff('hour', pd, nd))
+           END AS interp_value
+    FROM ctx
+    ORDER BY event_type, bkt
+    """,
+    tags=("timeseries", "resample", "interpolate", "window"),
+)
+def timeseries_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an hourly series by LINEAR INTERPOLATION — the resampling
+    mode forward-fill can't provide (ffill steps, interp ramps; edges fall
+    back to the nearest observation). Hourly buckets leave real gaps in the
+    fixture (~6% of the spine at sf0.01), so the interpolation branch is
+    genuinely exercised, not vacuous. Same scale shape as the ffill twin:
+    tiny per-series spine, broadcast hourly aggregate, and per-series
+    windows that carry one running (value, bucket) pair each way. The
+    interpolation weight is written identically on both engines — one
+    int-hour ratio cast to double, one multiply, one add — so the doubles
+    match bit-exact."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bkt")
+    ).agg(dsum("value", scale=4, alias="bkt_value"))
+    bounds = e.select(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("interval 1 hour"))).alias("bkt")
+    )
+    spine = e.select("event_type").distinct().crossJoin(grid)
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bkt = F.when(F.col("bkt_value").isNotNull(), F.col("bkt"))
+    ctx = (
+        spine.join(F.broadcast(hourly), ["event_type", "bkt"], "left")
+        .withColumn("pv", F.last("bkt_value", ignorenulls=True).over(wb))
+        .withColumn("pd", F.last(obs_bkt, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("bkt_value", ignorenulls=True).over(wf))
+        .withColumn("nd", F.first(obs_bkt, ignorenulls=True).over(wf))
+    )
+    frac = (
+        F.expr("timestampdiff(HOUR, pd, bkt)").cast("double")
+        / F.expr("timestampdiff(HOUR, pd, nd)")
+    )
+    interp = (
+        F.when(F.col("bkt_value").isNotNull(), F.col("bkt_value"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return (
+        ctx.select("event_type", "bkt", "bkt_value", interp.alias("interp_value"))
+        .orderBy("event_type", "bkt")
+    )
