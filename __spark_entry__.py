@@ -29,18 +29,23 @@ _PRIORITY = [
     # family keeps >=1 green representative in the 50-entry window.
     # Rotated in this round: source_json_roundtrip, agg_count_distinct,
     # fn_math, fn_conditional, stream_running_totals, udf_udtf_tokenize,
-    # dedup_connected_groups_star, similarity_ivf_topk, join_asof_forward.
+    # dedup_connected_groups_star, similarity_ivf_topk, join_asof_forward;
+    # then (same round, new operators) doubly-green q18/q11/agg_argmax/
+    # join_asof_events_orders rotated out for graph_triangle_count,
+    # dedup_span_fraction, embedding_random_projection, and
+    # timeseries_resample_interp (timeseries family's first window slot).
     # C-II scan/filter/project + C-I sources
     "q1_pricing_summary", "scan_filter_project",
     "source_csv_roundtrip", "source_json_roundtrip",
     # C-III aggregates
-    "agg_rollup", "agg_count_distinct", "agg_collect_array", "agg_argmax",
-    # C-IV joins
-    "join_left_outer", "join_asof_events_orders", "join_asof_forward",
+    "agg_rollup", "agg_count_distinct", "agg_collect_array",
+    # C-IV joins (as-of family represented by the forward direction)
+    "join_left_outer", "join_asof_forward",
     # TPC-H suite representatives (incl. previously-vacuous predicates)
-    "q9_profit_by_nation_year", "q18_large_volume_orders",
-    "q11_part_value_concentration", "q20_dominant_suppliers",
+    "q9_profit_by_nation_year", "q20_dominant_suppliers",
     "q22_inactive_rich_customers",
+    # timeseries resampling (family's first driver-window appearance)
+    "timeseries_resample_interp",
     # C-V sort / set
     "sort_multi_key_limit", "set_intersect_all",
     # C-VI windows
@@ -55,8 +60,10 @@ _PRIORITY = [
     "text_token_count", "text_lang_id",
     # C-IX dedup
     "dedup_connected_groups_star", "dedup_lsh_pairs", "dedup_simhash_probe",
-    # C-IX similarity / ANN
+    "dedup_span_fraction",
+    # C-IX similarity / ANN / embedding ops
     "similarity_cosine_topk", "similarity_ivf_topk",
+    "embedding_random_projection",
     # C-IX multimodal
     "multimodal_payload_meta", "multimodal_decode_meta",
     # C-X UDFs
@@ -66,7 +73,7 @@ _PRIORITY = [
     # sketches / warehouse / reshape / analytics / graph / profiling
     "freq_heavy_hitters", "merge_upsert_customers", "reshape_unpivot",
     "anomaly_zscore_daily", "window_rolling_median",
-    "graph_pagerank", "rollup_cascade",
+    "graph_pagerank", "graph_triangle_count", "rollup_cascade",
 ]
 
 
