@@ -357,3 +357,89 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "o_orderkey", "o_orderstatus")
         .orderBy("c_custkey", F.asc_nulls_first("o_orderkey"))
     )
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, MIN(ts) AS s, MAX(ts) + INTERVAL '30 minutes' AS e
+        FROM numbered GROUP BY user_id, sn
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_overlaps,
+           CAST(SUM(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)))
+                AS BIGINT) AS overlap_us
+    FROM sess a
+    JOIN sess b ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id, b.user_id
+    ORDER BY overlap_us DESC, user_a, user_b
+    LIMIT 50
+    """,
+    tags=("join", "interval", "range"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (concurrent user sessions) via the BINNED
+    equi-join strategy: every session interval explodes into the hour
+    buckets it covers, candidate pairs come from ONE bucket-key equi-join
+    (a < b on user id), are deduplicated, then verified with the exact
+    overlap predicate — the standard way to make an interval×interval join
+    scale, because a naive θ-join (a.s <= b.e AND b.s <= a.e) has no
+    equi-key and degenerates to a partition-wise cross product. Candidate
+    volume is Σ_bucket (intervals covering it)², bounded by interval
+    length / bucket width; the oracle runs the naive θ-join (fine at
+    sf0.01, the size the driver checks). Overlap mass sums exact integer
+    microseconds. Sessions come from the same `session_window` operator
+    the sessionize query audits."""
+    e = load_table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"))
+    )
+    W = 3600  # bucket width: 1 hour
+    binned = sess.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("s") / W).cast("long"),
+                F.floor(F.unix_timestamp("e") / W).cast("long"),
+            )
+        ),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(
+            F.col("a.user_id").alias("user_a"), F.col("a.s").alias("sa"), F.col("a.e").alias("ea"),
+            F.col("b.user_id").alias("user_b"), F.col("b.s").alias("sb"), F.col("b.e").alias("eb"),
+        )
+        .distinct()  # a pair sharing k buckets appears k times
+    )
+    overlaps = cand.filter((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+    return (
+        overlaps.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(
+                F.unix_micros(F.least("ea", "eb").cast("timestamp"))
+                - F.unix_micros(F.greatest("sa", "sb").cast("timestamp"))
+            ).cast("bigint").alias("overlap_us"),
+        )
+        .orderBy(F.desc("overlap_us"), "user_a", "user_b")
+        .limit(50)
+    )
