@@ -170,3 +170,64 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rtcdb_spark.functions.graph import triangle_count
 
     return triangle_count(edges)
+
+
+_BFS_MAX_HOPS = 3
+_BFS_SEED_LIMIT = 3  # seed set: the three smallest node ids in the graph
+
+
+@query(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE {_SQL_GRAPH},
+    seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {_BFS_SEED_LIMIT}),
+    walk(node, hops) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hops < {_BFS_MAX_HOPS}
+    )
+    SELECT node AS user_id, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk
+    GROUP BY node
+    ORDER BY hops, user_id
+    """,
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (≤{_BFS_MAX_HOPS}) from a
+    seed set to every reachable node of the co-activity graph — the
+    recursive-CTE workload (reachability, blast-radius, n-degree network)
+    Spark has no native recursion for. Implemented as layered frontier
+    expansion: each round joins the CURRENT frontier (shrinking, never the
+    visited set) against the edge list, anti-joins out already-visited
+    nodes, and checkpoints — K rounds = K bounded joins, no exponential
+    path blowup, no driver-side state. The oracle is DuckDB's genuinely
+    recursive WITH RECURSIVE ... UNION walk, so the match proves the
+    layered expansion equals true recursion."""
+    edges = _event_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(_BFS_SEED_LIMIT)
+    )
+    frontier = seeds.withColumn("hops", F.lit(0)).localCheckpoint()
+    visited = frontier
+    for k in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        visited.select(F.col("node").alias("user_id"), F.col("hops").cast("bigint"))
+        .orderBy("hops", "user_id")
+    )

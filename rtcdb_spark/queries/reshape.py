@@ -364,3 +364,103 @@ def timeseries_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx.select("event_type", "bkt", "bkt_value", interp.alias("interp_value"))
         .orderBy("event_type", "bkt")
     )
+
+
+@query(
+    "timeseries_interval_union",
+    """
+    WITH iv AS (
+        SELECT event_type,
+               epoch_us(ts) AS s_us,
+               epoch_us(ts) + 1800000000 AS e_us,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT event_type, s_us, e_us, event_id,
+               CASE WHEN s_us > MAX(e_us) OVER (
+                        PARTITION BY event_type ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR ROW_NUMBER() OVER (
+                        PARTITION BY event_type ORDER BY s_us, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM iv
+    ),
+    blocks AS (
+        SELECT event_type, s_us, e_us,
+               SUM(is_new) OVER (
+                   PARTITION BY event_type ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+        FROM flagged
+    ),
+    merged AS (
+        SELECT event_type, blk, MIN(s_us) AS bs, MAX(e_us) AS be
+        FROM blocks GROUP BY event_type, blk
+    )
+    SELECT event_type,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(be - bs) AS BIGINT) AS covered_us
+    FROM merged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "interval", "union", "window"),
+)
+def timeseries_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (coverage) — merge each event's 30-minute activity
+    interval into maximal covered blocks per event_type and report block
+    count + total covered time: the classic gaps-and-islands interval
+    algebra (uptime/occupancy coverage) that no plain aggregate expresses.
+    One per-series sort window computes the running max of interval ends;
+    a new block starts exactly where an interval's start clears every
+    earlier end. All arithmetic is exact integer microseconds. Scale
+    shape: one shuffle on the series key, then two map-combined
+    aggregates; window state is a single running max per partition.
+    Window ordering includes event_id so equal timestamps have a
+    deterministic frame on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 1_800_000_000).alias("e_us"),
+        "event_id",
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnum = Window.partitionBy("event_type").orderBy("s_us", "event_id")
+    flagged = iv.select(
+        "event_type",
+        "s_us",
+        "e_us",
+        "event_id",
+        F.when(
+            (F.col("s_us") > F.max("e_us").over(wprev))
+            | (F.row_number().over(wnum) == 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    # Same (s_us, event_id) order as the flag window: equal-timestamp rows
+    # keep a deterministic frame, so block assignment can never split a tie
+    # group across a boundary on either engine.
+    wblk = (
+        Window.partitionBy("event_type")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = flagged.withColumn("blk", F.sum("is_new").over(wblk))
+    merged = blocks.groupBy("event_type", "blk").agg(
+        F.min("s_us").alias("bs"), F.max("e_us").alias("be")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("be") - F.col("bs")).cast("bigint").alias("covered_us"),
+        )
+        .orderBy("event_type")
+    )
