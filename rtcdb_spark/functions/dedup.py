@@ -130,19 +130,30 @@ def lsh_candidate_pairs(
     ).select(id_col, "band.band_id", "band.sig")
     buckets = (
         bands.groupBy("band_id", "sig")
-        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .agg(F.collect_set(F.col(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    # Clique over the first max_clique ids + star links (ids[0], overflow_id)
-    # for the rest, emitted by one expression over the sorted bucket array.
+    # Clique + star links in one expression. The sort that picks WHICH ids
+    # form the clique (and the star anchor) is only needed for oversized
+    # buckets, so it sits inside the ELSE branch — lazily evaluated, and
+    # bound once via the one-element transform(array(...)) wrapper (SQL has
+    # no `let`). Normal buckets expand all pairs straight off the unsorted
+    # set; pair orientation is normalized with least/greatest either way.
     pair_expr = f"""
-        concat(
-            flatten(transform(slice(ids, 1, {max_clique}), (a, i) ->
-                transform(slice(ids, i + 2, {max_clique} - i - 1),
-                          b -> struct(a AS id_a, b AS id_b)))),
-            transform(slice(ids, {max_clique} + 1, size(ids)),
-                      b -> struct(ids[0] AS id_a, b AS id_b))
-        )
+        CASE WHEN size(ids) <= {max_clique} THEN
+            flatten(transform(ids, (a, i) ->
+                transform(slice(ids, i + 2, size(ids) - i - 1),
+                          b -> struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))
+        ELSE
+            transform(array(array_sort(ids)), s ->
+                concat(
+                    flatten(transform(slice(s, 1, {max_clique}), (a, i) ->
+                        transform(slice(s, i + 2, {max_clique} - i - 1),
+                                  b -> struct(a AS id_a, b AS id_b)))),
+                    transform(slice(s, {max_clique} + 1, size(s)),
+                              b -> struct(s[0] AS id_a, b AS id_b))
+                ))[0]
+        END
     """
     return (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
@@ -356,21 +367,32 @@ def simhash_hamming_pairs(
     ).select("e.band_id", "e.band_val", "e.doc")
     buckets = (
         bands.groupBy("band_id", "band_val")
-        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+        .agg(F.collect_set("doc").alias("docs"))
         .filter(F.size("docs") > 1)
     )
+    # As in lsh_candidate_pairs: the clique/anchor-picking sort only runs for
+    # oversized buckets (lazy ELSE branch, bound once via the one-element
+    # transform(array(...)) wrapper); normal buckets pair straight off the
+    # unsorted set and orientation is normalized downstream.
     pair_expr = f"""
-        concat(
-            flatten(transform(slice(docs, 1, {max_clique}), (a, i) ->
-                transform(slice(docs, i + 2, {max_clique} - i - 1),
-                          b -> struct(a AS da, b AS db)))),
-            transform(slice(docs, {max_clique} + 1, size(docs)),
-                      b -> struct(docs[0] AS da, b AS db))
-        )
+        CASE WHEN size(docs) <= {max_clique} THEN
+            flatten(transform(docs, (a, i) ->
+                transform(slice(docs, i + 2, size(docs) - i - 1),
+                          b -> struct(a AS da, b AS db))))
+        ELSE
+            transform(array(array_sort(docs)), s ->
+                concat(
+                    flatten(transform(slice(s, 1, {max_clique}), (a, i) ->
+                        transform(slice(s, i + 2, {max_clique} - i - 1),
+                                  b -> struct(a AS da, b AS db)))),
+                    transform(slice(s, {max_clique} + 1, size(s)),
+                              b -> struct(s[0] AS da, b AS db))
+                ))[0]
+        END
     """
     pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
-        F.col("p.da.id").alias("id_a"),
-        F.col("p.db.id").alias("id_b"),
+        F.least(F.col("p.da.id"), F.col("p.db.id")).alias("id_a"),
+        F.greatest(F.col("p.da.id"), F.col("p.db.id")).alias("id_b"),
         (
             F.bit_count(F.col("p.da.hi").bitwiseXOR(F.col("p.db.hi")))
             + F.bit_count(F.col("p.da.lo").bitwiseXOR(F.col("p.db.lo")))
