@@ -387,3 +387,197 @@ def test_bucket_cap_noop_below_threshold(spark):
     capped = {tuple(r) for r in lsh_candidate_pairs(sigs, max_clique=256).collect()}
     uncapped = {tuple(r) for r in lsh_candidate_pairs(sigs, max_clique=10**9).collect()}
     assert capped == uncapped and capped
+
+
+@settings(**SETTINGS)
+@given(
+    ivals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=1, max_value=80),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_interval_union_matches_sweep_model(spark, ivals):
+    """The windowed gaps-and-islands interval union equals a trivial sweep:
+    block count and covered mass over arbitrary [s, s+len) intervals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, s, s + ln) for i, (s, ln) in enumerate(ivals)]
+    df = spark.createDataFrame(rows, ["event_id", "s_us", "e_us"])
+    wprev = Window.orderBy("s_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wnum = Window.orderBy("s_us", "event_id")
+    flagged = df.select(
+        "s_us",
+        "e_us",
+        "event_id",
+        F.when(
+            (F.col("s_us") > F.max("e_us").over(wprev))
+            | (F.row_number().over(wnum) == 1),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    wblk = Window.orderBy("s_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = (
+        flagged.withColumn("blk", F.sum("is_new").over(wblk))
+        .groupBy("blk")
+        .agg(F.min("s_us").alias("bs"), F.max("e_us").alias("be"))
+    )
+    got = merged.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("be") - F.col("bs")).alias("cov")
+    ).first()
+
+    # independent model: sort by start, sweep
+    blocks = []
+    for s, e in sorted((s, s + ln) for s, ln in ivals):
+        if blocks and s <= blocks[-1][1]:
+            blocks[-1][1] = max(blocks[-1][1], e)
+        else:
+            blocks.append([s, e])
+    assert got["n"] == len(blocks)
+    assert got["cov"] == sum(e - s for s, e in blocks)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    """Degree-ordered triangle enumeration equals brute-force counting on
+    arbitrary small graphs (self-loops and duplicate edges tolerated)."""
+    from rtcdb_spark.functions.graph import symmetrize, triangle_count
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    und = {frozenset((a, b)) for a, b in edges if a != b}
+    nodes = {n for e in und for n in e}
+    adj = {n: set() for n in nodes}
+    for e in und:
+        a, b = tuple(e)
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = sum(
+        1
+        for a in nodes
+        for b in adj[a]
+        if b > a
+        for c in adj[b]
+        if c > b and c in adj[a]
+    )
+    if not und:
+        return  # empty graph: query yields no rows to compare
+    got = triangle_count(symmetrize(df)).first()
+    assert got["n_triangles"] == expect
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert got["n_wedges"] == wedges
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_seeds=st.integers(min_value=1, max_value=3),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_bfs_hops_matches_python_bfs(spark, edges, n_seeds, k):
+    """Layered frontier expansion equals a plain Python BFS (min hops ≤ k
+    from the n smallest nodes) on arbitrary graphs."""
+    from collections import deque
+
+    from pyspark.sql import functions as F
+    from rtcdb_spark.functions.graph import symmetrize
+
+    df = symmetrize(spark.createDataFrame(edges, ["src", "dst"]))
+    und = {frozenset((a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: set() for n in nodes}
+    for e in und:
+        a, b = tuple(e)
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = nodes[:n_seeds]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] == k:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+
+    frontier = spark.createDataFrame([(s, 0) for s in seeds], ["node", "hops"])
+    visited = frontier
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(df, frontier["node"] == df["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    got = {(r["node"], r["hops"]) for r in visited.collect()}
+    assert got == set(dist.items())
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=1, max_size=30),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_bounds_and_subset_exactness(spark, texts):
+    """containment ≥ jaccard always; containment = 1 exactly when one
+    shingle set contains the other (checked against Python set algebra)."""
+    from rtcdb_spark.functions.dedup import containment_pairs, doc_shingles
+    from rtcdb_spark.functions.text import tokens  # noqa: F401 (module warm)
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    sh = doc_shingles(docs)
+    ids = docs.select("doc_id")
+    pairs = ids.select(F.col("doc_id").alias("id_a")).join(
+        ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    got = containment_pairs(sh, pairs).collect()
+    shmap = {
+        i: {r["sh"] for r in sh.filter(F.col("doc_id") == i).collect()}
+        for i in range(len(texts))
+    }
+    for r in got:
+        a, b = shmap[r["id_a"]], shmap[r["id_b"]]
+        inter = len(a & b)
+        assert r["containment"] >= r["jaccard"] - 1e-12
+        expect_c = inter / min(len(a), len(b))
+        expect_j = inter / len(a | b)
+        assert abs(r["containment"] - expect_c) < 1e-12
+        assert abs(r["jaccard"] - expect_j) < 1e-12
+        if a <= b or b <= a:
+            assert r["containment"] == 1.0
