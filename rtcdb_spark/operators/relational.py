@@ -53,16 +53,69 @@ def asof_join(
     key×key pair counts. (Analogue of pandas merge_asof(direction=...) /
     QuestDB ASOF JOIN; reference has no join support at all, README.md:15.)
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     lt = F.col(left_time)
     l_tag = left.withColumn("__t", lt).withColumn("__is_left", F.lit(1))
+    # __rts carries the matched right row's own time so direction="nearest"
+    # can compare the two candidates' distances.
     r_proj = right.select(
         F.col(on),
         F.col(right_time).alias("__t"),
+        F.col(right_time).alias("__r___rts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     ).withColumn("__is_left", F.lit(0))
     unioned = l_tag.unionByName(r_proj, allowMissingColumns=True)
+    if direction == "nearest":
+        # Both one-sided picks over the SAME key partitioning (one shuffle,
+        # two in-partition sorts), then a per-row distance comparison; ties
+        # (equal distance, including a right row exactly at left_time) take
+        # the backward candidate. Null-safe: a missing side loses.
+        carry = ["__rts", *right_cols]
+        wb = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t"), F.desc("__is_left"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = unioned.select(
+            "*",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+                for c in carry
+            ],
+            *[
+                F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+                for c in carry
+            ],
+        ).filter(F.col("__is_left") == 1)
+        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        back_wins = F.col("__f___rts").isNull() | (
+            F.col("__b___rts").isNotNull()
+            & ((us("__t") - us("__b___rts")) <= (us("__f___rts") - us("__t")))
+        )
+        picked = carried.select(
+            "*",
+            *[
+                F.when(back_wins, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(f"right_{c}")
+                for c in right_cols
+            ],
+        )
+        drop = (
+            ["__t", "__is_left", "__r___rts"]
+            + [f"__r_{c}" for c in right_cols]
+            + [f"__b_{c}" for c in carry]
+            + [f"__f_{c}" for c in carry]
+        )
+        return picked.drop(*drop)
     if direction == "backward":
         # Right rows sort before left rows at equal timestamps so `<=` holds;
         # the trailing frame carries the last-seen right row forward.
@@ -89,7 +142,7 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__is_left") == 1).drop(
-        "__t", "__is_left", *[f"__r_{c}" for c in right_cols]
+        "__t", "__is_left", "__r___rts", *[f"__r_{c}" for c in right_cols]
     )
 
 

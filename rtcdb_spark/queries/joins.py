@@ -443,3 +443,86 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("overlap_us"), "user_a", "user_b")
         .limit(50)
     )
+
+
+@query(
+    "join_asof_nearest",
+    """
+    WITH o1 AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey ASC
+            ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    ),
+    b AS (
+        SELECT e.event_id, o1.o_orderkey AS bk, o1.o_totalprice AS bp,
+               o1.o_orderdate AS bt
+        FROM events e
+        ASOF LEFT JOIN o1
+          ON e.user_id = o1.o_custkey AND o1.o_orderdate <= e.ts
+    ),
+    f AS (
+        SELECT e.event_id, o1.o_orderkey AS fk, o1.o_totalprice AS fp,
+               o1.o_orderdate AS ft
+        FROM events e
+        ASOF LEFT JOIN o1
+          ON e.user_id = o1.o_custkey AND o1.o_orderdate >= e.ts
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           CASE WHEN ft IS NULL THEN bk
+                WHEN bt IS NULL THEN fk
+                WHEN epoch_us(e.ts) - epoch_us(CAST(bt AS TIMESTAMP))
+                     <= epoch_us(CAST(ft AS TIMESTAMP)) - epoch_us(e.ts)
+                THEN bk ELSE fk END AS near_orderkey,
+           CASE WHEN ft IS NULL THEN bp
+                WHEN bt IS NULL THEN fp
+                WHEN epoch_us(e.ts) - epoch_us(CAST(bt AS TIMESTAMP))
+                     <= epoch_us(CAST(ft AS TIMESTAMP)) - epoch_us(e.ts)
+                THEN bp ELSE fp END AS near_totalprice
+    FROM events e
+    JOIN b USING (event_id)
+    JOIN f USING (event_id)
+    ORDER BY e.event_id
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — the third merge_asof direction: each event picks
+    the user's order CLOSEST in time, whichever side it falls on (ties,
+    including an order exactly at the event time, prefer the backward
+    candidate). One key shuffle carries both one-sided candidates over the
+    same partitioning (two in-partition sorts, no extra shuffle), then a
+    per-row microsecond distance comparison picks the winner — still the
+    linear merge strategy, never a key x key range join. The oracle
+    composes DuckDB's native backward and forward ASOF joins with the
+    identical tie rule. Right side pre-reduced to one deterministic row
+    per (custkey, orderdate) as in the other as-of directions."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.asc("o_orderkey"))
+    o1 = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "event_type", "ts"),
+        o1.withColumnRenamed("o_custkey", "user_id"),
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("right_o_orderkey").alias("near_orderkey"),
+        F.col("right_o_totalprice").alias("near_totalprice"),
+    ).orderBy("event_id")

@@ -472,3 +472,37 @@ def test_triangle_count_known_graphs(spark):
 
     k4_pendant = k4 + [(3, 9)]
     assert census(k4_pendant)["n_triangles"] == 4
+
+
+def test_asof_nearest_direction(spark):
+    """nearest: lid1 10:00 → 12:00 row (forward only); lid2 12:00 → exact
+    (tie prefers backward, same row); lid3 18:00 → 20:00 (2h forward beats
+    6h backward); lid4 next-day → 20:00 backward; lid5 keyless → null."""
+    from rtcdb_spark.operators.relational import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = {
+        r["lid"]: r["right_val"]
+        for r in asof_join(
+            left, right, on="key", left_time="lt", right_time="rt",
+            right_cols=["val"], direction="nearest",
+        ).collect()
+    }
+    assert got == {1: 100, 2: 100, 3: 200, 4: 200, 5: None}
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from datetime import datetime as dt
+
+    from rtcdb_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, "k", dt(2024, 1, 1, 12, 0))], ["lid", "key", "lt"])
+    right = spark.createDataFrame(
+        [("k", dt(2024, 1, 1, 11, 0), 7), ("k", dt(2024, 1, 1, 13, 0), 9)],
+        ["key", "rt", "val"],
+    )
+    row = asof_join(
+        left, right, on="key", left_time="lt", right_time="rt",
+        right_cols=["val"], direction="nearest",
+    ).first()
+    assert row["right_val"] == 7  # equidistant -> backward candidate
