@@ -617,3 +617,62 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+@query(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    numbered AS (
+        SELECT user_id, day,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, day - CAST(rn AS INTEGER) AS grp,
+               COUNT(*) AS streak_days, MIN(day) AS streak_start
+        FROM numbered GROUP BY user_id, day - CAST(rn AS INTEGER)
+    ),
+    ranked AS (
+        SELECT user_id, streak_days, streak_start,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY streak_days DESC, streak_start ASC) AS pick
+        FROM runs
+    )
+    SELECT user_id, streak_days, streak_start
+    FROM ranked WHERE pick = 1
+    ORDER BY user_id
+    """,
+    tags=("events", "streaks", "window"),
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (tie → earliest) —
+    the second classic gaps-and-islands shape (row_number difference: all
+    days of one unbroken run share day − rn), the retention metric every
+    engagement dashboard needs and no plain aggregate expresses. One
+    shuffle on the user key; both windows and both aggregates reuse that
+    partitioning; per-partition state is a single row number."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    wnum = Window.partitionBy("user_id").orderBy("day")
+    numbered = days.withColumn("rn", F.row_number().over(wnum))
+    runs = (
+        numbered.withColumn("grp", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("streak_days"),
+            F.min("day").alias("streak_start"),
+        )
+    )
+    wpick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        runs.withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") == 1)
+        .select("user_id", "streak_days", "streak_start")
+        .orderBy("user_id")
+    )
