@@ -502,3 +502,92 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Shared central-moment formula text: the SAME expression string is compiled
+# by both engines (Spark via F.expr, DuckDB verbatim), so every double op
+# runs in the same order with the same associativity — bit-equal outputs
+# from bit-equal exact-decimal raw moments. m2^1.5 is written m2*sqrt(m2)
+# (both factors correctly rounded) instead of pow(), whose rounding is
+# implementation-defined.
+_MOM_MU = "(s1 / nd)"
+_MOM_M2 = f"(s2 / nd - {_MOM_MU} * {_MOM_MU})"
+_MOM_M3 = (
+    f"(s3 / nd - 3 * {_MOM_MU} * (s2 / nd) + 2 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})"
+)
+_MOM_M4 = (
+    f"(s4 / nd - 4 * {_MOM_MU} * (s3 / nd) + 6 * {_MOM_MU} * {_MOM_MU} * (s2 / nd)"
+    f" - 3 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})"
+)
+# The s3/s4 decimal sums exceed 2^53 x 10^-scale, so their cast to double
+# rounds differently per engine (Java BigDecimal rounds once; DuckDB's
+# int128 -> double -> /10^scale rounds twice) - a ~1 ulp divergence that
+# raw-moment cancellation surfaces in the last digits. ROUND(..., 9) on the
+# shared formula (9 decimals vs ~1e-16 noise) restores bit-equality.
+_MOM_SKEW = f"round({_MOM_M3} / ({_MOM_M2} * sqrt({_MOM_M2})), 9)"
+_MOM_KURT = f"round({_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3, 9)"
+
+
+@query(
+    "agg_skew_kurtosis",
+    f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))
+                             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))
+                             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))
+                             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS DOUBLE) AS s4
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {_MOM_MU} AS mean_qty,
+           {_MOM_M2} AS var_pop_qty,
+           {_MOM_SKEW} AS skewness_qty,
+           {_MOM_KURT} AS kurtosis_excess_qty
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "statistics", "moments"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distribution moments — population skewness (m3/m2^1.5) and
+    excess kurtosis (m4/m2² − 3) per group, the asymmetry/tail-weight
+    signals data-quality monitors and CBO histograms track beyond
+    variance. Raw power sums accumulate as exact DECIMALs (order-
+    independent, mergeable map-side partials — the same mergeable-moments
+    trick as agg_moments_stats, extended to 4th order), then ONE shared
+    formula string computes the central moments on both engines so every
+    double op matches (skew/kurtosis rounded to 9 decimals — their decimal
+    power sums exceed the 2^53-exact cast regime, see _MOM_SKEW note). Engine-native skewness()/kurtosis()
+    are deliberately not used: their float accumulation is
+    partition-order-dependent."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    q2 = (q * q).cast("decimal(38,4)")
+    q3 = (q2 * q).cast("decimal(38,6)")
+    q4 = (q3 * q).cast("decimal(38,8)")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q2).cast("double").alias("s2"),
+        F.sum(q3).cast("double").alias("s3"),
+        F.sum(q4).cast("double").alias("s4"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(_MOM_MU).alias("mean_qty"),
+        F.expr(_MOM_M2).alias("var_pop_qty"),
+        F.expr(_MOM_SKEW).alias("skewness_qty"),
+        F.expr(_MOM_KURT).alias("kurtosis_excess_qty"),
+    ).orderBy("l_returnflag")
