@@ -676,3 +676,162 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "streak_days", "streak_start")
         .orderBy("user_id")
     )
+
+
+@query(
+    "anomaly_mad_robust",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, m.med, a.mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.ad > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           CAST(SUM(CASE WHEN d.ad > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+               / COUNT(*) AS outlier_rate
+    FROM dev d
+    JOIN mad a USING (event_type)
+    JOIN med m USING (event_type)
+    GROUP BY d.event_type, m.med, a.mad
+    ORDER BY d.event_type
+    """,
+    tags=("anomaly", "robust", "percentile"),
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    data-quality screen that survives what z-scores can't (a single wild
+    value inflates mean AND stddev, hiding itself; median and MAD are
+    50%-breakdown robust). Two exact-percentile passes (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, interpolation-identical): per-series median,
+    then the median of absolute deviations, each a tiny per-series scalar
+    broadcast back over the fact stream; the outlier threshold |v − med| >
+    3·MAD evaluates identically on both engines. Scale shape: two
+    series-key aggregations + two broadcast joins — the fact table never
+    shuffles by anything but its series key."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = (F.col("ad") > 3 * F.col("mad")).cast("int")
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_out).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            "n",
+            "n_outliers",
+            (F.col("n_outliers") / F.col("n")).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PMI_MIN_DF = 25  # token must appear in >= this many docs to enter pairing
+_PMI_MIN_AB = 10  # pair must co-occur in >= this many docs to be reported
+
+
+@query(
+    "text_pmi_collocations",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    df AS (SELECT tok, COUNT(*) AS dfreq FROM toks GROUP BY tok),
+    freq AS (SELECT tok, dfreq FROM df WHERE dfreq >= {_PMI_MIN_DF}),
+    ft AS (SELECT t.doc_id, t.tok FROM toks t JOIN freq USING (tok)),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS df_ab
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, df_ab,
+           ROUND(ln(CAST(df_ab AS DOUBLE) * nd / (fa.dfreq * fb.dfreq)), 9) AS pmi
+    FROM pairs
+    JOIN freq fa ON fa.tok = tok_a
+    JOIN freq fb ON fb.tok = tok_b
+    CROSS JOIN n
+    WHERE df_ab >= {_PMI_MIN_AB}
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+    tags=("text", "pmi", "collocation", "llm-pipeline"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations — which token pairs
+    co-occur in documents far more than chance (PMI = ln(df_ab·N /
+    (df_a·df_b))): the corpus-linguistics step behind phrase mining and
+    tokenizer-merge candidates. Scale shape: document-frequency filter
+    FIRST (df ≥ {_PMI_MIN_DF} bounds the pairing vocabulary), then each
+    doc's surviving tokens pair in-array (sorted collect_set + one
+    triangular expansion expression — the same bounded-bucket shape as the
+    LSH expansions, no per-doc self-join shuffle), one pair-key aggregate,
+    and two broadcast joins against the tiny frequent-token table. The
+    single ln() rounds to 9 decimals — libm vs JVM log may differ in the
+    last ulp; everything inside is exact integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    nd = d.count()
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    freq = df.filter(F.col("dfreq") >= _PMI_MIN_DF)
+    ft = toks.join(F.broadcast(freq.select("tok")), "tok")
+    per_doc = ft.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts")
+    )
+    pair_expr = """
+        flatten(transform(ts, (a, i) ->
+            transform(slice(ts, i + 2, size(ts) - i - 1),
+                      b -> struct(a AS tok_a, b AS tok_b))))
+    """
+    pairs = (
+        per_doc.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.tok_a", "p.tok_b")
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .filter(F.col("df_ab") >= _PMI_MIN_AB)
+    )
+    fa = freq.select(F.col("tok").alias("tok_a"), F.col("dfreq").alias("dfa"))
+    fb = freq.select(F.col("tok").alias("tok_b"), F.col("dfreq").alias("dfb"))
+    return (
+        pairs.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "df_ab",
+            F.round(
+                F.log(
+                    F.col("df_ab").cast("double")
+                    * F.lit(nd)
+                    / (F.col("dfa") * F.col("dfb"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(20)
+    )
