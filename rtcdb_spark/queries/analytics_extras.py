@@ -835,3 +835,59 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(20)
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY event_type, nxt
+    ),
+    outdeg AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM trans GROUP BY src
+    )
+    SELECT t.src, t.dst, t.n AS n_transitions,
+           t.n / o.total AS p_transition
+    FROM trans t JOIN outdeg o USING (src)
+    ORDER BY t.src, t.dst
+    """,
+    tags=("events", "markov", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream —
+    the empirical P(next=b | current=a) behind journey modeling, anomaly
+    detection on flows, and next-action prediction baselines. One user-key
+    window (deterministic (ts, event_id) order), one (src, dst) aggregate
+    with map-side combine, and a row-count-sized probability division —
+    exact integers until the final IEEE division, identical on both
+    engines. At 100 TB the transition matrix is |event_types|² rows — tiny
+    — while the stream only shuffles by its user key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    outdeg = trans.groupBy("src").agg(
+        F.sum("n_transitions").cast("bigint").alias("total")
+    )
+    return (
+        trans.join(outdeg, "src")
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            (F.col("n_transitions") / F.col("total")).alias("p_transition"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -427,3 +427,81 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("v")
         .orderBy("vec_id")
     )
+
+
+_HIST_STRIDE = 37  # deterministic pair sample: (i, (i + stride) mod n)
+
+
+@query(
+    "embedding_distance_histogram",
+    f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    n AS (SELECT COUNT(*) AS cnt FROM base),
+    pairs AS (
+        SELECT a.vec_id AS id_a,
+               list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+        FROM base a
+        JOIN n ON TRUE
+        JOIN base b ON b.vec_id = (a.vec_id + {_HIST_STRIDE}) % n.cnt
+        WHERE a.vec_id <> b.vec_id
+    )
+    SELECT CAST(floor((cos_sim + 1.0) * 10) AS BIGINT) AS bin,
+           COUNT(*) AS n_pairs,
+           ROUND(MIN(cos_sim), 9) AS bin_min,
+           ROUND(MAX(cos_sim), 9) AS bin_max
+    FROM pairs
+    GROUP BY 1
+    ORDER BY bin
+    """,
+    tags=("similarity", "histogram", "llm-pipeline"),
+)
+def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-geometry diagnostic: the distribution of cosine similarity
+    over a deterministic linear-probe pair sample ((i, i+{_HIST_STRIDE}
+    mod n) touches every vector once — no RNG, no quadratic all-pairs),
+    binned at 0.1 width over [-1, 1]. This is how a near-dup threshold
+    (dedup_embedding_cosine) or an ANN probe budget is CALIBRATED before
+    running the expensive pass: a bimodal histogram separates the
+    duplicate mode from the background mode. Scale shape: one equi-join
+    on the shifted id (AQE-broadcastable), dot products in JVM folds,
+    then a 20-bucket aggregate. floor((cos+1)·10) binning is exact on
+    both engines; bin edges round to 9 decimals."""
+    from rtcdb_spark.functions.similarity import _dot, with_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    base = with_norm(v, "v", "norm")
+    n = base.count()
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        ((F.col("vec_id") + _HIST_STRIDE) % n).alias("probe_id"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "probe_id")
+        .filter(F.col("id_a") != F.col("probe_id"))
+        .select((_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_sim"))
+    )
+    return (
+        pairs.select(
+            F.floor((F.col("cos_sim") + F.lit(1.0)) * 10).cast("bigint").alias("bin"),
+            "cos_sim",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("cos_sim"), 9).alias("bin_min"),
+            F.round(F.max("cos_sim"), 9).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
