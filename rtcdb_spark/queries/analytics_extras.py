@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rtcdb_spark.functions.text import MERSENNE_P, sql_stable_hash_mod, stable_hash_mod
-from rtcdb_spark.queries.base import query
+from rtcdb_spark.queries.base import dsum, query, sql_dsum
 from rtcdb_spark.sources import load_table
 
 
@@ -890,4 +890,143 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_transitions") / F.col("total")).alias("p_transition"),
         )
         .orderBy("src", "dst")
+    )
+
+
+@query(
+    "orders_rfm_segmentation",
+    f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               {sql_dsum('o_totalprice')} AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, last_order, frequency, monetary,
+               NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           {sql_dsum('monetary')} AS segment_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("warehouse", "rfm", "window"),
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — quintile scores on Recency (last order
+    date), Frequency (order count), Monetary (exact-decimal spend), rolled
+    into segment cells with customer counts and value: the classic
+    warehouse scoring every CRM/retention pipeline computes. NTILE ties
+    are broken by custkey in every ORDER BY so both engines assign
+    identical quintiles. Scale note: a global NTILE is a single-partition
+    sort — correct for customer-dimension cardinality (n_customers ≪
+    fact rows); for a billion-customer corpus swap in percent_rank over
+    range-partitioned sort, same semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", alias="monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("monetary", alias="segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "lineitem_abc_pareto",
+    f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+        FROM lineitem
+        GROUP BY l_partkey
+    ),
+    tot AS (SELECT {sql_dsum('revenue', 4)} AS total FROM rev),
+    ranked AS (
+        SELECT l_partkey, revenue,
+               SUM(CAST(revenue AS DECIMAL(38,4))) OVER (
+                   ORDER BY revenue DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_dec
+        FROM rev
+    ),
+    classed AS (
+        SELECT l_partkey, revenue,
+               CAST(cum_dec AS DOUBLE) / tot.total AS cum_share,
+               CASE WHEN CAST(cum_dec AS DOUBLE) / tot.total <= 0.8 THEN 'A'
+                    WHEN CAST(cum_dec AS DOUBLE) / tot.total <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked, tot
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           {sql_dsum('revenue', 4)} AS class_revenue,
+           ROUND(MIN(cum_share), 9) AS share_from,
+           ROUND(MAX(cum_share), 9) AS share_to
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+    tags=("warehouse", "pareto", "window"),
+)
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification — rank parts by net revenue, accumulate
+    the running share, and cut at 80%/95% into A/B/C classes: the
+    inventory-analysis classic behind "20% of parts drive 80% of
+    revenue". The running sum accumulates as exact DECIMAL over a fully
+    deterministic (revenue DESC, partkey) order, so every cumulative
+    share is ONE double division of identical operands on both engines;
+    the per-class rollup then re-sums exactly. Scale note: the global
+    ordered window is a single-partition sort over the PART dimension
+    (≪ fact rows) — the fact table itself only shuffles once, by
+    partkey, for the revenue rollup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = l.groupBy("l_partkey").agg(dsum(net, scale=4, alias="revenue"))
+    total = rev.agg(dsum("revenue", scale=4, alias="total"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.withColumn(
+        "cum_dec", F.sum(F.col("revenue").cast("decimal(38,4)")).over(w)
+    )
+    classed = ranked.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "revenue",
+        (F.col("cum_dec").cast("double") / F.col("total")).alias("cum_share"),
+    )
+    abc = F.when(F.col("cum_share") <= 0.8, "A").when(
+        F.col("cum_share") <= 0.95, "B"
+    ).otherwise("C")
+    return (
+        classed.withColumn("abc_class", abc)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("revenue", scale=4, alias="class_revenue"),
+            F.round(F.min("cum_share"), 9).alias("share_from"),
+            F.round(F.max("cum_share"), 9).alias("share_to"),
+        )
+        .orderBy("abc_class")
     )
