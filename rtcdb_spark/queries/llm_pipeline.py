@@ -880,3 +880,61 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_ngram_novelty",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_distinct({{sh}})) AS gram
+        FROM documents
+    ),
+    firsts AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM grams g JOIN firsts f USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           n_novel / n_grams AS novelty
+    FROM per_doc
+    ORDER BY doc_id
+    """.format(sh=sql_shingles("text", 3)),
+    tags=("text", "novelty", "llm-pipeline"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve — for each document (in ingestion order), the
+    fraction of its distinct 3-gram shingles never seen in any EARLIER
+    document: the marginal-value diagnostic behind dataset-growth
+    decisions (novelty decaying toward zero means more of the same
+    source adds nothing) and a per-source acquisition score. Exactly the
+    exact-dedup shuffle shape: one gram-key aggregate takes each gram's
+    first doc_id, joins back to the gram stream (shuffle equi-join, AQE
+    may broadcast after collapse), and one doc-key aggregate counts
+    firsts. Pure integer arithmetic until one final IEEE division."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("gram")
+    )
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+    ).orderBy("doc_id")
