@@ -1030,3 +1030,106 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "events_behavior_entropy",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    packed AS (
+        SELECT user_id, list_sort(list(c)) AS cl,
+               CAST(SUM(c) AS BIGINT) AS n
+        FROM counts GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(len(cl) AS BIGINT) AS n_types,
+           ROUND(ln(CAST(n AS DOUBLE))
+                 - list_reduce(list_transform(cl, c -> c * ln(CAST(c AS DOUBLE))),
+                               (a, b) -> a + b) / n, 9) AS entropy
+    FROM packed
+    ORDER BY user_id
+    """,
+    tags=("events", "entropy", "statistics"),
+)
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity score (0 = single-action bots, ln(k) = uniform
+    explorers) used for segmentation and bot screens. Computed as
+    H = ln(n) − (Σ c·ln c)/n from exact integer counts; the Σ folds a
+    SORTED count list left-to-right on BOTH engines (Spark `aggregate`
+    lambda ≡ DuckDB `list_reduce`), so double addition order is pinned,
+    and the one libm-vs-JVM ln ulp wobble is absorbed by the final
+    9-decimal round. Per-user count lists are |event_types|-sized — the
+    collect_list is bounded, never row-scaled."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    packed = counts.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("c")).alias("cl"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    ssum = F.expr(
+        "aggregate(transform(cl, c -> c * ln(CAST(c AS DOUBLE))), 0D, (a, b) -> a + b)"
+    )
+    return packed.select(
+        "user_id",
+        "n",
+        F.size("cl").cast("bigint").alias("n_types"),
+        F.round(F.log(F.col("n").cast("double")) - ssum / F.col("n"), 9).alias(
+            "entropy"
+        ),
+    ).orderBy("user_id")
+
+
+_BACKLOG_OPEN_DAYS = 30
+
+
+@query(
+    "orders_backlog_timeseries",
+    f"""
+    WITH deltas AS (
+        SELECT o_orderdate AS day, 1 AS d FROM orders
+        UNION ALL
+        SELECT CAST(o_orderdate + INTERVAL {_BACKLOG_OPEN_DAYS} DAY AS DATE), -1
+        FROM orders
+    ),
+    daily AS (
+        SELECT day, CAST(SUM(d) AS BIGINT) AS delta
+        FROM deltas GROUP BY day
+    )
+    SELECT day, delta,
+           CAST(SUM(delta) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_orders
+    FROM daily
+    ORDER BY day
+    """,
+    tags=("warehouse", "backlog", "window", "timeseries"),
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by delta-event accounting: each order
+    contributes +1 at placement and −1 when it ages out
+    ({_BACKLOG_OPEN_DAYS} days), and the daily running sum of deltas IS
+    the concurrent-open count — the event-sourcing/balance pattern
+    (interval stabbing without an interval join) that turns "how many X
+    were active on each day" into two map-only projections, one day-key
+    aggregate, and one ordered prefix sum over the DATE dimension. Exact
+    integers end to end. The global ordered window runs over distinct
+    days only — thousands of rows at any fact scale."""
+    o = load_table(spark, sf_dir, "orders")
+    deltas = o.select(F.col("o_orderdate").alias("day"), F.lit(1).alias("d")).unionByName(
+        o.select(
+            F.date_add("o_orderdate", _BACKLOG_OPEN_DAYS).alias("day"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("bigint").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn("open_orders", F.sum("delta").over(w).cast("bigint"))
+        .select("day", "delta", "open_orders")
+        .orderBy("day")
+    )
