@@ -1133,3 +1133,47 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "delta", "open_orders")
         .orderBy("day")
     )
+
+
+@query(
+    "orders_growth_mom",
+    f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               {sql_dsum('o_totalprice', 2)} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT CAST(month AS DATE) AS month, n_orders, revenue,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY month))
+               / LAG(revenue) OVER (ORDER BY month) AS growth
+    FROM monthly
+    ORDER BY month
+    """,
+    tags=("warehouse", "reporting", "window", "timeseries"),
+)
+def orders_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the canonical reporting window
+    (exact-decimal monthly totals, LAG, one IEEE division per row).
+    The lag window runs over the MONTH dimension only; the fact table
+    shuffles once for the monthly rollup with map-side combine. First
+    month's growth is NULL on both engines (no prior period)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        dsum("o_totalprice", scale=2, alias="revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.select(
+            F.col("month").cast("date").alias("month"),
+            "n_orders",
+            "revenue",
+            prev.alias("prev_revenue"),
+            ((F.col("revenue") - prev) / prev).alias("growth"),
+        )
+        .orderBy("month")
+    )

@@ -884,3 +884,87 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment"), F.desc("jaccard"), "id_a", "id_b")
         .limit(20)
     )
+
+
+@query(
+    "dedup_minhash_calibration",
+    f"""
+    WITH {_SQL_SH},
+    {_SQL_SIGS},
+    sample AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT p.id_a, p.id_b,
+               ({' + '.join(f'CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END' for i in range(16))})
+                   AS n_match
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    exact AS (
+        SELECT p.id_a, p.id_b,
+               CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / (za.n + zb.n - COALESCE(i.n_common, 0)) AS jac
+        FROM pairs p
+        LEFT JOIN (
+            SELECT p2.id_a, p2.id_b, COUNT(*) AS n_common
+            FROM pairs p2
+            JOIN sh sa ON sa.doc_id = p2.id_a
+            JOIN sh sb ON sb.doc_id = p2.id_b AND sb.sh = sa.sh
+            GROUP BY p2.id_a, p2.id_b
+        ) i USING (id_a, id_b)
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+    )
+    SELECT e.n_match,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(x.jac AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*), 9)
+               AS mean_exact_jaccard
+    FROM est e JOIN exact x USING (id_a, id_b)
+    GROUP BY e.n_match
+    ORDER BY e.n_match
+    """,
+    tags=("dedup", "minhash", "calibration"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration curve — for every ground-truth pair, how many of
+    the 16 signature components agree vs the pair's EXACT Jaccard: the
+    estimator-audit that tells you whether 16 permutations suffice before
+    trusting banded LSH at corpus scale (E[matches/16] = J; a flat or
+    noisy curve says widen the signature). Mean exact Jaccard per
+    match-count bucket accumulates via DECIMAL(28,15) (order-independent)
+    and rounds to 9. Bounded to the same doc_id < 60 ground-truth sample
+    as the other exact-verification queries — the audit is O(sample²) by
+    design; the production signature path stays linear."""
+    d = load_table(spark, sf_dir, "documents")
+    sample = d.filter(F.col("doc_id") < 60)
+    sh = doc_shingles(sample).persist()
+    sigs = minhash_signatures(sh)
+    ids = sample.select("doc_id")
+    pairs = ids.select(F.col("doc_id").alias("id_a")).join(
+        ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)])
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(16)
+    ).alias("n_match")
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", n_match)
+    exact = jaccard_pairs(sh, pairs)
+    return (
+        est.join(exact, ["id_a", "id_b"])
+        .groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(28,15)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_exact_jaccard"),
+        )
+        .orderBy("n_match")
+    )
