@@ -505,3 +505,79 @@ def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "similarity_knn_graph",
+    f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    sigs AS (SELECT vec_id, v, norm, {{sig}} AS sig FROM base),
+    nbrs AS (
+        SELECT a.vec_id,
+               b.vec_id AS nbr_id,
+               ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 9) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                            b.vec_id) AS rk,
+               COUNT(*) OVER (PARTITION BY a.vec_id) AS n_candidates
+        FROM sigs a JOIN sigs b
+          ON a.sig = b.sig AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+           nbr_id AS nn_id, cos_sim AS nn_cos
+    FROM nbrs WHERE rk = 1
+    ORDER BY vec_id
+    """.format(sig=sql_lsh_signature("v")),
+    tags=("similarity", "knn-graph", "llm-pipeline"),
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k=1 edge per vector shown; same plan shape
+    for any k) over sign-LSH buckets — the precursor to semantic-dedup
+    clustering and graph-based ANN (HNSW-style neighborhoods): every
+    vector links to its best cosine neighbor among bucket peers, with the
+    bucket size reported as the candidate count. One signature equi-join
+    replaces the corpus×corpus product; per-bucket work is bounded by
+    bucket cardinality (hyperplane count tunes it), and the per-vector
+    top-1 is a row_number window over the bucket-pair stream — ties on
+    cosine break by neighbor id on both engines."""
+    from rtcdb_spark.functions.similarity import _dot, lsh_signature, with_norm
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    base = with_norm(v, "v", "norm").withColumn("sig", lsh_signature("v"))
+    a = base.select(
+        F.col("vec_id"), F.col("v").alias("va"), F.col("norm").alias("na"), "sig"
+    )
+    b = base.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        F.col("sig").alias("sigb"),
+    )
+    pairs = a.join(
+        b, (F.col("sig") == F.col("sigb")) & (F.col("vec_id") != F.col("nbr_id"))
+    ).select(
+        "vec_id",
+        "nbr_id",
+        (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    wc = Window.partitionBy("vec_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "n_candidates",
+            F.col("nbr_id").alias("nn_id"),
+            F.round("cos", 9).alias("nn_cos"),
+        )
+        .orderBy("vec_id")
+    )
