@@ -1177,3 +1177,118 @@ def orders_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "timeseries_max_drawdown",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {sql_dsum('value', 4)} AS v
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    cum AS (
+        SELECT event_type, day, v,
+               MAX(v) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM daily
+    ),
+    dd AS (
+        SELECT event_type, day, v, peak, v / peak - 1 AS drawdown
+        FROM cum
+    )
+    SELECT event_type,
+           ROUND(MIN(drawdown), 9) AS max_drawdown,
+           CAST(SUM(CASE WHEN drawdown < -0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_days_below_half_peak
+    FROM dd
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "drawdown", "window"),
+)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the peak-to-trough metric (finance's
+    risk stat, ops' regression-from-peak monitor): running max of the
+    exact-decimal daily totals, then the worst v/peak − 1. One series-key
+    shuffle; the running max carries a single value per partition; each
+    drawdown is one division of engine-identical doubles (rounded at the
+    final MIN to absorb nothing — the inputs are already bit-equal — but
+    kept for uniformity with the other ratio outputs)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        dsum("value", scale=4, alias="v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.withColumn("peak", F.max("v").over(w)).withColumn(
+        "drawdown", F.col("v") / F.col("peak") - 1
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.round(F.min("drawdown"), 9).alias("max_drawdown"),
+            F.sum((F.col("drawdown") < -0.5).cast("int"))
+            .cast("bigint")
+            .alias("n_days_below_half_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "customer_order_gap_stats",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(o_orderdate) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    ),
+    valid AS (SELECT o_custkey, gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT o_custkey,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+           quantile_cont(gap_days, 0.5) AS median_gap,
+           CAST(SUM(gap_days) AS BIGINT) / COUNT(*) AS mean_gap
+    FROM valid
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    ORDER BY o_custkey
+    """,
+    tags=("warehouse", "gaps", "window", "percentile"),
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer — purchase-cadence profiling
+    (median/mean days between orders) behind churn prediction and
+    replenishment models. LAG over a deterministic (orderdate, orderkey)
+    order produces integer day gaps; min/max/median/mean are then exact
+    (`percentile` ≡ `quantile_cont`; the mean is one division of exact
+    integers). One customer-key shuffle reused by the window and the
+    aggregate; HAVING keeps customers with enough history to profile."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").cast("bigint").alias("min_gap"),
+            F.max("gap_days").cast("bigint").alias("max_gap"),
+            F.expr("percentile(gap_days, 0.5)").alias("median_gap"),
+            (F.sum("gap_days").cast("bigint") / F.count(F.lit(1))).alias("mean_gap"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+        .orderBy("o_custkey")
+    )
