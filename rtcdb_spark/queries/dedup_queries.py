@@ -968,3 +968,53 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_match")
     )
+
+
+@query(
+    "dedup_cluster_size_distribution",
+    """
+    WITH clusters AS (
+        SELECT sha256(text) AS digest, COUNT(*) AS cluster_size
+        FROM documents GROUP BY sha256(text)
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN cluster_size > 1
+                     THEN (cluster_size - 1) * COUNT(*) ELSE 0 END AS BIGINT)
+               AS n_removable
+    FROM clusters
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    tags=("dedup", "diagnostics"),
+)
+def dedup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup diagnostic read BEFORE
+    running removal: how many exact-duplicate clusters exist at each
+    size, how many documents they hold, and how many rows dedup would
+    delete (size−1 per cluster). A heavy tail here predicts hot digest
+    keys for the dedup shuffle (AQE skew-join territory) and quantifies
+    the storage win up front. Two map-combined aggregates over the
+    digest key — same single-shuffle scale shape as dedup_exact itself."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d.groupBy(F.sha2("text", 256).alias("digest")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            F.when(
+                F.col("cluster_size") > 1,
+                (F.col("cluster_size") - 1) * F.col("n_clusters"),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -231,3 +231,72 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited.select(F.col("node").alias("user_id"), F.col("hops").cast("bigint"))
         .orderBy("hops", "user_id")
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    f"""
+    WITH {_SQL_GRAPH},
+    ends AS (
+        SELECT da.deg AS dx, db.deg AS dy
+        FROM edges e
+        JOIN deg da ON da.node = e.src
+        JOIN deg db ON db.node = e.dst
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(dx AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(dy AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM ends
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 9)
+               AS assortativity
+    FROM m
+    """,
+    tags=("graph", "assortativity", "statistics"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity — the Pearson correlation of endpoint degrees
+    over every directed edge (Newman 2002): positive means hubs attach to
+    hubs (social nets), negative means hubs fan out to leaves (infra /
+    star topologies) — the one-number summary that predicts how the graph
+    fragments under node loss and how skewed joins over it will be. The
+    degree table joins both edge endpoints (two broadcastable joins of a
+    node-sized table), then the correlation uses the same exact-decimal
+    mergeable power sums as agg_moments_stats: integer degree products
+    sum exactly, one shared formula computes r identically on both
+    engines, rounded at 9 for the final sqrt composition."""
+    edges = _event_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ends = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dy")), "dst")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx").cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(F.col("dy").cast("decimal(18,0)")).cast("double").alias("sy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            9,
+        ).alias("assortativity"),
+    )
