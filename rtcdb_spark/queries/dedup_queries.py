@@ -972,10 +972,11 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_size_distribution",
-    """
-    WITH clusters AS (
-        SELECT sha256(text) AS digest, COUNT(*) AS cluster_size
-        FROM documents GROUP BY sha256(text)
+    f"""
+    WITH {_SQL_SIMHASH64},
+    clusters AS (
+        SELECT sim_hi, sim_lo, COUNT(*) AS cluster_size
+        FROM sigs GROUP BY sim_hi, sim_lo
     )
     SELECT cluster_size,
            COUNT(*) AS n_clusters,
@@ -987,18 +988,22 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY cluster_size
     ORDER BY cluster_size
     """,
-    tags=("dedup", "diagnostics"),
+    tags=("dedup", "diagnostics", "simhash"),
 )
 def dedup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster size histogram — the dedup diagnostic read BEFORE
-    running removal: how many exact-duplicate clusters exist at each
-    size, how many documents they hold, and how many rows dedup would
-    delete (size−1 per cluster). A heavy tail here predicts hot digest
-    keys for the dedup shuffle (AQE skew-join territory) and quantifies
-    the storage win up front. Two map-combined aggregates over the
-    digest key — same single-shuffle scale shape as dedup_exact itself."""
+    """Near-duplicate cluster size histogram — the dedup diagnostic read
+    BEFORE running removal: documents sharing a full 64-bit SimHash
+    signature form candidate-duplicate clusters; the histogram shows how
+    many exist at each size, how many documents they hold, and how many
+    rows collapsing them would delete (size−1 per cluster). A heavy tail
+    predicts hot signature keys for the dedup shuffle (AQE skew-join
+    territory) and quantifies the win up front. Signature clustering is
+    used (not raw sha256) so the histogram reflects NEAR-duplication —
+    the fixture has no byte-identical pairs but does plant near-dups,
+    which this surfaces. Two map-combined aggregates over the signature
+    key — the same single-shuffle scale shape as exact dedup."""
     d = load_table(spark, sf_dir, "documents")
-    clusters = d.groupBy(F.sha2("text", 256).alias("digest")).agg(
+    clusters = simhash64(d).groupBy("sim_hi", "sim_lo").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return (
