@@ -1292,3 +1292,120 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") >= 3)
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    f"""
+    WITH srev AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    packed AS (
+        SELECT nationkey,
+               COUNT(*) AS n_suppliers,
+               {sql_dsum('revenue', 4)} AS total,
+               list_sort(list(revenue)) AS revs
+        FROM srev GROUP BY nationkey
+    )
+    SELECT nationkey, n_suppliers,
+           ROUND(list_reduce(list_transform(revs, r -> (r / total) * (r / total)),
+                             (a, b) -> a + b), 9) AS hhi
+    FROM packed
+    ORDER BY nationkey
+    """,
+    tags=("warehouse", "concentration", "statistics"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per nation — Σ (supplier
+    revenue share)², the antitrust/market-structure metric (1/n = perfect
+    competition, 1.0 = monopoly) that also reads as join-skew risk: a
+    high-HHI nation means one supplier key carries most of that nation's
+    fact rows. Per-supplier revenue folds as exact decimals; each share²
+    is two IEEE ops on engine-identical doubles; and the final Σ folds a
+    SORTED share list left-to-right on both engines (Spark `aggregate` ≡
+    DuckDB `list_reduce`) so double addition order is pinned — the same
+    pinned-fold trick as events_behavior_entropy. Per-nation lists are
+    supplier-dimension sized, never fact-scaled."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    srev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(dsum(net, scale=4, alias="revenue"))
+    )
+    packed = srev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum("revenue", scale=4, alias="total"),
+        F.sort_array(F.collect_list("revenue")).alias("revs"),
+    )
+    hhi = F.expr(
+        "aggregate(transform(revs, r -> (r / total) * (r / total)),"
+        " 0D, (a, b) -> a + b)"
+    )
+    return packed.select(
+        "nationkey", "n_suppliers", F.round(hhi, 9).alias("hhi")
+    ).orderBy("nationkey")
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events
+        GROUP BY user_id
+    ),
+    converted AS (
+        SELECT user_id,
+               epoch_us(first_purchase) - epoch_us(first_view) AS gap_us
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us,
+           quantile_cont(gap_us, 0.9) AS p90_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM converted
+    """,
+    tags=("events", "funnel", "percentile"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — how long from a user's FIRST view to
+    their FIRST purchase (view-led conversions only): the latency half of
+    funnel analysis that `funnel_conversion`'s step counts don't show.
+    One user-key aggregate computes both firsts with conditional MINs
+    (no self-join of the events table), then exact integer-microsecond
+    gaps feed exact percentiles (`percentile` ≡ `quantile_cont`). Scale:
+    a single map-combined shuffle on user_id, then a scalar rollup."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_micros(F.col("first_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("first_view").cast("timestamp"))
+        ).alias("gap_us")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+        F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
