@@ -1409,3 +1409,134 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@query(
+    "events_error_burn_rate",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    rated AS (
+        SELECT hr, n_events, n_errors,
+               n_errors / n_events AS err_rate,
+               CAST(SUM(n_errors) OVER (
+                   ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS err_6h,
+               CAST(SUM(n_events) OVER (
+                   ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tot_6h
+        FROM hourly
+    )
+    SELECT hr, n_events, n_errors, err_rate,
+           err_6h / tot_6h AS burn_rate_6h,
+           CAST(err_6h / tot_6h > 0.25 AS BIGINT) AS alert
+    FROM rated
+    ORDER BY hr
+    """,
+    tags=("events", "sli", "window", "timeseries"),
+)
+def events_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate monitoring — hourly error rate plus the 6-hour
+    rolling burn rate and its alert flag: the multiwindow error-budget
+    pattern from SRE practice, expressed as one hour-key aggregate and
+    one bounded rolling frame over the HOUR dimension (the fact stream
+    shuffles once; the window carries six partial sums). Counts are exact
+    integers; each rate is one IEEE division; the alert flag is emitted
+    as 0/1 BIGINT for canonicalizer-stable dtypes."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, Window.currentRow)
+    rated = hourly.select(
+        "hr",
+        "n_events",
+        "n_errors",
+        (F.col("n_errors") / F.col("n_events")).alias("err_rate"),
+        F.sum("n_errors").over(w6).cast("bigint").alias("err_6h"),
+        F.sum("n_events").over(w6).cast("bigint").alias("tot_6h"),
+    )
+    burn = F.col("err_6h") / F.col("tot_6h")
+    return rated.select(
+        "hr",
+        "n_events",
+        "n_errors",
+        "err_rate",
+        burn.alias("burn_rate_6h"),
+        (burn > 0.25).cast("bigint").alias("alert"),
+    ).orderBy("hr")
+
+
+@query(
+    "orders_new_vs_returning",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS first_month
+        FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+        SELECT date_trunc('month', o.o_orderdate) AS month,
+               COUNT(DISTINCT o.o_custkey) AS active_customers,
+               COUNT(DISTINCT CASE WHEN f.first_month = date_trunc('month', o.o_orderdate)
+                                   THEN o.o_custkey END) AS new_customers
+        FROM orders o JOIN firsts f USING (o_custkey)
+        GROUP BY date_trunc('month', o.o_orderdate)
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(active_customers AS BIGINT) AS active_customers,
+           CAST(new_customers AS BIGINT) AS new_customers,
+           CAST(active_customers - new_customers AS BIGINT) AS returning_customers,
+           CAST(SUM(new_customers) OVER (
+               ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_customers
+    FROM monthly
+    ORDER BY month
+    """,
+    tags=("warehouse", "growth", "window", "timeseries"),
+)
+def orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — per month: active customers, first-time (new)
+    vs returning split, and the cumulative acquired-customer curve: the
+    standard customer-ledger report. Each customer's acquisition month is
+    one key-shuffle MIN; the monthly split is one distinct-count
+    aggregate with the acquisition flag joined in (customer-dimension
+    broadcast); the cumulative curve is a prefix sum over months only.
+    Exact integers end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("first_month"))
+    monthly = (
+        o.join(F.broadcast(firsts), "o_custkey")
+        .groupBy(month.alias("month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.countDistinct(
+                F.when(
+                    F.col("first_month") == F.date_trunc("month", "o_orderdate"),
+                    F.col("o_custkey"),
+                )
+            ).alias("new_customers"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        monthly.select(
+            F.col("month").cast("date").alias("month"),
+            F.col("active_customers").cast("bigint").alias("active_customers"),
+            F.col("new_customers").cast("bigint").alias("new_customers"),
+            (F.col("active_customers") - F.col("new_customers"))
+            .cast("bigint")
+            .alias("returning_customers"),
+            F.sum("new_customers").over(w).cast("bigint").alias("cumulative_customers"),
+        )
+        .orderBy("month")
+    )
