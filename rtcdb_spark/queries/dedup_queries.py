@@ -1023,3 +1023,57 @@ def dedup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "dedup_survivorship_best_record",
+    f"""
+    WITH {_SQL_SIMHASH64},
+    scored AS (
+        SELECT s.doc_id, s.sim_hi, s.sim_lo, d.n_chars, d.source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.sim_hi, s.sim_lo
+                   ORDER BY d.n_chars DESC, s.doc_id ASC) AS pick,
+               COUNT(*) OVER (PARTITION BY s.sim_hi, s.sim_lo) AS cluster_size
+        FROM sigs s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM scored
+    WHERE pick = 1 AND cluster_size > 1
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "survivorship", "mdm"),
+)
+def dedup_survivorship_best_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship by QUALITY, not by id — the MDM golden-record policy:
+    within each near-duplicate cluster (full 64-bit SimHash signature),
+    keep the richest record (longest content, doc_id tie-break) instead
+    of the arbitrary minimum id that `dedup_materialize_survivors` uses.
+    This is the policy layer a real corpus pipeline wants — near-dups
+    differ, and which copy survives determines training-data quality.
+    One signature-key window (row_number + cluster size over the same
+    partitioning) picks winners with zero extra shuffles beyond the
+    signature computation; output lists each multi-member cluster's
+    golden record."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash64(d).join(d.select("doc_id", "n_chars", "source"), "doc_id")
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("sim_hi", "sim_lo").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("sim_hi", "sim_lo")
+    return (
+        sigs.withColumn("pick", F.row_number().over(wp))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter((F.col("pick") == 1) & (F.col("cluster_size") > 1))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
