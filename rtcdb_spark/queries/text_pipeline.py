@@ -425,3 +425,60 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_compression_ratio",
+    None,  # zlib has no SQL twin; rows-only + pinned unit invariants
+    tags=("text", "quality", "compression", "llm-pipeline", "rows-only"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility as a quality signal — DEFLATE ratio per document
+    (compressed/raw bytes): the cheap entropy proxy production corpus
+    filters use to catch boilerplate and template spam that token-level
+    heuristics miss (highly compressible ⇒ repetitive). zlib level 6 with
+    fixed settings is bit-deterministic, so the scores are replay-stable;
+    there is no SQL twin (DuckDB has no DEFLATE function), hence the
+    rows-only check plus unit invariants (ratio bounds, repetitive ≪
+    random ordering) in tests/test_operators.py. Arrow-batched
+    `mapInPandas` — the same embarrassingly-parallel scan shape as the
+    multimodal feature extractors; no shuffle at all."""
+    import pandas as _pd
+    import zlib as _zlib
+    from collections.abc import Iterator as _Iterator
+
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _F,
+        StructType as _S,
+    )
+
+    schema = _S([
+        _F("doc_id", _L()),
+        _F("raw_bytes", _L()),
+        _F("deflate_bytes", _L()),
+        _F("compression_ratio", _D()),
+        _F("flag_repetitive", _L()),
+    ])
+
+    def process(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["text"].map(lambda t: t.encode("utf-8"))
+            comp = raw.map(lambda b: len(_zlib.compress(b, 6)))
+            rawlen = raw.map(len)
+            ratio = comp / rawlen
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "raw_bytes": rawlen.astype("int64"),
+                    "deflate_bytes": comp.astype("int64"),
+                    "compression_ratio": ratio.astype("float64"),
+                    "flag_repetitive": (ratio < 0.35).astype("int64"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "text").mapInPandas(process, schema).orderBy("doc_id")
+    )

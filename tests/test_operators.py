@@ -506,3 +506,22 @@ def test_asof_nearest_tie_prefers_backward(spark):
         right_cols=["val"], direction="nearest",
     ).first()
     assert row["right_val"] == 7  # equidistant -> backward candidate
+
+
+def test_compression_ratio_orders_text_quality(spark, sf_smoke):
+    """DEFLATE-ratio invariants: bounded above ~1.1 (header overhead),
+    deterministic across runs, and a pathological repeated string scores
+    far more compressible than the fixture's varied text."""
+    from rtcdb_spark.queries import REGISTRY
+
+    rows = REGISTRY["text_compression_ratio"].fn(spark, sf_smoke).collect()
+    assert rows, "no documents scored"
+    assert all(0 < r["compression_ratio"] <= 1.15 for r in rows)
+    again = REGISTRY["text_compression_ratio"].fn(spark, sf_smoke).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    import zlib
+
+    rep = ("spam " * 200).encode()
+    varied = rows[0]["compression_ratio"]
+    assert len(zlib.compress(rep, 6)) / len(rep) < 0.05 < varied
