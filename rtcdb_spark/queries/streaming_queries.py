@@ -218,3 +218,52 @@ def stream_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sdec").cast("double").alias("total_value"),
     ).orderBy("bucket")
+
+
+@query(
+    "stream_error_rate_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hr,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               / COUNT(*) AS err_rate
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    ORDER BY hr
+    """,
+    tags=("streaming", "sli", "window"),
+)
+def stream_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLI monitoring — hourly event and error counts with the
+    error rate, computed by a REAL readStream with a watermark and run to
+    completion (availableNow, complete mode): the always-on half of the
+    batch `events_error_burn_rate` report. Counts are exact integers
+    inside streaming state (mergeable across micro-batches); the rate is
+    one IEEE division applied AFTER aggregation, so replay and batch
+    recomputation agree bit-for-bit — which the batch-SQL oracle
+    verifies."""
+    from rtcdb_spark.streaming.events import read_events_stream, run_available_now
+
+    sdf = read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("int"))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return (
+        out.select(
+            F.col("w.start").alias("hr"),
+            "n_events",
+            "n_errors",
+            (F.col("n_errors") / F.col("n_events")).alias("err_rate"),
+        )
+        .orderBy("hr")
+    )
