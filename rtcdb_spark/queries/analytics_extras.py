@@ -1540,3 +1540,68 @@ def orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "part_brand_share_shift",
+    f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o.o_orderdate) AS month, p.p_brand,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY date_trunc('month', o.o_orderdate), p.p_brand
+    ),
+    tot AS (
+        SELECT month, {sql_dsum('revenue', 4)} AS month_total
+        FROM monthly GROUP BY month
+    ),
+    shares AS (
+        SELECT m.month, m.p_brand, m.revenue,
+               m.revenue / t.month_total AS share
+        FROM monthly m JOIN tot t USING (month)
+    )
+    SELECT CAST(month AS DATE) AS month, p_brand, revenue, share,
+           share - LAG(share) OVER (
+               PARTITION BY p_brand ORDER BY month) AS share_shift
+    FROM shares
+    ORDER BY month, p_brand
+    """,
+    tags=("warehouse", "share", "window", "timeseries"),
+)
+def part_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand market-share shift — each brand's monthly revenue share and
+    its month-over-month delta: the competitive-dynamics report behind
+    assortment decisions. Exact-decimal revenue rolls up once from the
+    fact join; shares divide engine-identical doubles by the broadcast
+    month totals; the shift is one LAG over the (brand, month) dimension
+    — no second pass over facts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    monthly = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"), "p_brand")
+        .agg(dsum(net, scale=4, alias="revenue"))
+    )
+    tot = monthly.groupBy("month").agg(dsum("revenue", scale=4, alias="month_total"))
+    shares = monthly.join(F.broadcast(tot), "month").select(
+        "month",
+        "p_brand",
+        "revenue",
+        (F.col("revenue") / F.col("month_total")).alias("share"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("month")
+    return (
+        shares.select(
+            F.col("month").cast("date").alias("month"),
+            "p_brand",
+            "revenue",
+            "share",
+            (F.col("share") - F.lag("share").over(w)).alias("share_shift"),
+        )
+        .orderBy("month", "p_brand")
+    )

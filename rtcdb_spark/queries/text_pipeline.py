@@ -482,3 +482,71 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "text").mapInPandas(process, schema).orderBy("doc_id")
     )
+
+
+@query(
+    "text_source_vocab_overlap",
+    """
+    WITH vocab AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(za.n AS BIGINT) AS vocab_a,
+           CAST(zb.n AS BIGINT) AS vocab_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common AS BIGINT) / (za.n + zb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.source = i.src_a
+    JOIN sizes zb ON zb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+    tags=("text", "vocabulary", "mixture", "llm-pipeline"),
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix — pairwise Jaccard of each
+    source's token vocabulary: the mixture-design diagnostic that shows
+    which corpus sources are lexically redundant (high overlap → adding
+    both buys little diversity) before committing mixture weights. One
+    token-key shuffle joins the per-source vocabularies (the token stream
+    is |vocab|·|sources| rows, not corpus-sized, because DISTINCT runs
+    first); the output is a |sources|² matrix — tiny at any scale. Exact
+    integers until one Jaccard division per pair."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = d.select(
+        "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("vocab_a"))
+    zb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("bigint")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
