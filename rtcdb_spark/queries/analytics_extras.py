@@ -1605,3 +1605,79 @@ def part_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "p_brand")
     )
+
+
+@query(
+    "events_peak_concurrency",
+    """
+    WITH deltas AS (
+        SELECT event_type, epoch_us(ts) AS t, 1 AS d, event_id FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + 1800000000 AS t, -1 AS d, event_id
+        FROM events
+    ),
+    running AS (
+        SELECT event_type, t, d,
+               SUM(d) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t, d, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM deltas
+    ),
+    peak AS (
+        SELECT event_type, MAX(conc) AS peak_concurrency FROM running
+        GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
+           MIN(r.t) AS peak_at_us
+    FROM running r JOIN peak p
+      ON r.event_type = p.event_type AND r.conc = p.peak_concurrency
+    GROUP BY r.event_type, p.peak_concurrency
+    ORDER BY r.event_type
+    """,
+    tags=("events", "concurrency", "interval", "window"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per series — the maximum number of simultaneously
+    active 30-minute event intervals and the first microsecond it was
+    reached: the capacity-planning complement to the interval-union and
+    backlog queries (union gives covered time, backlog the daily curve,
+    this the instantaneous max). Sweep-line as SQL: ±1 delta events, one
+    per-series ordered prefix sum (end-exclusive semantics pinned by
+    ordering (t, d, event_id) — a −1 at instant t sorts before a +1, and
+    the unique event_id makes equal instants deterministic on both
+    engines), then max + earliest-attainment. Exact integers only."""
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    deltas = e.select(
+        "event_type", t_us.alias("t"), F.lit(1).alias("d"), "event_id"
+    ).unionByName(
+        e.select(
+            "event_type",
+            (t_us + 1_800_000_000).alias("t"),
+            F.lit(-1).alias("d"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("conc", F.sum("d").over(w))
+    peak = running.groupBy("event_type").agg(
+        F.max("conc").alias("peak_concurrency")
+    )
+    return (
+        running.join(peak, ["event_type"])
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("t").alias("peak_at_us"))
+        .select(
+            "event_type",
+            F.col("peak_concurrency").cast("bigint").alias("peak_concurrency"),
+            "peak_at_us",
+        )
+        .orderBy("event_type")
+    )
