@@ -581,3 +581,72 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "embedding_norm_quality",
+    """
+    WITH base AS (
+        SELECT vec_id, label,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+               CAST(list_sum(list_transform(embedding::DOUBLE[],
+                    x -> CASE WHEN isnan(x) OR NOT isfinite(x) THEN 1 ELSE 0 END))
+                    AS BIGINT) AS n_bad_components
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(MIN(dim) AS BIGINT) AS min_dim,
+           CAST(MAX(dim) AS BIGINT) AS max_dim,
+           ROUND(MIN(norm), 9) AS min_norm,
+           ROUND(MAX(norm), 9) AS max_norm,
+           CAST(SUM(CASE WHEN n_bad_components > 0 OR norm < 1e-6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+    FROM base
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "quality", "llm-pipeline"),
+)
+def embedding_norm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA screen — the sanity audit run before ANY similarity
+    work: per label, vector counts, dimension consistency, the norm
+    range, and a degenerate count (NaN/Inf components or near-zero norm —
+    vectors that silently poison cosine math with NaN or division
+    blowups). Pure column expressions: the NaN/Inf scan folds each array
+    once, the norm is the usual sequential dot fold; one label-key
+    aggregate. On both engines isnan/isfinite agree bit-for-bit because
+    the inputs are the same floats."""
+    from rtcdb_spark.functions.similarity import _dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = e.select(
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.sqrt(F.expr(
+            "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+            " CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+            " 0D, (acc, x) -> acc + x)"
+        )).alias("norm"),
+        F.expr(
+            "aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CASE WHEN isnan(x) OR x = double('inf') OR x = double('-inf')"
+            " THEN 1 ELSE 0 END), 0L, (a, b) -> a + b)"
+        ).cast("bigint").alias("n_bad_components"),
+    )
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("dim").cast("bigint").alias("min_dim"),
+            F.max("dim").cast("bigint").alias("max_dim"),
+            F.round(F.min("norm"), 9).alias("min_norm"),
+            F.round(F.max("norm"), 9).alias("max_norm"),
+            F.sum(
+                ((F.col("n_bad_components") > 0) | (F.col("norm") < 1e-6)).cast("int")
+            ).cast("bigint").alias("n_degenerate"),
+        )
+        .orderBy("label")
+    )

@@ -550,3 +550,80 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "text_length_outliers_by_source",
+    """
+    WITH m AS (
+        SELECT source,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        FROM documents GROUP BY source
+    ),
+    stats AS (
+        SELECT source, n,
+               sx / n AS mean_len,
+               sqrt((sxx - sx * sx / n) / n) AS std_len
+        FROM m
+    )
+    SELECT d.source,
+           CAST(s.n AS BIGINT) AS n_docs,
+           ROUND(s.mean_len, 9) AS mean_len,
+           ROUND(s.std_len, 9) AS std_len,
+           CAST(SUM(CASE WHEN abs(d.n_chars - s.mean_len) > 3 * s.std_len
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d JOIN stats s USING (source)
+    GROUP BY d.source, s.n, s.mean_len, s.std_len
+    ORDER BY d.source
+    """,
+    tags=("text", "quality", "statistics", "llm-pipeline"),
+)
+def text_length_outliers_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-outlier screen — documents whose length sits more
+    than 3σ from their OWN source's mean (a 5-char doc is normal in a
+    chat source, broken in a book source): the per-population z-score
+    data-quality check that a global length filter gets wrong. Moments
+    accumulate as exact integer decimals (order-independent, map-side
+    mergeable); the per-source (mean, σ) scalars broadcast back over the
+    stream; the 3σ comparison runs on engine-identical doubles. Two
+    source-key aggregates, one broadcast join — nothing fact-scaled
+    crosses the wire twice."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    stats = m.select(
+        "source",
+        "n",
+        (F.col("sx") / nd).alias("mean_len"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / nd) / nd).alias("std_len"),
+    )
+    joined = d.join(F.broadcast(stats), "source")
+    return (
+        joined.groupBy("source", "n", "mean_len", "std_len")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("n_chars") - F.col("mean_len"))
+                    > 3 * F.col("std_len")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round("mean_len", 9).alias("mean_len"),
+            F.round("std_len", 9).alias("std_len"),
+            "n_outliers",
+        )
+        .orderBy("source")
+    )
