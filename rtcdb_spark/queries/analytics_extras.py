@@ -1731,3 +1731,119 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.col("six") / (nd * F.col("sx")) - (nd + 1.0) / nd, 9
         ).alias("gini"),
     )
+
+
+@query(
+    "events_json_schema_profile",
+    """
+    WITH n AS (SELECT COUNT(*) AS total FROM events),
+    keys AS (
+        SELECT unnest(json_keys(props)) AS key FROM events
+        WHERE props IS NOT NULL
+    )
+    SELECT key,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) / n.total AS coverage
+    FROM keys, n
+    GROUP BY key, n.total
+    ORDER BY key
+    """,
+    tags=("events", "json", "schema-discovery", "profiling"),
+)
+def events_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema discovery — which keys the JSON `props`
+    column actually carries and how much of the stream each covers: the
+    first question against any event payload column, and the input to
+    promote-to-column decisions (a key at 99% coverage belongs in the
+    schema; one at 0.1% stays in the blob). JVM-native JSON key
+    extraction on both engines (`json_object_keys` ≡ `json_keys`), one
+    key aggregate, one scalar total — exact integers until the coverage
+    division."""
+    e = load_table(spark, sf_dir, "events")
+    total = e.count()
+    keys = e.filter(F.col("props").isNotNull()).select(
+        F.explode(F.json_object_keys("props")).alias("key")
+    )
+    return (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows").cast("bigint") / F.lit(total)).alias("coverage"),
+        )
+        .orderBy("key")
+    )
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    f"""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    aged AS (
+        SELECT f.cohort,
+               date_diff('month', f.cohort, date_trunc('month', o.o_orderdate))
+                   AS age_months,
+               o.o_totalprice
+        FROM orders o JOIN firsts f USING (o_custkey)
+    ),
+    cohort_rev AS (
+        SELECT cohort, age_months, {sql_dsum('o_totalprice', 2)} AS rev
+        FROM aged GROUP BY cohort, age_months
+    )
+    SELECT CAST(cohort AS DATE) AS cohort,
+           CAST(age_months AS BIGINT) AS age_months,
+           rev,
+           CAST(SUM(CAST(rev AS DECIMAL(38,2))) OVER (
+               PARTITION BY cohort ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cumulative_ltv
+    FROM cohort_rev
+    WHERE age_months <= 12
+    ORDER BY cohort, age_months
+    """,
+    tags=("warehouse", "cohort", "ltv", "window", "timeseries"),
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — cumulative revenue per acquisition cohort by
+    month age (first year): the lifetime-value report that decides
+    acquisition spend. Acquisition months come from one key-shuffle MIN
+    broadcast back over orders; per-(cohort, age) revenue and the running
+    LTV both accumulate as exact decimals, so the curve is
+    order-independent and engine-identical. The cumulative window runs
+    over the cohort×age grid (months², tiny) — never over facts."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
+    aged = o.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort",
+        F.months_between(F.date_trunc("month", "o_orderdate"), F.col("cohort"))
+        .cast("long")
+        .alias("age_months"),
+        "o_totalprice",
+    )
+    cohort_rev = aged.groupBy("cohort", "age_months").agg(
+        dsum("o_totalprice", scale=2, alias="rev")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cohort_rev.filter(F.col("age_months") <= 12)
+        .withColumn(
+            "cumulative_ltv",
+            F.sum(F.col("rev").cast("decimal(38,2)")).over(w).cast("double"),
+        )
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            F.col("age_months").cast("bigint").alias("age_months"),
+            "rev",
+            "cumulative_ltv",
+        )
+        .orderBy("cohort", "age_months")
+    )
