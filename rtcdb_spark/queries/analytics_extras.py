@@ -1847,3 +1847,109 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_months")
     )
+
+
+@query(
+    "timeseries_cusum_drift",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {sql_dsum('value', 4)} AS v
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(CAST(v AS DECIMAL(28,4))
+                             * CAST(v AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+        FROM daily GROUP BY event_type
+    ),
+    derived AS (
+        SELECT event_type, n,
+               sx / n AS mean_v,
+               sqrt((sxx - sx * sx / n) / n) AS std_v
+        FROM stats
+    ),
+    walked AS (
+        SELECT d.event_type, d.day,
+               SUM(d.v - s.mean_v) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        FROM daily d JOIN derived s USING (event_type)
+    ),
+    cusum AS (
+        SELECT event_type, day,
+               prefix - least(CAST(0.0 AS DOUBLE), MIN(prefix) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS c
+        FROM walked
+    )
+    SELECT c.event_type,
+           CAST(s.n AS BIGINT) AS n_days,
+           ROUND(s.mean_v, 9) AS mean_v,
+           ROUND(MAX(c.c), 9) AS max_cusum,
+           CAST(MAX(c.c) > 2 * s.std_v AS BIGINT) AS drift_alarm
+    FROM cusum c JOIN derived s USING (event_type)
+    GROUP BY c.event_type, s.n, s.mean_v, s.std_v
+    ORDER BY c.event_type
+    """,
+    tags=("timeseries", "cusum", "drift", "statistics"),
+)
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per series — the sequential change-point
+    statistic cₜ = max(0, cₜ₋₁ + (xₜ − μ)) whose peak exceeding 2σ flags
+    sustained upward drift (SPC's classic, catching slow shifts a
+    threshold-on-daily-value misses). The recurrence looks
+    fold-only, but the prefix-minimum identity cₜ = prefixₜ −
+    min(0, min_{{j≤t}} prefixⱼ) turns it into TWO ordinary cumulative
+    windows over the same per-series ordering — no recursion, no UDF,
+    deterministic on both engines (deviations subtract engine-identical
+    means from exact-decimal daily totals, and every prefix is the same
+    left-to-right windowed sum). μ and σ come from exact decimal
+    moments; the alarm is emitted as 0/1 BIGINT."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        dsum("value", scale=4, alias="v")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(28,4)")).cast("double").alias("sx"),
+        F.sum(
+            (F.col("v").cast("decimal(28,4)") * F.col("v").cast("decimal(28,4)"))
+            .cast("decimal(38,8)")
+        ).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    derived = stats.select(
+        "event_type",
+        "n",
+        (F.col("sx") / nd).alias("mean_v"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / nd) / nd).alias("std_v"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = (
+        daily.join(F.broadcast(derived), "event_type")
+        .withColumn("prefix", F.sum(F.col("v") - F.col("mean_v")).over(wcum))
+        .withColumn(
+            "c",
+            F.col("prefix")
+            - F.least(F.lit(0.0), F.min("prefix").over(wcum)),
+        )
+    )
+    return (
+        walked.groupBy("event_type", "n", "mean_v", "std_v")
+        .agg(F.max("c").alias("mc"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round("mean_v", 9).alias("mean_v"),
+            F.round("mc", 9).alias("max_cusum"),
+            (F.col("mc") > 2 * F.col("std_v")).cast("bigint").alias("drift_alarm"),
+        )
+        .orderBy("event_type")
+    )
