@@ -1077,3 +1077,115 @@ def dedup_survivorship_best_record(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    f"""
+    WITH {_SQL_SH},
+    {_SQL_SIMHASH64},
+    sample AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    truth AS (
+        SELECT p.id_a, p.id_b,
+               CASE WHEN CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                         / (za.n + zb.n - COALESCE(i.n_common, 0)) >= 0.5
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM pairs p
+        LEFT JOIN (
+            SELECT p2.id_a, p2.id_b, COUNT(*) AS n_common
+            FROM pairs p2
+            JOIN sh sa ON sa.doc_id = p2.id_a
+            JOIN sh sb ON sb.doc_id = p2.id_b AND sb.sh = sa.sh
+            GROUP BY p2.id_a, p2.id_b
+        ) i USING (id_a, id_b)
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+    ),
+    ham AS (
+        SELECT t.id_a, t.id_b, t.is_dup,
+               bit_count(xor(ga.sim_hi, gb.sim_hi))
+                   + bit_count(xor(ga.sim_lo, gb.sim_lo)) AS hd
+        FROM truth t
+        JOIN sigs ga ON ga.doc_id = t.id_a
+        JOIN sigs gb ON gb.doc_id = t.id_b
+    ),
+    grid AS (SELECT unnest(generate_series(0, 8)) AS h)
+    SELECT g.h AS hamming_threshold,
+           CAST(SUM(CASE WHEN m.hd <= g.h AND m.is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN m.hd <= g.h AND m.is_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN m.hd > g.h AND m.is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CASE WHEN SUM(CASE WHEN m.hd <= g.h THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE CAST(SUM(CASE WHEN m.hd <= g.h AND m.is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(SUM(CASE WHEN m.hd <= g.h THEN 1 ELSE 0 END) AS BIGINT) END AS precision,
+           CASE WHEN SUM(m.is_dup) = 0 THEN NULL
+                ELSE CAST(SUM(CASE WHEN m.hd <= g.h AND m.is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(SUM(m.is_dup) AS BIGINT) END AS recall
+    FROM ham m CROSS JOIN grid g
+    GROUP BY g.h
+    ORDER BY g.h
+    """,
+    tags=("dedup", "simhash", "calibration", "evaluation"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector operating curve — precision/recall of every SimHash Hamming
+    radius (0..8) against exact-Jaccard ground truth (J ≥ 0.5 on the
+    bounded sample): the evaluation that picks the production radius
+    BEFORE a corpus-scale run, completing the calibration trio
+    (minhash_calibration audits the estimator, cluster_size_distribution
+    the corpus, this the decision threshold). Counts are exact integers;
+    precision/recall are single divisions with engine-consistent NULL on
+    empty denominators."""
+    d = load_table(spark, sf_dir, "documents")
+    sample = d.filter(F.col("doc_id") < 60)
+    sh = doc_shingles(sample).persist()
+    ids = sample.select("doc_id")
+    pairs = ids.select(F.col("doc_id").alias("id_a")).join(
+        ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    truth = jaccard_pairs(sh, pairs).select(
+        "id_a", "id_b", (F.col("jaccard") >= 0.5).cast("int").alias("is_dup")
+    )
+    sigs = simhash64(sample)
+    ga = sigs.select(F.col("doc_id").alias("id_a"), F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"))
+    gb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sim_hi").alias("hb"), F.col("sim_lo").alias("lb"))
+    ham = (
+        truth.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "is_dup",
+            (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            ).alias("hd"),
+        )
+    )
+    grid = spark.range(0, 9).select(F.col("id").alias("h"))
+    joined = ham.crossJoin(F.broadcast(grid))
+    hit = (F.col("hd") <= F.col("h")).cast("int")
+    agg = joined.groupBy("h").agg(
+        F.sum(hit * F.col("is_dup")).cast("bigint").alias("tp"),
+        F.sum(hit * (1 - F.col("is_dup"))).cast("bigint").alias("fp"),
+        F.sum((1 - hit) * F.col("is_dup")).cast("bigint").alias("fn"),
+        F.sum(hit).cast("bigint").alias("pred_pos"),
+        F.sum("is_dup").cast("bigint").alias("n_dup"),
+    )
+    return (
+        agg.select(
+            F.col("h").alias("hamming_threshold"),
+            "tp",
+            "fp",
+            "fn",
+            F.when(F.col("pred_pos") == 0, F.lit(None)).otherwise(
+                F.col("tp") / F.col("pred_pos")
+            ).alias("precision"),
+            F.when(F.col("n_dup") == 0, F.lit(None)).otherwise(
+                F.col("tp") / F.col("n_dup")
+            ).alias("recall"),
+        )
+        .orderBy("hamming_threshold")
+    )
