@@ -36,5 +36,6 @@ from rtcdb_spark.queries import llm_pipeline  # noqa: E402,F401
 from rtcdb_spark.queries import analytics_extras  # noqa: E402,F401
 from rtcdb_spark.queries import graph_queries  # noqa: E402,F401
 from rtcdb_spark.queries import profiling  # noqa: E402,F401
+from rtcdb_spark.queries import rerank_analytics  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]
