@@ -161,3 +161,35 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         "n_wedges",
         ((F.lit(3) * F.col("n_triangles")) / F.col("n_wedges")).alias("clustering_coeff"),
     )
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, deterministic
+    variant) on a symmetrized edge list: labels start as node ids; each
+    iteration every node adopts its neighbors' most frequent label, ties
+    broken toward the smallest label. Returns (node, label) after n_iter
+    rounds.
+
+    Scale shape: per iteration one equi-join (edges x labels — the label
+    side is nodes-sized) and one (node, label) count aggregate with
+    map-side combine, then a per-node window argmax over count-shaped
+    rows. State stays O(nodes); the edge list should be persisted by the
+    caller when n_iter > 1 (the query layer does)."""
+    from pyspark.sql import Window
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(n_iter):
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

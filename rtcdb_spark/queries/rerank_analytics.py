@@ -440,24 +440,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay (node,label) pairs — state is O(nodes), never O(edges). The edge
     list is persisted across iterations so the lead-window derivation runs
     once. Same iteration discipline as PageRank (`functions/graph.py`)."""
+    from rtcdb_spark.functions.graph import label_propagation
     from rtcdb_spark.queries.graph_queries import _event_edges
 
     edges = _event_edges(spark, sf_dir).persist()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
-    for _ in range(_LPA_ITERS):
-        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
-        labels = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-        )
+    labels = label_propagation(edges, n_iter=_LPA_ITERS)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))

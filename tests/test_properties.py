@@ -581,3 +581,238 @@ def test_containment_bounds_and_subset_exactness(spark, texts):
         assert abs(r["jaccard"] - expect_j) < 1e-12
         if a <= b or b <= a:
             assert r["containment"] == 1.0
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=35,
+    )
+)
+def test_label_propagation_matches_sync_model(spark, edges):
+    """Deterministic synchronous LPA equals a pure-Python model: every node
+    simultaneously adopts its neighbors' most frequent label (ties -> the
+    smallest label), starting from label = node id."""
+    from rtcdb_spark.functions.graph import label_propagation, symmetrize
+
+    und = {frozenset((a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    adj: dict[int, set[int]] = {}
+    for e in und:
+        a, b = tuple(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        labels = {
+            n: min(
+                (lbl for lbl in {labels[m] for m in adj[n]}),
+                key=lambda l: (-sum(labels[m] == l for m in adj[n]), l),
+            )
+            for n in adj
+        }
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(symmetrize(df), n_iter=3).collect()
+    }
+    assert got == labels
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(min_value=1, max_value=50),   # quantity
+            st.integers(min_value=1, max_value=500),  # price cents / 100
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_percentiles_match_exact_model(spark, rows, tmp_path_factory):
+    """The weighted median / p90 equal an exact integer-arithmetic model:
+    the smallest price whose cumulative quantity mass reaches 1/2 (9/10) of
+    the group total under (price, orderkey, linenumber) order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rtcdb_spark.queries.rerank_analytics import agg_weighted_percentiles
+
+    d = tmp_path_factory.mktemp("wp")
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows]),
+            "l_quantity": pa.array([float(r[1]) for r in rows], pa.float64()),
+            "l_extendedprice": pa.array([r[2] / 100.0 for r in rows], pa.float64()),
+            "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "l_linenumber": pa.array([1] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "lineitem.parquet"))
+
+    expect = {}
+    for rf in {r[0] for r in rows}:
+        grp = sorted(
+            (r[2] / 100.0, i, r[1])
+            for i, r in enumerate(rows)
+            if r[0] == rf
+        )
+        total = sum(q for _, _, q in grp)
+        cum, med, p90 = 0, None, None
+        for price, _, q in grp:
+            cum += q
+            if med is None and cum * 2 >= total:
+                med = price
+            if p90 is None and cum * 10 >= total * 9:
+                p90 = price
+        expect[rf] = (med, p90, float(total))
+
+    got = {
+        r["l_returnflag"]: (r["wmedian_price"], r["wp90_price"], r["total_weight"])
+        for r in agg_weighted_percentiles(spark, str(d)).collect()
+    }
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # custkey
+            st.integers(min_value=0, max_value=300),  # day offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_survival_curve_matches_counting_model(spark, rows, tmp_path_factory):
+    """S(g) equals the counted fraction of inter-order gaps strictly greater
+    than g, with gaps taken per customer in (date, orderkey) order."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rtcdb_spark.queries.rerank_analytics import orders_survival_curve
+
+    d = tmp_path_factory.mktemp("surv")
+    base = dt.date(1995, 1, 1)
+    tbl = pa.table(
+        {
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderdate": pa.array(
+                [base + dt.timedelta(days=r[1]) for r in rows], pa.date32()
+            ),
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "orders.parquet"))
+
+    gaps = []
+    for ck in {r[0] for r in rows}:
+        seq = sorted((r[1], i) for i, r in enumerate(rows) if r[0] == ck)
+        gaps += [b[0] - a[0] for a, b in zip(seq, seq[1:])]
+    if not gaps:
+        assert orders_survival_curve(spark, str(d)).count() == 0
+        return
+    n = len(gaps)
+    expect = {}
+    for g in sorted(set(gaps)):
+        at = gaps.count(g)
+        cum = sum(1 for x in gaps if x <= g)
+        expect[g] = (at, cum, (n - cum) / n)
+
+    got = {
+        r["gap_days"]: (r["n_at_gap"], r["n_cum"], r["survival"])
+        for r in orders_survival_curve(spark, str(d)).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_mmr_matches_greedy_model(spark, seed, tmp_path_factory):
+    """MMR re-ranking equals a pure-Python greedy model that replicates the
+    sequential-fold dot product bit-for-bit: pool = top-POOL by relevance,
+    then K picks maximizing lam*rel - (1-lam)*max_sim_to_selected with
+    vec_id tie-breaks."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rtcdb_spark.queries.rerank_analytics import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        _MMR_QUERY_IDS,
+        similarity_mmr_rerank,
+    )
+
+    n, dim = 220, 4
+    rng = np.random.RandomState(seed)
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+
+    d = tmp_path_factory.mktemp("mmr")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    def dot(a, b):  # sequential fold, same order as Spark's aggregate()
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    dv = [[float(x) for x in v] for v in vecs]
+    norm = [math.sqrt(dot(v, v)) for v in dv]
+    lam, oml = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 1)
+
+    expect = []
+    for qid in _MMR_QUERY_IDS:
+        rel = {
+            i: dot(dv[i], dv[qid]) / (norm[i] * norm[qid])
+            for i in range(n)
+            if i != qid
+        }
+        pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
+        sims = {
+            (a, b): dot(dv[a], dv[b]) / (norm[a] * norm[b])
+            for a in pool
+            for b in pool
+            if a != b
+        }
+        first = min(pool, key=lambda i: (-rel[i], i))
+        sel = [first]
+        expect.append((qid, first, 1, rel[first], lam * rel[first]))
+        for pick in range(2, _MMR_K + 1):
+            cand = [i for i in pool if i not in sel]
+            score = {
+                i: lam * rel[i] - oml * max(sims[(i, j)] for j in sel)
+                for i in cand
+            }
+            nxt = min(cand, key=lambda i: (-score[i], i))
+            sel.append(nxt)
+            expect.append((qid, nxt, pick, rel[nxt], score[nxt]))
+
+    got = [
+        (r["qid"], r["vec_id"], r["pick"], r["rel"], r["mmr"])
+        for r in similarity_mmr_rerank(spark, str(d)).collect()
+    ]
+    assert sorted(got) == sorted(expect)
