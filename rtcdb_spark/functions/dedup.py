@@ -425,11 +425,15 @@ def connected_components_star(
     a count + order-independent hash-sum signature (two scalars, not a
     set-difference shuffle). The fixpoint is the unique min-rooted star
     forest, so the result is deterministic."""
+    # Lazy checkpoint: the signature aggregate is the action that materializes
+    # each round's edge relation, so a round costs ONE Spark job, not two
+    # (eager checkpoint + separate signature scan halved throughput on
+    # contracted graphs, where per-round scheduler overhead dominates).
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def signature(rel: DataFrame) -> tuple:
@@ -469,7 +473,7 @@ def connected_components_star(
 
     sig = signature(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         new_sig = signature(e)
         if new_sig == sig:
             break
