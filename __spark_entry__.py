@@ -33,17 +33,22 @@ _PRIORITY = [
     # then (same round, new operators) doubly-green q18/q11/agg_argmax/
     # join_asof_events_orders rotated out for graph_triangle_count,
     # dedup_span_fraction, embedding_random_projection, and
-    # timeseries_resample_interp (timeseries family's first window slot).
+    # timeseries_resample_interp (timeseries family's first window slot);
+    # then (wave 4) doubly-green q9/q20/q22/agg_rollup/join_left_outer
+    # rotated out for graph_label_propagation, fn_url,
+    # agg_weighted_percentiles, orders_survival_curve, and
+    # similarity_mmr_rerank (all five pass the sf0.01 driver-sim locally;
+    # q1 stays as the TPC-H representative, agg_collect_array as the green
+    # aggregate representative).
     # C-II scan/filter/project + C-I sources
     "q1_pricing_summary", "scan_filter_project",
     "source_csv_roundtrip", "source_json_roundtrip",
     # C-III aggregates
-    "agg_rollup", "agg_count_distinct", "agg_collect_array",
+    "agg_count_distinct", "agg_collect_array", "agg_weighted_percentiles",
     # C-IV joins (as-of family represented by the forward direction)
-    "join_left_outer", "join_asof_forward",
-    # TPC-H suite representatives (incl. previously-vacuous predicates)
-    "q9_profit_by_nation_year", "q20_dominant_suppliers",
-    "q22_inactive_rich_customers",
+    "join_asof_forward",
+    # C-IX re-ranking + analytics (survival curve is the orders-family rep)
+    "similarity_mmr_rerank", "orders_survival_curve",
     # timeseries resampling (family's first driver-window appearance)
     "timeseries_resample_interp",
     # C-V sort / set
@@ -51,7 +56,7 @@ _PRIORITY = [
     # C-VI windows
     "window_ranking", "window_lag_lead", "window_running_frames",
     # C-VII scalar functions
-    "fn_string", "fn_datetime", "fn_math", "fn_conditional",
+    "fn_string", "fn_datetime", "fn_math", "fn_conditional", "fn_url",
     # C-VIII event-time (batch)
     "window_tumbling", "window_session", "funnel_conversion",
     # C-VIII streaming
@@ -73,7 +78,8 @@ _PRIORITY = [
     # sketches / warehouse / reshape / analytics / graph / profiling
     "freq_heavy_hitters", "merge_upsert_customers", "reshape_unpivot",
     "anomaly_zscore_daily", "window_rolling_median",
-    "graph_pagerank", "graph_triangle_count", "rollup_cascade",
+    "graph_pagerank", "graph_triangle_count", "graph_label_propagation",
+    "rollup_cascade",
 ]
 
 

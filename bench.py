@@ -52,6 +52,9 @@ HEADLINE = [
     # round-3 additions: O(log n) star connected components + IVF ANN path
     "dedup_connected_groups_star",
     "similarity_ivf_topk",
+    # round-3 wave 4: bounded-pool MMR re-rank + LPA communities
+    "similarity_mmr_rerank",
+    "graph_label_propagation",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rtcdb_spark.functions.similarity import cosine_topk, with_norm, _dot
+from rtcdb_spark.functions.similarity import cosine_topk, with_norm
 from rtcdb_spark.queries.base import query
 from rtcdb_spark.sources import load_table
 
@@ -128,13 +128,18 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus self-join. The driver loop unrolls K-1 tiny stages; at 100 TB the
     pool is still POOL rows per query and the loop cost is unchanged.
 
-    Determinism: relevance and pairwise cosine are sequential folds
-    (`_dot`) matching DuckDB's list_dot_product; the MMR score is double
-    arithmetic on identical operands with vec_id tie-breaks."""
-    e = load_table(spark, sf_dir, "embeddings")
-    lam = F.lit(_MMR_LAMBDA).cast("double")
-    one_m_lam = F.lit(round(1 - _MMR_LAMBDA, 1)).cast("double")
+    Determinism: relevance is the sequential fold (`_dot`) matching
+    DuckDB's list_dot_product; inside the per-query kernel, pairwise dot
+    products accumulate dimension-by-dimension (``acc += A[:,d]*B[:,d]``) —
+    elementwise double adds in the SAME order as the SQL fold, so every
+    similarity, score, and tie-break is bit-identical to the oracle's
+    unrolled greedy. The greedy itself runs in ONE applyInPandas pass per
+    query group (pool rows ship as one Arrow batch) — a K-step DataFrame
+    loop would serialize the job into K global barriers over tiny data,
+    exactly the scheduler-bound shape to avoid."""
+    import pandas as pd
 
+    e = load_table(spark, sf_dir, "embeddings")
     pool_ids = cosine_topk(e, _MMR_QUERY_IDS, k=_MMR_POOL).select(
         "qid", "vec_id", F.col("cos_sim").alias("rel")
     )
@@ -142,59 +147,56 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     pool = pool_ids.join(base, "vec_id").select("qid", "vec_id", "rel", "v", "norm")
-    pool = F.broadcast(pool.persist())
 
-    a = pool.select(
-        "qid", F.col("vec_id").alias("aid"), F.col("rel").alias("arel"),
-        F.col("v").alias("av"), F.col("norm").alias("an"),
-    )
-    b = pool.select(
-        "qid", F.col("vec_id").alias("bid"),
-        F.col("v").alias("bv"), F.col("norm").alias("bn"),
-    )
-    pairs = (
-        a.join(b, "qid")
-        .filter(F.col("aid") != F.col("bid"))
-        .select(
-            "qid", "aid", "bid", "arel",
-            (_dot("av", "bv") / (F.col("an") * F.col("bn"))).alias("sim"),
-        )
-        .persist()
-    )
+    lam, oml = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 1)
+    k = _MMR_K
 
-    w_rel = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
-    picked = (
-        pool.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
-        .select("qid", "vec_id", F.lit(1).alias("pick"), "rel",
-                (lam * F.col("rel")).alias("mmr"))
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        vecs = np.stack(pdf["v"].to_numpy())          # (n, dim) float64
+        norms = pdf["norm"].to_numpy()
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        # Sequential-fold pairwise dot products: accumulate one dimension at
+        # a time so each (a,b) entry adds terms in index order — bit-equal
+        # to aggregate()/list_dot_product, unlike BLAS matmul reassociation.
+        acc = np.zeros((n, n))
+        for d in range(vecs.shape[1]):
+            acc = acc + np.outer(vecs[:, d], vecs[:, d])
+        sims = acc / np.outer(norms, norms)
+
+        first = min(range(n), key=lambda i: (-rel[i], ids[i]))
+        sel = [first]
+        picks = [(ids[first], 1, rel[first], lam * rel[first])]
+        for pick in range(2, min(k, n) + 1):
+            best = None
+            for i in range(n):
+                if i in sel:
+                    continue
+                score = lam * rel[i] - oml * max(sims[i, j] for j in sel)
+                key = (-score, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            sel.append(best[1])
+            picks.append((ids[best[1]], pick, rel[best[1]], best[2]))
+        return pd.DataFrame(
+            {
+                "qid": pdf["qid"].iloc[0],
+                "vec_id": [p[0] for p in picks],
+                "pick": [p[1] for p in picks],
+                "rel": [p[2] for p in picks],
+                "mmr": [p[3] for p in picks],
+            }
+        )
+
+    return (
+        pool.groupBy("qid")
+        .applyInPandas(greedy, "qid long, vec_id long, pick long, rel double, mmr double")
+        .orderBy("qid", "pick")
     )
-    sel = picked.select("qid", "vec_id")
-    out = picked
-    for step in range(2, _MMR_K + 1):
-        sb = sel.select("qid", F.col("vec_id").alias("bid"))
-        sa = sel.select("qid", F.col("vec_id").alias("aid"), F.lit(1).alias("_in"))
-        raw = (
-            pairs.join(sb, ["qid", "bid"])
-            .join(sa, ["qid", "aid"], "left")
-            .filter(F.col("_in").isNull())
-            .groupBy("qid", "aid")
-            .agg(F.min("arel").alias("rel"), F.max("sim").alias("mx"))
-        )
-        score = lam * F.col("rel") - one_m_lam * F.col("mx")
-        w_mmr = Window.partitionBy("qid").orderBy(score.desc(), F.asc("aid"))
-        nxt = (
-            raw.withColumn("rn", F.row_number().over(w_mmr))
-            .filter(F.col("rn") == 1)
-            .select("qid", F.col("aid").alias("vec_id"),
-                    F.lit(step).alias("pick"), "rel", score.alias("mmr"))
-        )
-        out = out.unionByName(nxt)
-        sel = sel.unionByName(nxt.select("qid", "vec_id"))
-    return out.select(
-        F.col("qid").cast("long"), F.col("vec_id").cast("long"),
-        F.col("pick").cast("long"), "rel", "mmr",
-    ).orderBy("qid", "pick")
 
 
 # --- weighted percentiles --------------------------------------------------
