@@ -39,7 +39,13 @@ _PRIORITY = [
     # agg_weighted_percentiles, orders_survival_curve, and
     # similarity_mmr_rerank (all five pass the sf0.01 driver-sim locally;
     # q1 stays as the TPC-H representative, agg_collect_array as the green
-    # aggregate representative).
+    # aggregate representative);
+    # then (wave 5) singly-green window_ranking, window_rolling_median,
+    # dedup_lsh_pairs, and text_lang_id (all r2-green + local-mirror green)
+    # rotated out for part_pareto_skyline, graph_common_neighbors,
+    # dedup_semantic_clusters, and text_importance_resample — windows keep
+    # lag_lead + running_frames, dedup keeps star/simhash/span, text keeps
+    # token_count/bm25/contamination, so every family keeps >=1 green rep.
     # C-II scan/filter/project + C-I sources
     "q1_pricing_summary", "scan_filter_project",
     "source_csv_roundtrip", "source_json_roundtrip",
@@ -54,7 +60,7 @@ _PRIORITY = [
     # C-V sort / set
     "sort_multi_key_limit", "set_intersect_all",
     # C-VI windows
-    "window_ranking", "window_lag_lead", "window_running_frames",
+    "window_lag_lead", "window_running_frames", "part_pareto_skyline",
     # C-VII scalar functions
     "fn_string", "fn_datetime", "fn_math", "fn_conditional", "fn_url",
     # C-VIII event-time (batch)
@@ -62,9 +68,9 @@ _PRIORITY = [
     # C-VIII streaming
     "stream_window_tumbling", "stream_running_totals",
     # C-IX text pipeline
-    "text_token_count", "text_lang_id",
+    "text_token_count", "text_importance_resample",
     # C-IX dedup
-    "dedup_connected_groups_star", "dedup_lsh_pairs", "dedup_simhash_probe",
+    "dedup_connected_groups_star", "dedup_semantic_clusters", "dedup_simhash_probe",
     "dedup_span_fraction",
     # C-IX similarity / ANN / embedding ops
     "similarity_cosine_topk", "similarity_ivf_topk",
@@ -77,7 +83,7 @@ _PRIORITY = [
     "text_bm25_search", "text_contamination",
     # sketches / warehouse / reshape / analytics / graph / profiling
     "freq_heavy_hitters", "merge_upsert_customers", "reshape_unpivot",
-    "anomaly_zscore_daily", "window_rolling_median",
+    "anomaly_zscore_daily", "graph_common_neighbors",
     "graph_pagerank", "graph_triangle_count", "graph_label_propagation",
     "rollup_cascade",
 ]

@@ -291,3 +291,65 @@ def bloom_semi_join(
     return prefiltered.join(
         F.broadcast(keys), prefiltered[fact_key] == keys[dim_key], "left_semi"
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """2-D Pareto skyline (minimize one column, maximize the other) as a
+    distributed prefix-scan — no self-join, no NOT-EXISTS quadratic pass.
+
+    A point p is on the skyline iff no other point q has
+    ``q.minimize <= p.minimize``, ``q.maximize >= p.maximize`` with at least
+    one strict. Over *distinct* points sorted by (minimize ASC, maximize
+    DESC) that reduces to: p survives iff its `maximize` strictly exceeds
+    the running max of every earlier point — a monotone scan.
+
+    The scan is distributed the textbook way rather than through one global
+    window (a single-partition sort dies at scale):
+
+    1. range-repartition distinct points by the `minimize` key (equal keys
+       co-locate, so partition boundaries respect the global order) and
+       stamp each row with its partition id;
+    2. per-partition running max via a window keyed on that id — parallel
+       across partitions (the window's hash exchange on the id preserves
+       the grouping; the id was computed under the range partitioning);
+    3. per-partition totals (one tiny row per partition) turn into an
+       exclusive prefix max over partition ids — a partition-count-sized
+       window, broadcast back;
+    4. survive iff ``maximize > greatest(prefix from earlier partitions,
+       running max of earlier rows in this partition)``.
+
+    Cost at 100 TB: one distinct-aggregate (the point domain, usually tiny
+    vs the row count), one range exchange over the points, and an
+    n_partitions-row side plan. Equal (minimize, maximize) duplicates must
+    be collapsed before the scan — the caller gets them back by re-joining,
+    or aggregates them into the distinct step as this helper's `df` input.
+    """
+    pts = df.repartitionByRange(n_partitions, F.col(minimize)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_run = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc(minimize), F.desc(maximize))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = pts.withColumn("_run", F.max(maximize).over(w_run))
+    # Exclusive prefix max over partition totals: n_partitions rows, so the
+    # single-partition window here is bounded by the partition count, not
+    # the data size.
+    totals = pts.groupBy("_pid").agg(F.max(maximize).alias("_ptotal"))
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "_pid", F.max("_ptotal").over(w_prefix).alias("_prefix")
+    )
+    joined = scanned.join(F.broadcast(prefix), "_pid")
+    # greatest() skips nulls (null only when both are), which is exactly the
+    # "no earlier point" base case of the scan.
+    bound = F.greatest(F.col("_run"), F.col("_prefix"))
+    return joined.filter(bound.isNull() | (F.col(maximize) > bound)).drop(
+        "_pid", "_run", "_prefix"
+    )

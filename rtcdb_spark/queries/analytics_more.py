@@ -217,3 +217,45 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_date")
     )
+
+
+@query(
+    "part_pareto_skyline",
+    """
+    WITH pts AS (
+        SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY 1, 2
+    )
+    SELECT price, size, CAST(n_parts AS BIGINT) AS n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price <= p.price AND q.size >= p.size
+          AND (q.price < p.price OR q.size > p.size)
+    )
+    ORDER BY price
+    """,
+    tags=("analytics", "skyline", "pareto"),
+)
+def part_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over parts: the price/size frontier — every
+    (retailprice, size) point not dominated by a cheaper-and-at-least-as-big
+    alternative (minimize price, maximize size). The classic skyline
+    operator (Börzsönyi et al., ICDE 2001), whose naive form is a quadratic
+    NOT-EXISTS self-join — the oracle runs exactly that on the fixture-sized
+    distinct-point set. The Spark side instead reduces rows to distinct
+    points (a map-combined aggregate) and runs
+    :func:`rtcdb_spark.operators.relational.skyline_2d` — a distributed
+    monotone prefix-scan: range-partition by price, per-partition running
+    max of size, and an n_partitions-row exclusive prefix max stitched
+    across partitions. O(n log n) total work, no self-join, no global
+    single-partition sort — the shape that survives 100 TB."""
+    from rtcdb_spark.operators.relational import skyline_2d
+
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    return skyline_2d(pts, minimize="price", maximize="size").orderBy("price")

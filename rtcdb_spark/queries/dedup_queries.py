@@ -1189,3 +1189,103 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming_threshold")
     )
+
+
+@query(
+    "dedup_semantic_clusters",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM base
+        WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15)
+    ),
+    assign AS (
+        SELECT vec_id, v, norm, cid FROM (
+            SELECT b.vec_id, b.v, b.norm, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.v, c.cv) / (b.norm * c.cnorm) DESC, c.cid
+                   ) AS rn
+            FROM base b CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT DISTINCT a.vec_id
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND b.vec_id < a.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.3
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """,
+    tags=("dedup", "embedding", "semantic", "llm-pipeline"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (Abbas et al., 2023): cluster the
+    embedding space, then call a vector a duplicate iff a lower-id member of
+    its *own cluster* sits above the cosine threshold — the trick that turns
+    corpus-quadratic near-dup detection into per-cluster work. Clustering
+    here is the deterministic fixed-centroid Voronoi assignment shared with
+    `similarity_ivf_topk` (the 16 lowest-id vectors stand in for trained
+    k-means, keeping the oracle SQL-expressible; swap in
+    `kmeans_centroids` for the trained variant at no plan change).
+
+    Scale shape: centroids broadcast (16 rows) → assignment is one corpus
+    scan with a per-row argmax, no shuffle; the in-cluster pair join
+    shuffles once on cid, and pair expansion is bounded per-cluster —
+    cluster granularity (n_cells) is the knob that caps the quadratic term,
+    exactly as in the SemDeDup paper. Survivor = min vec_id per duplicate
+    neighborhood, matching every other dedup op's convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = with_norm(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cents = base.filter(F.col("vec_id").isin(*range(16))).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        base.join(F.broadcast(cents))
+        .withColumn("ccos", _sim_dot("v", "cv") / (F.col("norm") * F.col("cnorm")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "norm", "cid")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        "cid",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        F.col("cid").alias("cid_b"),
+    )
+    dup = (
+        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("id_b") < F.col("id_a")))
+        .filter(_sim_dot("va", "vb") / (F.col("na") * F.col("nb")) >= 0.3)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assign.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cid"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

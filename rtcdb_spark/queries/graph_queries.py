@@ -300,3 +300,79 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_common_neighbors",
+    f"""
+    WITH {_SQL_GRAPH},
+    wedge AS (
+        SELECT a.dst AS u, b.dst AS v, COUNT(*) AS common
+        FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY a.dst, b.dst
+    ),
+    cand AS (
+        SELECT w.u, w.v, w.common FROM wedge w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.src = w.u AND e.dst = w.v
+        )
+    )
+    SELECT c.u AS user_a, c.v AS user_b,
+           CAST(c.common AS BIGINT) AS n_common,
+           ROUND(CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common), 9)
+               AS jaccard
+    FROM cand c
+    JOIN deg da ON da.node = c.u
+    JOIN deg db ON db.node = c.v
+    ORDER BY jaccard DESC, user_a, user_b
+    LIMIT 50
+    """,
+    tags=("graph", "link-prediction", "jaccard"),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg,
+    2003): for every non-adjacent user pair sharing at least one neighbor,
+    score |N(u) ∩ N(v)| / |N(u) ∪ N(v)| and return the 50 most likely
+    missing edges. Wedge enumeration is the same self-join-on-shared-
+    neighbor shape as graph_triangle_count: cost Σ deg(n)², concentrated
+    on hubs — at 100 TB the standard mitigations (cap or sample hub
+    adjacency before the wedge join) bolt onto the same plan. The
+    existing-edge exclusion is a left-anti join on the (already
+    symmetrized) edge list; degrees join in as two node-sized broadcasts;
+    the final double division is a single op rounded at 9 for cross-engine
+    hash parity."""
+    edges = _event_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a = edges.select(F.col("src").alias("n"), F.col("dst").alias("u"))
+    b = edges.select(F.col("src").alias("n"), F.col("dst").alias("v"))
+    wedge = (
+        a.join(b, "n")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedge.join(
+        edges,
+        (wedge["u"] == edges["src"]) & (wedge["v"] == edges["dst"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    return (
+        cand.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .select(
+            F.col("u").alias("user_a"),
+            F.col("v").alias("user_b"),
+            F.col("common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "user_a", "user_b")
+        .limit(50)
+    )

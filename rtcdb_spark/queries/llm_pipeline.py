@@ -938,3 +938,104 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
     ).orderBy("doc_id")
+
+
+# --- DSIR-style importance resampling ---------------------------------------
+
+_DSIR_B = 256  # hashed-feature buckets; collisions are part of the estimator
+
+
+@query(
+    "text_importance_resample",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {sql_stable_hash_mod('tok')} % {_DSIR_B} AS b
+        FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ),
+    raw AS (SELECT b, COUNT(*) AS rc FROM toks GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS tc FROM toks WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT CAST(SUM(rc) AS DOUBLE) + {_DSIR_B} AS rtot,
+               (SELECT CAST(SUM(tc) AS DOUBLE) FROM tgt) + {_DSIR_B} AS ttot
+        FROM raw
+    ),
+    wts AS (
+        SELECT r.b,
+               CAST(ln(((CAST(COALESCE(t.tc, 0) AS DOUBLE) + 1) / tot.ttot)
+                       / ((CAST(r.rc AS DOUBLE) + 1) / tot.rtot))
+                    AS DECIMAL(18,8)) AS w
+        FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot
+    )
+    SELECT doc_id, n_tokens, score, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT s.doc_id, s.n_tokens, s.score,
+               ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS rnk
+        FROM (
+            SELECT tk.doc_id,
+                   COUNT(*) AS n_tokens,
+                   ROUND(CAST(SUM(w.w) AS DOUBLE), 6) AS score
+            FROM toks tk JOIN wts w ON tk.b = w.b
+            GROUP BY tk.doc_id
+        ) s
+    ) WHERE rnk <= 50
+    ORDER BY rnk
+    """,
+    tags=("text", "llm-pipeline", "importance-sampling", "curation"),
+)
+def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored data selection (Xie et al., NeurIPS 2023): score every
+    document by its hashed-n-gram importance weight — the log-ratio of a
+    target-domain unigram model (here: the English slice standing in for a
+    curated domain) to the raw-corpus model, summed over the document's
+    tokens — then take the top of the ranking as the resampled training
+    set. Hashed buckets (B=256, md5-based cross-engine hash) bound
+    the feature table regardless of vocabulary size — the core DSIR trick.
+
+    Determinism: per-bucket log-ratio is quantized to DECIMAL(18,8) once
+    (same pin as text_unigram_nll), so the per-doc sum is exact in any
+    aggregation order; Laplace +1 smoothing keeps every bucket finite.
+    Scale shape: bucket histograms are B-row aggregates → the weight table
+    broadcasts back into the token stream; the corpus shuffles once, on
+    doc_id, with map-side combine; top-50 is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", "lang", (stable_hash_mod("tok") % _DSIR_B).alias("b"))
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    rtot = raw.agg((F.sum("rc").cast("double") + _DSIR_B).alias("rtot"))
+    ttot = tgt.agg((F.sum("tc").cast("double") + _DSIR_B).alias("ttot"))
+    wts = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("tc"), F.lit(0)).cast("double") + 1) / F.col("ttot"))
+                / ((F.col("rc").cast("double") + 1) / F.col("rtot"))
+            )
+            .cast("decimal(18,8)")
+            .alias("w"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("w").cast("double"), 6).alias("score"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rnk") <= 50)
+        .orderBy("rnk")
+    )

@@ -816,3 +816,38 @@ def test_mmr_matches_greedy_model(spark, seed, tmp_path_factory):
         for r in similarity_mmr_rerank(spark, str(d)).collect()
     ]
     assert sorted(got) == sorted(expect)
+
+
+@settings(**SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+def test_skyline_2d_matches_brute_force(spark, pts, n_parts):
+    """skyline_2d (distributed prefix-scan) ≡ the O(n²) domination model,
+    for any partition count — including counts that leave partitions empty
+    and force cross-partition stitching."""
+    from rtcdb_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(pts, "price int, size int")
+    got = sorted(
+        (r.price, r.size)
+        for r in skyline_2d(df, "price", "size", n_partitions=n_parts).collect()
+    )
+    want = sorted(
+        p
+        for p in pts
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in pts
+        )
+    )
+    assert got == want
