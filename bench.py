@@ -55,6 +55,13 @@ HEADLINE = [
     # round-3 wave 4: bounded-pool MMR re-rank + LPA communities
     "similarity_mmr_rerank",
     "graph_label_propagation",
+    # round-3 wave 5: skyline prefix-scan, semantic dedup, DSIR scoring,
+    # link prediction, overlapping streaming windows
+    "part_pareto_skyline",
+    "dedup_semantic_clusters",
+    "text_importance_resample",
+    "graph_common_neighbors",
+    "stream_window_sliding",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -102,11 +102,13 @@ def pagerank(
                 round_to,
             ).alias("rank"),
         )
-        # Lineage grows linearly with iterations; materialize periodically so
+        # Lineage grows linearly with iterations; truncate periodically so
         # long runs don't re-execute the whole chain per job or blow the
-        # planner, but short runs stay a single lazy plan (no extra jobs).
+        # planner. Lazy (eager=False): the checkpoint materializes as a side
+        # effect of the next round's first action instead of costing its own
+        # job here — same trick as the star-CC rounds.
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

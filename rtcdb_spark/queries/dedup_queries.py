@@ -1254,12 +1254,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    # The assignment (broadcast ×16 expansion + per-vector argmax) feeds
+    # three plan branches (both pair sides and the final projection);
+    # persist so the expansion runs once.
     assign = (
         base.join(F.broadcast(cents))
         .withColumn("ccos", _sim_dot("v", "cv") / (F.col("norm") * F.col("cnorm")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "norm", "cid")
+        .persist()
     )
     a = assign.select(
         F.col("vec_id").alias("id_a"),

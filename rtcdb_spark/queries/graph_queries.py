@@ -341,10 +341,19 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrized) edge list; degrees join in as two node-sized broadcasts;
     the final double division is a single op rounded at 9 for cross-engine
     hash parity."""
-    edges = _event_edges(spark, sf_dir)
+    # The edge pipeline (event window + distinct + symmetrize) feeds four
+    # plan branches (adjacency, degrees, anti-join); persist so it runs once.
+    edges = _event_edges(spark, sf_dir).persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    # Wedges via the self-equi-join on the shared neighbor. (An
+    # adjacency-array expansion — the LSH-bucket trick — was measured 5×
+    # slower here: `slice` inside `transform` copies the array tail per
+    # element, turning the uncapped per-node expansion cubic in degree.
+    # The capped LSH variant is immune because max_clique bounds the
+    # slices; a full wedge census has no such cap, so the join, whose
+    # matching is linear in output pairs, wins.)
     a = edges.select(F.col("src").alias("n"), F.col("dst").alias("u"))
     b = edges.select(F.col("src").alias("n"), F.col("dst").alias("v"))
     wedge = (

@@ -22,6 +22,7 @@ from rtcdb_spark.streaming import (
     run_available_now,
     stream_dedup,
     stream_session,
+    stream_sliding,
     stream_tumbling,
     stream_user_running_totals,
 )
@@ -267,3 +268,28 @@ def stream_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+@query(
+    "stream_window_sliding",
+    f"""
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(o))
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1-hour length, 30-minute slide) run to
+    completion — each event feeds two window states; complete-mode output
+    must equal the batch ``window_sliding`` answer exactly. State per key
+    is bounded by (#open windows × slide granularity), evicted once the
+    watermark passes window_end — the same bookkeeping the tumbling twin
+    exercises, plus the overlapping-assignment expansion."""
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_available_now(stream_sliding(sdf), output_mode="complete")
+    return out.orderBy("window_start")

@@ -195,6 +195,7 @@ def _stream_frames(spark, sf_smoke):
         stream_dedup,
         stream_enrich_static,
         stream_session,
+        stream_sliding,
         stream_stream_join,
         stream_tumbling,
         stream_user_running_totals,
@@ -204,6 +205,9 @@ def _stream_frames(spark, sf_smoke):
     return {
         "stream_window_tumbling": (
             stream_tumbling(sdf), ["StateStoreSave", "EventTimeWatermark"]
+        ),
+        "stream_window_sliding": (
+            stream_sliding(sdf), ["StateStoreSave", "EventTimeWatermark"]
         ),
         "stream_window_session": (
             stream_session(sdf),
@@ -234,6 +238,7 @@ def _stream_frames(spark, sf_smoke):
     "name",
     [
         "stream_window_tumbling",
+        "stream_window_sliding",
         "stream_window_session",
         "stream_dedup_count",
         "stream_running_totals",
