@@ -214,3 +214,51 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "source_zorder_scan",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_totalprice BETWEEN 50000 AND 150000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "zorder", "layout"),
+)
+def source_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data clustering: rewrite orders sorted along the
+    Z-order (Morton) curve of (o_custkey, o_totalprice) — the multi-column
+    generalization of the reference's sorted-table contract (reference
+    README.md:44 indexes only the leading sort column) — then answer a 2-D
+    box predicate through the clustered copy. Because bit-interleaving
+    bounds BOTH columns' ranges within every file/row-group, parquet
+    min/max stats prune on both dimensions at once; a lexicographic sort
+    would prune only on the leading column. The oracle computes the same
+    aggregate from the original table, so unsound skipping or double-reads
+    mismatch; tests/test_layout.py asserts the clustering property itself
+    (per-file span of the SECOND dimension shrinks vs lexicographic)."""
+    from rtcdb_spark.sources.layout import write_zordered
+
+    out = os.path.join(_IO_ROOT, "orders_zordered")
+    o = load_table(spark, sf_dir, "orders")
+    write_zordered(o, out, ["o_custkey", "o_totalprice"], bits=16, n_files=8)
+    z = spark.read.parquet(out)
+    return (
+        z.filter(
+            F.col("o_custkey").between(100, 400)
+            & F.col("o_totalprice").between(50000, 150000)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

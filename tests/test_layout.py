@@ -138,3 +138,68 @@ def test_zorder_value_is_deterministic_expression(spark, sf_smoke):
         F.sum("z")
     ).first()[0]
     assert z1 == z2
+
+
+def test_zorder_value_interleaves_known_points(spark):
+    """2-bit Morton interleave of a 2x2 grid matches the hand-computed curve
+    order (0,0) < (1,0) < (0,1) < (1,1)."""
+    from rtcdb_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1)], "x int, y int"
+    )
+    out = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_value(df, ["x", "y"], bits=1)).collect()
+    }
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1
+    assert out[(0, 1)] == 2 and out[(1, 1)] == 3
+
+
+def test_zorder_write_roundtrip_and_clusters_second_dim(spark, sf_smoke, tmp_path):
+    """write_zordered preserves content exactly AND actually clusters the
+    second dimension: the mean per-file span of o_totalprice must be
+    materially narrower than under a lexicographic (o_custkey-led) sort,
+    where every file spans the full price domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rtcdb_spark.sources import load_table
+    from rtcdb_spark.sources.layout import write_zordered
+
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zdir = str(tmp_path / "zord")
+    ldir = str(tmp_path / "lex")
+    write_zordered(o, zdir, ["o_custkey", "o_totalprice"], bits=16, n_files=8)
+    (
+        o.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    back = spark.read.parquet(zdir)
+    assert sorted(r.o_orderkey for r in back.collect()) == sorted(
+        r.o_orderkey for r in o.collect()
+    )
+
+    def mean_price_span(d):
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(len(md.schema))
+                if md.schema.column(i).name == "o_totalprice"
+            )
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    z_span, lex_span = mean_price_span(zdir), mean_price_span(ldir)
+    # Z-order must at least halve the per-file price span; lexicographic
+    # files each cover ~the whole price domain.
+    assert z_span < 0.5 * lex_span, (z_span, lex_span)
