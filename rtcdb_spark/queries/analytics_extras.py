@@ -1953,3 +1953,148 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "timeseries_stl_decompose",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, d, cnt,
+               SUM(cnt) OVER w AS s7, COUNT(*) OVER w AS c7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detrended AS (
+        SELECT event_type, d, cnt, s7, c7,
+               420 * cnt - (420 * s7) // c7 AS det420,
+               dayofweek(d) AS dow
+        FROM trended
+    ),
+    seasonal AS (
+        SELECT event_type, dow,
+               CAST(SUM(det420) AS DOUBLE) / (420 * COUNT(*)) AS s
+        FROM detrended GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.d AS day, t.cnt,
+           ROUND(CAST(t.s7 AS DOUBLE) / t.c7, 6) AS trend,
+           ROUND(s.s, 6) AS seasonal,
+           ROUND(CAST(t.det420 AS DOUBLE) / 420 - s.s, 6) AS residual
+    FROM detrended t JOIN seasonal s
+      ON t.event_type = s.event_type AND t.dow = s.dow
+    ORDER BY t.event_type, t.d
+    """,
+    tags=("timeseries", "decomposition", "stl", "anomaly"),
+)
+def timeseries_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition (STL-lite) of daily event
+    volume per type: trend = centered 7-day moving average, seasonal =
+    day-of-week mean of the detrended series, residual = what neither
+    explains — the residual stream is what anomaly detectors should score
+    instead of raw counts (a Monday spike is seasonality, not an anomaly).
+
+    Determinism: everything stays in exact integers until the final
+    divisions. The detrended value cnt - s7/c7 is scaled by 420 (the LCM of
+    every possible centered-window count 4..7), making det420 = 420*cnt -
+    (420*s7)/c7 an exact integer; the seasonal mean divides the exact
+    integer sum once, and each emitted double is the same short division/
+    subtraction sequence on both engines, rounded at 6. No double->decimal
+    cast sits at a rounding boundary (the defect class the dtype-parity
+    test exists for).
+    Scale shape: the raw stream collapses to (type, day) map-side first —
+    the windows run on the collapsed frame (rows = types × days), never on
+    events; at 100 TB that is the difference between a window over 10^12
+    rows and one over 10^4."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.withColumn("s7", F.sum("cnt").over(w)).withColumn(
+        "c7", F.count(F.lit(1)).over(w)
+    )
+    detrended = trended.withColumn(
+        "det420",
+        F.lit(420) * F.col("cnt") - F.expr("(420 * s7) div c7"),
+    ).withColumn("dow", F.dayofweek("d"))
+    seasonal = detrended.groupBy("event_type", "dow").agg(
+        (
+            F.sum("det420").cast("double") / (F.lit(420) * F.count(F.lit(1)))
+        ).alias("s")
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            "cnt",
+            F.round(F.col("s7").cast("double") / F.col("c7"), 6).alias("trend"),
+            F.round("s", 6).alias("seasonal"),
+            F.round(
+                F.col("det420").cast("double") / 420 - F.col("s"), 6
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "orders_seasonal_naive_backtest",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    )
+    SELECT a.d AS day, a.revenue AS actual, f.revenue AS forecast,
+           ROUND(abs(a.revenue - f.revenue) / a.revenue, 8) AS abs_pct_err
+    FROM daily a JOIN daily f ON f.d = a.d - 7
+    ORDER BY a.d
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue as the
+    revenue 7 days earlier and score the absolute percentage error — the
+    standard forecasting baseline every model must beat (and the error
+    column feeds a MAPE/sMAPE summary). The self-join on (d - 7) handles
+    calendar gaps correctly where a LAG-by-rows would silently misalign
+    after a missing day.
+
+    Determinism: daily revenue is the exact-decimal dsum; the error is one
+    |a-f|/a double composition rounded at 8. Scale shape: orders collapse
+    to one row per day map-side; the self-join runs on the collapsed frame
+    (365 rows here, date-count rows generally), broadcastable at any
+    realistic calendar span."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        dsum("o_totalprice", alias="revenue")
+    )
+    f = daily.select(
+        F.date_add(F.col("d"), 7).alias("d"), F.col("revenue").alias("forecast")
+    )
+    return (
+        daily.join(F.broadcast(f), "d")
+        .select(
+            F.col("d").alias("day"),
+            F.col("revenue").alias("actual"),
+            "forecast",
+            F.round(
+                F.abs(F.col("revenue") - F.col("forecast")) / F.col("revenue"), 8
+            ).alias("abs_pct_err"),
+        )
+        .orderBy("day")
+    )

@@ -650,3 +650,103 @@ def embedding_norm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_PCA_ITERS = 3
+_PCA_SQL_PARTS = [
+    "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+    "v0 AS (SELECT list_transform(range(64), x -> 0.125) AS l)",
+]
+for _k in range(1, _PCA_ITERS + 1):
+    _PCA_SQL_PARTS.append(f"""
+    d{_k} AS (
+        SELECT t.v, list_dot_product(t.v, (SELECT l FROM v{_k - 1})) AS dot
+        FROM base t
+    ),
+    c{_k} AS (
+        SELECT g.i AS dim,
+               CAST(SUM(CAST(t.v[g.i] * t.dot AS DECIMAL(28,15))) AS DOUBLE) AS wd
+        FROM d{_k} t, generate_series(1, 64) g(i)
+        GROUP BY g.i
+    ),
+    w{_k} AS (SELECT list(wd ORDER BY dim) AS l FROM c{_k}),
+    m{_k} AS (SELECT list_max(list_transform(l, x -> abs(x))) AS m FROM w{_k}),
+    v{_k} AS (SELECT list_transform(w{_k}.l, e -> e / m{_k}.m) AS l FROM w{_k}, m{_k})"""
+        .strip()
+    )
+_PCA_SQL = (
+    "WITH "
+    + ",\n    ".join(_PCA_SQL_PARTS)
+    + f"""
+    SELECT g.i AS dim,
+           ROUND(v{_PCA_ITERS}.l[g.i]
+                 / sqrt(list_dot_product(v{_PCA_ITERS}.l, v{_PCA_ITERS}.l)), 9)
+               AS loading,
+           ROUND(m{_PCA_ITERS}.m, 6) AS growth
+    FROM v{_PCA_ITERS}, m{_PCA_ITERS}, generate_series(1, 64) g(i)
+    ORDER BY dim
+"""
+)
+
+
+@query(
+    "embedding_power_iteration",
+    _PCA_SQL,
+    tags=("similarity", "embedding", "pca", "iterative", "llm-pipeline"),
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal axis of the embedding cloud by distributed power
+    iteration — 3 rounds of v ← X^T (X v), the spectral primitive under
+    PCA whitening, embedding-drift monitoring, and ABTT-style common-
+    component removal (Mu & Viswanath, ICLR 2018: dominant directions of
+    an embedding cloud are corpus-wide artifacts worth projecting out).
+
+    Each round is one matvec expressed relationally: the per-vector dot
+    x·v folds sequentially inside the row (same order as DuckDB's
+    list_dot_product), then per-dimension contributions x_d·(x·v) sum as
+    exact DECIMAL(28,15) — cast-exact because |c| ≤ max|x_d|·|dot| < 9 —
+    so any aggregation order gives bit-identical w. Rescaling divides by
+    max|w_d| (an exact comparison, no rounding boundary) instead of the
+    L2 norm, so no double→decimal or ROUND sits inside the loop; the L2
+    normalization and rounding happen once at output. The 64-float
+    iterate is driver-held (sketch-sized, like kmeans centroids) and
+    re-broadcast per round; corpus work per round is one scan + one
+    64-group map-combined aggregate — no shuffle of the embedding table.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    v = [0.125] * 64
+    m = 1.0
+    for _ in range(_PCA_ITERS):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        dot = F.expr(
+            "aggregate(zip_with(v, _vl, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+        scored = base.withColumn("_vl", vlit).withColumn("dot", dot)
+        w_rows = (
+            scored.select(F.posexplode("v").alias("d0", "xd"), "dot")
+            .groupBy("d0")
+            .agg(
+                F.sum((F.col("xd") * F.col("dot")).cast("decimal(28,15)"))
+                .cast("double")
+                .alias("wd")
+            )
+            .collect()
+        )
+        w = [r["wd"] for r in sorted(w_rows, key=lambda r: r["d0"])]
+        m = max(abs(x) for x in w)
+        v = [x / m for x in w]
+    # L2-normalize and emit through Spark expressions so the final ROUND
+    # semantics are the engine's (one division + one round per element).
+    norm = sum(x * x for x in v) ** 0.5  # sequential fold, IEEE-exact
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    return (
+        spark.range(1)
+        .select(F.posexplode(vlit).alias("d0", "vd"))
+        .select(
+            (F.col("d0") + 1).cast("bigint").alias("dim"),
+            F.round(F.col("vd") / F.lit(float(norm)), 9).alias("loading"),
+            F.round(F.lit(float(m)), 6).alias("growth"),
+        )
+        .orderBy("dim")
+    )
