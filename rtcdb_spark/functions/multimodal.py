@@ -435,3 +435,58 @@ def synth_and_silence_bounds(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(process, SILENCE_SCHEMA)
+
+
+QUADRANT_SIG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sig", LongType()),
+    ]
+)
+
+
+def image_quadrant_sig(payload: bytes) -> int:
+    """Perceptual signature from REAL decoded pixels: 2x2 quadrant
+    average-hash (aHash shrunk to the fixture's tiny images — same
+    construction as the classic 8x8: bit q = "quadrant brighter than the
+    whole image"). All-integer: per-pixel luminance is the BGR byte sum,
+    and the brighter-than-mean test cross-multiplies (qsum * n_total >
+    total * n_q) instead of dividing, so there is no float anywhere to
+    drift. Quadrant membership: x belongs to the low half iff 2x < w
+    (ditto y) — the same split the oracle's analytic twin uses."""
+    meta = decode_bmp(payload)
+    w, h = meta["width"], meta["height"]
+    if meta["bpp"] != 24:
+        raise NotImplementedError("quadrant sig implemented for 24-bpp BMP only")
+    stride = ((3 * w + 3) // 4) * 4
+    qsum = [0, 0, 0, 0]
+    qn = [0, 0, 0, 0]
+    for y in range(h):
+        row = payload[54 + y * stride : 54 + y * stride + 3 * w]
+        for x in range(w):
+            lum = row[3 * x] + row[3 * x + 1] + row[3 * x + 2]
+            q = (0 if 2 * x < w else 1) + (0 if 2 * y < h else 2)
+            qsum[q] += lum
+            qn[q] += 1
+    total, n = sum(qsum), w * h
+    sig = 0
+    for q in range(4):
+        if qn[q] and qsum[q] * n > total * qn[q]:
+            sig |= 1 << q
+    return sig
+
+
+def synth_and_quadrant_sig(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Quadrant-aHash over the image rows: synthesize each BMP, decode the
+    padded scanlines for real, emit the 4-bit signature — one Arrow-batched
+    mapInPandas pass, embarrassingly parallel like every decode kernel."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id in pdf[id_col].astype("int64"):
+                ids.append(int(doc_id))
+                sigs.append(image_quadrant_sig(synth_payload(int(doc_id))))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return df.select(id_col).mapInPandas(process, QUADRANT_SIG_SCHEMA)

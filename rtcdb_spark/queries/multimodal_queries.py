@@ -210,3 +210,100 @@ def multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
     return synth_and_silence_bounds(d).orderBy("doc_id")
+
+
+def _q_lum(off: int) -> str:
+    return f"(doc_id * 31 + (y * stride + 3 * x + {off}) * 7) % 256"
+
+
+_QSUM_EXPRS = ",\n               ".join(
+    f"""CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                    list_transform(generate_series(0, w - 1), x ->
+                        CASE WHEN (CASE WHEN 2 * x < w THEN 0 ELSE 1 END
+                                 + CASE WHEN 2 * y < h THEN 0 ELSE 2 END) = {q}
+                             THEN {_q_lum(0)} + {_q_lum(1)} + {_q_lum(2)}
+                             ELSE 0 END)))) AS BIGINT) AS qs{q}"""
+    for q in range(4)
+)
+
+_QN_EXPRS = """
+               ((w + 1) // 2) * ((h + 1) // 2) AS qn0,
+               (w - (w + 1) // 2) * ((h + 1) // 2) AS qn1,
+               ((w + 1) // 2) * (h - (h + 1) // 2) AS qn2,
+               (w - (w + 1) // 2) * (h - (h + 1) // 2) AS qn3
+"""
+
+_SIG_EXPR = " + ".join(
+    f"""CASE WHEN qn{q} > 0 AND qs{q} * (w * h) > (qs0 + qs1 + qs2 + qs3) * qn{q}
+             THEN {1 << q} ELSE 0 END"""
+    for q in range(4)
+)
+
+
+@query(
+    "multimodal_image_phash_dedup",
+    f"""
+    WITH bmp AS (
+        SELECT doc_id,
+               1 + doc_id % 13 AS w,
+               1 + doc_id % 7 AS h,
+               ((3 * (1 + doc_id % 13) + 3) // 4) * 4 AS stride
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    qsums AS (
+        SELECT doc_id, w, h,
+               {_QSUM_EXPRS},
+               {_QN_EXPRS}
+        FROM bmp
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({_SIG_EXPR} AS BIGINT) AS sig FROM qsums
+    ),
+    clusters AS (
+        SELECT sig, COUNT(*) AS cluster_size, MIN(doc_id) AS keeper
+        FROM sigs GROUP BY sig
+    )
+    SELECT s.doc_id, s.sig,
+           CAST(c.cluster_size AS BIGINT) AS cluster_size,
+           (c.cluster_size > 1 AND s.doc_id <> c.keeper) AS is_dup
+    FROM sigs s JOIN clusters c ON s.sig = c.sig
+    ORDER BY s.doc_id
+    """,
+    tags=("multimodal", "dedup", "phash", "llm-pipeline"),
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal twin of text near-dup:
+    every image's REAL decoded pixels (padded-scanline walk, BGR luminance)
+    reduce to a quadrant average-hash (aHash at the fixture's image sizes;
+    the 8x8 production variant changes only the grid constant), then
+    signature equality buckets near-identical images and the min-id member
+    survives — identical survivor convention to every text dedup op.
+
+    All arithmetic is integer (luminance sums, cross-multiplied
+    brighter-than-mean tests), so the hash has no float drift by
+    construction. The oracle recomputes the signatures analytically from
+    the pixel-synthesis formula over the same padded layout — a hash match
+    proves the decoder's byte addressing, not just its metadata parse.
+    Scale shape: decode is an embarrassingly-parallel mapInPandas scan;
+    the signature histogram is a 16-bucket aggregate broadcast back — the
+    corpus never shuffles."""
+    from rtcdb_spark.functions.multimodal import synth_and_quadrant_sig
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    sigs = synth_and_quadrant_sig(d)
+    clusters = sigs.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return (
+        sigs.join(F.broadcast(clusters), "sig")
+        .select(
+            "doc_id",
+            "sig",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            ((F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("keeper"))).alias(
+                "is_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -851,3 +851,37 @@ def test_skyline_2d_matches_brute_force(spark, pts, n_parts):
         )
     )
     assert got == want
+
+
+def test_power_iteration_matches_numpy_model(spark):
+    """The relational power iteration must reproduce an independent numpy
+    emulation of the same 3 rounds (same init, same max-norm rescaling)
+    essentially exactly — the model check that the exact-decimal matvecs
+    implement real matrix algebra. (Convergence to the true eigenvector is
+    NOT asserted: the fixture embeddings are near-isotropic — eigenvalue
+    gap ratio ~1.02 — so no fixed round count converges on them; the
+    operator's contract is the algorithm, whose convergence rate is
+    data-dependent.)"""
+    import numpy as np
+
+    from rtcdb_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["embedding_power_iteration"].fn(spark, sf).collect()
+    got = np.array([r.loading for r in sorted(out, key=lambda r: r.dim)])
+    X = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    G = X.T @ X
+    v = np.full(64, 0.125)
+    for _ in range(3):
+        w = G @ v
+        v = w / np.max(np.abs(w))
+    want = v / np.linalg.norm(v)
+    assert np.allclose(got, np.round(want, 9), atol=1e-8), (
+        np.abs(got - np.round(want, 9)).max()
+    )
