@@ -1033,9 +1033,12 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("w").cast("double"), 6).alias("score"),
         )
     )
+    # Top-50 via orderBy+limit so the plan is TakeOrderedAndProject (a
+    # per-partition heap + driver merge of 50-row tops) — a row_number
+    # window here would global-sort every scored doc on one partition.
+    # The rank column is assigned AFTER the limit, over 50 rows.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
     w_rank = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
-        .filter(F.col("rnk") <= 50)
-        .orderBy("rnk")
+    return top.withColumn("rnk", F.row_number().over(w_rank).cast("bigint")).orderBy(
+        "rnk"
     )
