@@ -167,6 +167,44 @@ def test_registry_plan_contract(spark, sf_smoke, name):
     assert not violations, f"{name}: {violations}"
 
 
+def test_zorder_scan_pushes_both_dimensions(spark, sf_smoke):
+    # the whole point of the Morton layout: BOTH box predicates reach the
+    # parquet scan of the clustered copy so row-group stats can prune on
+    # two dimensions at once
+    p = _plan(spark, sf_smoke, "source_zorder_scan")
+    assert any("o_custkey" in f for f in p.pushed), p.pushed
+    assert any("o_totalprice" in f for f in p.pushed), p.pushed
+    assert p.cartesian_products == 0 and p.nested_loop_joins == 0, p.describe()
+
+
+def test_skyline_is_prefix_scan_not_self_join(spark, sf_smoke):
+    # the distributed skyline must never fall back to the quadratic
+    # domination self-join (the oracle's NOT-EXISTS shape): no join of any
+    # kind except the broadcast of the n_partitions-row prefix table
+    p = _plan(spark, sf_smoke, "part_pareto_skyline")
+    assert p.cartesian_products == 0 and p.nested_loop_joins == 0, p.describe()
+    assert p.sort_merge_joins == 0, p.describe()
+    assert p.broadcast_joins >= 1, p.describe()  # the prefix-max stitch
+    assert "RangePartitioning" in p.plan or "rangepartitioning" in p.plan.lower(), (
+        "expected a range exchange on the minimize key"
+    )
+
+
+def test_phash_dedup_corpus_never_shuffles(spark, sf_smoke):
+    # decode is a map-only mapInPandas pass; the only join is the broadcast
+    # of the 16-bucket signature histogram back onto the signatures
+    p = _plan(spark, sf_smoke, "multimodal_image_phash_dedup")
+    assert p.cartesian_products == 0 and p.nested_loop_joins == 0, p.describe()
+    assert p.sort_merge_joins == 0, p.describe()
+    assert p.broadcast_joins >= 1, p.describe()
+
+
+def test_dsir_top50_is_take_ordered(spark, sf_smoke):
+    p = _plan(spark, sf_smoke, "text_importance_resample")
+    assert p.has_take_ordered, p.describe()
+    assert p.cartesian_products == 0, p.describe()
+
+
 def test_pagerank_never_hints_broadcast(spark, sf_smoke):
     """Regression pin for the node-sized `F.broadcast(ranks)` bug: the rank
     and degree tables are node-cardinality, so PageRank must leave join
