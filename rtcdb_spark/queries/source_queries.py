@@ -24,8 +24,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rtcdb_spark.queries.base import query
-from rtcdb_spark.sources import load_table
+from rtcdb_spark.queries.base import dsum, query, sql_dsum
+from rtcdb_spark.sources import load_table, write_bucketed
 
 _IO_ROOT = os.path.join(tempfile.gettempdir(), "rtcdb_spark_io")
 
@@ -259,6 +259,61 @@ def source_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
             .cast("double")
             .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "source_bucketed_join",
+    f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+    tags=("source", "bucketing", "join"),
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join through bucketed tables: lineitem and
+    orders are rewritten `bucketBy(16, key)` + sorted, then joined with NO
+    exchange on either side — the single biggest shuffle in the star-schema
+    workload, removed at write time (tests/test_bucketing.py pins the
+    no-exchange plan property; this query makes the path part of the graded
+    operator surface). The industrial form of the reference's sorted-table
+    contract (reference README.md:44): there sorting enables binary search,
+    here bucket+sort enables shuffle-free merge joins and bucket pruning.
+    The oracle runs the same join-aggregate on the raw tables, so a bucket
+    misroute (row in the wrong bucket → dropped/duplicated match) breaks
+    the hash, not just the plan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("o_key"), "o_orderstatus"
+    )
+    # Replay-safe across sessions: a previous process may have left the
+    # managed-table LOCATION on disk without this session's catalog knowing
+    # the table — drop the catalog entry AND the orphan directory first.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for name in ("rtcdb_li_bucketed", "rtcdb_o_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if warehouse:
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    write_bucketed(li, "rtcdb_li_bucketed", "l_orderkey", n_buckets=16)
+    write_bucketed(o, "rtcdb_o_bucketed", "o_key", n_buckets=16)
+    lb = spark.table("rtcdb_li_bucketed")
+    ob = spark.table("rtcdb_o_bucketed")
+    return (
+        lb.join(ob, lb["l_orderkey"] == ob["o_key"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", alias="total_price"),
         )
         .orderBy("o_orderstatus")
     )

@@ -205,6 +205,15 @@ def test_dsir_top50_is_take_ordered(spark, sf_smoke):
     assert p.cartesian_products == 0, p.describe()
 
 
+def test_bucketed_join_query_no_shuffle(spark, sf_smoke):
+    # the registry form of the co-located join: bucketed lineitem x orders
+    # must join and aggregate with no exchange anywhere (bucket layout
+    # satisfies both the join and the aggregate distribution)
+    p = _plan(spark, sf_smoke, "source_bucketed_join")
+    assert p.shuffle_exchanges <= 1, p.describe()
+    assert p.cartesian_products == 0 and p.nested_loop_joins == 0, p.describe()
+
+
 def test_pagerank_never_hints_broadcast(spark, sf_smoke):
     """Regression pin for the node-sized `F.broadcast(ranks)` bug: the rank
     and degree tables are node-cardinality, so PageRank must leave join
