@@ -452,3 +452,118 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.desc("n_members"), F.asc("community"))
     )
+
+
+_MOD_ITERS = 1  # modularity scores the round-1 partition (see docstring)
+
+
+@query(
+    "graph_modularity",
+    f"""
+    WITH e0 AS (
+        SELECT user_id AS src,
+               lead(user_id) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    directed AS (
+        SELECT DISTINCT src, nxt AS dst FROM e0
+        WHERE nxt IS NOT NULL AND src != nxt
+    ),
+    edges AS (
+        SELECT src, dst FROM directed
+        UNION SELECT dst, src FROM directed
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    {_sql_lpa_iters(_MOD_ITERS)},
+    members AS (SELECT node, label FROM lp{_MOD_ITERS}),
+    mm AS (SELECT COUNT(*) AS md FROM edges),
+    intra AS (
+        SELECT la.label, COUNT(*) AS e_dir
+        FROM edges e
+        JOIN members la ON la.node = e.src
+        JOIN members lb ON lb.node = e.dst AND lb.label = la.label
+        GROUP BY la.label
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    comm AS (
+        SELECT m.label, COUNT(*) AS n_members, SUM(d.d) AS degree_sum
+        FROM members m JOIN deg d ON d.node = m.node
+        GROUP BY m.label
+    )
+    SELECT CAST(c.label AS BIGINT) AS community,
+           CAST(c.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(i.e_dir, 0) // 2 AS BIGINT) AS intra_edges,
+           CAST(c.degree_sum AS BIGINT) AS degree_sum,
+           ROUND((CAST(COALESCE(i.e_dir, 0) AS DOUBLE) * mm.md
+                  - CAST(c.degree_sum AS DOUBLE) * c.degree_sum)
+                 / (CAST(mm.md AS DOUBLE) * mm.md), 12) AS contribution
+    FROM comm c LEFT JOIN intra i ON i.label = c.label CROSS JOIN mm
+    ORDER BY community
+    """,
+    tags=("graph", "community", "modularity"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition, per community: contribution
+    = e_c/m − (d_c/2m)² in its exactly-computable form (e_dir·m_dir −
+    d_c²)/m_dir² — every operand is an exact integer (directed intra-edge
+    count, community degree sum, directed edge count), so the only float
+    work is one fixed mul/sub/div sequence per row, identical on both
+    engines; Q is the column sum. This is the quality score community
+    pipelines threshold on before trusting LPA output — tracked per LPA
+    round, stopping when Q peaks. Here it scores the round-1 partition:
+    on this dense co-activity graph LPA collapses to a single community
+    by round 2 (Q = 0 by construction), and the round-1 numbers are the
+    evidence of exactly that over-merging.
+
+    Scale shape: on top of LPA's per-iteration join+aggregate, modularity
+    adds two node-sized joins of the membership table against the edge
+    list (hash-partitioned on node, label side is node-cardinality), a
+    degree aggregate with map-side combine, and a community-sized
+    broadcastable stitch. Nothing touches O(edges) state beyond the two
+    memberships lookups."""
+    from rtcdb_spark.functions.graph import label_propagation
+    from rtcdb_spark.queries.graph_queries import _event_edges
+
+    edges = _event_edges(spark, sf_dir).persist()
+    members = label_propagation(edges, n_iter=_MOD_ITERS)
+    md = edges.count()  # directed edge count (scalar; metadata-sized)
+    la = members.select(F.col("node").alias("src"), F.col("label"))
+    lb = members.select(F.col("node").alias("dst"), F.col("label").alias("label_b"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("label") == F.col("label_b"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("e_dir"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    comm = (
+        members.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d").alias("degree_sum"),
+        )
+    )
+    e_dir = F.coalesce(F.col("e_dir"), F.lit(0))
+    return (
+        comm.join(intra, "label", "left")
+        .select(
+            F.col("label").cast("bigint").alias("community"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (e_dir / 2).cast("bigint").alias("intra_edges"),
+            F.col("degree_sum").cast("bigint").alias("degree_sum"),
+            F.round(
+                (
+                    e_dir.cast("double") * md
+                    - F.col("degree_sum").cast("double") * F.col("degree_sum")
+                )
+                / (float(md) * md),
+                12,
+            ).alias("contribution"),
+        )
+        .orderBy("community")
+    )
