@@ -1042,3 +1042,113 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w_rank).cast("bigint")).orderBy(
         "rnk"
     )
+
+
+# --- Zipf law fit ------------------------------------------------------------
+
+_ZIPF_TOP = 100  # fit over the head ranks (the law holds there; tail is noisy)
+
+
+@query(
+    "text_zipf_fit",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+    ranked AS (
+        SELECT token, freq,
+               CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT)
+                   AS rank
+        FROM counts
+        ORDER BY freq DESC, token ASC
+        LIMIT {_ZIPF_TOP}
+    ),
+    pts AS (
+        SELECT token, freq, rank,
+               CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,8)) AS x,
+               CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,8)) AS y
+        FROM ranked
+    ),
+    fit AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM pts
+    ),
+    ab AS (
+        SELECT n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS intercept
+        FROM fit
+    )
+    SELECT p.rank, p.token, p.freq,
+           ROUND(ab.slope, 6) AS zipf_slope,
+           ROUND(CAST(p.y AS DOUBLE)
+                 - (ab.intercept + ab.slope * CAST(p.x AS DOUBLE)), 6)
+               AS log_residual
+    FROM pts p CROSS JOIN ab
+    ORDER BY p.rank
+    """,
+    tags=("text", "statistics", "zipf", "llm-pipeline"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the vocabulary head: log-log OLS of frequency
+    against rank for the top-100 tokens. The slope (~-1 on natural text)
+    is the classic corpus health check — a synthetic or template-heavy
+    corpus flattens it, boilerplate steepens it — and the per-token
+    residuals localize WHERE the law breaks.
+
+    Determinism: log points quantize to DECIMAL(18,8) once; the OLS moment
+    sums are exact decimal products (scale 16, inside DECIMAL(38)); slope
+    and intercept are one shared double composition, identically written
+    on both engines (same trick as agg_corr_regression). Scale shape: the
+    corpus collapses to vocabulary-sized counts map-side; the ranking
+    window and fit both run on the top-100 — a TakeOrderedAndProject, not
+    a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    pts = (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("x", F.log(F.col("rank").cast("double")).cast("decimal(18,8)"))
+        .withColumn("y", F.log(F.col("freq").cast("double")).cast("decimal(18,8)"))
+        .persist()
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ab = fit.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(ab))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            F.round("slope", 6).alias("zipf_slope"),
+            F.round(
+                F.col("y").cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col("x").cast("double")),
+                6,
+            ).alias("log_residual"),
+        )
+        .orderBy("rank")
+    )

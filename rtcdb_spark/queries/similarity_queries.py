@@ -14,6 +14,7 @@ from rtcdb_spark.functions.similarity import (
     ivf_topk,
     lsh_signature,
     sql_lsh_signature,
+    with_norm,
 )
 from rtcdb_spark.queries.base import query
 from rtcdb_spark.sources import load_table
@@ -754,4 +755,121 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(float(m)), 6).alias("growth"),
         )
         .orderBy("dim")
+    )
+
+
+_KC_ROUNDS = 8  # coreset size: seed + 7 greedy farthest-point picks
+
+
+def _kc_cos(vec: str, k: int) -> str:
+    """Cosine of `vec` to the k-th picked center (SQL scalar subqueries)."""
+    return (
+        f"list_dot_product({vec}, (SELECT v FROM base WHERE vec_id = "
+        f"(SELECT vec_id FROM pick{k})))"
+        f" / (norm * (SELECT norm FROM base WHERE vec_id = "
+        f"(SELECT vec_id FROM pick{k})))"
+    )
+
+
+def _kc_sql() -> str:
+    parts = [
+        """base AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS norm
+        FROM embeddings
+    )""",
+        "pick0 AS MATERIALIZED (SELECT 0 AS vec_id, CAST(0 AS DOUBLE) AS dist)",
+    ]
+    for k in range(1, _KC_ROUNDS):
+        cos_terms = ", ".join(_kc_cos("v", j) for j in range(k))
+        parts.append(f"""
+    d{k} AS (
+        SELECT vec_id, 1 - GREATEST({cos_terms}) AS dist
+        FROM base
+        WHERE vec_id NOT IN ({", ".join(f"(SELECT vec_id FROM pick{j})" for j in range(k))})
+    ),
+    pick{k} AS MATERIALIZED (SELECT vec_id, dist FROM d{k} ORDER BY dist DESC, vec_id LIMIT 1)"""
+            .strip()
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS sel_order, vec_id, ROUND(dist, 9) AS dist_at_selection "
+        f"FROM pick{k}"
+        for k in range(_KC_ROUNDS)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(sel_order AS BIGINT) AS sel_order,
+           vec_id, dist_at_selection
+    FROM ({rows})
+    ORDER BY sel_order
+"""
+    )
+
+
+@query(
+    "embedding_kcenter_coreset",
+    _kc_sql(),
+    tags=("similarity", "embedding", "coreset", "iterative", "llm-pipeline"),
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point traversal) —
+    the diversity-sampling primitive training-data curation uses to pick a
+    small set that covers the embedding space (2-approximation of the
+    optimal k-center radius): seed with vec_id 0, then repeatedly take the
+    vector farthest (cosine distance) from every center chosen so far.
+    The reported dist_at_selection sequence is non-increasing and its last
+    value bounds the coverage radius.
+
+    Determinism: cosine folds sequentially (list_dot_product order); the
+    running min-to-centers uses GREATEST over per-center cosines (exact
+    comparisons, no accumulation); argmax breaks ties on vec_id. Scale
+    shape per round: centers broadcast (driver-held, like the PCA iterate
+    and k-means centroids), one corpus scan, and the argmax is a
+    TakeOrderedAndProject(1) — no shuffle of the embedding table, ever.
+    The oracle unrolls the same greedy rounds as scalar-subquery CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = with_norm(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ).persist()
+    first = base.filter(F.col("vec_id") == 0).first()
+    centers = [(0, list(first["v"]), float(first["norm"]))]
+    out = [(0, 0, 0.0)]
+    for k in range(1, _KC_ROUNDS):
+        cand = base.filter(
+            ~F.col("vec_id").isin([c[0] for c in centers])
+        )
+        cos_cols = []
+        for cid, cv, cn in centers:
+            clit = F.array(*[F.lit(float(x)) for x in cv])
+            cand = cand.withColumn(f"_c{cid}", clit)
+            cos_cols.append(
+                F.expr(
+                    f"aggregate(zip_with(v, _c{cid}, (x, y) -> x * y), 0D, "
+                    f"(acc, x) -> acc + x)"
+                )
+                / (F.col("norm") * F.lit(cn))
+            )
+        dist = F.lit(1) - F.greatest(*cos_cols) if len(cos_cols) > 1 else (
+            F.lit(1) - cos_cols[0]
+        )
+        pick = (
+            cand.withColumn("dist", dist)
+            .orderBy(F.desc("dist"), F.asc("vec_id"))
+            .select("vec_id", "v", "norm", "dist")
+            .limit(1)
+            .first()
+        )
+        centers.append((int(pick["vec_id"]), list(pick["v"]), float(pick["norm"])))
+        out.append((k, int(pick["vec_id"]), float(pick["dist"])))
+    return (
+        spark.createDataFrame(
+            out, "sel_order long, vec_id long, dist double"
+        )
+        .select(
+            "sel_order",
+            "vec_id",
+            F.round("dist", 9).alias("dist_at_selection"),
+        )
+        .orderBy("sel_order")
     )

@@ -885,3 +885,39 @@ def test_power_iteration_matches_numpy_model(spark):
     assert np.allclose(got, np.round(want, 9), atol=1e-8), (
         np.abs(got - np.round(want, 9)).max()
     )
+
+
+def test_kcenter_coreset_matches_numpy_greedy(spark):
+    """The relational farthest-point traversal must pick the same centers,
+    in the same order, as an independent numpy implementation of Gonzalez's
+    greedy (same seed, same cosine distance, same min-id tie-break)."""
+    import numpy as np
+
+    from rtcdb_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = sorted(
+        REGISTRY["embedding_kcenter_coreset"].fn(spark, sf).collect(),
+        key=lambda r: r.sel_order,
+    )
+    rows = sorted(
+        spark.read.parquet(f"{sf}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    chosen = [0]
+    for _ in range(7):
+        mask = ~np.isin(ids, chosen)
+        C = X[np.isin(ids, chosen)]
+        cn = norms[np.isin(ids, chosen)]
+        cos = (X @ C.T) / (norms[:, None] * cn[None, :])
+        dist = 1 - cos.max(axis=1)
+        cand_ids, cand_d = ids[mask], dist[mask]
+        best = np.lexsort((cand_ids, -cand_d))[0]
+        chosen.append(int(cand_ids[best]))
+    assert [r.vec_id for r in out] == chosen, ([r.vec_id for r in out], chosen)
+    # the greedy radius sequence is non-increasing
+    d = [r.dist_at_selection for r in out[1:]]
+    assert all(a >= b - 1e-12 for a, b in zip(d, d[1:])), d
