@@ -259,3 +259,89 @@ def part_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("bigint").alias("size"),
     ).agg(F.count(F.lit(1)).alias("n_parts"))
     return skyline_2d(pts, minimize="price", maximize="size").orderBy("price")
+
+
+@query(
+    "events_ab_test_ztest",
+    """
+    WITH assign AS (
+        SELECT user_id,
+               user_id % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+        FROM assign GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN arm = 0 THEN conv END) AS c_a,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN arm = 1 THEN conv END) AS c_b
+        FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+           ROUND(CAST(c_a AS DOUBLE) / n_a, 9) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / n_b, 9) AS rate_b,
+           ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),
+                 9) AS z_stat,
+           abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)))
+               > 1.959963985 AS significant_95
+    FROM wide
+    """,
+    tags=("analytics", "abtest", "statistics"),
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation primitive: users split
+    into arms by a deterministic hash (parity here), per-user conversion =
+    ever fired a purchase event, then the pooled-variance z statistic and
+    a 95% significance verdict (|z| > 1.96). The per-user MAX collapse is
+    the dedup guard every A/B pipeline needs (event-level counting
+    overweights heavy users).
+
+    Determinism: the z composition is one fixed expression over four exact
+    integers, identically written on both engines, rounded at 9; the
+    significance compare runs on the unrounded value. Scale shape: events
+    collapse per-user map-side, arms are a 2-row aggregate, and the final
+    stat is a scalar — nothing after the first aggregate exceeds two
+    rows."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", F.col("user_id") % 2)
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    p = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (ca / na - cb / nb) / F.sqrt(
+        p * (1 - p) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        F.round(ca / na, 9).alias("rate_a"),
+        F.round(cb / nb, 9).alias("rate_b"),
+        F.round(z, 9).alias("z_stat"),
+        (F.abs(z) > 1.959963985).alias("significant_95"),
+    )

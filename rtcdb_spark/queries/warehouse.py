@@ -126,3 +126,35 @@ def versioned_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.commit(d.filter(F.col("doc_id") < 100))
     vt.commit(d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 250)))
     return vt.changes(0).orderBy("doc_id")
+
+
+@query(
+    "versioned_time_travel",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE doc_id < 250
+    ORDER BY doc_id
+    """,
+    tags=("warehouse", "versioned", "time-travel"),
+)
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (`VersionedTable.read(version=...)`, the Delta
+    VERSION AS OF / Iceberg snapshot-id pattern): commit three batches,
+    then read the table AS OF the second commit — the third batch's rows
+    must be invisible. Planned as a parquet scan of exactly the files in
+    version 1's manifest, so time travel costs the same as a current read
+    of that snapshot; no log replay, no row filtering. The oracle is the
+    union predicate of the first two batches, so a hash match proves the
+    manifest pins the right file set (a leaked version-2 file would add
+    rows; a missed version-0 file would drop them)."""
+    import tempfile
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_timetravel_"))
+    vt.commit(d.filter(F.col("doc_id") < 100))
+    vt.commit(d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 250)))
+    vt.commit(d.filter(F.col("doc_id") >= 250))
+    return vt.read(version=1).orderBy("doc_id")
