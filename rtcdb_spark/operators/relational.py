@@ -39,6 +39,7 @@ def asof_join(
     right_time: str,
     right_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` (direction="backward") or the earliest right
@@ -52,6 +53,11 @@ def asof_join(
     linear at any scale, whereas the naive join-then-rank explodes on
     key×key pair counts. (Analogue of pandas merge_asof(direction=...) /
     QuestDB ASOF JOIN; reference has no join support at all, README.md:15.)
+
+    ``tolerance_seconds`` (pandas merge_asof's ``tolerance``): a match
+    farther than this from the left time is nulled out after the carry —
+    the plan is unchanged (same one shuffle + sort); only a per-row
+    comparison is appended, so tolerance is free at any scale.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -138,11 +144,29 @@ def asof_join(
         "*",
         *[
             pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"right_{c}")
-            for c in right_cols
+            for c in ["__rts", *right_cols]
         ],
-    )
-    return carried.filter(F.col("__is_left") == 1).drop(
-        "__t", "__is_left", "__r___rts", *[f"__r_{c}" for c in right_cols]
+    ).filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        gap = (
+            us("__t") - us("right___rts")
+            if direction == "backward"
+            else us("right___rts") - us("__t")
+        )
+        within = F.col("right___rts").isNotNull() & (
+            gap <= int(tolerance_seconds * 1_000_000)
+        )
+        carried = carried.select(
+            *[c for c in carried.columns if not c.startswith("right_")],
+            *[
+                F.when(within, F.col(f"right_{c}")).alias(f"right_{c}")
+                for c in right_cols
+            ],
+        )
+    return carried.drop(
+        "__t", "__is_left", "__r___rts", "right___rts",
+        *[f"__r_{c}" for c in right_cols],
     )
 
 

@@ -526,3 +526,85 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right_o_orderkey").alias("near_orderkey"),
         F.col("right_o_totalprice").alias("near_totalprice"),
     ).orderBy("event_id")
+
+
+@query(
+    "join_asof_tolerance",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id, ROW_NUMBER() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ) WHERE rn = 1
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.ts AS click_ts, c.event_id AS click_event_id
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN click_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                THEN click_event_id END AS attributed_click,
+           CASE WHEN click_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                THEN CAST((epoch_us(ts) - epoch_us(click_ts)) // 1000000
+                          AS BIGINT) END AS seconds_since_click
+    FROM matched
+    ORDER BY event_id
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toleranced as-of join — last-click attribution: each purchase joins
+    the user's most recent click, but only if it happened within the last
+    hour; staler clicks attribute to nothing (NULL), exactly pandas
+    ``merge_asof(tolerance=...)``. The tolerance is applied AFTER the
+    merge-carry (one per-row comparison), so the plan is identical to the
+    untoleranced as-of: one shuffle on user_id + one in-partition sort —
+    no pair explosion at any scale. Right side pre-reduced to one click
+    per (user, ts) (max event_id) for cross-engine tie determinism."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_event_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_cols=["click_event_id", "click_ts"],
+        direction="backward",
+        tolerance_seconds=3600,
+    )
+    secs = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("right_click_ts").cast("timestamp"))
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("right_click_event_id").alias("attributed_click"),
+        F.when(
+            F.col("right_click_event_id").isNotNull(),
+            F.floor(secs / 1_000_000).cast("bigint"),
+        ).alias("seconds_since_click"),
+    ).orderBy("event_id")

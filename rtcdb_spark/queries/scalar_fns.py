@@ -440,3 +440,44 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "fn_variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+               AS k_decile,
+           json_extract(props, '$.missing') IS NULL AS missing_is_null
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    tags=("scalar", "variant", "json"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: `parse_json`
+    turns the props string into a binary variant ONCE at scan time, and
+    every subsequent field access (`variant_get` with a typed path) reads
+    the pre-parsed tree — the engine-native answer to repeated
+    `get_json_object` calls, each of which re-parses the string
+    (`fn_json` shows that older path). `try_variant_get` on an absent
+    path yields NULL instead of erroring — the schema-drift-tolerant
+    accessor. The oracle uses DuckDB's JSON extraction over the same
+    documents; matching values prove the variant encode/decode round-trip
+    is lossless for the extracted fields."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        e.select(
+            "event_id",
+            k.alias("k"),
+            F.floor(k / 10).cast("bigint").alias("k_decile"),
+            F.try_variant_get(v, "$.missing", "string").isNull().alias(
+                "missing_is_null"
+            ),
+        )
+        .orderBy("event_id")
+    )
