@@ -9,6 +9,8 @@ reference README.md:51-62 is a design sketch only).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -344,4 +346,92 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cb / nb, 9).alias("rate_b"),
         F.round(z, 9).alias("z_stat"),
         (F.abs(z) > 1.959963985).alias("significant_95"),
+    )
+
+
+_DFT_PERIODS = (24, 12, 168, 17)  # hours: daily, half-day, weekly, control
+
+
+@query(
+    "events_periodicity_dft",
+    f"""
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    based AS (
+        SELECT h - (SELECT MIN(h) FROM hourly) AS t, cnt FROM hourly
+    ),
+    terms AS (
+        SELECT p.period, b.cnt,
+               CAST(b.cnt * cos(2 * pi() * (b.t % p.period) / p.period)
+                    AS DECIMAL(18,6)) AS c_term,
+               CAST(b.cnt * sin(2 * pi() * (b.t % p.period) / p.period)
+                    AS DECIMAL(18,6)) AS s_term
+        FROM based b CROSS JOIN (
+            SELECT unnest(ARRAY{list(_DFT_PERIODS)}) AS period
+        ) p
+    )
+    SELECT CAST(period AS BIGINT) AS period_hours,
+           ROUND((CAST(SUM(c_term) AS DOUBLE) * CAST(SUM(c_term) AS DOUBLE)
+                  + CAST(SUM(s_term) AS DOUBLE) * CAST(SUM(s_term) AS DOUBLE))
+                 / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)), 9)
+               AS relative_power
+    FROM terms
+    GROUP BY period
+    ORDER BY period_hours
+    """,
+    tags=("analytics", "timeseries", "spectral", "periodicity"),
+)
+def events_periodicity_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral periodicity detection: single-frequency DFT power of the
+    hourly event-count series at candidate periods (daily / half-day /
+    weekly, plus a 17-hour control that should stay near noise) —
+    |Σ xₜ·e^(-2πi t/P)|² normalized by (Σxₜ)². The relative-power ranking
+    is how cadence detectors pick the seasonality to feed STL
+    (`timeseries_stl_decompose`) without assuming it up front.
+
+    Determinism: the phase reduces t mod P in exact integers BEFORE the
+    trig call (large-argument reduction is where libm implementations
+    disagree; |angle| ≤ 2π is where they are bit-identical), each term
+    quantizes to DECIMAL(18,6) once, and the power is a fixed
+    multiply/add/divide composition of exact sums. Scale shape: the event
+    stream collapses to hour buckets map-side; the per-period expansion
+    multiplies the BUCKET count (×4), never the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        .cast("bigint")
+        .alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    h0 = hourly.agg(F.min("h").alias("h0"))
+    periods = spark.createDataFrame(
+        [(p,) for p in _DFT_PERIODS], "period long"
+    )
+    based = hourly.crossJoin(F.broadcast(h0)).select(
+        (F.col("h") - F.col("h0")).alias("t"), "cnt"
+    )
+    angle = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * (F.col("t") % F.col("period"))
+        / F.col("period")
+    )
+    terms = based.crossJoin(F.broadcast(periods)).select(
+        "period",
+        "cnt",
+        (F.col("cnt") * F.cos(angle)).cast("decimal(18,6)").alias("c_term"),
+        (F.col("cnt") * F.sin(angle)).cast("decimal(18,6)").alias("s_term"),
+    )
+    sc = F.sum("c_term").cast("double")
+    ss = F.sum("s_term").cast("double")
+    tot = F.sum("cnt").cast("double")
+    return (
+        terms.groupBy("period")
+        .agg(F.round((sc * sc + ss * ss) / (tot * tot), 9).alias("relative_power"))
+        .select(
+            F.col("period").cast("bigint").alias("period_hours"),
+            "relative_power",
+        )
+        .orderBy("period_hours")
     )
