@@ -955,19 +955,22 @@ _DSIR_B = 256  # hashed-feature buckets; collisions are part of the estimator
             FROM documents
         )
     ),
-    raw AS (SELECT b, COUNT(*) AS rc FROM toks GROUP BY b),
-    tgt AS (SELECT b, COUNT(*) AS tc FROM toks WHERE lang = 'en' GROUP BY b),
+    hist AS (
+        SELECT b, COUNT(*) AS rc,
+               COUNT(*) FILTER (WHERE lang = 'en') AS tc
+        FROM toks GROUP BY b
+    ),
     tot AS (
         SELECT CAST(SUM(rc) AS DOUBLE) + {_DSIR_B} AS rtot,
-               (SELECT CAST(SUM(tc) AS DOUBLE) FROM tgt) + {_DSIR_B} AS ttot
-        FROM raw
+               CAST(SUM(tc) AS DOUBLE) + {_DSIR_B} AS ttot
+        FROM hist
     ),
     wts AS (
-        SELECT r.b,
-               CAST(ln(((CAST(COALESCE(t.tc, 0) AS DOUBLE) + 1) / tot.ttot)
-                       / ((CAST(r.rc AS DOUBLE) + 1) / tot.rtot))
+        SELECT h.b,
+               CAST(ln(((CAST(h.tc AS DOUBLE) + 1) / tot.ttot)
+                       / ((CAST(h.rc AS DOUBLE) + 1) / tot.rtot))
                     AS DECIMAL(18,8)) AS w
-        FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot
+        FROM hist h CROSS JOIN tot
     )
     SELECT doc_id, n_tokens, score, CAST(rnk AS BIGINT) AS rnk FROM (
         SELECT s.doc_id, s.n_tokens, s.score,
@@ -1003,22 +1006,24 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     ).select("doc_id", "lang", (stable_hash_mod("tok") % _DSIR_B).alias("b"))
-    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # Both histograms in ONE token-stream pass (conditional aggregate) —
+    # the raw/target split as separate aggregates re-scanned the exploded
+    # corpus; this halves the scans (profiled: 11 exchanges -> fewer, and
+    # the bucket table stays B rows either way).
+    hist = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.count_if(F.col("lang") == "en").alias("tc"),
     )
-    rtot = raw.agg((F.sum("rc").cast("double") + _DSIR_B).alias("rtot"))
-    ttot = tgt.agg((F.sum("tc").cast("double") + _DSIR_B).alias("ttot"))
+    tot = hist.agg(
+        (F.sum("rc").cast("double") + _DSIR_B).alias("rtot"),
+        (F.sum("tc").cast("double") + _DSIR_B).alias("ttot"),
+    )
     wts = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(rtot))
-        .crossJoin(F.broadcast(ttot))
+        hist.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.log(
-                ((F.coalesce(F.col("tc"), F.lit(0)).cast("double") + 1) / F.col("ttot"))
+                ((F.col("tc").cast("double") + 1) / F.col("ttot"))
                 / ((F.col("rc").cast("double") + 1) / F.col("rtot"))
             )
             .cast("decimal(18,8)")
