@@ -921,3 +921,56 @@ def test_kcenter_coreset_matches_numpy_greedy(spark):
     # the greedy radius sequence is non-increasing
     d = [r.dist_at_selection for r in out[1:]]
     assert all(a >= b - 1e-12 for a, b in zip(d, d[1:])), d
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=25, unique=True,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=25, unique=True,
+    ),
+    tol=st.integers(min_value=1, max_value=200),
+)
+def test_asof_tolerance_matches_pandas_merge_asof(spark, lefts, rights, tol):
+    """asof_join(tolerance_seconds=...) ≡ pandas merge_asof(tolerance=...) —
+    the independent reference implementation of the same contract."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from rtcdb_spark.operators.relational import asof_join
+
+    l = spark.createDataFrame(
+        [(k, t * 1_000_000) for k, t in lefts], "k int, lt long"
+    ).select("k", F.timestamp_micros(F.col("lt")).alias("lt"))
+    r = spark.createDataFrame(
+        [(k, t * 1_000_000, k * 10000 + t) for k, t in rights],
+        "k int, rt long, payload long",
+    ).select("k", F.timestamp_micros(F.col("rt")).alias("rt"), "payload")
+    got = {
+        (row.k, row.lt): row.right_payload
+        for row in asof_join(
+            l, r, on="k", left_time="lt", right_time="rt",
+            right_cols=["payload"], direction="backward",
+            tolerance_seconds=tol,
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s")) for k, t in lefts], columns=["k", "lt"]
+    ).sort_values(["lt", "k"]).reset_index(drop=True)
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), k * 10000 + t) for k, t in rights],
+        columns=["k", "rt", "payload"],
+    ).sort_values(["rt", "k"]).reset_index(drop=True)
+    merged = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k",
+        direction="backward", tolerance=pd.Timedelta(seconds=tol),
+    )
+    for _, row in merged.iterrows():
+        want = None if pd.isna(row["payload"]) else int(row["payload"])
+        key = (int(row["k"]), row["lt"].to_pydatetime())
+        assert got[key] == want, (key, got[key], want)
