@@ -591,3 +591,51 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MOM_SKEW).alias("skewness_qty"),
         F.expr(_MOM_KURT).alias("kurtosis_excess_qty"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_bitmap_distinct",
+    """
+    WITH words AS (
+        SELECT event_type, user_id // 63 AS word_ix,
+               bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+        FROM events
+        GROUP BY event_type, user_id // 63
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct_users,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM words
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("aggregate", "bitmap", "distinct"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting by bitmap aggregation — the
+    ClickHouse/Doris `groupBitmap` pattern built from int64 words: bucket
+    each user id into word = id//63, OR the bit id%63 into the word's
+    mask, popcount and sum. Equals COUNT(DISTINCT) exactly, but the
+    aggregate state is fixed-width integers with a trivially mergeable
+    combine (OR), so map-side partials stay tiny and there is no
+    sort-based dedup anywhere — the exact-count answer when
+    approx_count_distinct's error bound is not acceptable and the id
+    domain is dense. n_words reports the bitmap's footprint (63 ids per
+    word; bit 63 stays clear so the shift never overflows a signed int64
+    on either engine). One shuffle on (type, word); both aggregates map-combine."""
+    e = load_table(spark, sf_dir, "events")
+    words = e.groupBy(
+        "event_type", (F.col("user_id") / 63).cast("bigint").alias("word_ix")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("bits")
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .orderBy("event_type")
+    )

@@ -974,3 +974,26 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, lefts, rights, tol):
         want = None if pd.isna(row["payload"]) else int(row["payload"])
         key = (int(row["k"]), row["lt"].to_pydatetime())
         assert got[key] == want, (key, got[key], want)
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The bitmap-word aggregation must equal plain COUNT(DISTINCT) — the
+    whole point of the exact-bitmap pattern."""
+    from pyspark.sql import functions as F
+
+    from rtcdb_spark.queries import REGISTRY
+    from rtcdb_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r.n_distinct_users
+        for r in REGISTRY["agg_bitmap_distinct"].fn(spark, sf).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want, (got, want)
