@@ -639,3 +639,74 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_rolling_distinct_bitmap",
+    """
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT d.day,
+           CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day)
+                AS BIGINT) AS wau,
+           CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE) = d.day) AS BIGINT) AS dau
+    FROM days d
+    ORDER BY d.day
+    """,
+    tags=("aggregate", "bitmap", "distinct", "rolling", "analytics"),
+)
+def agg_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) and daily distinct (DAU) via
+    mergeable bitmaps — the hard version of distinct counting: a rolling
+    window cannot reuse per-day COUNT(DISTINCT)s (they don't merge), but
+    per-day BITMAPS do: OR seven daily word-masks together and popcount.
+    Plan: per-(day, word) bitmap aggregate (map-combined), densified over
+    the day×active-word grid so absent days still merge, one
+    windowed bit_or per word over the 7-day frame, then popcount-sum per
+    day. The oracle computes the same numbers by a DIFFERENT algorithm
+    (direct COUNT(DISTINCT) per window), so the check is cross-algorithm,
+    not a twin. Density caveat (documented bitmap domain): the grid is
+    days × active words — right when the id space is dense/bounded; for
+    sparse 64-bit ids swap words for roaring containers, same plan."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "dnum"
+        ),
+        (F.col("user_id") / 63).cast("bigint").alias("word_ix"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias(
+            "bit"
+        ),
+    )
+    daily = base.groupBy("day", "dnum", "word_ix").agg(
+        F.bit_or("bit").alias("bits")
+    )
+    days = daily.select("day", "dnum").distinct()
+    words = daily.select("word_ix").distinct()
+    grid = days.crossJoin(F.broadcast(words))
+    dense = grid.join(daily, ["day", "dnum", "word_ix"], "left").select(
+        "day",
+        "dnum",
+        "word_ix",
+        F.coalesce(F.col("bits"), F.lit(0)).alias("bits"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("word_ix")
+        .orderBy("dnum")
+        .rangeBetween(-6, 0)
+    )
+    rolled = dense.withColumn("rbits", F.bit_or("bits").over(w))
+    return (
+        rolled.groupBy("day")
+        .agg(
+            F.sum(F.bit_count("rbits")).cast("bigint").alias("wau"),
+            F.sum(F.bit_count("bits")).cast("bigint").alias("dau"),
+        )
+        .orderBy("day")
+    )
