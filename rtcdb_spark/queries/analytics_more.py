@@ -435,3 +435,79 @@ def events_periodicity_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period_hours")
     )
+
+
+@query(
+    "orders_benford_audit",
+    """
+    WITH digits AS (
+        SELECT CAST(floor(o_totalprice
+                          / power(10, floor(log10(o_totalprice))))
+                    AS BIGINT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS t FROM obs),
+    scored AS (
+        SELECT o.d, o.n,
+               ROUND(log10(1 + CAST(1 AS DOUBLE) / o.d), 9) AS expected_p,
+               ROUND(CAST(o.n AS DOUBLE) / tot.t, 9) AS observed_p,
+               CAST(POWER(CAST(o.n AS DOUBLE)
+                          - log10(1 + CAST(1 AS DOUBLE) / o.d) * tot.t, 2)
+                    / (log10(1 + CAST(1 AS DOUBLE) / o.d) * tot.t)
+                    AS DECIMAL(18,6)) AS chi2_term
+        FROM obs o CROSS JOIN tot
+    )
+    SELECT CAST(d AS BIGINT) AS first_digit,
+           CAST(n AS BIGINT) AS n_orders,
+           expected_p, observed_p,
+           ROUND(CAST((SELECT SUM(chi2_term) FROM scored) AS DOUBLE), 6)
+               AS chi2_total
+    FROM scored
+    ORDER BY first_digit
+    """,
+    tags=("analytics", "benford", "quality", "audit"),
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the leading-digit distribution
+    of genuine transaction amounts follows log10(1 + 1/d); fabricated or
+    system-generated values don't, so the per-digit deviation and the
+    chi-square total are the standard forensic data-quality screen. The
+    leading digit comes from floor(p / 10^floor(log10 p)) — pure math, no
+    string formatting (double→string rendering differs across engines).
+
+    Determinism: digit counts are exact integers; expected probabilities
+    are the identical log10 composition on both engines; each chi² term
+    quantizes to DECIMAL(18,6) so the total is an order-free exact sum.
+    Scale shape: one map-side digit projection, a 9-bucket aggregate, and
+    scalar-sized everything after."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp_p = F.log10(1 + F.lit(1.0) / F.col("d"))
+    scored = (
+        obs.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "chi2_term",
+            (
+                F.pow(F.col("n").cast("double") - exp_p * F.col("t"), F.lit(2.0))
+                / (exp_p * F.col("t"))
+            ).cast("decimal(18,6)"),
+        )
+        .persist()
+    )
+    chi2 = scored.agg(F.sum("chi2_term").cast("double").alias("c"))
+    return (
+        scored.crossJoin(F.broadcast(chi2))
+        .select(
+            F.col("d").cast("bigint").alias("first_digit"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(exp_p, 9).alias("expected_p"),
+            F.round(F.col("n").cast("double") / F.col("t"), 9).alias("observed_p"),
+            F.round(F.col("c"), 6).alias("chi2_total"),
+        )
+        .orderBy("first_digit")
+    )
