@@ -317,3 +317,54 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_rtcdb_native_roundtrip",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "rtcdb-format", "interchange"),
+)
+def source_rtcdb_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-format interchange end-to-end: write documents into the
+    reference's OWN on-disk layout (per-column .data/.index file pairs,
+    LZ4 block compression, 40-byte sparse-index entries, metadata.json —
+    sources/rtcdb_native.py documents the byte format against reference
+    src/storage.rs line by line), then read it back through the pluggable
+    `rtcdb` Spark data source (Python Data Source API) and aggregate.
+    The oracle computes the same aggregate from the parquet original, so
+    any encode/decode defect — value corruption, block mis-addressing,
+    dropped or duplicated rows across block boundaries — breaks the hash.
+    This is the "switch engines without orphaning existing tables" path:
+    a reference user's files load with
+    spark.read.format("rtcdb").option("table", name).load(root)."""
+    from rtcdb_spark.sources.rtcdb_native import read_rtcdb, write_rtcdb
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = os.path.join(_IO_ROOT, "rtcdb_native_docs")
+    # append-only format: start fresh per run
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    write_rtcdb(d, root, "documents")
+    back = read_rtcdb(spark, root, "documents")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,107 @@
+"""Native reference-format interchange: layout parity, round-trip, pruning.
+
+The golden-bytes test reproduces the reference's own unit test
+(src/storage.rs test_index_entry_to_bytes) against OUR encoder, pinning
+byte-level layout parity without running any reference code.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rtcdb_spark.sources.rtcdb_native import (
+    _ENTRY,
+    _decode_block,
+    _encode_block,
+    load_metadata,
+    plan_blocks,
+    read_rtcdb,
+    write_rtcdb,
+)
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def test_index_entry_layout_matches_reference_golden_bytes():
+    # reference src/storage.rs:113-130: entry(start=1, csize=2, dsize=3,
+    # min=Uint64(4), max=String("longlonglong")) must serialize to these
+    # exact 40 bytes.
+    min8 = struct.pack(">Q", 4)
+    max8 = b"longlonglong"[:8]
+    got = _ENTRY.pack(1, 2, 3, min8, max8)
+    expected = bytes(
+        [0, 0, 0, 0, 0, 0, 0, 1]
+        + [0, 0, 0, 0, 0, 0, 0, 2]
+        + [0, 0, 0, 0, 0, 0, 0, 3]
+        + [0, 0, 0, 0, 0, 0, 0, 4]
+    ) + b"longlong"
+    assert got == expected
+
+
+def test_string_block_codec_roundtrip_and_prefix_minmax():
+    raw, lo8, hi8 = _encode_block(["beta", "alpha", "a-very-long-string"], "String")
+    assert _decode_block(raw, "String") == ["beta", "alpha", "a-very-long-string"]
+    assert lo8 == b"a-very-l"  # first 8 bytes of the min (storage.rs:30-37)
+    assert hi8 == b"beta\0\0\0\0"
+
+
+def test_uint64_out_of_range_raises():
+    with pytest.raises(ValueError):
+        _encode_block([-1], "Uint64")
+    with pytest.raises(ValueError):
+        _decode_block(struct.pack(">Q", 1 << 63), "Uint64")
+
+
+def test_write_read_roundtrip_and_append(spark, sf_smoke, tmp_path):
+    from pyspark.sql import functions as F
+
+    e = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("event_id", "event_type", "user_id")
+        .limit(2500)
+    )
+    root = str(tmp_path / "db")
+    assert write_rtcdb(e.filter(F.col("event_id") % 2 == 0), root, "events") > 0
+    assert write_rtcdb(e.filter(F.col("event_id") % 2 == 1), root, "events") > 0
+    back = read_rtcdb(spark, root, "events")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(st.integers(0, 5000), min_size=1, max_size=400),
+    lo=st.integers(0, 5000),
+    span=st.integers(0, 2000),
+)
+def test_zone_map_pruning_is_sound(spark, tmp_path_factory, ids, lo, span):
+    """Rows surviving the block-level zone maps must be exactly the rows a
+    full-scan filter returns — pruning may keep extra blocks, never drop
+    matching rows."""
+    import pandas as pd
+
+    root = str(tmp_path_factory.mktemp("zm"))
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": sorted(ids), "tag": [f"s{v % 7}" for v in sorted(ids)]})
+    ).selectExpr("CAST(k AS LONG) AS k", "tag")
+    write_rtcdb(df, root, "t")
+    hi = lo + span
+    keep, _total = plan_blocks(root, "t", load_metadata(root), ("k", lo, hi))
+    back = read_rtcdb(spark, root, "t").toPandas()
+    # emulate a pruned scan: only rows from surviving blocks
+    import math
+
+    block_of = {i: i // 1024 for i in range(len(back))}
+    pruned_rows = [
+        int(back.k[i]) for i in range(len(back)) if block_of[i] in keep
+    ]
+    want = [v for v in sorted(ids) if lo <= v <= hi]
+    got = [v for v in pruned_rows if lo <= v <= hi]
+    assert got == want
