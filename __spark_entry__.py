@@ -47,8 +47,11 @@ _PRIORITY = [
     # lag_lead + running_frames, dedup keeps star/simhash/span, text keeps
     # token_count/bm25/contamination, so every family keeps >=1 green rep.
     # C-II scan/filter/project + C-I sources
+    # (wave 8) source_json_roundtrip rotated out (local-mirror green) for
+    # source_rtcdb_native_roundtrip — the reference-format interchange path
+    # is the strongest C-I evidence; csv stays as the fixed r2-red row.
     "q1_pricing_summary", "scan_filter_project",
-    "source_csv_roundtrip", "source_json_roundtrip",
+    "source_csv_roundtrip", "source_rtcdb_native_roundtrip",
     # C-III aggregates
     "agg_count_distinct", "agg_collect_array", "agg_weighted_percentiles",
     # C-IV joins (as-of family represented by the forward direction)
