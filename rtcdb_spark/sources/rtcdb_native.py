@@ -28,8 +28,11 @@ storage.rs:266-275) while advancing ``position`` by only
 ``compressed_len`` — so from the second block on, its index offsets do
 not match its own file layout (its read path is dead code and never
 catches this). This writer emits exactly ``compressed_size`` bytes, which
-is what the index format describes; the reader follows the index and
-therefore reads both our files and any single-block reference file.
+is what the index format describes. The reader handles BOTH layouts:
+spec-layout files follow the index directly, and reference-padded files
+are repaired transparently (``resolve_offsets``) — the padding length is
+the deterministic lz4 prealloc size, so the true offsets are recoverable
+as its prefix sums, detected by total file length.
 
 Scale notes: the index files are metadata (40 B per 1024 rows per column
 — 4 GB of index per *trillion* rows/column), so the driver plans from
@@ -181,6 +184,43 @@ def read_index(root: str, table: str, col: str) -> list[tuple[int, int, int, byt
     return [_ENTRY.unpack_from(buf, off) for off in range(0, len(buf), 40)]
 
 
+def _lz4_prealloc(dsize: int) -> int:
+    """lz4_flex::block::get_maximum_output_size — the preallocated buffer
+    length the reference's buggy writer actually emits per block."""
+    return 16 + dsize + dsize // 255
+
+
+def resolve_offsets(root: str, table: str, col: str) -> list[tuple[int, int, int]]:
+    """True (offset, csize, dsize) per block, auto-repairing files written
+    by the reference's own writer.
+
+    The reference pads each block to the preallocated compression-buffer
+    size but advances its index positions by only compressed_size
+    (storage.rs:266-293), so its multi-block data files disagree with
+    their own index. The padding length is deterministic —
+    get_maximum_output_size(dsize) — so the REAL offsets are recoverable
+    as prefix sums of the prealloc sizes. Detection is by total file
+    length: equal to Σ csize → spec-layout (our writer); equal to
+    Σ prealloc(dsize) → reference-padded layout, repaired transparently.
+    """
+    entries = read_index(root, table, col)
+    file_len = os.path.getsize(_data_path(root, table, col))
+    sum_c = sum(e[1] for e in entries)
+    if file_len == sum_c:
+        return [(e[0], e[1], e[2]) for e in entries]
+    sum_p = sum(_lz4_prealloc(e[2]) for e in entries)
+    if file_len == sum_p:
+        out, pos = [], 0
+        for _s, csize, dsize, _lo, _hi in entries:
+            out.append((pos, csize, dsize))
+            pos += _lz4_prealloc(dsize)
+        return out
+    raise ValueError(
+        f"{_data_path(root, table, col)}: length {file_len} matches neither "
+        f"the spec layout ({sum_c}) nor the reference's padded layout ({sum_p})"
+    )
+
+
 def plan_blocks(
     root: str,
     table: str,
@@ -240,7 +280,10 @@ class RtcdbReader(DataSourceReader):
 
     def read(self, partition: _BlockPartition) -> Iterator[tuple]:
         cols = self.tmeta["columns"]
-        indexes = {c["name"]: read_index(self.root, self.table, c["name"]) for c in cols}
+        offsets = {
+            c["name"]: resolve_offsets(self.root, self.table, c["name"])
+            for c in cols
+        }
         handles = {
             c["name"]: open(_data_path(self.root, self.table, c["name"]), "rb")
             for c in cols
@@ -249,7 +292,7 @@ class RtcdbReader(DataSourceReader):
             for b in partition.block_ids:
                 decoded = []
                 for c in cols:
-                    start, csize, dsize, _lo, _hi = indexes[c["name"]][b]
+                    start, csize, dsize = offsets[c["name"]][b]
                     f = handles[c["name"]]
                     f.seek(start)
                     raw = bytes(_codec.decompress(f.read(csize), dsize))

@@ -105,3 +105,44 @@ def test_zone_map_pruning_is_sound(spark, tmp_path_factory, ids, lo, span):
     want = [v for v in sorted(ids) if lo <= v <= hi]
     got = [v for v in pruned_rows if lo <= v <= hi]
     assert got == want
+
+
+def test_reads_reference_padded_files_via_offset_repair(spark, tmp_path):
+    """Emulate the reference writer's actual (buggy) byte layout — each
+    block padded to get_maximum_output_size while the index advances by
+    compressed_size only (storage.rs:266-293) — and confirm the reader
+    repairs the offsets and returns the right values."""
+    import json
+    import struct as st
+
+    import pyarrow as pa
+
+    from rtcdb_spark.sources.rtcdb_native import (
+        _encode_block,
+        _lz4_prealloc,
+        read_rtcdb,
+    )
+
+    root = str(tmp_path / "refdb")
+    import os
+
+    os.makedirs(root)
+    with open(f"{root}/metadata.json", "w") as f:
+        json.dump(
+            {"tables": [{"name": "t", "columns": [{"name": "k", "dtype": "Uint64"}]}]},
+            f,
+        )
+    codec = pa.Codec("lz4_raw")
+    values = list(range(2500))  # 3 blocks: 1024 + 1024 + 452
+    pos = 0
+    with open(f"{root}/t.k.data", "ab") as df_, open(f"{root}/t.k.index", "ab") as ix:
+        for i in range(0, len(values), 1024):
+            blk = values[i : i + 1024]
+            raw, lo8, hi8 = _encode_block(blk, "Uint64")
+            comp = bytes(codec.compress(raw))
+            padded = comp + b"\0" * (_lz4_prealloc(len(raw)) - len(comp))
+            df_.write(padded)  # the reference's write_all(&compress_output)
+            ix.write(st.pack(">QQQ8s8s", pos, len(comp), len(raw), lo8, hi8))
+            pos += len(comp)  # the reference's position += compressed_len
+    back = sorted(r.k for r in read_rtcdb(spark, root, "t").collect())
+    assert back == values
