@@ -62,6 +62,8 @@ HEADLINE = [
     "text_importance_resample",
     "graph_common_neighbors",
     "stream_window_sliding",
+    # round-3 wave 8: reference-format interchange (write + pluggable read)
+    "source_rtcdb_native_roundtrip",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
