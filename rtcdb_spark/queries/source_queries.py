@@ -368,3 +368,51 @@ def source_rtcdb_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "source_rtcdb_pruned_scan",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id BETWEEN 50 AND 149
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "rtcdb-format", "index", "pushdown"),
+)
+def source_rtcdb_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-index block pruning on the reference's own format, through
+    Spark's filter-pushdown machinery: the documents table (written sorted
+    by doc_id, the reference's sorted-table contract) is read through the
+    `rtcdb` data source with a doc_id range predicate; `pushFilters`
+    (Python Data Source API, Spark 4.1) folds the comparisons into a
+    closed interval and drops every block whose 40-byte index entry's
+    [min,max] misses it — the reference's B1/B2 design (sparse index +
+    block skipping) finally executing, on its own file format, in a
+    distributed engine. Spark still evaluates the filters row-level, so
+    pruning can only change the plan, never the result; the oracle
+    computes the aggregate from the parquet original."""
+    from rtcdb_spark.sources.rtcdb_native import read_rtcdb, write_rtcdb
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+    root = os.path.join(_IO_ROOT, "rtcdb_native_docs_sorted")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    write_rtcdb(d, root, "documents")
+    back = read_rtcdb(spark, root, "documents").filter(
+        F.col("doc_id").between(50, 149)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

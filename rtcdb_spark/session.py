@@ -25,6 +25,8 @@ RUNTIME_CONFS: dict[str, str] = {
     # pushdown/pruning are on by default; pinned here so a misconfigured
     # parent session can't silently disable the scan-level optimizations.
     "spark.sql.parquet.filterPushdown": "true",
+    # Python Data Source filter pushdown (sources.rtcdb_native zone maps)
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: reference semantics are permissive (no overflow errors) and

@@ -54,7 +54,18 @@ from typing import Iterator
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    InputPartition as _IP,  # noqa: F401
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 ROWS_PER_BLOCK = 1024  # reference src/storage.rs:17
@@ -270,12 +281,49 @@ class RtcdbReader(DataSourceReader):
         first = self.tmeta["columns"][0]["name"]
         self.n_blocks = len(read_index(root, table, first))
         self.n_tasks = max(1, min(n_tasks, self.n_blocks))
+        # per-column (lo, hi) bounds accumulated by pushFilters
+        self.bounds: dict[str, list] = {}
+
+    def pushFilters(self, filters: list["Filter"]):
+        """Zone-map pushdown (Spark 4.1 Python Data Source filter API): fold
+        comparison filters into per-column closed intervals and prune whole
+        blocks against the sparse index at planning time — the reference's
+        B1/B2 design (sparse min/max + block skipping) on its own format.
+        Every filter is RETURNED for Spark to re-evaluate row-level: zone
+        maps are block-granular, so the source only skips, never filters."""
+        colnames = {c["name"] for c in self.tmeta["columns"]}
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col in colnames:
+                b = self.bounds.setdefault(col, [None, None])
+                v = getattr(f, "value", None)
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    b[0] = v if b[0] is None else max(b[0], v)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    b[1] = v if b[1] is None else min(b[1], v)
+                elif isinstance(f, EqualTo):
+                    b[0] = v if b[0] is None else max(b[0], v)
+                    b[1] = v if b[1] is None else min(b[1], v)
+            yield f  # Spark still applies every filter exactly
+
+    def _surviving_blocks(self) -> list[int]:
+        keep = set(range(self.n_blocks))
+        for col, (lo, hi) in self.bounds.items():
+            if lo is None and hi is None:
+                continue
+            k, _ = plan_blocks(self.root, self.table, self.meta, (col, lo, hi))
+            keep &= set(k)
+        return sorted(keep)
 
     def partitions(self):
-        per = -(-self.n_blocks // self.n_tasks)
+        blocks = self._surviving_blocks()
+        if not blocks:
+            return [_BlockPartition([])]
+        per = -(-len(blocks) // self.n_tasks)
         return [
-            _BlockPartition(list(range(i, min(i + per, self.n_blocks))))
-            for i in range(0, self.n_blocks, per)
+            _BlockPartition(blocks[i : i + per])
+            for i in range(0, len(blocks), per)
         ]
 
     def read(self, partition: _BlockPartition) -> Iterator[tuple]:
@@ -329,4 +377,8 @@ class RtcdbDataSource(DataSource):
 def read_rtcdb(spark: SparkSession, root: str, table: str) -> DataFrame:
     """Read a reference-format table through the registered data source."""
     spark.dataSource.register(RtcdbDataSource)
+    # zone-map pushdown needs the Python-data-source filter API enabled
+    # (runtime-settable; also pinned in session.RUNTIME_CONFS, but the
+    # driver may hand us its own session)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark.read.format("rtcdb").option("table", table).load(root)

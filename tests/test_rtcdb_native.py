@@ -146,3 +146,44 @@ def test_reads_reference_padded_files_via_offset_repair(spark, tmp_path):
             pos += len(comp)  # the reference's position += compressed_len
     back = sorted(r.k for r in read_rtcdb(spark, root, "t").collect())
     assert back == values
+
+
+def test_datasource_filter_pushdown_prunes_blocks(spark, tmp_path):
+    """pushFilters must shrink the planned block set via the zone maps AND
+    the filtered read must equal the unpruned filter — pruning is a plan
+    change, never a result change. (Synthetic 5000-row table: 5 blocks of
+    1024, sorted so the zone maps are selective.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from rtcdb_spark.sources.rtcdb_native import RtcdbReader
+
+    e = spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("type"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+    )
+    root = str(tmp_path / "db")
+    write_rtcdb(e.orderBy("event_id"), root, "events")
+
+    reader = RtcdbReader(root, "events")
+    n_all = sum(len(p.block_ids) for p in reader.partitions())
+    leftover = list(
+        reader.pushFilters(
+            [GreaterThanOrEqual(("event_id",), 0), LessThanOrEqual(("event_id",), 100)]
+        )
+    )
+    n_pruned = sum(len(p.block_ids) for p in reader.partitions())
+    assert len(leftover) == 2  # every filter handed back for row-level eval
+    assert n_pruned < n_all
+
+    back = read_rtcdb(spark, root, "events").filter(
+        (F.col("event_id") >= 0) & (F.col("event_id") <= 100)
+    )
+    got = sorted(r.event_id for r in back.collect())
+    want = sorted(
+        r.event_id
+        for r in e.filter((F.col("event_id") >= 0) & (F.col("event_id") <= 100)).collect()
+    )
+    assert got == want
