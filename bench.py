@@ -95,6 +95,14 @@ def main() -> None:
         timings[name] = round(
             statistics.median(run_once(fn, spark, sf_dir) for _ in range(REPS)), 4
         )
+        # Isolate queries from each other: several operators persist()
+        # loop-invariant frames (edge lists, centroid assignments) that they
+        # cannot unpersist after returning a lazy DataFrame; across a
+        # 30+-query suite those accumulate block-manager pressure and
+        # late-suite queries pay GC tax for early-suite caches (observed:
+        # pagerank 2.5 s solo vs 6.9 s late-suite). Clearing AFTER each
+        # query's timed reps never affects the measured query itself.
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_suite_seconds",

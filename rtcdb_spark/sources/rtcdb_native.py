@@ -326,7 +326,10 @@ class RtcdbReader(DataSourceReader):
             for i in range(0, len(blocks), per)
         ]
 
-    def read(self, partition: _BlockPartition) -> Iterator[tuple]:
+    def read(self, partition: _BlockPartition):
+        # Yield Arrow RecordBatches (one per block), not per-row tuples —
+        # the Python Data Source API transfers batches zero-copy into the
+        # JVM, so decode cost is the only Python-side work per block.
         cols = self.tmeta["columns"]
         offsets = {
             c["name"]: resolve_offsets(self.root, self.table, c["name"])
@@ -338,14 +341,21 @@ class RtcdbReader(DataSourceReader):
         }
         try:
             for b in partition.block_ids:
-                decoded = []
+                arrays, names = [], []
                 for c in cols:
                     start, csize, dsize = offsets[c["name"]][b]
                     f = handles[c["name"]]
                     f.seek(start)
                     raw = bytes(_codec.decompress(f.read(csize), dsize))
-                    decoded.append(_decode_block(raw, c["dtype"]))
-                yield from zip(*decoded)
+                    vals = _decode_block(raw, c["dtype"])
+                    arrays.append(
+                        pa.array(
+                            vals,
+                            pa.int64() if c["dtype"] == "Uint64" else pa.string(),
+                        )
+                    )
+                    names.append(c["name"])
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
         finally:
             for f in handles.values():
                 f.close()
