@@ -187,3 +187,39 @@ def test_datasource_filter_pushdown_prunes_blocks(spark, tmp_path):
         for r in e.filter((F.col("event_id") >= 0) & (F.col("event_id") <= 100)).collect()
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcz", min_size=0, max_size=12),
+        min_size=1,
+        max_size=300,
+    ),
+    lo=st.text(alphabet="abcz", min_size=0, max_size=10),
+    span=st.text(alphabet="abcz", min_size=0, max_size=4),
+)
+def test_string_zone_map_pruning_is_sound(spark, tmp_path_factory, words, lo, span):
+    """String pruning uses the format's 8-byte index prefixes (truncation
+    UNDERSTATES the max), so it must stay conservative: blocks surviving
+    the zone maps must contain every row a full filter returns — including
+    the nasty case where the true max extends past 8 bytes and the bound
+    falls inside the truncated range."""
+    import pandas as pd
+
+    root = str(tmp_path_factory.mktemp("zms"))
+    vals = sorted(words)
+    df = spark.createDataFrame(pd.DataFrame({"s": vals, "k": range(len(vals))})
+                               ).selectExpr("s", "CAST(k AS LONG) AS k")
+    write_rtcdb(df, root, "t")
+    hi = lo + span
+    if hi < lo:
+        lo, hi = hi, lo
+    keep, _ = plan_blocks(root, "t", load_metadata(root), ("s", lo, hi))
+    want = [v for v in vals if lo <= v <= hi]
+    got = [
+        v
+        for i, v in enumerate(vals)
+        if (i // 1024) in keep and lo <= v <= hi
+    ]
+    assert got == want
