@@ -1293,3 +1293,127 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    f"""
+    WITH {_SQL_SH},
+    {_SQL_SIGS},
+    bands AS ({_SQL_BANDS}),
+    corpus AS (SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id < 400),
+    batch AS (SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id >= 400),
+    exact AS (
+        SELECT b.doc_id, MIN(c.doc_id) AS exact_dup_of
+        FROM batch b JOIN corpus c ON b.digest = c.digest
+        GROUP BY b.doc_id
+    ),
+    cand AS (
+        SELECT DISTINCT bb.doc_id AS id_b, cb.doc_id AS id_a
+        FROM bands bb JOIN bands cb
+          ON bb.band_id = cb.band_id AND bb.sig = cb.sig
+        WHERE bb.doc_id >= 400 AND cb.doc_id < 400
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    jac AS (
+        SELECT c.id_b, c.id_a,
+               CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS j
+        FROM cand c
+        JOIN (
+            SELECT c2.id_a, c2.id_b, COUNT(*) AS n_common
+            FROM cand c2
+            JOIN sh a ON a.doc_id = c2.id_a
+            JOIN sh b ON b.doc_id = c2.id_b AND b.sh = a.sh
+            GROUP BY c2.id_a, c2.id_b
+        ) i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+    ),
+    near AS (
+        SELECT id_b AS doc_id, MIN(id_a) AS near_dup_of
+        FROM jac WHERE j >= 0.5 GROUP BY id_b
+    )
+    SELECT b.doc_id,
+           e.exact_dup_of,
+           n.near_dup_of,
+           CASE WHEN e.doc_id IS NOT NULL OR n.doc_id IS NOT NULL
+                THEN 'reject' ELSE 'keep' END AS verdict
+    FROM batch b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "incremental", "minhash", "lsh", "llm-pipeline"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch dedup — the production admission gate: a NEW batch
+    of documents (doc_id >= 400 stands in for today's crawl) is screened
+    against the EXISTING corpus without ever re-pairing the corpus with
+    itself. Exact path: digest join against the corpus digest index. Near
+    path: the batch's MinHash band signatures equi-join the corpus's
+    precomputed signature index (in production a stored table, refreshed
+    by append) and only surviving candidates pay the exact-Jaccard
+    verification at τ=0.5. Per-batch cost scales with the BATCH size and
+    its candidate fan-out — the corpus contributes an index probe, not a
+    rescan — which is what makes daily-crawl dedup tractable at a 100 TB
+    accumulated corpus. Verdict column = keep/reject with the blamed
+    corpus doc (min id) for both paths."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    c_dig = corpus.select(
+        F.sha2("text", 256).alias("digest"), F.col("doc_id").alias("c_id")
+    )
+    b_dig = batch.select("doc_id", F.sha2("text", 256).alias("digest"))
+    exact = (
+        b_dig.join(c_dig, "digest")
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("exact_dup_of"))
+    )
+    sh = doc_shingles(d).persist()
+    sigs = minhash_signatures(sh)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "-",
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                  for r in range(ROWS_PER_BAND)],
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.sig")
+    bb = bands.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("id_b"), "band_id", "sig"
+    )
+    cb = bands.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("id_a"), "band_id", "sig"
+    )
+    cand = bb.join(cb, ["band_id", "sig"]).select("id_a", "id_b").distinct()
+    jac = jaccard_pairs(sh, cand)
+    near = (
+        jac.filter(F.col("jaccard") >= 0.5)
+        .groupBy(F.col("id_b").alias("doc_id"))
+        .agg(F.min("id_a").alias("near_dup_of"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            "near_dup_of",
+            F.when(
+                F.col("exact_dup_of").isNotNull()
+                | F.col("near_dup_of").isNotNull(),
+                F.lit("reject"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
