@@ -1157,3 +1157,67 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- temperature-based language mixture --------------------------------------
+
+_MIX_ALPHA = 0.5  # sampling temperature exponent (sqrt: IEEE-exact everywhere)
+
+
+@query(
+    "text_language_temperature_mix",
+    f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    powed AS (
+        SELECT c.lang, c.n,
+               CAST(sqrt(CAST(c.n AS DOUBLE) / tot.t) AS DECIMAL(18,9)) AS pa
+        FROM counts c CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(pa) AS s FROM powed)
+    SELECT p.lang,
+           CAST(p.n AS BIGINT) AS n_docs,
+           ROUND(CAST(p.n AS DOUBLE) / tot.t, 9) AS p_raw,
+           ROUND(CAST(p.pa AS DOUBLE) / CAST(z.s AS DOUBLE), 9) AS p_sampled,
+           ROUND((CAST(p.pa AS DOUBLE) / CAST(z.s AS DOUBLE))
+                 / (CAST(p.n AS DOUBLE) / tot.t), 9) AS boost
+    FROM powed p CROSS JOIN tot CROSS JOIN z
+    ORDER BY p.lang
+    """,
+    tags=("text", "llm-pipeline", "mixture", "multilingual"),
+)
+def text_language_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling (the p^α reweighting from
+    multilingual LM training — α=1 keeps the natural skew, α→0 goes
+    uniform; α=0.5 here, i.e. sqrt, which is correctly rounded by IEEE on
+    every engine): per language, the raw corpus share, the resampled
+    share p^α/Σp^α, and the boost factor low-resource languages receive.
+    Feed the rates to `mixture_balance_sources`' deterministic hash gate
+    to materialize the resampled corpus.
+
+    Determinism: per-language p^α quantizes to DECIMAL(18,9) before the
+    normalizer sum (order-free); every emitted double is a fixed division
+    chain rounded at 9. Scale shape: one map-combined language histogram;
+    everything downstream is language-cardinality (≤ dozens of rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "pa", F.sqrt(F.col("n").cast("double") / F.col("t")).cast("decimal(18,9)")
+    )
+    z = powed.agg(F.sum("pa").alias("s"))
+    p_raw = F.col("n").cast("double") / F.col("t")
+    p_samp = F.col("pa").cast("double") / F.col("s").cast("double")
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(p_raw, 9).alias("p_raw"),
+            F.round(p_samp, 9).alias("p_sampled"),
+            F.round(p_samp / p_raw, 9).alias("boost"),
+        )
+        .orderBy("lang")
+    )
