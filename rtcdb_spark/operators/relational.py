@@ -57,7 +57,9 @@ def asof_join(
     ``tolerance_seconds`` (pandas merge_asof's ``tolerance``): a match
     farther than this from the left time is nulled out after the carry —
     the plan is unchanged (same one shuffle + sort); only a per-row
-    comparison is appended, so tolerance is free at any scale.
+    comparison is appended, so tolerance is free at any scale. Supported
+    for all three directions (absolute distance for "nearest");
+    property-tested ≡ pandas merge_asof for backward and nearest.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -112,11 +114,23 @@ def asof_join(
                 F.when(back_wins, F.col(f"__b_{c}"))
                 .otherwise(F.col(f"__f_{c}"))
                 .alias(f"right_{c}")
-                for c in right_cols
+                for c in ["__rts", *right_cols]
             ],
         )
+        if tolerance_seconds is not None:
+            gap = F.abs(us("__t") - us("right___rts"))
+            within = F.col("right___rts").isNotNull() & (
+                gap <= int(tolerance_seconds * 1_000_000)
+            )
+            picked = picked.select(
+                *[c for c in picked.columns if not c.startswith("right_")],
+                *[
+                    F.when(within, F.col(f"right_{c}")).alias(f"right_{c}")
+                    for c in right_cols
+                ],
+            )
         drop = (
-            ["__t", "__is_left", "__r___rts"]
+            ["__t", "__is_left", "__r___rts", "right___rts"]
             + [f"__r_{c}" for c in right_cols]
             + [f"__b_{c}" for c in carry]
             + [f"__f_{c}" for c in carry]

@@ -937,7 +937,8 @@ def test_kcenter_coreset_matches_numpy_greedy(spark):
 )
 def test_asof_tolerance_matches_pandas_merge_asof(spark, lefts, rights, tol):
     """asof_join(tolerance_seconds=...) ≡ pandas merge_asof(tolerance=...) —
-    the independent reference implementation of the same contract."""
+    the independent reference implementation of the same contract, for the
+    backward AND nearest directions."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -974,6 +975,26 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, lefts, rights, tol):
         want = None if pd.isna(row["payload"]) else int(row["payload"])
         key = (int(row["k"]), row["lt"].to_pydatetime())
         assert got[key] == want, (key, got[key], want)
+    # nearest direction with the same tolerance. pandas breaks exact-distance
+    # ties toward backward, matching our documented tie rule, but only when
+    # the timestamps differ; identical-distance cases with equal timestamps
+    # are the t==rt exact match both resolve identically.
+    got_n = {
+        (row.k, row.lt): row.right_payload
+        for row in asof_join(
+            l, r, on="k", left_time="lt", right_time="rt",
+            right_cols=["payload"], direction="nearest",
+            tolerance_seconds=tol,
+        ).collect()
+    }
+    merged_n = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k",
+        direction="nearest", tolerance=pd.Timedelta(seconds=tol),
+    )
+    for _, row in merged_n.iterrows():
+        want = None if pd.isna(row["payload"]) else int(row["payload"])
+        key = (int(row["k"]), row["lt"].to_pydatetime())
+        assert got_n[key] == want, ("nearest", key, got_n[key], want)
 
 
 def test_bitmap_distinct_equals_count_distinct(spark):
