@@ -511,3 +511,75 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@query(
+    "orders_runs_test",
+    """
+    WITH seq AS (
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS hi,
+               LAG(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY o_orderkey) AS prev
+        FROM orders
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(hi) AS BIGINT) AS n1,
+               CAST(SUM(1 - hi) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN prev IS NULL OR hi <> prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS runs
+        FROM seq
+    )
+    SELECT n1 AS n_high, n2 AS n_low, runs,
+           ROUND(1 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+           ROUND((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                           * (n1 + n2 - 1))), 6) AS z_stat
+    FROM stats
+    """,
+    tags=("analytics", "statistics", "randomness", "audit"),
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test over the order sequence: binarize each
+    order (total above/below 100k), count runs of equal outcomes in key
+    order, and z-score against the expected run count under randomness —
+    the audit that catches batch-sorted, interleaved, or machine-generated
+    row orderings that per-value statistics (Benford, moments) cannot see.
+    All inputs to the z composition are exact integers (run count via a
+    LAG-transition sum); the expectation and variance are the standard
+    closed forms, written identically on both engines and rounded at 6.
+    Scale shape: one window pass in key order (range-partitioned sort)
+    then a scalar aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    hi = F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
+    seq = o.select("o_orderkey", hi.alias("hi")).withColumn(
+        "prev", F.lag("hi").over(w)
+    )
+    stats = seq.agg(
+        F.sum("hi").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("hi")).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("hi") != F.col("prev")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    exp = 1 + 2.0 * n1 * n2 / (F.col("n1") + F.col("n2"))
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((F.col("n1") + F.col("n2")).cast("double")
+           * (F.col("n1") + F.col("n2"))
+           * (F.col("n1") + F.col("n2") - 1))
+    )
+    return stats.select(
+        F.col("n1").alias("n_high"),
+        F.col("n2").alias("n_low"),
+        F.col("runs"),
+        F.round(exp, 6).alias("expected_runs"),
+        F.round((F.col("runs") - exp) / F.sqrt(var), 6).alias("z_stat"),
+    )

@@ -416,3 +416,47 @@ def source_rtcdb_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "source_rtcdb_string_scan",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("source", "rtcdb-format", "pushdown", "string-index"),
+)
+def source_rtcdb_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String zone maps on the reference's format: documents are rewritten
+    sorted by lang (so the 8-byte string index prefixes are selective),
+    then an equality predicate runs through the `rtcdb` source's filter
+    pushdown — block pruning on STRING min/max prefixes, which is exactly
+    the reference's index-key design for strings (first 8 bytes,
+    storage.rs:30-37). Prefix truncation understates the max, so the
+    pruning rule is deliberately conservative (see
+    `sources.rtcdb_native.plan_blocks`); a hypothesis property pins its
+    soundness and the oracle pins end-to-end values here."""
+    from rtcdb_spark.sources.rtcdb_native import read_rtcdb, write_rtcdb
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id", "n_chars"
+    ).orderBy("lang", "doc_id")
+    root = os.path.join(_IO_ROOT, "rtcdb_native_docs_bylang")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    write_rtcdb(d, root, "documents")
+    back = read_rtcdb(spark, root, "documents").filter(F.col("lang") == "en")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
