@@ -583,3 +583,103 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 6).alias("expected_runs"),
         F.round((F.col("runs") - exp) / F.sqrt(var), 6).alias("z_stat"),
     )
+
+
+@query(
+    "orders_ks_drift_test",
+    """
+    WITH tagged AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS grp
+        FROM orders
+    ),
+    by_value AS (
+        SELECT v,
+               CAST(SUM(grp) AS BIGINT) AS c1,
+               CAST(SUM(1 - grp) AS BIGINT) AS c2
+        FROM tagged GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM by_value
+    ),
+    ecdf AS (
+        SELECT SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+        FROM by_value
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT MAX(ABS(CAST(cum1 AS DOUBLE) / tot.n1
+                       - CAST(cum2 AS DOUBLE) / tot.n2)) AS d_stat
+        FROM ecdf CROSS JOIN tot
+    )
+    SELECT tot.n1, tot.n2,
+           ROUND(d.d_stat, 9) AS d_stat,
+           ROUND(1.358 * sqrt(CAST(tot.n1 + tot.n2 AS DOUBLE)
+                              / (CAST(tot.n1 AS DOUBLE) * tot.n2)), 9)
+               AS critical_05,
+           d.d_stat > 1.358 * sqrt(CAST(tot.n1 + tot.n2 AS DOUBLE)
+                                   / (CAST(tot.n1 AS DOUBLE) * tot.n2))
+               AS distributions_differ_95
+    FROM d CROSS JOIN tot
+    """,
+    tags=("analytics", "statistics", "drift", "ks-test"),
+)
+def orders_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test — the distribution-drift monitor:
+    compare urgent/high-priority order totals against the rest by the
+    maximum ECDF gap D, with the asymptotic 5% critical value. This is the
+    nonparametric check pipelines run between cohorts, time slices, or
+    before/after a change, where moment tests miss shape differences.
+
+    Determinism: per-value counts are exact integers; each ECDF point is
+    one division of exact integers and the max is a comparison — nothing
+    accumulates in floats. Scale shape: rows collapse to DISTINCT values
+    map-side first, so the ordered cumulative window runs on the value
+    domain, not the row count (same reduction the skyline uses); for
+    unbounded domains swap the exact ECDF for quantile-bucketed ECDFs at
+    the same plan shape."""
+    o = load_table(spark, sf_dir, "orders")
+    grp = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    by_value = (
+        o.select(F.col("o_totalprice").alias("v"), grp.alias("grp"))
+        .groupBy("v")
+        .agg(
+            F.sum("grp").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("grp")).cast("bigint").alias("c2"),
+        )
+    )
+    tot = by_value.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = by_value.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    d = (
+        ecdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ).alias("d_stat")
+        )
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.round("d_stat", 9).alias("d_stat"),
+        F.round(crit, 9).alias("critical_05"),
+        (F.col("d_stat") > crit).alias("distributions_differ_95"),
+    )
