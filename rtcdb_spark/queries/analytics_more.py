@@ -683,3 +683,79 @@ def orders_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 9).alias("critical_05"),
         (F.col("d_stat") > crit).alias("distributions_differ_95"),
     )
+
+
+@query(
+    "events_bot_cadence_detect",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS g
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               COUNT(g) AS n_gaps,
+               CAST(SUM(g) AS BIGINT) AS s1,
+               SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))) AS s2
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(g) >= 5
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           ROUND(CAST(s1 AS DOUBLE) / n_gaps / 1000000, 6) AS mean_gap_s,
+           ROUND(sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
+                               - (CAST(s1 AS DOUBLE) / n_gaps)
+                                 * (CAST(s1 AS DOUBLE) / n_gaps), 0))
+                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cadence_cv,
+           (sqrt(greatest(CAST(s2 AS DOUBLE) / n_gaps
+                          - (CAST(s1 AS DOUBLE) / n_gaps)
+                            * (CAST(s1 AS DOUBLE) / n_gaps), 0))
+            / (CAST(s1 AS DOUBLE) / n_gaps)) < 0.3 AS bot_like
+    FROM stats
+    ORDER BY user_id
+    """,
+    tags=("analytics", "events", "bot-detection", "quality"),
+)
+def events_bot_cadence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by cadence regularity: per user, the
+    coefficient of variation of inter-event gaps — humans are bursty
+    (CV ≳ 1), schedulers and scripted clients are metronomic (CV → 0) —
+    flagged below 0.3. The traffic-quality screen a training-data pipeline
+    runs before trusting behavioral signals. Gaps are exact integer
+    microseconds; the first moment is an exact integer sum and the second
+    an exact DECIMAL(38,0) product sum (microsecond squares overflow
+    int64), so the CV is one shared double composition per user, rounded
+    at 6. One shuffle on user_id for the
+    lag window; the moment aggregate reuses its partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    gaps = e.select("user_id", (us - prev).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("g").alias("n_gaps"),
+            F.sum("g").cast("bigint").alias("s1"),
+            F.sum(
+                F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")
+            ).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n_gaps") - mean * mean, F.lit(0.0)
+    )
+    cv = F.sqrt(var) / mean
+    return stats.select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round(mean / 1_000_000, 6).alias("mean_gap_s"),
+        F.round(cv, 6).alias("cadence_cv"),
+        (cv < 0.3).alias("bot_like"),
+    ).orderBy("user_id")
