@@ -46,49 +46,55 @@ _PRIORITY = [
     # dedup_semantic_clusters, and text_importance_resample — windows keep
     # lag_lead + running_frames, dedup keeps star/simhash/span, text keeps
     # token_count/bm25/contamination, so every family keeps >=1 green rep.
+    # (wave 9, round 4 per VERDICT r3 item 1): rotate in the 11-component
+    # confirmation set — source_rtcdb_pruned_scan + source_rtcdb_string_scan
+    # (B1/B2 zone-map pruning on the reference's own format), fn_json_map
+    # (C-VII map/json), stream_dedup_count (C-VIII stateful dedup),
+    # udf_grouped_agg (C-X UDAF), dedup_exact (C-IX exact dedup),
+    # distinct_values (C-V distinct), source_json_roundtrip (C-I JSON).
+    # Rotated out (all r3 driver-green, each family keeps >=1 green rep):
+    # similarity_mmr_rerank, orders_survival_curve, fn_math, fn_conditional,
+    # part_pareto_skyline, funnel_conversion, rollup_cascade,
+    # dedup_semantic_clusters.
     # C-II scan/filter/project + C-I sources
-    # (wave 8) source_json_roundtrip rotated out (local-mirror green) for
-    # source_rtcdb_native_roundtrip — the reference-format interchange path
-    # is the strongest C-I evidence; csv stays as the fixed r2-red row.
     "q1_pricing_summary", "scan_filter_project",
     "source_csv_roundtrip", "source_rtcdb_native_roundtrip",
+    "source_rtcdb_pruned_scan", "source_rtcdb_string_scan",
+    "source_json_roundtrip",
     # C-III aggregates
     "agg_count_distinct", "agg_collect_array", "agg_weighted_percentiles",
     # C-IV joins (as-of family represented by the forward direction)
     "join_asof_forward",
-    # C-IX re-ranking + analytics (survival curve is the orders-family rep)
-    "similarity_mmr_rerank", "orders_survival_curve",
-    # timeseries resampling (family's first driver-window appearance)
+    # timeseries resampling (family's driver-window rep)
     "timeseries_resample_interp",
-    # C-V sort / set
-    "sort_multi_key_limit", "set_intersect_all",
+    # C-V sort / set / distinct
+    "sort_multi_key_limit", "set_intersect_all", "distinct_values",
     # C-VI windows
-    "window_lag_lead", "window_running_frames", "part_pareto_skyline",
-    # C-VII scalar functions
-    "fn_string", "fn_datetime", "fn_math", "fn_conditional", "fn_url",
+    "window_lag_lead", "window_running_frames",
+    # C-VII scalar functions (json/map family gets its driver slot)
+    "fn_string", "fn_datetime", "fn_url", "fn_json_map",
     # C-VIII event-time (batch)
-    "window_tumbling", "window_session", "funnel_conversion",
-    # C-VIII streaming
-    "stream_window_tumbling", "stream_running_totals",
+    "window_tumbling", "window_session",
+    # C-VIII streaming (stateful dedup gets its driver slot)
+    "stream_window_tumbling", "stream_running_totals", "stream_dedup_count",
     # C-IX text pipeline
     "text_token_count", "text_importance_resample",
-    # C-IX dedup
-    "dedup_connected_groups_star", "dedup_semantic_clusters", "dedup_simhash_probe",
+    # C-IX dedup (exact dedup gets its driver slot)
+    "dedup_exact", "dedup_connected_groups_star", "dedup_simhash_probe",
     "dedup_span_fraction",
     # C-IX similarity / ANN / embedding ops
     "similarity_cosine_topk", "similarity_ivf_topk",
     "embedding_random_projection",
     # C-IX multimodal
     "multimodal_payload_meta", "multimodal_decode_meta",
-    # C-X UDFs
-    "udf_pandas_scalar", "udf_udtf_tokenize",
+    # C-X UDFs (UDAF gets its driver slot)
+    "udf_pandas_scalar", "udf_udtf_tokenize", "udf_grouped_agg",
     # C-IX LLM pipeline
     "text_bm25_search", "text_contamination",
     # sketches / warehouse / reshape / analytics / graph / profiling
     "freq_heavy_hitters", "merge_upsert_customers", "reshape_unpivot",
     "anomaly_zscore_daily", "graph_common_neighbors",
     "graph_pagerank", "graph_triangle_count", "graph_label_propagation",
-    "rollup_cascade",
 ]
 
 
