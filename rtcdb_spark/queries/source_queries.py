@@ -460,3 +460,56 @@ def source_rtcdb_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "source_rtcdb_distributed_write",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("source", "rtcdb-format", "interchange", "parallel-write"),
+)
+def source_rtcdb_distributed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-parallel write into the reference's on-disk format
+    (`write_rtcdb_distributed`): every task encodes and LZ4-compresses its
+    own partition's 1024-row blocks (`mapInPandas` into a staging dir);
+    the driver finalizes with O(1)-memory byte concatenation, rebasing
+    each 40-byte index entry's offset — so the encode/compress CPU scales
+    with executors while the format's single-file-per-column contract is
+    preserved. Written from an 8-partition orders projection so the
+    finalize genuinely stitches multiple partition files (short tail
+    blocks included); read back through the pluggable `rtcdb` source and
+    aggregated. The oracle aggregates the parquet original: any offset
+    rebase error, partition-order mixup, or dropped tail block breaks the
+    count/sum/min/max hash."""
+    from rtcdb_spark.sources.rtcdb_native import (
+        read_rtcdb,
+        write_rtcdb_distributed,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    root = os.path.join(_IO_ROOT, "rtcdb_native_orders_dist")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    write_rtcdb_distributed(o.repartition(8, "o_orderkey"), root, "orders")
+    back = read_rtcdb(spark, root, "orders")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
