@@ -293,3 +293,65 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = read_events_stream(spark, sf_dir)
     out = run_available_now(stream_sliding(sdf), output_mode="complete")
     return out.orderBy("window_start")
+
+
+@query(
+    "stream_versioned_sink",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS id_sum,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "versioned", "exactly-once", "sink"),
+)
+def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion into the ACID commit log
+    (`streaming.sinks.stream_to_versioned`): the events stream runs to
+    completion with each micro-batch becoming ONE batch-id-stamped version
+    in a `VersionedTable`; the whole pipeline is then run a SECOND time
+    against the same table with a fresh checkpoint — every batch replays,
+    and the idempotence gate (batch id already in the commit log) must
+    skip them all. The returned aggregate reads the table's final
+    snapshot; the oracle aggregates the events fixture directly, so any
+    duplicated batch (failed idempotence), dropped batch, or torn commit
+    breaks the count/sum hash."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+    from rtcdb_spark.streaming import read_events_stream
+    from rtcdb_spark.streaming.sinks import stream_to_versioned
+
+    root = tempfile.mkdtemp(prefix="rtcdb_vsink_")
+    table_root = f"{root}/table"
+    stream_to_versioned(
+        read_events_stream(spark, sf_dir), table_root, f"{root}/cp1"
+    )
+    vt = VersionedTable(spark, table_root)
+    n_versions = len(vt.versions())
+    # Replay the whole stream with a fresh checkpoint: every batch id is
+    # already committed, so the log must not grow.
+    stream_to_versioned(
+        read_events_stream(spark, sf_dir), table_root, f"{root}/cp2"
+    )
+    assert len(vt.versions()) == n_versions, "replayed batches re-committed"
+    out = (
+        vt.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("event_id").cast("bigint")).cast("bigint").alias("id_sum"),
+            # dsum pattern: exact decimal partials, double at the end
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    shutil.rmtree(f"{root}/cp1", ignore_errors=True)
+    shutil.rmtree(f"{root}/cp2", ignore_errors=True)
+    return out

@@ -199,3 +199,45 @@ def stream_rollup_cascade(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_versioned(
+    events: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once streaming ingestion into the snapshot-versioned table:
+    each micro-batch becomes one ACID commit in the `VersionedTable` log,
+    stamped with its batch id. Idempotence is end-to-end: if the driver
+    dies between a commit and the checkpoint write, Structured Streaming
+    replays the batch — the sink sees the batch id already in the commit
+    log and skips, so the table gains exactly one version per batch no
+    matter how many times a batch is delivered. (This is the Delta
+    `txnAppId`/`txnVersion` idempotent-writer pattern on our own log.)
+
+    Downstream, every version is a consistent snapshot: readers time-travel
+    or tail `changes(since)` to consume the stream's output incrementally
+    with commit-level atomicity — no partially-visible micro-batch, which a
+    plain parquet append sink cannot promise to non-Spark readers (they
+    don't parse `_spark_metadata`).
+
+    Scale: the commit itself is the executor-parallel parquet write plus
+    one manifest conditional-put; the batch-id scan is O(versions) metadata.
+    """
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vt = VersionedTable(batch_df.sparkSession, table_root)
+        if batch_id in vt.committed_extras("batch_id"):
+            return  # replay after failure: already durable, skip
+        vt.commit(batch_df, extra={"batch_id": batch_id})
+
+    q = (
+        events.select("event_id", "ts", "user_id", "event_type", "value")
+        .writeStream.foreachBatch(_commit_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -113,3 +113,82 @@ def test_changes_incremental_read(spark, tmp_path):
         vt.changes(1)
     # range entirely before the rewrite still works
     assert sorted(r["v"] for r in vt.changes(0, until_version=2).collect()) == [3, 4, 5]
+
+
+class TestMultiWriter:
+    """Conditional-put commit protocol (VERDICT r3 item 5)."""
+
+    def test_lost_race_retries_and_keeps_both_commits(self, spark, tmp_path):
+        """Writer A loses the race for version 1 (simulated by publishing a
+        competing manifest between A's head-read and publish) and must land
+        at version 2 WITH the competitor's files retained — no lost commit."""
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(spark.range(5).selectExpr("id AS k"))  # version 0
+
+        real_try = t._try_publish
+        raced = {"done": False}
+
+        def racing_publish(version, manifest):
+            if not raced["done"]:
+                raced["done"] = True
+                # competitor claims this version first: an empty append
+                # carrying only the previous head's files
+                competitor = {
+                    "version": version,
+                    "op": "append",
+                    "files": t._read_manifest(version - 1)["files"],
+                    "n_added": 0,
+                }
+                assert real_try(version, competitor)
+            return real_try(version, manifest)
+
+        t._try_publish = racing_publish
+        v = t.commit(spark.range(5, 9).selectExpr("id AS k"))
+        assert v == 2  # lost v1, landed at v2
+        assert t.versions() == [0, 1, 2]
+        # the competitor's manifest (v1) and ours (v2) both exist, and v2's
+        # append retained v1's files: nothing lost
+        assert sorted(r.k for r in t.read(2).collect()) == list(range(9))
+
+    def test_concurrent_threads_all_commit(self, spark, tmp_path):
+        import threading
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        errs = []
+
+        def worker(lo):
+            try:
+                VersionedTable(spark, str(tmp_path / "vt")).commit(
+                    spark.range(lo, lo + 10).selectExpr("id AS k")
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i * 10,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        assert t.versions() == [0, 1, 2, 3]
+        # every writer's rows are present in the final version
+        assert sorted(r.k for r in t.read().collect()) == list(range(40))
+
+
+class TestBatchIdIdempotence:
+    def test_extra_metadata_roundtrip_and_skip(self, spark, tmp_path):
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        df = spark.range(10).selectExpr("id AS k")
+        t.commit(df, extra={"batch_id": 0})
+        t.commit(df, extra={"batch_id": 1})
+        t.commit(df)  # non-streaming commit, no extra
+        assert t.committed_extras("batch_id") == {0, 1}
+        # the sink's gate: replaying batch 1 must be detectable
+        assert 1 in t.committed_extras("batch_id")
+        assert 2 not in t.committed_extras("batch_id")
