@@ -367,8 +367,14 @@ def skyline_2d(
     be collapsed before the scan — the caller gets them back by re-joining,
     or aggregates them into the distinct step as this helper's `df` input.
     """
-    pts = df.repartitionByRange(n_partitions, F.col(minimize)).withColumn(
-        "_pid", F.spark_partition_id()
+    # `pts` feeds two plan branches (scanned + totals). Persist it so the
+    # partition-id stamp is computed exactly once: the stitch is only sound
+    # if both branches see identical _pid assignments, and recomputation
+    # could diverge if the upstream frame were nondeterministic (ADVICE r3).
+    pts = (
+        df.repartitionByRange(n_partitions, F.col(minimize))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_run = (
         Window.partitionBy("_pid")

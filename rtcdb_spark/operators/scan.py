@@ -1,0 +1,113 @@
+"""Distributed sequential-scan primitives: global cumulative aggregates and
+lag without a single-partition sort.
+
+An unpartitioned ``Window.orderBy(...)`` is correct but collapses to ONE
+task — fine at sf0.1, fatal on a 1000-executor cluster. The classic fix
+(vector prefix-scan, Blelloch; the same stitch ``skyline_2d`` uses) is a
+two-level scheme:
+
+1. range-repartition on the order key so partition boundaries respect the
+   global order (equal keys co-locate), and stamp each row with its
+   partition id — computed ONCE (persisted) so every branch sees the same
+   assignment;
+2. run the sequential operator per partition (parallel across partitions);
+3. reduce each partition to one summary row (sum / last value), prefix-scan
+   those ``n_partitions`` rows in a single bounded-size task, and broadcast
+   the per-partition carry back in.
+
+Total cost: one range exchange over the data + one n_partitions-row side
+plan — the shape survives 100 TB because no task ever sees more than one
+partition of rows.
+
+Determinism caveat: like any ordered cumulative window, results are only
+deterministic when the order key is unique per row (or the caller accepts
+tie-order-dependent intermediate prefixes). The query layer always orders
+by a unique key (``o_orderkey``, distinct values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    n_partitions: int = 32,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Inclusive global running SUM of each value column in ``order_col``
+    order, as ``<prefix><name>`` columns, with no single-partition sort.
+    """
+    pts = (
+        df.repartitionByRange(n_partitions, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scanned = pts
+    for c in value_cols:
+        scanned = scanned.withColumn(f"_loc_{c}", F.sum(c).over(w_local))
+    # One row per non-empty partition; the exclusive prefix over these runs
+    # in a window bounded by n_partitions, not by the data.
+    totals = pts.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in value_cols]
+    )
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = totals.select(
+        "_pid",
+        *[F.sum(f"_tot_{c}").over(w_prefix).alias(f"_carry_{c}") for c in value_cols],
+    )
+    out = scanned.join(F.broadcast(carry), "_pid")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.col(f"_loc_{c}") + F.coalesce(F.col(f"_carry_{c}"), F.lit(0)),
+        ).drop(f"_loc_{c}", f"_carry_{c}")
+    return out.drop("_pid")
+
+
+def distributed_lag(
+    df: DataFrame,
+    order_col: str,
+    value_col: Column | str,
+    out_col: str = "prev",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Global ``lag(value_col, 1)`` in ``order_col`` order without a global
+    sort: per-partition lag + a boundary stitch that hands each partition's
+    LAST value to the FIRST row of the next non-empty partition. The global
+    first row keeps NULL, matching ``F.lag`` semantics.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    pts = (
+        df.withColumn("_v", val)
+        .repartitionByRange(n_partitions, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(order_col)
+    scanned = pts.withColumn("_loc_prev", F.lag("_v").over(w_local)).withColumn(
+        "_rn", F.row_number().over(w_local)
+    )
+    # Last value of each non-empty partition, shifted to the next one.
+    lasts = pts.groupBy("_pid").agg(
+        F.max_by("_v", F.col(order_col)).alias("_last_v")
+    )
+    w_pid = Window.orderBy("_pid")
+    boundary = lasts.select(
+        "_pid", F.lag("_last_v").over(w_pid).alias("_prev_last")
+    )
+    out = scanned.join(F.broadcast(boundary), "_pid")
+    return out.withColumn(
+        out_col,
+        F.when(F.col("_rn") == 1, F.col("_prev_last")).otherwise(
+            F.col("_loc_prev")
+        ),
+    ).drop("_pid", "_v", "_loc_prev", "_rn", "_prev_last")

@@ -550,13 +550,16 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     All inputs to the z composition are exact integers (run count via a
     LAG-transition sum); the expectation and variance are the standard
     closed forms, written identically on both engines and rounded at 6.
-    Scale shape: one window pass in key order (range-partitioned sort)
-    then a scalar aggregate."""
+    Scale shape: the global LAG runs as a two-level scan (per-range-
+    partition lag + an n_partitions-row boundary stitch,
+    operators.scan.distributed_lag) — no single-partition sort anywhere
+    (ADVICE r3)."""
+    from rtcdb_spark.operators.scan import distributed_lag
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
     hi = F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
-    seq = o.select("o_orderkey", hi.alias("hi")).withColumn(
-        "prev", F.lag("hi").over(w)
+    seq = distributed_lag(
+        o.select("o_orderkey", hi.alias("hi")), "o_orderkey", "hi", "prev"
     )
     stats = seq.agg(
         F.sum("hi").cast("bigint").alias("n1"),
@@ -637,10 +640,12 @@ def orders_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-value counts are exact integers; each ECDF point is
     one division of exact integers and the max is a comparison — nothing
     accumulates in floats. Scale shape: rows collapse to DISTINCT values
-    map-side first, so the ordered cumulative window runs on the value
-    domain, not the row count (same reduction the skyline uses); for
-    unbounded domains swap the exact ECDF for quantile-bucketed ECDFs at
-    the same plan shape."""
+    map-side first, so the cumulative scan runs on the value domain, not
+    the row count; the scan itself is the two-level prefix sum
+    (operators.scan.distributed_cumsum — per-range-partition running sums
+    plus an n_partitions-row carry), so even a huge value domain never
+    funnels through one task (ADVICE r3); for unbounded domains swap the
+    exact ECDF for quantile-bucketed ECDFs at the same plan shape."""
     o = load_table(spark, sf_dir, "orders")
     grp = F.when(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
@@ -657,9 +662,10 @@ def orders_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = by_value.select(
-        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    from rtcdb_spark.operators.scan import distributed_cumsum
+
+    ecdf = distributed_cumsum(by_value, "v", ["c1", "c2"]).select(
+        F.col("cum_c1").alias("cum1"), F.col("cum_c2").alias("cum2")
     )
     d = (
         ecdf.crossJoin(F.broadcast(tot))

@@ -525,3 +525,180 @@ def test_compression_ratio_orders_text_quality(spark, sf_smoke):
     rep = ("spam " * 200).encode()
     varied = rows[0]["compression_ratio"]
     assert len(zlib.compress(rep, 6)) / len(rep) < 0.05 < varied
+
+
+class TestDistributedScan:
+    """operators.scan two-level primitives must match the single-partition
+    global window exactly (unique order keys)."""
+
+    def test_cumsum_matches_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.operators.scan import distributed_cumsum
+
+        df = (
+            spark.range(0, 999)
+            .select(
+                (F.col("id") * 37 % 1201).alias("k"),
+                (F.col("id") % 7).alias("a"),
+                (F.col("id") % 3).alias("b"),
+            )
+            .dropDuplicates(["k"])
+        )
+        got = distributed_cumsum(df, "k", ["a", "b"], n_partitions=8)
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        want = df.select(
+            "k", F.sum("a").over(w).alias("cum_a"), F.sum("b").over(w).alias("cum_b")
+        )
+        g = {r.k: (r.cum_a, r.cum_b) for r in got.collect()}
+        ww = {r.k: (r.cum_a, r.cum_b) for r in want.collect()}
+        assert g == ww
+
+    def test_cumsum_more_partitions_than_rows(self, spark):
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.operators.scan import distributed_cumsum
+
+        df = spark.range(0, 3).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        got = sorted(
+            (r.k, r.cum_v)
+            for r in distributed_cumsum(df, "k", ["v"], n_partitions=16).collect()
+        )
+        assert got == [(0, 1), (1, 2), (2, 3)]
+
+    def test_lag_matches_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.operators.scan import distributed_lag
+
+        df = (
+            spark.range(0, 777)
+            .select((F.col("id") * 13 % 2003).alias("k"), (F.col("id") % 5).alias("v"))
+            .dropDuplicates(["k"])
+        )
+        got = distributed_lag(df, "k", "v", "prev", n_partitions=8)
+        want = df.withColumn("prev", F.lag("v").over(Window.orderBy("k")))
+        g = {r.k: r.prev for r in got.collect()}
+        ww = {r.k: r.prev for r in want.collect()}
+        assert g == ww
+        # the global first row keeps NULL
+        first_k = min(g)
+        assert g[first_k] is None
+
+    def test_lag_single_row(self, spark):
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.operators.scan import distributed_lag
+
+        df = spark.range(1).select(F.col("id").alias("k"), F.lit(9).alias("v"))
+        rows = distributed_lag(df, "k", "v", "prev", n_partitions=4).collect()
+        assert len(rows) == 1 and rows[0].prev is None
+
+
+class TestMatview:
+    def test_incremental_equals_full_recompute_at_every_version(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.operators.matview import merge_agg_state
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        src = spark.range(1000).select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 3 % 101).cast("double").alias("v"),
+        )
+        vt = VersionedTable(spark, str(tmp_path / "vt"))
+        state, last = None, None
+        for i in range(4):
+            batch = src.filter(F.col("v") % 4 == i)
+            ver = vt.commit(batch)
+            delta = vt.read(ver) if last is None else vt.changes(last, ver)
+            delta_agg = delta.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            state = merge_agg_state(
+                state, delta_agg, ["g"], {"n": "sum", "s": "sum", "mn": "min", "mx": "max"}
+            )
+            full = vt.read(ver).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            got = sorted(map(tuple, state.collect()))
+            want = sorted(map(tuple, full.collect()))
+            assert got == want, f"divergence at version {ver}"
+            last = ver
+
+    def test_non_mergeable_aggregate_rejected(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.operators.matview import merge_agg_state
+
+        df = spark.range(5).select((F.col("id") % 2).alias("g"), F.col("id").alias("v"))
+        agg = df.groupBy("g").agg(F.avg("v").alias("v"))
+        with pytest.raises(ValueError, match="non-mergeable"):
+            merge_agg_state(agg, agg, ["g"], {"v": "avg"})
+
+
+class TestPngCodec:
+    """Pure-Python PNG codec (round 4): the decoder must exactly invert the
+    encoder across all five scanline filter types, verify CRCs, and gate
+    unsupported shapes honestly."""
+
+    def test_roundtrip_all_filters_rgb_and_rgba(self):
+        import numpy as np
+
+        from rtcdb_spark.functions.multimodal import decode_png, make_png
+
+        for (w, h, ch, seed) in [(1, 1, 3, 0), (7, 11, 3, 5), (13, 6, 4, 9),
+                                 (2, 5, 4, 123), (31, 17, 3, 42)]:
+            meta, px = decode_png(make_png(w, h, seed, channels=ch))
+            assert (meta["width"], meta["height"], meta["bpp"]) == (w, h, 8 * ch)
+            n = w * h * ch
+            want = ((seed * 31 + np.arange(n) * 7) % 256).astype(np.uint8)
+            assert np.array_equal(px.reshape(-1), want)
+
+    def test_corrupt_crc_rejected(self):
+        import pytest
+
+        from rtcdb_spark.functions.multimodal import decode_png, make_png
+
+        p = bytearray(make_png(5, 5, 1))
+        p[40] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(p))
+
+    def test_unsupported_shapes_gated(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from rtcdb_spark.functions.multimodal import _PNG_SIG, decode_png
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+        # 16-bit depth
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        p = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            decode_png(p)
+        # interlaced
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        p = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            decode_png(p)
+
+    def test_dispatch_recognizes_png(self):
+        from rtcdb_spark.functions.multimodal import decode_image, make_png
+
+        m = decode_image(make_png(3, 2, 7))
+        assert (m["width"], m["height"], m["bpp"]) == (3, 2, 24)
