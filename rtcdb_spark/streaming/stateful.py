@@ -37,6 +37,31 @@ def _to_cents(v: float) -> int:
     return int(Decimal(v).quantize(Decimal("0.01"), ROUND_HALF_UP).scaleb(2))
 
 
+def _cents_sum(vals: "pd.Series") -> int:
+    """Vectorized exact cent-sum of a double column (VERDICT r3 item 4 —
+    replaces a per-row Decimal loop). ``floor(v*100 + 0.5)`` decides every
+    value whose remainder is far from the .5 tie; the float product's
+    absolute error is ≤ |v|·100·2⁻⁵² < 1e-6 for |v| ≤ 1e7, so only values
+    within 1e-6 of a tie (or huge/non-finite — where the product itself may
+    round) can be mis-decided, and exactly those fall back to the per-value
+    Decimal path. Result is therefore bit-identical to mapping ``_to_cents``
+    over every value, at numpy speed for the overwhelming majority."""
+    import numpy as np
+
+    a = vals.to_numpy(dtype="float64")
+    if not len(a):
+        return 0
+    c = a * 100.0
+    fl = np.floor(c)
+    rem = c - fl
+    exact_path = (np.abs(rem - 0.5) >= 1e-6) & (np.abs(a) <= 1e7) & np.isfinite(a)
+    fast = np.where(rem >= 0.5, fl + 1.0, fl)
+    total = int(fast[exact_path].sum())  # integer-valued floats < 2^53: exact
+    for v in a[~exact_path]:
+        total += _to_cents(float(v))
+    return total
+
+
 def _update_running_totals(
     key: tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
@@ -49,7 +74,7 @@ def _update_running_totals(
     n, total_cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += int(len(pdf))
-        total_cents += sum(_to_cents(v) for v in pdf["value"])
+        total_cents += _cents_sum(pdf["value"])
     state.update((n, total_cents))
     yield pd.DataFrame(
         {
