@@ -158,3 +158,67 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.commit(d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 250)))
     vt.commit(d.filter(F.col("doc_id") >= 250))
     return vt.read(version=1).orderBy("doc_id")
+
+
+@query(
+    "matview_incremental_refresh",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("warehouse", "versioned", "matview", "incremental"),
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the commit log
+    (`operators.matview.merge_agg_state` + `VersionedTable.changes`):
+    commit orders in three append batches; after each commit, refresh a
+    revenue-by-priority rollup by aggregating ONLY that commit's change
+    feed and merging the partials into the view state — the Gupta–Mumick
+    self-maintainable-aggregate scheme every warehouse's incremental
+    rollup refresh uses. The oracle aggregates the whole orders table
+    directly, so a hash match proves three delta-folds reconstruct the
+    full-recompute answer exactly: counts merge as summed partial counts,
+    revenue stays DECIMAL through every merge level (exact at any fold
+    depth), MAX merges as max of partials. At 100 TB each refresh reads
+    O(new files) via the manifest diff and shuffles view+delta rows only."""
+    import tempfile
+
+    from rtcdb_spark.operators.matview import merge_agg_state
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_matview_"))
+    splits = [
+        o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    state = None
+    last_version = None
+    for batch in splits:
+        v = vt.commit(batch)
+        delta = vt.read(v) if last_version is None else vt.changes(last_version, v)
+        delta_agg = delta.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        state = merge_agg_state(
+            state,
+            delta_agg,
+            ["o_orderpriority"],
+            {"n_orders": "sum", "rev_dec": "sum", "max_price": "max"},
+        )
+        last_version = v
+    return state.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("rev_dec").cast("double").alias("total_revenue"),
+        "max_price",
+    ).orderBy("o_orderpriority")
