@@ -6,9 +6,13 @@ struct — exactly how a 100 TB multimodal corpus is stored in parquet. The
 Spark-side plumbing (schemas, `mapInPandas` batch iteration, partition
 sizing) is real and tested. Formats without external-library dependencies
 get REAL pure-Python codecs: BMP (BITMAPFILEHEADER + BITMAPINFOHEADER
-parse, any standard uncompressed BMP) and WAV (RIFF chunk walk, PCM fmt
-parse). Compressed formats (JPEG/PNG/MP3/MP4) still require PIL/ffmpeg and
-raise `NotImplementedError` with that label — swap the dispatch body on a
+parse, any standard uncompressed BMP), WAV (RIFF chunk walk, PCM fmt
+parse), and — round 4 — PNG (full decoder: chunk CRC verification, zlib
+inflate, all five scanline filters unfilterd with numpy; 8-bit RGB/RGBA
+non-interlaced, the dominant corpus shape; encoder with rotating filter
+types for honest round-trips). Formats that genuinely need external
+libraries (JPEG/MP3/MP4, interlaced/paletted/16-bit PNG) raise
+`NotImplementedError` with that label — swap the dispatch body on a
 real cluster and nothing else changes.
 
 Scale notes: `mapInPandas` streams Arrow batches (no per-row pickling);
@@ -119,12 +123,165 @@ def decode_wav(payload: bytes) -> dict[str, int]:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec 9.4), vectorized over numpy arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def make_png(width: int, height: int, seed: int, channels: int = 3) -> bytes:
+    """Build a valid PNG (8-bit truecolor RGB or RGBA) with deterministic
+    pixel bytes — a REAL compressed image: zlib-deflated scanlines with a
+    rotating per-row filter type (0..4), correct chunk CRCs. Using every
+    filter type makes a decode round-trip exercise the whole unfilter
+    path, not just the trivial one."""
+    import zlib
+
+    import numpy as np
+
+    bpp = channels
+    n = width * height * channels
+    idx = np.arange(n, dtype=np.int64)
+    raw = ((seed * 31 + idx * 7) % 256).astype(np.int64).reshape(
+        height, width * channels
+    )
+    zero = np.zeros(bpp, dtype=np.int64)
+    stream = bytearray()
+    prev = np.zeros(width * channels, dtype=np.int64)
+    for y in range(height):
+        row = raw[y]
+        left = np.concatenate([zero, row[:-bpp]]) if width > 1 else zero[: len(row)] * 0
+        upleft = np.concatenate([zero, prev[:-bpp]]) if width > 1 else zero[: len(row)] * 0
+        ft = y % 5
+        if ft == 0:
+            f = row
+        elif ft == 1:
+            f = (row - left) % 256
+        elif ft == 2:
+            f = (row - prev) % 256
+        elif ft == 3:
+            f = (row - (left + prev) // 2) % 256
+        else:
+            f = (row - _paeth(left, prev, upleft)) % 256
+        stream.append(ft)
+        stream += f.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL pure-Python/numpy PNG decoder (no PIL): chunk walk with CRC
+    verification, IHDR parse, IDAT concatenation, zlib inflate, and full
+    scanline unfiltering (all five filter types — None/Sub/Up/Average/
+    Paeth; Sub via per-lane cumulative sum, Average/Paeth per-pixel with
+    vectorized channel lanes). Supports the dominant corpus shape: 8-bit
+    truecolor (RGB/RGBA), non-interlaced. Returns (meta, pixels) where
+    pixels is an (H, W, channels) uint8 array.
+
+    Interlaced (Adam7), paletted, and 16-bit PNGs raise NotImplementedError
+    — honest gates, same policy as JPEG."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or color_type not in (2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type}: only 8-bit RGB/RGBA"
+        )
+    channels = 3 if color_type == 2 else 4
+    bpp = channels
+    stride = width * channels
+    rows = zlib.decompress(bytes(idat))
+    if len(rows) != height * (1 + stride):
+        raise ValueError("PNG pixel stream length mismatch")
+    arr = np.frombuffer(rows, dtype=np.uint8).reshape(height, 1 + stride)
+    zero = np.zeros(bpp, dtype=np.int64)
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ft = int(arr[y, 0])
+        f = arr[y, 1:].astype(np.int64)
+        if ft == 0:
+            rec = f
+        elif ft == 2:
+            rec = (f + prev) % 256
+        elif ft == 1:
+            rec = np.cumsum(f.reshape(width, bpp), axis=0).reshape(-1) % 256
+        elif ft in (3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(width):
+                i = x * bpp
+                left = rec[i - bpp : i] if x else zero
+                up = prev[i : i + bpp]
+                if ft == 3:
+                    rec[i : i + bpp] = (f[i : i + bpp] + (left + up) // 2) % 256
+                else:
+                    upleft = prev[i - bpp : i] if x else zero
+                    rec[i : i + bpp] = (
+                        f[i : i + bpp] + _paeth(left, up, upleft)
+                    ) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    meta = {
+        "width": width,
+        "height": height,
+        "bpp": 8 * channels,
+        "n_bytes": len(payload),
+    }
+    return meta, out.astype(np.uint8).reshape(height, width, channels)
+
+
 def decode_image(payload: bytes) -> dict[str, int]:
-    """Image decode dispatch: BMP is parsed natively; compressed formats
-    need an imaging library absent from this environment."""
+    """Image decode dispatch: BMP and PNG are parsed natively (PNG via the
+    pure-Python zlib/numpy decoder above); JPEG and other compressed
+    formats need an imaging library absent from this environment."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    raise NotImplementedError("non-BMP image decode requires PIL/opencv; not available here")
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)[0]
+    raise NotImplementedError("non-BMP/PNG image decode requires PIL/opencv; not available here")
 
 
 def decode_audio(payload: bytes) -> dict[str, int]:
@@ -490,3 +647,45 @@ def synth_and_quadrant_sig(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
     return df.select(id_col).mapInPandas(process, QUADRANT_SIG_SCHEMA)
+
+
+PNG_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bpp", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("max_byte", LongType()),
+    ]
+)
+
+
+def synth_and_png_decode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real compressed PNG per row (even ids → RGB, odd →
+    RGBA; dimensions derived from the id; rotating per-row filter types),
+    then fully decode it — chunk CRC walk, zlib inflate, ALL-filter
+    unfiltering — inside one Arrow-batched `mapInPandas` pass, emitting
+    header metadata plus pixel-level aggregates. The pixel_sum over every
+    decoded byte is the proof of correct unfiltering: one filter slip and
+    the sum diverges from the analytic oracle."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PNG_DECODE_SCHEMA.fields}
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                w, h = 1 + i % 11, 1 + i % 5
+                ch = 3 if i % 2 == 0 else 4
+                meta, px = decode_png(make_png(w, h, i, channels=ch))
+                out["doc_id"].append(i)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["bpp"].append(meta["bpp"])
+                out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+                out["max_byte"].append(int(px.max()))
+            yield pd.DataFrame({k: pd.array(v, dtype="Int64") for k, v in out.items()})
+
+    return df.select(id_col).mapInPandas(process, PNG_DECODE_SCHEMA)
