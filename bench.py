@@ -64,6 +64,12 @@ HEADLINE = [
     "stream_window_sliding",
     # round-3 wave 8: reference-format interchange (write + pluggable read)
     "source_rtcdb_native_roundtrip",
+    # round 4: incremental matview refresh over the versioned commit log;
+    # distributed-prefix-scan KS drift test (global ECDF without a
+    # single-partition sort)
+    "matview_incremental_refresh",
+    "orders_ks_drift_test",
+    "source_rtcdb_distributed_write",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
