@@ -222,3 +222,48 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("total_revenue"),
         "max_price",
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "versioned_optimize_compact",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM documents
+    """,
+    tags=("warehouse", "versioned", "optimize", "compaction"),
+)
+def versioned_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a commit (`VersionedTable.optimize` — the
+    OPTIMIZE of Delta/Iceberg): documents land in four fragmented append
+    commits (4 partitions each → ~16 small files), then one optimize
+    commit rewrites the snapshot into a single file. The query asserts the
+    file count actually shrank and prior versions still time-travel, then
+    aggregates the optimized snapshot; the oracle aggregates the parquet
+    original, so the hash match proves compaction is content-identical —
+    no dropped, duplicated, or reordered-into-corruption rows. At scale
+    this is the nightly job that keeps manifest size and scan task counts
+    bounded as streaming sinks accumulate per-batch files."""
+    import tempfile
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_optimize_"))
+    for i in range(4):
+        vt.commit(d.filter(F.col("doc_id") % 4 == i).repartition(4))
+    pre = len(vt._read_manifest(vt.latest_version())["files"])
+    v = vt.optimize(target_files=1)
+    post = len(vt._read_manifest(v)["files"])
+    assert post < pre, f"optimize did not shrink files ({pre} -> {post})"
+    assert vt.read(0).count() > 0  # time travel intact
+    return vt.read(v).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("char_sum"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

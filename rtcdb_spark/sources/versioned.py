@@ -171,6 +171,60 @@ class VersionedTable:
             "log head is moving faster than this writer can retry"
         )
 
+    def optimize(self, target_files: int = 1, max_retries: int = 64) -> int:
+        """Compact the current snapshot's files into ``target_files`` larger
+        ones as a NEW version (op ``optimize``) — Delta/Iceberg's OPTIMIZE:
+        content-identical, small-file problem solved, prior versions still
+        time-travelable, old files reclaimed by ``vacuum``. Published with
+        the same conditional-put as ``commit``, so it is safe under
+        concurrent writers; if an append lands first, the race is lost and
+        retried against the new head (re-reading the new snapshot would be
+        wasteful, so the retry REBUILDS the manifest from the files the
+        compaction actually rewrote plus any files the interleaved commits
+        added — additions are preserved, nothing lost).
+
+        ``changes()`` refuses ranges that cross an optimize commit: the
+        rewritten files contain OLD rows, so a file-set diff no longer
+        means "rows added" (same rule as overwrite).
+
+        Concurrency contract: racing appends are fully supported (their
+        files survive the retry). Racing an *overwrite* against an
+        optimize is not — both rewrite the table's content, and the retry
+        would union the compacted old content with the overwrite's files;
+        coordinate content rewrites externally (the same rule every
+        lakehouse format imposes on conflicting full-table rewrites).
+        """
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("table has no commits")
+        src_manifest = self._read_manifest(head)
+        src_files = src_manifest["files"]
+        df = self.read(head).coalesce(target_files)
+        txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
+        df.write.mode("error").parquet(os.path.join(self.root, txn_dir))
+        new_files = sorted(
+            os.path.join(txn_dir, f)
+            for f in os.listdir(os.path.join(self.root, txn_dir))
+            if f.endswith(".parquet")
+        )
+        compacted = set(src_files)
+        for _ in range(max_retries):
+            prev = self.latest_version()
+            version = prev + 1
+            # keep files that interleaved commits added since `head`
+            survivors = [
+                f for f in self._read_manifest(prev)["files"] if f not in compacted
+            ]
+            manifest = {
+                "version": version,
+                "op": "optimize",
+                "files": new_files + survivors,
+                "n_added": len(new_files),
+            }
+            if self._try_publish(version, manifest):
+                return version
+        raise RuntimeError(f"optimize lost the version race {max_retries} times")
+
     def committed_extras(self, key: str) -> set:
         """All values of ``extra[key]`` across committed manifests — e.g.
         the set of already-committed streaming batch ids. O(versions)
@@ -211,10 +265,11 @@ class VersionedTable:
         if until is None or since_version > until:
             raise ValueError(f"bad version range: ({since_version}, {until_version})")
         for v in range(since_version + 1, until + 1):
-            if self._read_manifest(v)["op"] == "overwrite":
+            if self._read_manifest(v)["op"] in ("overwrite", "optimize"):
                 raise ValueError(
-                    f"version {v} is an overwrite commit; append-only change "
-                    "reads are undefined across a rewrite — use a snapshot diff"
+                    f"version {v} is a {self._read_manifest(v)['op']} commit; "
+                    "append-only change reads are undefined across a rewrite "
+                    "— use a snapshot diff"
                 )
         base = set(self._read_manifest(since_version)["files"])
         new = [f for f in self._read_manifest(until)["files"] if f not in base]

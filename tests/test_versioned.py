@@ -192,3 +192,71 @@ class TestBatchIdIdempotence:
         # the sink's gate: replaying batch 1 must be detectable
         assert 1 in t.committed_extras("batch_id")
         assert 2 not in t.committed_extras("batch_id")
+
+
+class TestOptimize:
+    def test_compacts_files_content_identical(self, spark, tmp_path):
+        import os
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        for lo in range(0, 40, 10):
+            t.commit(spark.range(lo, lo + 10).repartition(4).selectExpr("id AS k"))
+        pre = t._read_manifest(t.latest_version())["files"]
+        v = t.optimize(target_files=1)
+        post = t._read_manifest(v)
+        assert post["op"] == "optimize"
+        assert len(post["files"]) < len(pre)
+        assert sorted(r.k for r in t.read(v).collect()) == list(range(40))
+        # prior versions still time-travel
+        assert sorted(r.k for r in t.read(1).collect()) == list(range(20))
+        # vacuum reclaims the pre-optimize files
+        deleted = t.vacuum(keep_last=1)
+        assert deleted >= len(pre) - len(post["files"]) - 1
+        assert sorted(r.k for r in t.read().collect()) == list(range(40))
+        # only the kept manifest's files remain on disk
+        kept = {os.path.join(t.root, f) for f in t._read_manifest(v)["files"]}
+        on_disk = {
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(os.path.join(t.root, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        assert on_disk == kept
+
+    def test_changes_refuses_crossing_optimize(self, spark, tmp_path):
+        import pytest
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(spark.range(5).selectExpr("id AS k"))
+        t.commit(spark.range(5, 9).selectExpr("id AS k"))
+        t.optimize()
+        with pytest.raises(ValueError, match="optimize"):
+            t.changes(0)
+
+    def test_lost_race_keeps_interleaved_append(self, spark, tmp_path):
+        """An append that lands between optimize's snapshot read and its
+        publish must survive in the optimized manifest."""
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(spark.range(10).repartition(3).selectExpr("id AS k"))
+
+        real_try = t._try_publish
+        raced = {"done": False}
+
+        def racing_publish(version, manifest):
+            if not raced["done"]:
+                raced["done"] = True
+                # interleaved append claims this version first
+                VersionedTable(spark, t.root).commit(
+                    spark.range(10, 15).selectExpr("id AS k")
+                )
+            return real_try(version, manifest)
+
+        t._try_publish = racing_publish
+        v = t.optimize(target_files=1)
+        assert sorted(r.k for r in t.read(v).collect()) == list(range(15))
