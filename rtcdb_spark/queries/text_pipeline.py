@@ -627,3 +627,39 @@ def text_length_outliers_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_bpe_tokenize",
+    None,  # trained-BPE apply is iterative, not SQL-expressible; rows-only
+    tags=("text", "tokens", "bpe", "llm-pipeline"),
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair encoding end-to-end (functions.bpe; Sennrich et al.
+    2016): ONE distributed aggregate builds the corpus word-frequency
+    table; the top-2000 heavy hitters (deterministic count-desc/word-asc
+    TakeOrderedAndProject) train 60 exact merges driver-side — bounded
+    O(V·K) metadata work with lexicographic tie-breaks, so any
+    partitioning yields identical merges; the merge list (KBs) then ships
+    in a map-only Arrow-batched pandas UDF that tokenizes every document.
+    Emits per-doc subword/word/char counts: n_subword_tokens strictly
+    between n_words (perfect merging) and n_words + n_word_chars (no
+    merging) is asserted in unit tests; determinism across repeated runs
+    is covered by the rows-only driver check plus the exact-merge unit
+    fixture. The oracle is omitted because merge training is inherently
+    iterative (not SQL) — this is one of the documented rows-only ops."""
+    from rtcdb_spark.functions.bpe import (
+        tokenize_with_merges,
+        train_merges,
+        word_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab_df = (
+        word_counts(d)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(2000)  # bounded vocabulary: heavy hitters carry BPE training
+    )
+    vocab = [(r.word, r.cnt) for r in vocab_df.collect()]
+    merges = train_merges(vocab, n_merges=60)
+    return tokenize_with_merges(d, merges).orderBy("doc_id")

@@ -702,3 +702,61 @@ class TestPngCodec:
 
         m = decode_image(make_png(3, 2, 7))
         assert (m["width"], m["height"], m["bpp"]) == (3, 2, 24)
+
+
+class TestBpe:
+    """Exact BPE training/apply (functions.bpe) against hand-computed
+    fixtures from the Sennrich et al. formulation."""
+
+    def test_train_merges_known_corpus(self):
+        from rtcdb_spark.functions.bpe import train_merges
+
+        # classic toy vocab: low x5, lower x2, newest x6, widest x3
+        vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = train_merges(vocab, 4)
+        # pair counts round 1: ('e','s') 9, ('s','t') 9, ('t','</w>') 9 ...
+        # tie on 9 → lexicographic smallest pair ('e','s') merges first,
+        # then ('es','t') 9, then ('est','</w>') 9, then ('l','o') 7.
+        assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+
+    def test_apply_merges_matches_training_segmentation(self):
+        from rtcdb_spark.functions.bpe import apply_merges, train_merges
+
+        vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = train_merges(vocab, 10)
+        # applying the merges reproduces a valid segmentation: tokens
+        # concatenate back to word+marker
+        for w, _ in vocab:
+            toks = apply_merges(w, merges)
+            assert "".join(toks) == w + "</w>"
+        # an unseen word still tokenizes (falls back to chars/subwords)
+        toks = apply_merges("lowest", merges)
+        assert "".join(toks) == "lowest</w>"
+
+    def test_determinism_and_bounds_on_fixture(self, spark, sf_smoke):
+        from rtcdb_spark.functions.bpe import (
+            tokenize_with_merges,
+            train_merges,
+            word_counts,
+        )
+        from rtcdb_spark.sources import load_table
+
+        d = load_table(spark, sf_smoke, "documents")
+        vocab_df = word_counts(d).orderBy("cnt", ascending=False)
+        vocab = [
+            (r.word, r.cnt)
+            for r in vocab_df.orderBy(
+                vocab_df.cnt.desc(), vocab_df.word.asc()
+            ).limit(500).collect()
+        ]
+        m1 = train_merges(vocab, 40)
+        m2 = train_merges(list(vocab), 40)
+        assert m1 == m2  # fully deterministic training
+        out = tokenize_with_merges(d, m1).collect()
+        for r in out:
+            # subword count bounded by [n_words, n_words + n_word_chars]
+            assert r.n_words <= r.n_subword_tokens <= r.n_words + r.n_word_chars
+        # merging must actually compress vs character-level
+        total_sub = sum(r.n_subword_tokens for r in out)
+        total_char_lvl = sum(r.n_word_chars + r.n_words for r in out)
+        assert total_sub < total_char_lvl * 0.8
