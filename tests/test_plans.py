@@ -311,3 +311,30 @@ def test_stream_enrich_broadcasts_dimension_not_stream(spark, sf_smoke):
     assert p.broadcast_joins >= 1, p.describe()
     violations = broadcast_fact_violations(df, FACT_TABLES)
     assert not violations, violations
+
+
+def test_distributed_scan_has_no_data_sized_global_sort(spark, sf_smoke):
+    """The two-level prefix scan (operators.scan) must range-partition the
+    DATA branch; the only single-partition ordering allowed is the
+    n_partitions-row carry (fed by an aggregate, bounded by partition
+    count, not data size). Applies to both queries that use it."""
+    import re
+
+    for name, key in (
+        ("orders_runs_test", "o_orderkey"),
+        ("orders_ks_drift_test", "v#"),
+    ):
+        p = _plan(spark, sf_smoke, name)
+        # the data branch is range-partitioned (the two-level scan's step 1)
+        assert "rangepartitioning(" in p.plan, name
+        # the per-partition window is keyed on the stamped partition id
+        assert "_pid" in p.plan, name
+        # a data-sized global window would show a windowspecdefinition
+        # whose PARTITION spec starts with the raw order key (no _pid) —
+        # i.e. windowspecdefinition(<key> ASC ... with nothing before it
+        globals_ = [
+            m
+            for m in re.findall(r"windowspecdefinition\(([^)]*)\)", p.plan)
+            if m.lstrip().startswith(key)
+        ]
+        assert not globals_, f"{name}: unpartitioned global window over {key}: {globals_}"
