@@ -355,3 +355,54 @@ def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(f"{root}/cp1", ignore_errors=True)
     shutil.rmtree(f"{root}/cp2", ignore_errors=True)
     return out
+
+
+@query(
+    "stream_cdc_upsert",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           ts, event_type, value
+    FROM ranked
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "upsert", "scd1"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD1/CDC apply end-to-end (`streaming.sinks.
+    stream_cdc_upsert`): the events stream folds into a keyed latest-row
+    snapshot, one idempotent MAX-merge per micro-batch; the pipeline then
+    REPLAYS from a fresh checkpoint against the same snapshot — every
+    batch re-merges, and because the merge is a commutative idempotent
+    max over the (ts, event_id) version vector the snapshot must be
+    byte-identical. The oracle computes each user's latest event with one
+    batch max_by over the fixture, so the hash match proves micro-batch
+    folding + replay reaches exactly the batch answer — the convergence
+    property CDC pipelines rely on under at-least-once delivery."""
+    import tempfile
+
+    from rtcdb_spark.streaming import read_events_stream
+    from rtcdb_spark.streaming.sinks import stream_cdc_upsert as run_sink
+
+    root = tempfile.mkdtemp(prefix="rtcdb_cdc_")
+    out = f"{root}/snapshot"
+    run_sink(read_events_stream(spark, sf_dir), out, f"{root}/cp1")
+    first = sorted(map(tuple, spark.read.parquet(out).collect()))
+    run_sink(read_events_stream(spark, sf_dir), out, f"{root}/cp2")  # replay
+    second = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert first == second, "CDC replay changed the snapshot"
+    snap = spark.read.parquet(out)
+    return snap.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "ts",
+        "event_type",
+        "value",
+    ).orderBy("user_id")
