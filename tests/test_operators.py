@@ -760,3 +760,43 @@ class TestBpe:
         total_sub = sum(r.n_subword_tokens for r in out)
         total_char_lvl = sum(r.n_word_chars + r.n_words for r in out)
         assert total_sub < total_char_lvl * 0.8
+
+
+class TestResize:
+    def test_box2_exact_floor_mean(self):
+        import numpy as np
+
+        from rtcdb_spark.functions.multimodal import (
+            decode_png,
+            make_png,
+            resize_box2,
+        )
+
+        _, px = decode_png(make_png(12, 6, 3, channels=4))
+        small = resize_box2(px)
+        assert small.shape == (3, 6, 4)
+        for y in range(3):
+            for x in range(6):
+                for c in range(4):
+                    blk = px[2 * y : 2 * y + 2, 2 * x : 2 * x + 2, c].astype(int)
+                    assert small[y, x, c] == blk.sum() // 4
+
+    def test_odd_dims_rejected(self):
+        import numpy as np
+        import pytest
+
+        from rtcdb_spark.functions.multimodal import resize_box2
+
+        with pytest.raises(ValueError, match="even"):
+            resize_box2(np.zeros((3, 4, 3), dtype=np.uint8))
+
+    def test_pixel_encoder_roundtrip(self):
+        import numpy as np
+
+        from rtcdb_spark.functions.multimodal import _png_from_pixels, decode_png
+
+        rng_px = (np.arange(5 * 7 * 3, dtype=np.int64) * 37 % 256).astype(
+            np.uint8
+        ).reshape(5, 7, 3)
+        _, back = decode_png(_png_from_pixels(rng_px))
+        assert np.array_equal(back, rng_px)
