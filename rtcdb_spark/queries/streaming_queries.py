@@ -406,3 +406,67 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     ).orderBy("user_id")
+
+
+@query(
+    "stream_join_left_outer",
+    """
+    WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                  - INTERVAL 1 HOUR AS w),
+    matched AS (
+        SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM c JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    ),
+    unmatched AS (
+        SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts,
+               CAST(NULL AS DOUBLE) AS purchase_value
+        FROM c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        )
+        AND c.ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join run to completion — the operator whose
+    null-extended rows exist only BECAUSE join state is evictable: a click
+    emits unmatched exactly when the watermark (min of both inputs' max
+    event time, minus the 1 h delay) passes the end of its 2 h match
+    window, proving eviction fires neither early (a null for a click that
+    still had a live window would duplicate against a late match) nor
+    never (no nulls at all). The oracle models precisely that: the batch
+    time-range join UNION null-extended clicks whose windows closed before
+    the final watermark; clicks inside the terminal watermark lag stay
+    unemitted on both sides. Hash-matching nulls, matches, AND the
+    boundary is the full outer-join state machine verified end-to-end."""
+    from rtcdb_spark.streaming.events import stream_stream_left_join
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = run_available_now(
+        stream_stream_left_join(clicks, purchases), output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        "purchase_ts",
+        "purchase_value",
+    ).orderBy("user_id", "click_id", "purchase_id")

@@ -218,3 +218,51 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname)
+
+
+def stream_stream_left_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click emits — matched to the
+    same user's purchases within ``horizon`` after it, or null-extended
+    once the watermark passes the end of its match window (click_ts +
+    horizon), i.e. once no matching purchase can still arrive. That
+    eviction-driven null emission is the semantic difference from the
+    inner join: outer results are only correct BECAUSE state is evictable,
+    so the two-sided time bound plus both watermarks are mandatory
+    (Spark rejects the query otherwise). Clicks landing within the final
+    watermark lag of stream end stay unemitted — on an unbounded stream
+    they'd emit later; on a finite replay that tail is the price of
+    outer-join correctness, and the batch twin must model it."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon}
+            """
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
