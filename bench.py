@@ -70,6 +70,15 @@ HEADLINE = [
     "matview_incremental_refresh",
     "orders_ks_drift_test",
     "source_rtcdb_distributed_write",
+    # round 4, wave 2: exactly-once/CDC streaming sinks, outer stream join,
+    # PNG decode + resize, trained BPE, OPTIMIZE compaction
+    "stream_versioned_sink",
+    "stream_cdc_upsert",
+    "stream_join_left_outer",
+    "multimodal_png_decode",
+    "multimodal_image_resize",
+    "text_bpe_tokenize",
+    "versioned_optimize_compact",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
