@@ -74,6 +74,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -532,6 +533,18 @@ class RtcdbReader(DataSourceReader):
                 elif isinstance(f, EqualTo):
                     b[0] = v if b[0] is None else max(b[0], v)
                     b[1] = v if b[1] is None else min(b[1], v)
+                elif isinstance(f, In):
+                    # An IN list folds to its [min, max] envelope — sound
+                    # (the envelope contains every listed value; zone maps
+                    # only ever skip, Spark re-filters row-level) and
+                    # selective when the list is clustered, the common case
+                    # for sort-key IN probes. (`In.value` is the tuple of
+                    # listed values in the Python Data Source filter API.)
+                    vals = [x for x in (v or ()) if x is not None]
+                    if vals:
+                        lo, hi = min(vals), max(vals)
+                        b[0] = lo if b[0] is None else max(b[0], lo)
+                        b[1] = hi if b[1] is None else min(b[1], hi)
             yield f  # Spark still applies every filter exactly
 
     def _surviving_blocks(self) -> list[int]:

@@ -378,3 +378,27 @@ def test_distributed_write_roundtrip_multi_partition(spark, tmp_path):
     )
     assert write_rtcdb(extra, root, "t") == 500
     assert read_rtcdb(spark, root, "t").count() == 10500
+
+
+def test_in_list_filter_prunes_blocks(spark, tmp_path):
+    """An IN-list on the sort key folds to its [min,max] envelope for
+    zone-map pruning — the planned block set shrinks and the result equals
+    the unpruned filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import In
+
+    from rtcdb_spark.sources.rtcdb_native import RtcdbReader
+
+    e = spark.range(5000).select(F.col("id").alias("k"))
+    root = str(tmp_path / "db")
+    write_rtcdb(e.orderBy("k"), root, "t")
+
+    reader = RtcdbReader(root, "t")
+    n_all = sum(len(p.block_ids) for p in reader.partitions())
+    leftover = list(reader.pushFilters([In(("k",), (10, 40, 99))]))
+    n_pruned = sum(len(p.block_ids) for p in reader.partitions())
+    assert len(leftover) == 1
+    assert n_pruned < n_all
+
+    back = read_rtcdb(spark, root, "t").filter(F.col("k").isin(10, 40, 99))
+    assert sorted(r.k for r in back.collect()) == [10, 40, 99]
