@@ -226,11 +226,22 @@ def stream_to_versioned(
     """
     from rtcdb_spark.sources.versioned import VersionedTable
 
+    # One full manifest scan per RUN, then the cache absorbs this run's own
+    # commits — the O(versions) metadata read happens once at (re)start,
+    # not once per micro-batch. (Production logs checkpoint the latest txn
+    # id per writer; a restart rescan is that checkpoint's bootstrap.)
+    seen: set = set()
+    bootstrapped = [False]
+
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         vt = VersionedTable(batch_df.sparkSession, table_root)
-        if batch_id in vt.committed_extras("batch_id"):
+        if not bootstrapped[0]:
+            seen.update(vt.committed_extras("batch_id"))
+            bootstrapped[0] = True
+        if batch_id in seen:
             return  # replay after failure: already durable, skip
         vt.commit(batch_df, extra={"batch_id": batch_id})
+        seen.add(batch_id)
 
     q = (
         events.select("event_id", "ts", "user_id", "event_type", "value")
