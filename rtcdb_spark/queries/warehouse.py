@@ -267,3 +267,54 @@ def versioned_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "versioned_merge_upsert",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id < 50 THEN n_chars + 1000 ELSE n_chars END
+                AS BIGINT) AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT CAST(1000000 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS n_chars
+    ORDER BY doc_id
+    """,
+    tags=("warehouse", "versioned", "merge", "upsert", "copy-on-write"),
+)
+def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE with file-level pruning
+    (`VersionedTable.merge_upsert`): documents land in four key-range
+    commits (so data files are key-clustered), then one upsert updates the
+    low range and inserts a new key. Only files containing matched keys
+    are rewritten — asserted in-query: at least half the prior files carry
+    over byte-identical into the merge manifest — while the oracle
+    recomputes the post-merge content directly, so the hash match proves
+    source-wins / survivor-retention / insert semantics are exact. This is
+    the keyed-upsert path that stays O(matched files + batch) on a 100 TB
+    table; prior versions remain time-travelable."""
+    import tempfile
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_merge_"))
+    bounds = [(0, 50), (50, 150), (150, 300), (300, 1 << 40)]
+    for lo, hi in bounds:
+        vt.commit(d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)))
+    head = vt.latest_version()
+    pre = set(vt._read_manifest(head)["files"])
+    src = (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", (F.col("n_chars") + 1000).alias("n_chars"))
+        .unionByName(
+            spark.createDataFrame([(1000000, 1)], "doc_id long, n_chars long")
+        )
+    )
+    v = vt.merge_upsert(src, ["doc_id"])
+    m = vt._read_manifest(v)
+    carried = sum(1 for f in m["files"] if f in pre)
+    assert carried * 2 >= len(pre), f"file pruning failed: {carried}/{len(pre)}"
+    return vt.read(v).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    ).orderBy("doc_id")

@@ -225,6 +225,97 @@ class VersionedTable:
                 return version
         raise RuntimeError(f"optimize lost the version race {max_retries} times")
 
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        max_retries: int = 64,
+    ) -> int:
+        """Copy-on-write MERGE (Delta/Iceberg-style upsert) with file-level
+        pruning: rows in ``source`` replace same-key rows, new keys append
+        — but only the data files that actually CONTAIN a matched key are
+        rewritten; untouched files carry over into the new manifest
+        byte-identical (zero data movement for them). The rewrite set is
+        found with one semi-join over `input_file_name()`, so the cost is
+        O(matched files + source), not O(table) — the property that makes
+        keyed upserts viable on a 100 TB table where a typical batch
+        touches a sliver of files.
+
+        Published as op ``merge`` via the same conditional-put as
+        ``commit``; a racing append's files survive the retry (appends
+        cannot contain the rewritten keys' OLD versions — they are new
+        files — so correctness holds; racing writers upserting the SAME
+        keys must coordinate externally, the standard lakehouse
+        write-conflict rule). ``changes()`` refuses ranges crossing a
+        merge (rewritten files carry old rows).
+
+        Semantics: for a key present in both, ``source`` wins (SCD1). If
+        ``source`` holds several rows per key, deduplicate it first —
+        enforced here with a fail-fast count check."""
+        head = self.latest_version()
+        if head is None:
+            return self.commit(source, mode="append")
+        from pyspark.sql import functions as F
+
+        dup = source.groupBy(*keys).count().filter("count > 1").limit(1).count()
+        if dup:
+            raise ValueError("merge_upsert source has duplicate keys; reduce first")
+
+        snap = self.read(head).withColumn("_file", F.input_file_name())
+        matched_files_abs = [
+            r._file
+            for r in snap.join(
+                F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
+            )
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        # input_file_name() yields absolute file: URIs; manifests hold
+        # root-relative paths — match by suffix.
+        src_manifest = self._read_manifest(head)
+
+        def _is_matched(rel: str) -> bool:
+            return any(a.endswith(rel) for a in matched_files_abs)
+
+        rewritten = [f for f in src_manifest["files"] if _is_matched(f)]
+        untouched = [f for f in src_manifest["files"] if not _is_matched(f)]
+
+        cols = source.columns
+        if rewritten:
+            old_rows = self.spark.read.parquet(
+                *[os.path.join(self.root, f) for f in rewritten]
+            )
+            survivors = old_rows.join(
+                F.broadcast(source.select(*keys).distinct()), keys, "left_anti"
+            ).select(*cols)
+            merged = survivors.unionByName(source.select(*cols))
+        else:
+            merged = source.select(*cols)
+        txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
+        merged.write.mode("error").parquet(os.path.join(self.root, txn_dir))
+        new_files = sorted(
+            os.path.join(txn_dir, f)
+            for f in os.listdir(os.path.join(self.root, txn_dir))
+            if f.endswith(".parquet")
+        )
+        replaced = set(rewritten)
+        for _ in range(max_retries):
+            prev = self.latest_version()
+            version = prev + 1
+            files = [
+                f for f in self._read_manifest(prev)["files"] if f not in replaced
+            ] + new_files
+            manifest = {
+                "version": version,
+                "op": "merge",
+                "files": files,
+                "n_added": len(new_files),
+            }
+            if self._try_publish(version, manifest):
+                return version
+        raise RuntimeError(f"merge_upsert lost the version race {max_retries} times")
+
     def committed_extras(self, key: str) -> set:
         """All values of ``extra[key]`` across committed manifests — e.g.
         the set of already-committed streaming batch ids. O(versions)
@@ -265,7 +356,7 @@ class VersionedTable:
         if until is None or since_version > until:
             raise ValueError(f"bad version range: ({since_version}, {until_version})")
         for v in range(since_version + 1, until + 1):
-            if self._read_manifest(v)["op"] in ("overwrite", "optimize"):
+            if self._read_manifest(v)["op"] in ("overwrite", "optimize", "merge"):
                 raise ValueError(
                     f"version {v} is a {self._read_manifest(v)['op']} commit; "
                     "append-only change reads are undefined across a rewrite "

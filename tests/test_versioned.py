@@ -260,3 +260,64 @@ class TestOptimize:
         t._try_publish = racing_publish
         v = t.optimize(target_files=1)
         assert sorted(r.k for r in t.read(v).collect()) == list(range(15))
+
+
+class TestMergeUpsert:
+    def test_file_pruned_upsert(self, spark, tmp_path):
+        """Only files containing matched keys are rewritten; untouched
+        files carry over byte-identical (same relative path)."""
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        # 4 commits of 25 keys each = 4+ files, disjoint key ranges
+        for lo in range(0, 100, 25):
+            t.commit(
+                spark.range(lo, lo + 25).select(
+                    F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+                )
+            )
+        head = t.latest_version()
+        pre_files = t._read_manifest(head)["files"]
+        # upsert touches only keys 0-9 (first commit's file) + a new key 200
+        src = spark.createDataFrame(
+            [(k, k * 1000) for k in range(10)] + [(200, 777)], "k long, v long"
+        )
+        v = t.merge_upsert(src, ["k"])
+        m = t._read_manifest(v)
+        assert m["op"] == "merge"
+        carried = [f for f in m["files"] if f in set(pre_files)]
+        # at least the 3 untouched commits' files carry over unchanged
+        assert len(carried) >= 3
+        got = {r.k: r.v for r in t.read(v).collect()}
+        assert got[200] == 777
+        for k in range(10):
+            assert got[k] == k * 1000  # source won
+        for k in range(10, 100):
+            assert got[k] == k * 10  # untouched rows intact
+        assert len(got) == 101
+        # history intact; changes() refuses crossing the merge
+        assert sorted(r.k for r in t.read(head).collect()) == list(range(100))
+        import pytest
+
+        with pytest.raises(ValueError, match="merge"):
+            t.changes(0)
+
+    def test_duplicate_source_keys_rejected(self, spark, tmp_path):
+        import pytest
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(spark.range(5).selectExpr("id AS k", "id AS v"))
+        src = spark.createDataFrame([(1, 1), (1, 2)], "k long, v long")
+        with pytest.raises(ValueError, match="duplicate"):
+            t.merge_upsert(src, ["k"])
+
+    def test_merge_into_empty_table_appends(self, spark, tmp_path):
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        v = t.merge_upsert(spark.range(3).selectExpr("id AS k", "id AS v"), ["k"])
+        assert v == 0 and t.read().count() == 3
