@@ -318,3 +318,43 @@ def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(v).select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
     ).orderBy("doc_id")
+
+
+@query(
+    "versioned_delete_rows",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE NOT (doc_id >= 100 AND doc_id < 200)
+    ORDER BY doc_id
+    """,
+    tags=("warehouse", "versioned", "delete", "erasure"),
+)
+def versioned_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via copy-on-write (`VersionedTable.delete` — the
+    GDPR-erasure path on an append-only table): documents land in
+    key-range commits, then one delete removes a doc_id band; only the
+    files containing matching rows are rewritten (asserted in-query: at
+    least half the prior files carry over byte-identical), the pre-delete
+    version still time-travels (asserted), and the oracle recomputes the
+    surviving rows directly, so the hash match proves the predicate
+    removed exactly the right rows and nothing else. Full erasure of the
+    bytes is delete + vacuum, unit-tested in tests/test_versioned.py."""
+    import tempfile
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_delete_"))
+    for lo, hi in [(0, 100), (100, 200), (200, 350), (350, 1 << 40)]:
+        vt.commit(d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)))
+    head = vt.latest_version()
+    pre = set(vt._read_manifest(head)["files"])
+    v = vt.delete("doc_id >= 100 AND doc_id < 200")
+    m = vt._read_manifest(v)
+    carried = sum(1 for f in m["files"] if f in pre)
+    assert carried * 2 >= len(pre), f"delete rewrote too much: {carried}/{len(pre)}"
+    assert vt.read(head).filter("doc_id = 150").count() == 1  # time travel
+    return vt.read(v).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    ).orderBy("doc_id")

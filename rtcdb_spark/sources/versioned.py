@@ -316,6 +316,64 @@ class VersionedTable:
                 return version
         raise RuntimeError(f"merge_upsert lost the version race {max_retries} times")
 
+    def delete(self, predicate: str, max_retries: int = 64) -> int:
+        """Row-level DELETE via copy-on-write with file-level pruning: only
+        files containing a row matching ``predicate`` (a SQL boolean
+        expression) are rewritten without those rows; every other file
+        carries into the new manifest untouched. The erasure path a
+        compliance workflow (GDPR/right-to-be-forgotten) needs on an
+        otherwise append-only table: O(matched files) data movement,
+        prior versions still readable until ``vacuum`` — which is what
+        actually destroys the bytes, so `delete` + `vacuum(keep_last=1)`
+        is the full erasure procedure. Op ``delete`` blocks `changes()`
+        ranges like every rewrite. Returns the new version."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("table has no commits")
+        from pyspark.sql import functions as F
+
+        snap = self.read(head).withColumn("_file", F.input_file_name())
+        matched_abs = [
+            r._file
+            for r in snap.filter(predicate).select("_file").distinct().collect()
+        ]
+        src_manifest = self._read_manifest(head)
+        rewritten = [
+            f for f in src_manifest["files"]
+            if any(a.endswith(f) for a in matched_abs)
+        ]
+        new_files: list[str] = []
+        if rewritten:
+            keep = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in rewritten]
+                )
+                .filter(f"NOT ({predicate})")
+            )
+            txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
+            keep.write.mode("error").parquet(os.path.join(self.root, txn_dir))
+            new_files = sorted(
+                os.path.join(txn_dir, f)
+                for f in os.listdir(os.path.join(self.root, txn_dir))
+                if f.endswith(".parquet")
+            )
+        replaced = set(rewritten)
+        for _ in range(max_retries):
+            prev = self.latest_version()
+            version = prev + 1
+            files = [
+                f for f in self._read_manifest(prev)["files"] if f not in replaced
+            ] + new_files
+            manifest = {
+                "version": version,
+                "op": "delete",
+                "files": files,
+                "n_added": len(new_files),
+            }
+            if self._try_publish(version, manifest):
+                return version
+        raise RuntimeError(f"delete lost the version race {max_retries} times")
+
     def committed_extras(self, key: str) -> set:
         """All values of ``extra[key]`` across committed manifests — e.g.
         the set of already-committed streaming batch ids. O(versions)
@@ -356,7 +414,7 @@ class VersionedTable:
         if until is None or since_version > until:
             raise ValueError(f"bad version range: ({since_version}, {until_version})")
         for v in range(since_version + 1, until + 1):
-            if self._read_manifest(v)["op"] in ("overwrite", "optimize", "merge"):
+            if self._read_manifest(v)["op"] in ("overwrite", "optimize", "merge", "delete"):
                 raise ValueError(
                     f"version {v} is a {self._read_manifest(v)['op']} commit; "
                     "append-only change reads are undefined across a rewrite "

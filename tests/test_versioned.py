@@ -321,3 +321,52 @@ class TestMergeUpsert:
         t = VersionedTable(spark, str(tmp_path / "vt"))
         v = t.merge_upsert(spark.range(3).selectExpr("id AS k", "id AS v"), ["k"])
         assert v == 0 and t.read().count() == 3
+
+
+class TestDelete:
+    def test_file_pruned_delete_and_vacuum_erasure(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        for lo in range(0, 100, 25):
+            t.commit(
+                spark.range(lo, lo + 25).select(
+                    F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+                )
+            )
+        head = t.latest_version()
+        pre = set(t._read_manifest(head)["files"])
+        v = t.delete("k >= 10 AND k < 20")
+        m = t._read_manifest(v)
+        assert m["op"] == "delete"
+        # only the first range's file(s) rewritten
+        assert sum(1 for f in m["files"] if f in pre) >= 3
+        got = sorted(r.k for r in t.read(v).collect())
+        assert got == [k for k in range(100) if not (10 <= k < 20)]
+        # time travel still shows the rows until vacuum destroys them
+        assert t.read(head).filter("k = 15").count() == 1
+        t.vacuum(keep_last=1)
+        import pytest
+
+        with pytest.raises(ValueError):
+            t.read(head)
+        # the erased rows' bytes are gone from disk
+        on_disk = spark.read.parquet(
+            *[os.path.join(t.root, f) for f in t._read_manifest(v)["files"]]
+        )
+        assert on_disk.filter("k = 15").count() == 0
+
+    def test_delete_no_match_is_metadata_only(self, spark, tmp_path):
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(spark.range(10).selectExpr("id AS k", "id AS v"))
+        pre = t._read_manifest(0)["files"]
+        v = t.delete("k > 1000")
+        m = t._read_manifest(v)
+        assert m["files"] == pre and m["n_added"] == 0
+        assert t.read().count() == 10
