@@ -513,3 +513,68 @@ def source_rtcdb_distributed_write(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "source_csv_malformed",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 3)
+                AS BIGINT) AS n_bad
+    FROM documents
+    WHERE doc_id % 7 <> 3
+    """,
+    tags=("source", "csv", "malformed", "permissive"),
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ingestion (the real-world CSV path: some rows are
+    garbage and the pipeline must quarantine, not crash): every document
+    with doc_id % 7 == 3 is written as a deliberately malformed line
+    (non-numeric doc_id, truncated fields), the rest as clean rows. The
+    file is read back in PERMISSIVE mode with a `_corrupt_record` capture
+    column; clean rows flow through, corrupt lines land in quarantine.
+    The query returns the clean-side aggregate PLUS the quarantined-line
+    count, and the oracle recomputes both from the original table — so
+    the hash match proves the reader dropped exactly the malformed rows,
+    kept every good one intact, and counted every bad line (none silently
+    vanished, the failure mode permissive readers are notorious for)."""
+    import shutil
+
+    out = os.path.join(_IO_ROOT, "documents_csv_malformed")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def write_lines(pdf_iter):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        with open(os.path.join(out, f"part-{pid:05d}.csv"), "w") as f:
+            for pdf in pdf_iter:
+                for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                    if doc_id % 7 == 3:
+                        f.write(f"garbage-{doc_id},not_a_number,,trailing\n")
+                    else:
+                        f.write(f"{doc_id},{n_chars}\n")
+                    n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    d.mapInPandas(write_lines, "n long").collect()
+    back = (
+        spark.read.schema("doc_id long, n_chars long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    ).cache()
+    good = back.filter(F.col("_corrupt_record").isNull())
+    bad_n = back.filter(F.col("_corrupt_record").isNotNull()).count()
+    return good.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_good"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("char_sum"),
+        F.lit(bad_n).cast("bigint").alias("n_bad"),
+    )
