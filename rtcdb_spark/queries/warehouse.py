@@ -358,3 +358,117 @@ def versioned_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(v).select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
     ).orderBy("doc_id")
+
+
+@query(
+    "versioned_schema_evolution",
+    """
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CASE WHEN doc_id >= 250 THEN lang END AS lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("warehouse", "versioned", "schema-evolution"),
+)
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the versioned table (Delta/Iceberg
+    add-column, a reference non-feature — 'no schema migrations',
+    README.md:18): the first commit writes (doc_id, n_chars), the second
+    adds a `lang` column; `read(merge_schema=True)` unions the file
+    schemas so pre-evolution rows surface the new column as NULL with no
+    data rewrite (footer merge only). The oracle builds the same frame
+    with a CASE on the commit boundary, so the hash match proves old rows
+    are NULL-extended (not dropped, not defaulted) and new rows carry
+    their values."""
+    import tempfile
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_evolve_"))
+    vt.commit(d.filter(F.col("doc_id") < 250).select("doc_id", "n_chars"))
+    vt.commit(
+        d.filter(F.col("doc_id") >= 250).select("doc_id", "n_chars", "lang")
+    )
+    return (
+        vt.read(merge_schema=True)
+        .select(
+            "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), "lang"
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "quality_gate_orders",
+    """
+    SELECT 'orderkey_unique' AS rule,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT o_orderkey FROM orders GROUP BY o_orderkey
+               HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'custkey_references_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orderdate_in_epoch_range',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderdate < DATE '1990-01-01'
+                    OR o_orderdate > DATE '2030-01-01') AS BIGINT)
+    ORDER BY rule
+    """,
+    tags=("warehouse", "quality", "expectations", "audit"),
+)
+def quality_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation gate (the dbt-test / Great Expectations
+    pattern): five declarative rules over orders — key uniqueness,
+    not-null, referential integrity against customer, value range, and
+    date sanity — each evaluated as a violation COUNT so the gate is one
+    job, not five scans' worth of collected rows. Scale shapes: uniqueness
+    is a groupBy-count (map-side combine), referential integrity is a
+    broadcast anti-join against the dimension, the rest are scan
+    predicates; all five counts union into one tiny frame. A pipeline
+    promotes the batch only when every count is zero."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("rule"), F.col("cnt").cast("bigint").alias("n_violations")
+        )
+
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    null_cust = o.filter(F.col("o_custkey").isNull()).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    orphan = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nonpos = o.filter(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("cnt"))
+    bad_date = o.filter(
+        (F.col("o_orderdate") < F.lit("1990-01-01").cast("date"))
+        | (F.col("o_orderdate") > F.lit("2030-01-01").cast("date"))
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        rule("orderkey_unique", dup_keys)
+        .unionByName(rule("custkey_not_null", null_cust))
+        .unionByName(rule("custkey_references_customer", orphan))
+        .unionByName(rule("totalprice_positive", nonpos))
+        .unionByName(rule("orderdate_in_epoch_range", bad_date))
+        .orderBy("rule")
+    )

@@ -387,16 +387,28 @@ class VersionedTable:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """The table at ``version`` (default: latest). Plans directly from
         the manifest's file list — predicate pushdown / column pruning apply
-        per-file exactly as for a plain parquet scan."""
+        per-file exactly as for a plain parquet scan.
+
+        ``merge_schema=True`` unions the schemas of all listed files
+        (additive schema evolution: commits may add columns over time; old
+        files read the new columns as NULL — parquet footer merge, one
+        metadata pass, no data rewrite). Default off: schema merging costs
+        a footer read per file at plan time, so callers opt in when the
+        table is known to have evolved."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError("table has no commits")
         m = self._read_manifest(v)
         paths = [os.path.join(self.root, f) for f in m["files"]]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def changes(self, since_version: int, until_version: int | None = None) -> DataFrame:
         """Incremental read: only rows ADDED after ``since_version`` up to
