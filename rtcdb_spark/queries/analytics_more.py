@@ -859,3 +859,109 @@ def lineitem_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "attribution_multi_touch",
+    """
+    WITH touches AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT t.event_type AS touch_type,
+               p.event_id AS purchase_id, p.value,
+               t.ts AS touch_ts, t.event_id AS touch_id
+        FROM purchases p
+        JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND t.ts > p.ts - INTERVAL 2 HOUR
+    ),
+    scored AS (
+        SELECT touch_type, purchase_id, value,
+               ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                  ORDER BY touch_ts DESC, touch_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+        FROM pairs
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CASE WHEN rn = 1
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS last_touch_revenue,
+           CAST(SUM(CAST(value / n_touches AS DECIMAL(18,6))) AS DOUBLE)
+               AS linear_revenue
+    FROM scored
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+    tags=("analytics", "attribution", "events", "marketing"),
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream, two models at once:
+    every purchase's value is credited to the user's touches (click/view/
+    signup) in the preceding 2 hours — 100% to the final touch
+    (last-touch) and value/n to each (linear). The join is the bounded
+    time-range shape (same as the stream-stream join: user-key shuffle +
+    in-partition range predicate, no cartesian); per-purchase ranking and
+    touch counts come from one window pass over purchase-sized groups.
+    Determinism: last-touch ties break on (ts, event_id); linear credits
+    quantize to DECIMAL(18,6) per row before the exact decimal sum, so
+    both engines fold identically in any order."""
+    touches = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "signup"))
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+        )
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("touch_ts") <= F.col("p_ts"))
+        & (F.col("touch_ts") > F.col("p_ts") - F.expr("INTERVAL 2 HOURS")),
+    )
+    w_rank = Window.partitionBy("purchase_id").orderBy(
+        F.desc("touch_ts"), F.desc("touch_id")
+    )
+    w_all = Window.partitionBy("purchase_id")
+    scored = pairs.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n_touches", F.count(F.lit(1)).over(w_all)
+    )
+    return (
+        scored.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(
+                F.when(
+                    F.col("rn") == 1, F.col("value").cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("last_touch_revenue"),
+            F.sum(
+                (F.col("value") / F.col("n_touches")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("linear_revenue"),
+        )
+        .orderBy("touch_type")
+    )
