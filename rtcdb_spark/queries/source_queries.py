@@ -540,11 +540,14 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash match proves the reader dropped exactly the malformed rows,
     kept every good one intact, and counted every bad line (none silently
     vanished, the failure mode permissive readers are notorious for)."""
-    import shutil
+    import tempfile
 
-    out = os.path.join(_IO_ROOT, "documents_csv_malformed")
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
+    # Per-invocation dir, NOT a fixed _IO_ROOT path: this query caches the
+    # read below, and a cached plan over a fixed path would serve stale
+    # bytes when the query is re-invoked at a different scale factor in
+    # the same session (the plan cache is keyed on the path, not the file
+    # contents).
+    out = tempfile.mkdtemp(prefix="rtcdb_csv_malformed_")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def write_lines(pdf_iter):
