@@ -1221,3 +1221,81 @@ def text_language_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "split_leakage_safe",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, md5(lower(trim(text))) AS content_key
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, content_key,
+               CASE WHEN CAST({sql_stable_hash_mod("'lsplit:' || content_key")}
+                         AS DOUBLE) / 2147483647 < 0.8 THEN 'train'
+                    WHEN CAST({sql_stable_hash_mod("'lsplit:' || content_key")}
+                         AS DOUBLE) / 2147483647 < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_contents,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT content_key FROM assigned
+               GROUP BY content_key HAVING COUNT(DISTINCT split) > 1
+           )) AS BIGINT) AS n_leaked_groups
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("text", "split", "dedup", "leakage", "llm-pipeline"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the hash of the
+    normalized CONTENT, not the row id, so exact/normalized duplicates
+    always land in the same split — the guard that stops a training doc's
+    duplicate from appearing in the eval split and inflating benchmarks
+    (split-by-row-id schemes leak precisely this way). Emitted per split:
+    doc and distinct-content counts plus the number of content groups
+    straddling splits, which the construction forces to ZERO — the oracle
+    recomputes all three, so the hash match proves both the assignment
+    function and the no-leak invariant. Map-only + one aggregate at any
+    scale; for NEAR-duplicate safety, feed the connected-component group
+    id from the dedup layer through the same hash (same plan shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_key")
+    )
+    u = (
+        stable_hash_mod(
+            F.concat(F.lit("lsplit:"), F.col("content_key"))
+        ).cast("double")
+        / MERSENNE_P
+    )
+    assigned = keyed.withColumn(
+        "split",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"),
+    ).persist()
+    leaked = (
+        assigned.groupBy("content_key")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("content_key").cast("bigint").alias("n_contents"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "split",
+            "n_docs",
+            "n_contents",
+            F.col("n_leaked").cast("bigint").alias("n_leaked_groups"),
+        )
+        .orderBy("split")
+    )
