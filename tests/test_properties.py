@@ -1018,3 +1018,73 @@ def test_bitmap_distinct_equals_count_distinct(spark):
         .collect()
     }
     assert got == want, (got, want)
+
+
+class TestVersionedMutationProperties:
+    """Property tests for the copy-on-write mutations: whatever the key
+    sets, merge/delete must equal the naive dataframe recompute."""
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        upd=st.lists(st.integers(0, 59), min_size=0, max_size=10, unique=True),
+        ins=st.lists(st.integers(100, 140), min_size=0, max_size=5, unique=True),
+    )
+    def test_merge_upsert_equals_recompute(self, spark, tmp_path_factory, upd, ins):
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path_factory.mktemp("mu")))
+        for lo in range(0, 60, 20):
+            t.commit(spark.range(lo, lo + 20).selectExpr("id AS k", "id*2 AS v"))
+        src_rows = [(k, k * 100) for k in upd] + [(k, k * 100) for k in ins]
+        if not src_rows:
+            return
+        src = spark.createDataFrame(src_rows, "k long, v long")
+        v = t.merge_upsert(src, ["k"])
+        got = {r.k: r.v for r in t.read(v).collect()}
+        want = {k: k * 2 for k in range(60)}
+        want.update({k: k * 100 for k in upd})
+        want.update({k: k * 100 for k in ins})
+        assert got == want
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(lo=st.integers(0, 59), span=st.integers(0, 30))
+    def test_delete_equals_filter(self, spark, tmp_path_factory, lo, span):
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path_factory.mktemp("dl")))
+        for b in range(0, 60, 20):
+            t.commit(spark.range(b, b + 20).selectExpr("id AS k", "id*2 AS v"))
+        hi = lo + span
+        v = t.delete(f"k >= {lo} AND k < {hi}")
+        got = sorted(r.k for r in t.read(v).collect())
+        want = [k for k in range(60) if not (lo <= k < hi)]
+        assert got == want
+
+
+class TestBpeProperties:
+    @settings(max_examples=6, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=8),
+            min_size=1, max_size=30, unique=True,
+        ),
+        n_merges=st.integers(0, 20),
+    )
+    def test_apply_always_reconstructs_word(self, words, n_merges):
+        """For ANY vocabulary and merge budget, applying the learned merges
+        yields tokens that concatenate back to word + end marker, and
+        training is deterministic."""
+        from rtcdb_spark.functions.bpe import apply_merges, train_merges
+
+        vocab = [(w, i + 1) for i, w in enumerate(words)]
+        m1 = train_merges(vocab, n_merges)
+        m2 = train_merges([(w, c) for w, c in vocab], n_merges)
+        assert m1 == m2
+        for w, _ in vocab:
+            assert "".join(apply_merges(w, m1)) == w + "</w>"
+        # unseen words still segment validly
+        assert "".join(apply_merges("dcba", m1)) == "dcba</w>"
