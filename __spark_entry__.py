@@ -61,8 +61,17 @@ _PRIORITY = [
     "source_csv_roundtrip", "source_rtcdb_native_roundtrip",
     "source_rtcdb_pruned_scan", "source_rtcdb_string_scan",
     "source_json_roundtrip",
+    # (wave 10, round 4): swap four doubly-green entries for the round-4
+    # capability flagships, all sf0.01 driver-sim green this session —
+    # agg_collect_array -> versioned_merge_upsert (copy-on-write MERGE),
+    # embedding_random_projection -> stream_cdc_upsert (CDC apply),
+    # multimodal_payload_meta -> multimodal_png_decode (real PNG codec),
+    # graph_common_neighbors -> matview_incremental_refresh (IVM).
+    # Families keep >=1 green rep: aggregates (count_distinct, percentiles),
+    # similarity (cosine, ivf), multimodal (decode_meta), graph (pagerank,
+    # triangle, lpa).
     # C-III aggregates
-    "agg_count_distinct", "agg_collect_array", "agg_weighted_percentiles",
+    "agg_count_distinct", "agg_weighted_percentiles",
     # C-IV joins (as-of family represented by the forward direction)
     "join_asof_forward",
     # timeseries resampling (family's driver-window rep)
@@ -84,17 +93,18 @@ _PRIORITY = [
     "dedup_span_fraction",
     # C-IX similarity / ANN / embedding ops
     "similarity_cosine_topk", "similarity_ivf_topk",
-    "embedding_random_projection",
     # C-IX multimodal
-    "multimodal_payload_meta", "multimodal_decode_meta",
+    "multimodal_decode_meta", "multimodal_png_decode",
     # C-X UDFs (UDAF gets its driver slot)
     "udf_pandas_scalar", "udf_udtf_tokenize", "udf_grouped_agg",
     # C-IX LLM pipeline
     "text_bm25_search", "text_contamination",
     # sketches / warehouse / reshape / analytics / graph / profiling
     "freq_heavy_hitters", "merge_upsert_customers", "reshape_unpivot",
-    "anomaly_zscore_daily", "graph_common_neighbors",
+    "anomaly_zscore_daily",
     "graph_pagerank", "graph_triangle_count", "graph_label_propagation",
+    # round-4 capability flagships
+    "versioned_merge_upsert", "stream_cdc_upsert", "matview_incremental_refresh",
 ]
 
 
