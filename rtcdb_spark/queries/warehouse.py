@@ -472,3 +472,54 @@ def quality_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rule("orderdate_in_epoch_range", bad_date))
         .orderBy("rule")
     )
+
+
+@query(
+    "versioned_shallow_clone",
+    """
+    SELECT 'dev' AS branch, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id >= 100
+    UNION ALL
+    SELECT 'src', doc_id, CAST(n_chars AS BIGINT)
+    FROM documents
+    ORDER BY branch, doc_id
+    """,
+    tags=("warehouse", "versioned", "clone", "branch"),
+)
+def versioned_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table branching (`VersionedTable.clone`, Delta SHALLOW
+    CLONE): the documents table is cloned metadata-only (asserted
+    in-query: the clone's data dir holds no parquet), a delete runs on
+    the BRANCH, and both branches are read back side by side. The oracle
+    recomputes each branch directly, so the hash match proves clone reads
+    see the source's files, branch mutations never leak back, and the
+    source is bit-intact after the branch diverged — the isolation
+    contract dev/experiment branches rely on."""
+    import os as _os
+    import tempfile
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="rtcdb_clone_")
+    src = VersionedTable(spark, f"{root}/src")
+    src.commit(d)
+    dev = src.clone(f"{root}/dev")
+    assert not any(
+        f.endswith(".parquet")
+        for _, _, fs in _os.walk(_os.path.join(dev.root, "data"))
+        for f in fs
+    ), "shallow clone copied data"
+    dev.delete("doc_id < 100")
+    dev_df = dev.read().select(
+        F.lit("dev").alias("branch"),
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    src_df = src.read().select(
+        F.lit("src").alias("branch"),
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return dev_df.unionByName(src_df).orderBy("branch", "doc_id")

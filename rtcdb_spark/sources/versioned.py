@@ -374,6 +374,39 @@ class VersionedTable:
                 return version
         raise RuntimeError(f"delete lost the version race {max_retries} times")
 
+    def clone(self, dest_root: str, version: int | None = None) -> "VersionedTable":
+        """Zero-copy shallow clone (Delta's SHALLOW CLONE): create a new
+        table at ``dest_root`` whose version 0 references THIS table's data
+        files by absolute path — a metadata-only branch, instant at any
+        table size. Writes to the clone land in its own root (normal
+        relative entries), so a dev branch can append/merge/delete freely
+        without touching the source; the clone's ``vacuum`` only ever
+        deletes files under its own root, never the source's (absolute
+        entries resolve for reads but are structurally outside the clone's
+        data dir). The flip side of zero-copy: the clone is only readable
+        while the source retains the referenced files — vacuuming the
+        SOURCE can break clones, the same contract Delta documents."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no commits")
+        src = self._read_manifest(v)
+        dest = VersionedTable(self.spark, dest_root)
+        if dest.latest_version() is not None:
+            raise ValueError(f"{dest_root} already has commits")
+        manifest = {
+            "version": 0,
+            "op": "clone",
+            "files": [
+                f if os.path.isabs(f) else os.path.join(os.path.abspath(self.root), f)
+                for f in src["files"]
+            ],
+            "n_added": 0,
+            "extra": {"cloned_from": os.path.abspath(self.root), "source_version": v},
+        }
+        if not dest._try_publish(0, manifest):
+            raise ValueError(f"{dest_root} already has commits")
+        return dest
+
     def committed_extras(self, key: str) -> set:
         """All values of ``extra[key]`` across committed manifests — e.g.
         the set of already-committed streaming batch ids. O(versions)

@@ -370,3 +370,46 @@ class TestDelete:
         m = t._read_manifest(v)
         assert m["files"] == pre and m["n_added"] == 0
         assert t.read().count() == 10
+
+
+class TestClone:
+    def test_shallow_clone_is_metadata_only_and_isolated(self, spark, tmp_path):
+        import os
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.commit(spark.range(10).selectExpr("id AS k"))
+        src.commit(spark.range(10, 20).selectExpr("id AS k"))
+
+        dev = src.clone(str(tmp_path / "dev"))
+        # metadata-only: no data files under the clone's root
+        dev_data = os.path.join(dev.root, "data")
+        assert not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(dev_data) for f in fs
+        )
+        assert sorted(r.k for r in dev.read().collect()) == list(range(20))
+
+        # branch diverges without touching the source
+        dev.commit(spark.range(100, 103).selectExpr("id AS k"))
+        dev.delete("k < 5")
+        assert sorted(r.k for r in dev.read().collect()) == list(range(5, 20)) + [100, 101, 102]
+        assert sorted(r.k for r in src.read().collect()) == list(range(20))
+
+        # clone vacuum never deletes source files
+        dev.vacuum(keep_last=1)
+        assert sorted(r.k for r in src.read().collect()) == list(range(20))
+
+    def test_clone_at_version_and_occupied_dest_rejected(self, spark, tmp_path):
+        import pytest
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        src.commit(spark.range(5).selectExpr("id AS k"))
+        src.commit(spark.range(5, 9).selectExpr("id AS k"))
+        old = src.clone(str(tmp_path / "old"), version=0)
+        assert old.read().count() == 5
+        with pytest.raises(ValueError, match="already has commits"):
+            src.clone(str(tmp_path / "old"))
