@@ -470,3 +470,57 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     ).orderBy("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "stream_rtcdb_native_sink",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS user_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "sink", "rtcdb-format", "interchange"),
+)
+def stream_rtcdb_native_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live streaming ingestion into the reference's OWN columnar format
+    (`streaming.sinks.stream_to_rtcdb`): the event stream runs to
+    completion with every micro-batch appended as LZ4 blocks + sparse
+    index entries, then the table is read back through the pluggable
+    `rtcdb` data source and aggregated. The oracle aggregates the events
+    fixture directly, so the hash match proves the whole chain — stream
+    batching, per-batch block encode, multi-batch append layout, zone-map
+    indexed read — loses and duplicates nothing across batch boundaries
+    (short tail blocks included). Delivery is at-least-once by the
+    format's nature (no atomic commit — documented); exactly-once lives
+    in stream_versioned_sink."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.rtcdb_native import read_rtcdb
+    from rtcdb_spark.streaming import read_events_stream
+    from rtcdb_spark.streaming.sinks import stream_to_rtcdb
+
+    work = tempfile.mkdtemp(prefix="rtcdb_stream_native_")
+    root = f"{work}/db"
+    stream_to_rtcdb(
+        read_events_stream(spark, sf_dir, max_files_per_trigger=1),
+        root,
+        "events",
+        f"{work}/cp",
+    )
+    back = read_rtcdb(spark, root, "events")
+    out = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.sum("user_id").cast("bigint").alias("user_sum"),
+        )
+        .orderBy("event_type")
+    )
+    shutil.rmtree(f"{work}/cp", ignore_errors=True)
+    return out

