@@ -524,3 +524,60 @@ def stream_rtcdb_native_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(f"{work}/cp", ignore_errors=True)
     return out
+
+
+@query(
+    "stream_cdc_tombstones",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           ts, event_type, value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "tombstone", "delete"),
+)
+def stream_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with delete markers (`streaming.sinks.
+    stream_cdc_with_tombstones`): 'error' events act as tombstones — a
+    user whose NEWEST event is a tombstone is absent from the served
+    table, while retained tombstone state stops late older upserts from
+    resurrecting the key. The pipeline replays from a fresh checkpoint
+    (idempotence asserted), then serves the snapshot through
+    `read_cdc_snapshot`. The oracle takes each user's latest event and
+    drops users whose latest is a tombstone, so the hash match proves
+    delete-vs-upsert is decided by the version order exactly — the
+    Debezium/compacted-topic semantics end-to-end."""
+    import tempfile
+
+    from rtcdb_spark.streaming import read_events_stream
+    from rtcdb_spark.streaming.sinks import (
+        read_cdc_snapshot,
+        stream_cdc_with_tombstones,
+    )
+
+    root = tempfile.mkdtemp(prefix="rtcdb_cdc_tomb_")
+    out = f"{root}/snapshot"
+    stream_cdc_with_tombstones(read_events_stream(spark, sf_dir), out, f"{root}/cp1")
+    first = sorted(map(tuple, read_cdc_snapshot(spark, out).collect()))
+    stream_cdc_with_tombstones(read_events_stream(spark, sf_dir), out, f"{root}/cp2")
+    second = sorted(map(tuple, read_cdc_snapshot(spark, out).collect()))
+    assert first == second, "tombstone CDC replay changed the snapshot"
+    return (
+        read_cdc_snapshot(spark, out)
+        .select(
+            "user_id",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "ts",
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )

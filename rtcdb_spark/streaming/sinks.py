@@ -353,3 +353,63 @@ def stream_to_rtcdb(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cdc_with_tombstones(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    delete_when: str = "event_type = 'error'",
+) -> None:
+    """CDC apply with DELETE markers: rows matching ``delete_when`` are
+    tombstones — the key disappears from the served table once a
+    tombstone is its newest version. Tombstones are RETAINED in the
+    snapshot (not physically dropped) so a late-arriving older upsert
+    cannot resurrect a deleted key: the idempotent MAX-merge over the
+    (ts, event_id) version vector decides upsert-vs-delete per key, and
+    serving filters tombstones out (`read_cdc_snapshot`). This is the
+    Kafka-compacted-topic / Debezium tombstone model; physical tombstone
+    expiry is a retention pass (drop tombstones older than the source's
+    max replay horizon), the same knob Kafka compaction exposes."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ver = F.struct(F.col("ts"), F.col("event_id"))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tagged = batch_df.select(*cols).withColumn(
+            "is_delete", F.expr(delete_when)
+        )
+        latest = (
+            tagged.groupBy(key_col)
+            .agg(F.max_by(F.struct(*cols, "is_delete"), ver).alias("r"))
+            .select("r.*")
+        )
+        prev = _read_snapshot(spark, out_dir)
+        merged = latest
+        if prev is not None:
+            merged = (
+                prev.unionByName(latest)
+                .groupBy(key_col)
+                .agg(F.max_by(F.struct(*cols, "is_delete"), ver).alias("r"))
+                .select("r.*")
+            )
+        _swap_in(merged, out_dir)
+
+    q = (
+        events.select(*cols)
+        .writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cdc_snapshot(spark, out_dir: str) -> DataFrame:
+    """Serve the CDC table: latest row per key, tombstoned keys absent."""
+    snap = _read_snapshot(spark, out_dir)
+    if snap is None:
+        raise ValueError(f"no CDC snapshot at {out_dir}")
+    return snap.filter(~F.col("is_delete")).drop("is_delete")
