@@ -581,3 +581,87 @@ def stream_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_append_mode_boundary",
+    f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+           <= (SELECT w FROM wm)
+    ORDER BY 1, 3
+    """,
+    tags=("streaming", "watermark", "append", "late-data"),
+)
+def stream_append_mode_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode emission boundary — the watermark contract graded
+    directly: events replay as three time-ordered micro-batches
+    (single-file slices with forced modification-time order), and a
+    watermarked tumbling aggregate in append mode may emit a window ONLY
+    once the watermark passes its end — each window exactly once, fully
+    aggregated, and the trailing windows inside the final watermark lag
+    withheld. The oracle computes the identical window aggregate and
+    keeps windows with end <= max(ts) - delay, so the hash match pins
+    all three failure modes: early emission (a window emitted before its
+    last batch arrives would carry a partial count), re-emission, and a
+    wrong boundary. Complete-mode parity is `stream_window_tumbling`;
+    this is the append-mode half of the late-data story."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources import load_table
+    from rtcdb_spark.streaming import read_events_stream, run_available_now
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts")
+    )
+    qs = e.select(F.percentile_approx("ts", [1 / 3, 2 / 3], 10000).alias("q")).first()["q"]
+    lo, hi = qs
+    root = tempfile.mkdtemp(prefix="rtcdb_append_boundary_")
+    parts = [
+        e.filter(F.col("ts") <= F.lit(lo)),
+        e.filter((F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi))),
+        e.filter(F.col("ts") > F.lit(hi)),
+    ]
+    for i, p in enumerate(parts):
+        stage = tempfile.mkdtemp()
+        p.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = os.path.join(root, f"slice-{i}.parquet")
+        shutil.move(src, dst)
+        # FileStreamSource orders by modification time: force slice order so
+        # the watermark advances through the slices deterministically.
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    sdf = read_events_stream(spark, sf_dir, max_files_per_trigger=1, path=root)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    out = run_available_now(agg, output_mode="append")
+    return out.orderBy("window_start", "event_type")
