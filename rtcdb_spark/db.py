@@ -264,3 +264,26 @@ class Database:
 
         self._meta(table)
         return pruned_scan(self.spark, self._table_path(table), intervals, columns)
+
+
+def _versioned_root(db: "Database", name: str) -> str:
+    return os.path.join(db.path, f"_versioned_{name}")
+
+
+def versioned_table(db: "Database", name: str):
+    """Open (creating on first use) a snapshot-versioned table inside this
+    database's directory — the full lakehouse surface (ACID multi-writer
+    commits, time travel, change feed, MERGE/DELETE/OPTIMIZE, shallow
+    clone, schema evolution) hanging off the reference-shaped embedded
+    API. Stored under ``<db>/_versioned_<name>`` so it coexists with the
+    plain parquet tables the ``Database`` catalog manages.
+
+    Free function (not a method) to keep the ``Database`` dataclass at
+    exact reference-API parity; re-exported as ``Database.versioned`` for
+    convenience."""
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    return VersionedTable(db.spark, _versioned_root(db, name))
+
+
+Database.versioned = versioned_table  # noqa: E305

@@ -140,3 +140,16 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert rows[1] == ("a", None) and rows[3] == ("c", 9.5)
     # evolved column is filterable (null-safe) across the whole table
     assert df.filter(F.col("score").isNotNull()).count() == 1
+
+
+def test_database_versioned_table_roundtrip(spark, tmp_path):
+    from rtcdb_spark.db import Database, TableMeta
+
+    db = Database.init(spark, str(tmp_path / "db"), [TableMeta("t", [("k", "uint64")])])
+    vt = db.versioned("metrics")
+    vt.commit(spark.range(5).selectExpr("id AS k"))
+    vt.commit(spark.range(5, 8).selectExpr("id AS k"))
+    assert sorted(r.k for r in vt.read().collect()) == list(range(8))
+    # reopening the database reaches the same table
+    db2 = Database.open(spark, str(tmp_path / "db"))
+    assert db2.versioned("metrics").latest_version() == 1
