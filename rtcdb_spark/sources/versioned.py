@@ -171,59 +171,90 @@ class VersionedTable:
             "log head is moving faster than this writer can retry"
         )
 
-    def optimize(self, target_files: int = 1, max_retries: int = 64) -> int:
-        """Compact the current snapshot's files into ``target_files`` larger
-        ones as a NEW version (op ``optimize``) — Delta/Iceberg's OPTIMIZE:
-        content-identical, small-file problem solved, prior versions still
-        time-travelable, old files reclaimed by ``vacuum``. Published with
-        the same conditional-put as ``commit``, so it is safe under
-        concurrent writers; if an append lands first, the race is lost and
-        retried against the new head (re-reading the new snapshot would be
-        wasteful, so the retry REBUILDS the manifest from the files the
-        compaction actually rewrote plus any files the interleaved commits
-        added — additions are preserved, nothing lost).
+    def _publish_rewrite(
+        self,
+        head: int,
+        op: str,
+        replaced: set,
+        new_files: list[str],
+        max_retries: int,
+    ) -> int | None:
+        """Publish a content-rewrite commit computed against snapshot
+        ``head``. A lost race against a plain APPEND is safe: the retry
+        keeps the appended files (they cannot contain the rewritten rows).
+        A lost race against another REWRITE (optimize/merge/delete/
+        overwrite) is NOT mergeable — the other writer rewrote the same
+        rows into its own files, and naively keeping them would duplicate
+        content (found by the thread-chaos test: two concurrent optimizes
+        doubled the table). In that case the staged files are discarded
+        and ``None`` is returned so the caller RESTARTS against the new
+        head."""
+        import shutil
 
-        ``changes()`` refuses ranges that cross an optimize commit: the
-        rewritten files contain OLD rows, so a file-set diff no longer
-        means "rows added" (same rule as overwrite).
-
-        Concurrency contract: racing appends are fully supported (their
-        files survive the retry). Racing an *overwrite* against an
-        optimize is not — both rewrite the table's content, and the retry
-        would union the compacted old content with the overwrite's files;
-        coordinate content rewrites externally (the same rule every
-        lakehouse format imposes on conflicting full-table rewrites).
-        """
-        head = self.latest_version()
-        if head is None:
-            raise ValueError("table has no commits")
-        src_manifest = self._read_manifest(head)
-        src_files = src_manifest["files"]
-        df = self.read(head).coalesce(target_files)
-        txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
-        df.write.mode("error").parquet(os.path.join(self.root, txn_dir))
-        new_files = sorted(
-            os.path.join(txn_dir, f)
-            for f in os.listdir(os.path.join(self.root, txn_dir))
-            if f.endswith(".parquet")
-        )
-        compacted = set(src_files)
         for _ in range(max_retries):
             prev = self.latest_version()
+            if any(
+                self._read_manifest(v)["op"] != "append"
+                for v in range(head + 1, prev + 1)
+            ):
+                # concurrent content rewrite: abandon this attempt's files
+                txn_dirs = {os.path.dirname(f) for f in new_files}
+                for dstage in txn_dirs:
+                    shutil.rmtree(os.path.join(self.root, dstage), ignore_errors=True)
+                return None
             version = prev + 1
-            # keep files that interleaved commits added since `head`
             survivors = [
-                f for f in self._read_manifest(prev)["files"] if f not in compacted
+                f for f in self._read_manifest(prev)["files"] if f not in replaced
             ]
             manifest = {
                 "version": version,
-                "op": "optimize",
+                "op": op,
                 "files": new_files + survivors,
                 "n_added": len(new_files),
             }
             if self._try_publish(version, manifest):
                 return version
-        raise RuntimeError(f"optimize lost the version race {max_retries} times")
+        raise RuntimeError(f"{op} lost the version race {max_retries} times")
+
+    def optimize(
+        self, target_files: int = 1, max_retries: int = 64, max_restarts: int = 8
+    ) -> int:
+        """Compact the current snapshot's files into ``target_files`` larger
+        ones as a NEW version (op ``optimize``) — Delta/Iceberg's OPTIMIZE:
+        content-identical, small-file problem solved, prior versions still
+        time-travelable, old files reclaimed by ``vacuum``.
+
+        ``changes()`` refuses ranges that cross an optimize commit: the
+        rewritten files contain OLD rows, so a file-set diff no longer
+        means "rows added" (same rule as overwrite).
+
+        Concurrency contract: racing APPENDS are preserved (their files
+        survive the conditional-put retry); racing another content
+        REWRITE (optimize/merge/delete/overwrite) is detected via the
+        ops of the intervening manifests, this attempt's staged files are
+        discarded, and the whole compaction RESTARTS against the new
+        head — serializing conflicting rewrites instead of silently
+        duplicating content.
+        """
+        for _ in range(max_restarts):
+            head = self.latest_version()
+            if head is None:
+                raise ValueError("table has no commits")
+            src_files = self._read_manifest(head)["files"]
+            df = self.read(head).coalesce(target_files)
+            txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
+            df.write.mode("error").parquet(os.path.join(self.root, txn_dir))
+            new_files = sorted(
+                os.path.join(txn_dir, f)
+                for f in os.listdir(os.path.join(self.root, txn_dir))
+                if f.endswith(".parquet")
+            )
+            v = self._publish_rewrite(
+                head, "optimize", set(src_files), new_files, max_retries
+            )
+            if v is not None:
+                return v
+        raise RuntimeError(f"optimize restarted {max_restarts} times without landing")
 
     def merge_upsert(
         self,
@@ -242,79 +273,71 @@ class VersionedTable:
         touches a sliver of files.
 
         Published as op ``merge`` via the same conditional-put as
-        ``commit``; a racing append's files survive the retry (appends
-        cannot contain the rewritten keys' OLD versions — they are new
-        files — so correctness holds; racing writers upserting the SAME
-        keys must coordinate externally, the standard lakehouse
-        write-conflict rule). ``changes()`` refuses ranges crossing a
-        merge (rewritten files carry old rows).
+        ``commit``; racing APPENDS survive the retry (appends cannot
+        contain the rewritten keys' OLD versions — they are new files);
+        a racing content REWRITE is detected and this merge restarts
+        against the new head (see ``_publish_rewrite``). Note that two
+        writers upserting the SAME key still serialize by version order —
+        last-committed wins, which is the row-level semantics, not a
+        corruption. ``changes()`` refuses ranges crossing a merge
+        (rewritten files carry old rows).
 
         Semantics: for a key present in both, ``source`` wins (SCD1). If
         ``source`` holds several rows per key, deduplicate it first —
         enforced here with a fail-fast count check."""
-        head = self.latest_version()
-        if head is None:
-            return self.commit(source, mode="append")
         from pyspark.sql import functions as F
 
         dup = source.groupBy(*keys).count().filter("count > 1").limit(1).count()
         if dup:
             raise ValueError("merge_upsert source has duplicate keys; reduce first")
 
-        snap = self.read(head).withColumn("_file", F.input_file_name())
-        matched_files_abs = [
-            r._file
-            for r in snap.join(
-                F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
+        for _ in range(8):
+            head = self.latest_version()
+            if head is None:
+                return self.commit(source, mode="append")
+            snap = self.read(head).withColumn("_file", F.input_file_name())
+            matched_files_abs = [
+                r._file
+                for r in snap.join(
+                    F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
+                )
+                .select("_file")
+                .distinct()
+                .collect()
+            ]
+            # input_file_name() yields absolute file: URIs; manifests hold
+            # root-relative paths — match by suffix.
+            src_manifest = self._read_manifest(head)
+
+            def _is_matched(rel: str) -> bool:
+                return any(a.endswith(rel) for a in matched_files_abs)
+
+            rewritten = [f for f in src_manifest["files"] if _is_matched(f)]
+
+            cols = source.columns
+            if rewritten:
+                old_rows = self.spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in rewritten]
+                )
+                survivors = old_rows.join(
+                    F.broadcast(source.select(*keys).distinct()), keys, "left_anti"
+                ).select(*cols)
+                merged = survivors.unionByName(source.select(*cols))
+            else:
+                merged = source.select(*cols)
+            txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
+            merged.write.mode("error").parquet(os.path.join(self.root, txn_dir))
+            new_files = sorted(
+                os.path.join(txn_dir, f)
+                for f in os.listdir(os.path.join(self.root, txn_dir))
+                if f.endswith(".parquet")
             )
-            .select("_file")
-            .distinct()
-            .collect()
-        ]
-        # input_file_name() yields absolute file: URIs; manifests hold
-        # root-relative paths — match by suffix.
-        src_manifest = self._read_manifest(head)
-
-        def _is_matched(rel: str) -> bool:
-            return any(a.endswith(rel) for a in matched_files_abs)
-
-        rewritten = [f for f in src_manifest["files"] if _is_matched(f)]
-        untouched = [f for f in src_manifest["files"] if not _is_matched(f)]
-
-        cols = source.columns
-        if rewritten:
-            old_rows = self.spark.read.parquet(
-                *[os.path.join(self.root, f) for f in rewritten]
+            v = self._publish_rewrite(
+                head, "merge", set(rewritten), new_files, max_retries
             )
-            survivors = old_rows.join(
-                F.broadcast(source.select(*keys).distinct()), keys, "left_anti"
-            ).select(*cols)
-            merged = survivors.unionByName(source.select(*cols))
-        else:
-            merged = source.select(*cols)
-        txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
-        merged.write.mode("error").parquet(os.path.join(self.root, txn_dir))
-        new_files = sorted(
-            os.path.join(txn_dir, f)
-            for f in os.listdir(os.path.join(self.root, txn_dir))
-            if f.endswith(".parquet")
-        )
-        replaced = set(rewritten)
-        for _ in range(max_retries):
-            prev = self.latest_version()
-            version = prev + 1
-            files = [
-                f for f in self._read_manifest(prev)["files"] if f not in replaced
-            ] + new_files
-            manifest = {
-                "version": version,
-                "op": "merge",
-                "files": files,
-                "n_added": len(new_files),
-            }
-            if self._try_publish(version, manifest):
-                return version
-        raise RuntimeError(f"merge_upsert lost the version race {max_retries} times")
+            if v is not None:
+                return v
+        raise RuntimeError("merge_upsert restarted 8 times without landing")
 
     def delete(self, predicate: str, max_retries: int = 64) -> int:
         """Row-level DELETE via copy-on-write with file-level pruning: only
@@ -327,52 +350,43 @@ class VersionedTable:
         actually destroys the bytes, so `delete` + `vacuum(keep_last=1)`
         is the full erasure procedure. Op ``delete`` blocks `changes()`
         ranges like every rewrite. Returns the new version."""
-        head = self.latest_version()
-        if head is None:
-            raise ValueError("table has no commits")
         from pyspark.sql import functions as F
 
-        snap = self.read(head).withColumn("_file", F.input_file_name())
-        matched_abs = [
-            r._file
-            for r in snap.filter(predicate).select("_file").distinct().collect()
-        ]
-        src_manifest = self._read_manifest(head)
-        rewritten = [
-            f for f in src_manifest["files"]
-            if any(a.endswith(f) for a in matched_abs)
-        ]
-        new_files: list[str] = []
-        if rewritten:
-            keep = (
-                self.spark.read.parquet(
-                    *[os.path.join(self.root, f) for f in rewritten]
+        for _ in range(8):
+            head = self.latest_version()
+            if head is None:
+                raise ValueError("table has no commits")
+            snap = self.read(head).withColumn("_file", F.input_file_name())
+            matched_abs = [
+                r._file
+                for r in snap.filter(predicate).select("_file").distinct().collect()
+            ]
+            src_manifest = self._read_manifest(head)
+            rewritten = [
+                f for f in src_manifest["files"]
+                if any(a.endswith(f) for a in matched_abs)
+            ]
+            new_files: list[str] = []
+            if rewritten:
+                keep = (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.root, f) for f in rewritten]
+                    )
+                    .filter(f"NOT ({predicate})")
                 )
-                .filter(f"NOT ({predicate})")
+                txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
+                keep.write.mode("error").parquet(os.path.join(self.root, txn_dir))
+                new_files = sorted(
+                    os.path.join(txn_dir, f)
+                    for f in os.listdir(os.path.join(self.root, txn_dir))
+                    if f.endswith(".parquet")
+                )
+            v = self._publish_rewrite(
+                head, "delete", set(rewritten), new_files, max_retries
             )
-            txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
-            keep.write.mode("error").parquet(os.path.join(self.root, txn_dir))
-            new_files = sorted(
-                os.path.join(txn_dir, f)
-                for f in os.listdir(os.path.join(self.root, txn_dir))
-                if f.endswith(".parquet")
-            )
-        replaced = set(rewritten)
-        for _ in range(max_retries):
-            prev = self.latest_version()
-            version = prev + 1
-            files = [
-                f for f in self._read_manifest(prev)["files"] if f not in replaced
-            ] + new_files
-            manifest = {
-                "version": version,
-                "op": "delete",
-                "files": files,
-                "n_added": len(new_files),
-            }
-            if self._try_publish(version, manifest):
-                return version
-        raise RuntimeError(f"delete lost the version race {max_retries} times")
+            if v is not None:
+                return v
+        raise RuntimeError("delete restarted 8 times without landing")
 
     def clone(self, dest_root: str, version: int | None = None) -> "VersionedTable":
         """Zero-copy shallow clone (Delta's SHALLOW CLONE): create a new

@@ -413,3 +413,53 @@ class TestClone:
         assert old.read().count() == 5
         with pytest.raises(ValueError, match="already has commits"):
             src.clone(str(tmp_path / "old"))
+
+
+class TestConcurrencyChaos:
+    def test_mixed_ops_from_many_threads_keep_log_consistent(self, spark, tmp_path):
+        """Interleaved appends + optimizes from several threads: the log
+        must stay gap-free, every append's rows must survive into the
+        final head, and every historical version must remain readable."""
+        import threading
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        root = str(tmp_path / "vt")
+        VersionedTable(spark, root).commit(
+            spark.range(0, 10).selectExpr("id AS k")
+        )
+        errs = []
+
+        def appender(lo):
+            try:
+                VersionedTable(spark, root).commit(
+                    spark.range(lo, lo + 10).selectExpr("id AS k")
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(("append", e))
+
+        def optimizer():
+            try:
+                VersionedTable(spark, root).optimize(target_files=1)
+            except Exception as e:  # pragma: no cover
+                errs.append(("optimize", e))
+
+        threads = (
+            [threading.Thread(target=appender, args=(i * 10,)) for i in range(1, 5)]
+            + [threading.Thread(target=optimizer) for _ in range(2)]
+        )
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        t = VersionedTable(spark, root)
+        vs = t.versions()
+        assert vs == list(range(len(vs)))  # gap-free, 7 commits total
+        assert len(vs) == 7
+        # every append survived every concurrent optimize
+        got = sorted(r.k for r in t.read().collect())
+        assert got == list(range(50))
+        # all history remains readable
+        for v in vs:
+            assert t.read(v).count() > 0
