@@ -463,3 +463,50 @@ class TestConcurrencyChaos:
         # all history remains readable
         for v in vs:
             assert t.read(v).count() > 0
+
+    def test_mixed_merge_delete_append_disjoint_keys(self, spark, tmp_path):
+        """Concurrent merge/delete/append on DISJOINT key ranges: every
+        serialization yields the same final content, so the outcome is
+        deterministic and each op's effect must be present exactly once."""
+        import threading
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        root = str(tmp_path / "vt2")
+        VersionedTable(spark, root).commit(
+            spark.range(0, 60).selectExpr("id AS k", "id AS v")
+        )
+        errs = []
+
+        def do(fn):
+            try:
+                fn()
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ops = [
+            lambda: VersionedTable(spark, root).merge_upsert(
+                spark.createDataFrame([(k, k * 1000) for k in range(0, 10)],
+                                      "k long, v long"), ["k"]),
+            lambda: VersionedTable(spark, root).delete("k >= 20 AND k < 30"),
+            lambda: VersionedTable(spark, root).commit(
+                spark.range(100, 110).selectExpr("id AS k", "id AS v")),
+            lambda: VersionedTable(spark, root).merge_upsert(
+                spark.createDataFrame([(k, k * 7) for k in range(40, 50)],
+                                      "k long, v long"), ["k"]),
+        ]
+        threads = [threading.Thread(target=do, args=(f,)) for f in ops]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        t = VersionedTable(spark, root)
+        got = {r.k: r.v for r in t.read().collect()}
+        want = {k: k for k in range(60) if not (20 <= k < 30)}
+        want.update({k: k * 1000 for k in range(0, 10)})
+        want.update({k: k * 7 for k in range(40, 50)})
+        want.update({k: k for k in range(100, 110)})
+        assert got == want
+        vs = t.versions()
+        assert vs == list(range(len(vs))) and len(vs) == 5
