@@ -150,17 +150,22 @@ class VersionedTable:
             for f in os.listdir(os.path.join(self.root, txn_dir))
             if f.endswith(".parquet")
         )
+        new_stats = self._collect_stats(new_files)
         for _ in range(max_retries):
             prev = self.latest_version()
             version = 0 if prev is None else prev + 1
-            files = new_files if mode == "overwrite" or prev is None else (
-                self._read_manifest(prev)["files"] + new_files
-            )
+            if mode == "overwrite" or prev is None:
+                files, stats = new_files, dict(new_stats)
+            else:
+                pm = self._read_manifest(prev)
+                files = pm["files"] + new_files
+                stats = {**pm.get("stats", {}), **new_stats}
             manifest = {
                 "version": version,
                 "op": mode,
                 "files": files,
                 "n_added": len(new_files),
+                "stats": stats,
             }
             if extra:
                 manifest["extra"] = extra
@@ -203,14 +208,17 @@ class VersionedTable:
                     shutil.rmtree(os.path.join(self.root, dstage), ignore_errors=True)
                 return None
             version = prev + 1
-            survivors = [
-                f for f in self._read_manifest(prev)["files"] if f not in replaced
-            ]
+            pm = self._read_manifest(prev)
+            survivors = [f for f in pm["files"] if f not in replaced]
+            prev_stats = pm.get("stats", {})
+            stats = {f: prev_stats[f] for f in survivors if f in prev_stats}
+            stats.update(self._collect_stats(new_files))
             manifest = {
                 "version": version,
                 "op": op,
                 "files": new_files + survivors,
                 "n_added": len(new_files),
+                "stats": stats,
             }
             if self._try_publish(version, manifest):
                 return version
@@ -388,6 +396,100 @@ class VersionedTable:
                 return v
         raise RuntimeError("delete restarted 8 times without landing")
 
+    @staticmethod
+    def _file_stats(abs_path: str) -> dict:
+        """Per-file column min/max from the parquet footer (one metadata
+        read, no data I/O) — the stats a commit records for data skipping.
+        Only JSON-representable primitives (int/float/str/bool) are kept;
+        columns lacking footer statistics are omitted (absent = never
+        prunable, always read — the sound default)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(abs_path).metadata
+        out: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (int, float, str, bool)):
+                    continue
+                name = col.path_in_schema
+                if name in out:
+                    out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+                else:
+                    out[name] = [mn, mx]
+        return out
+
+    def _collect_stats(self, new_files: list[str]) -> dict:
+        return {
+            f: self._file_stats(os.path.join(self.root, f)) for f in new_files
+        }
+
+    def file_stats(self, version: int | None = None) -> dict:
+        """The per-file stats map for a version: entries recorded by the
+        commits that created each file, carried forward manifest to
+        manifest. Files committed before stats existed simply have no
+        entry (never pruned)."""
+        v = self.latest_version() if version is None else version
+        m = self._read_manifest(v)
+        return m.get("stats", {})
+
+    def plan_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Data skipping (Delta/Iceberg file-level stats pruning): the
+        subset of a version's files whose [min, max] for ``col`` can
+        intersect the closed interval [lo, hi], plus the total file count.
+        Sound by construction — a file without stats for ``col`` is always
+        kept; pruning can only skip files whose stats PROVE emptiness."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no commits")
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is not None and (
+                (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo)
+            ):
+                continue
+            keep.append(f)
+        return keep, len(m["files"])
+
+    def read_pruned(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Read with manifest-level data skipping THEN the exact row-level
+        filter — pruning is a plan change, never a result change (the same
+        contract as the native source's zone maps). At 100 TB this is what
+        turns a key-range query over a range-clustered table from a full
+        scan into an O(matching files) scan before parquet row-group
+        pruning even starts."""
+        from pyspark.sql import functions as F
+
+        keep, _total = self.plan_files(col, lo, hi, version)
+        if not keep:
+            return self.read(version).filter(F.lit(False))
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in keep]
+        )
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return df.filter(cond)
+
     def clone(self, dest_root: str, version: int | None = None) -> "VersionedTable":
         """Zero-copy shallow clone (Delta's SHALLOW CLONE): create a new
         table at ``dest_root`` whose version 0 references THIS table's data
@@ -407,14 +509,20 @@ class VersionedTable:
         dest = VersionedTable(self.spark, dest_root)
         if dest.latest_version() is not None:
             raise ValueError(f"{dest_root} already has commits")
+        def _absify(f: str) -> str:
+            return f if os.path.isabs(f) else os.path.join(
+                os.path.abspath(self.root), f
+            )
+
         manifest = {
             "version": 0,
             "op": "clone",
-            "files": [
-                f if os.path.isabs(f) else os.path.join(os.path.abspath(self.root), f)
-                for f in src["files"]
-            ],
+            "files": [_absify(f) for f in src["files"]],
             "n_added": 0,
+            # stats travel with the clone, re-keyed to the absolute entries
+            "stats": {
+                _absify(f): s for f, s in src.get("stats", {}).items()
+            },
             "extra": {"cloned_from": os.path.abspath(self.root), "source_version": v},
         }
         if not dest._try_publish(0, manifest):

@@ -510,3 +510,62 @@ class TestConcurrencyChaos:
         assert got == want
         vs = t.versions()
         assert vs == list(range(len(vs))) and len(vs) == 5
+
+
+class TestDataSkipping:
+    def test_plan_files_prunes_and_read_pruned_is_exact(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        # key-range-clustered commits: each file covers a disjoint k range
+        for lo in range(0, 100, 25):
+            t.commit(
+                spark.range(lo, lo + 25)
+                .coalesce(1)
+                .selectExpr("id AS k", "CAST(id AS STRING) AS s")
+            )
+        keep, total = t.plan_files("k", 30, 45)
+        assert total >= 4 and len(keep) < total  # files actually skipped
+        got = sorted(r.k for r in t.read_pruned("k", 30, 45).collect())
+        assert got == list(range(30, 46))
+        # pruning survives a rewrite: delete some rows, stats carried/updated
+        t.delete("k >= 50 AND k < 60")
+        keep2, total2 = t.plan_files("k", 0, 10)
+        assert len(keep2) < total2
+        assert sorted(r.k for r in t.read_pruned("k", 0, 10).collect()) == list(range(11))
+        # string column stats work too
+        keep_s, _ = t.plan_files("s", "30", "45")
+        assert sorted(r.k for r in t.read_pruned("s", "30", "45").collect()) == sorted(
+            r.k for r in t.read().filter((F.col("s") >= "30") & (F.col("s") <= "45")).collect()
+        )
+
+    def test_no_stats_means_never_pruned(self, spark, tmp_path):
+        """A manifest without stats for a column keeps every file — sound
+        fallback for pre-stats tables and unsupported types."""
+        import json
+
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(spark.range(50).selectExpr("id AS k"))
+        # simulate a pre-stats manifest
+        m = t._read_manifest(0)
+        m.pop("stats", None)
+        with open(t._manifest_path(0), "w") as f:
+            json.dump(m, f)
+        keep, total = t.plan_files("k", 0, 1)
+        assert len(keep) == total
+        assert t.read_pruned("k", 0, 1).count() == 2
+
+    def test_clone_carries_stats(self, spark, tmp_path):
+        from rtcdb_spark.sources.versioned import VersionedTable
+
+        src = VersionedTable(spark, str(tmp_path / "src"))
+        for lo in range(0, 60, 20):
+            src.commit(spark.range(lo, lo + 20).coalesce(1).selectExpr("id AS k"))
+        dev = src.clone(str(tmp_path / "dev"))
+        keep, total = dev.plan_files("k", 0, 5)
+        assert len(keep) < total
+        assert sorted(r.k for r in dev.read_pruned("k", 0, 5).collect()) == list(range(6))
