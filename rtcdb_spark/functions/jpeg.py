@@ -1,0 +1,604 @@
+"""Pure-Python/numpy baseline JPEG codec (SURVEY §2 C-IX multimodal).
+
+Round-4 capability: closes the last piece of the "compressed media is
+env-blocked" gap for images. The container has no PIL/libjpeg, but baseline
+sequential JPEG (ITU-T T.81) needs nothing beyond integer Huffman coding and
+an 8x8 DCT — and numpy expresses the DCT as two 8x8 matrix multiplies. Both
+directions are implemented from the public spec:
+
+- ``make_jpeg``   — real, viewer-openable baseline JFIF files: level shift,
+  forward DCT, Annex-K quantization tables (IJG quality scaling), zigzag,
+  DPCM DC + run-length AC, the standard Annex-K Huffman tables, byte
+  stuffing, SOI/DQT/SOF0/DHT/SOS/EOI marker layout. 4:4:4 colour (no
+  chroma subsampling) or single-component grayscale.
+- ``decode_jpeg`` — marker walk (DQT/SOF0/DHT/SOS, APPn/COM skipped),
+  canonical Huffman reconstruction from BITS/HUFFVAL, entropy decode with
+  stuffed-byte handling, dequantize, dezigzag, inverse DCT (matrix form),
+  YCbCr→RGB, clamp, crop to the true image size.
+
+Progressive JPEG, chroma subsampling on decode (we never emit it), restart
+markers, and arithmetic coding stay honestly gated with
+``NotImplementedError`` — the baseline-sequential subset here is the
+dominant corpus shape.
+
+Scale: the codec runs inside Arrow-batched ``mapInPandas``
+(`functions/multimodal.py`), embarrassingly parallel per payload —
+identical plumbing to the BMP/PNG/WAV codecs. Entropy coding is a Python
+loop per coefficient, so the per-image cost is O(pixels); the DCT and
+quantization stages are whole-image numpy. Reference: the reference engine
+(rtcdb) has no media handling at all (SURVEY §3) — this is north-star
+surface for a 100 TB multimodal corpus.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# --------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K — public spec)
+# --------------------------------------------------------------------------
+
+_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K Huffman specs as (BITS[1..16], HUFFVAL). Encoder and decoder both
+# derive their code tables from these via the canonical construction
+# (T.81 C.2), so the emitted DHT segments round-trip by definition.
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+for _bits, _vals in (
+    (_DC_LUMA_BITS, _DC_LUMA_VALS),
+    (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    (_AC_LUMA_BITS, _AC_LUMA_VALS),
+    (_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+):
+    assert sum(_bits) == len(_vals), "Huffman spec BITS/HUFFVAL mismatch"
+
+
+def _zigzag_order() -> list[int]:
+    """Return the 64-entry zigzag permutation (natural index per zigzag
+    position), generated from the diagonal walk rather than hand-typed."""
+    order = []
+    for d in range(15):
+        rng = range(d + 1)
+        if d % 2 == 0:  # up-right diagonals run bottom-left → top-right
+            rng = reversed(rng)
+        for i in rng:
+            j = d - i
+            if i < 8 and j < 8:
+                order.append(i * 8 + j)
+    return order
+
+
+_ZIGZAG = _zigzag_order()  # zigzag position -> natural (row-major) index
+assert sorted(_ZIGZAG) == list(range(64))
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II matrix C; forward is C @ f @ C.T,
+    inverse is C.T @ F @ C."""
+    import numpy as np
+
+    c = np.zeros((8, 8), dtype=np.float64)
+    for k in range(8):
+        s = math.sqrt(1.0 / 8.0) if k == 0 else math.sqrt(2.0 / 8.0)
+        for n in range(8):
+            c[k, n] = s * math.cos((2 * n + 1) * k * math.pi / 16.0)
+    return c
+
+
+def _scaled_quant(base: list[int], quality: int):
+    """IJG quality scaling of an Annex-K table (public libjpeg formula)."""
+    import numpy as np
+
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.array(base, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).reshape(8, 8)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman construction (T.81 C.2): symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (FF -> FF 00)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category ssss, extra bits)."""
+    if v == 0:
+        return 0, 0
+    ssss = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << ssss) - 1
+    return ssss, bits
+
+
+def _rgb_to_ycbcr(px):
+    """JFIF full-range colour transform (floats; caller rounds)."""
+    import numpy as np
+
+    p = px.astype(np.float64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(planes):
+    import numpy as np
+
+    y, cb, cr = (planes[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _to_blocks(plane):
+    """(H, W) plane (already 8-padded) -> (n_blocks, 8, 8) in raster MCU
+    order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks, h8: int, w8: int):
+    return (
+        blocks.reshape(h8 // 8, w8 // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h8, w8)
+    )
+
+
+def _pad_replicate(plane, h8: int, w8: int):
+    import numpy as np
+
+    h, w = plane.shape
+    out = np.empty((h8, w8), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if w8 > w:
+        out[:h, w:] = plane[:, w - 1 : w]
+    if h8 > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def encode_jpeg(pixels, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array as baseline
+    sequential JFIF. Colour is 4:4:4 (every component full resolution) —
+    one block per component per MCU."""
+    import numpy as np
+
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        quants = [_scaled_quant(_QUANT_LUMA, quality)]
+        plane_tbl = [0]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        quants = [
+            _scaled_quant(_QUANT_LUMA, quality),
+            _scaled_quant(_QUANT_CHROMA, quality),
+        ]
+        plane_tbl = [0, 1, 1]
+
+    cmat = _dct_matrix()
+    zz = np.array(_ZIGZAG, dtype=np.int64)
+    comp_coeffs = []
+    for plane, tbl in zip(planes, plane_tbl):
+        padded = _pad_replicate(plane, h8, w8) - 128.0
+        blocks = _to_blocks(padded)
+        coeffs = np.einsum("ij,njk,lk->nil", cmat, blocks, cmat)
+        q = np.round(coeffs / quants[tbl][None, :, :]).astype(np.int64)
+        # zigzag-order every block once, vectorized
+        comp_coeffs.append(q.reshape(-1, 64)[:, zz])
+
+    dc_codes = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    ac_codes = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        dc_codes.append(_build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        ac_codes.append(_build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    comp_huff = [0] if gray else [0, 1, 1]
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    n_blocks = (h8 // 8) * (w8 // 8)
+    for b in range(n_blocks):  # MCU loop: interleave one block per component
+        for ci in range(len(planes)):
+            blk = comp_coeffs[ci][b]
+            hi = comp_huff[ci]
+            diff = int(blk[0]) - pred[ci]
+            pred[ci] = int(blk[0])
+            ssss, bits = _magnitude(diff)
+            code, length = dc_codes[hi][ssss]
+            bw.write(code, length)
+            if ssss:
+                bw.write(bits, ssss)
+            run = 0
+            nz = np.nonzero(blk[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[hi][0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                ssss, bits = _magnitude(v)
+                code, length = ac_codes[hi][(run << 4) | ssss]
+                bw.write(code, length)
+                bw.write(bits, ssss)
+                run = 0
+            if last < 63:
+                code, length = ac_codes[hi][0x00]  # EOB
+                bw.write(code, length)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(quants):
+        qz = q.reshape(-1)[zz]  # DQT payload is in zigzag order
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(int(x) for x in qz)
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, plane_tbl[ci])  # 1x1 sampling
+    huff_specs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        huff_specs += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in huff_specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        td_ta = comp_huff[ci] * 0x11  # same index for DC and AC tables
+        out += struct.pack("BB", ci + 1, td_ta)
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def make_jpeg(width: int, height: int, seed: int, gray: bool = False, quality: int = 90) -> bytes:
+    """Deterministic synthetic JPEG: per-8x8-block planar gradients (the
+    sawtooth period is 8, so every block interior is an exact plane — the
+    shape JPEG encodes almost losslessly), giving tight, provable
+    round-trip error bounds for the decode oracle."""
+    import numpy as np
+
+    base = 32 + (seed * 37) % 64
+    ax = 1 + seed % 3
+    by = 1 + seed % 5
+    x = np.arange(width, dtype=np.int64) % 8
+    y = np.arange(height, dtype=np.int64) % 8
+    plane = base + ax * x[None, :] + by * y[:, None]
+    if gray:
+        return encode_jpeg(plane.astype(np.uint8), quality=quality)
+    px = np.stack([plane + 9 * c for c in range(3)], axis=-1)
+    return encode_jpeg(px.astype(np.uint8), quality=quality)
+
+
+def synth_pixels(width: int, height: int, seed: int, gray: bool = False):
+    """The exact source pixels ``make_jpeg`` encodes (for error bounds)."""
+    import numpy as np
+
+    base = 32 + (seed * 37) % 64
+    ax = 1 + seed % 3
+    by = 1 + seed % 5
+    x = np.arange(width, dtype=np.int64) % 8
+    y = np.arange(height, dtype=np.int64) % 8
+    plane = base + ax * x[None, :] + by * y[:, None]
+    if gray:
+        return plane.astype(np.uint8)
+    return np.stack([plane + 9 * c for c in range(3)], axis=-1).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, honouring byte
+    stuffing (FF 00 -> literal FF) and stopping at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside entropy stream")
+            self._acc = byte
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, ssss: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map magnitude bits back to a signed value."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline sequential JFIF/JPEG. Returns
+    ``(width, height, ncomp, pixels)`` with pixels an (H, W, ncomp) or
+    (H, W) uint8 array. Supports 8-bit baseline, 1 or 3 components, 1x1
+    sampling (4:4:4) — exactly what ``encode_jpeg`` emits, and the honest
+    gate for anything else."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan_comps = None
+    data_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                zz_tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.float64)
+                nat = np.empty(64, dtype=np.float64)
+                nat[np.array(_ZIGZAG)] = zz_tbl  # de-zigzag into natural order
+                quant[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError("chroma subsampling not supported on decode")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic) not supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nvals])
+                codes = _build_codes(bits, vals)
+                huff[(tc, th)] = {(length, code): sym for sym, (code, length) in codes.items()}
+                p += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            data_start = pos + seglen
+            break
+        pos += seglen
+    if frame is None or scan_comps is None or data_start is None:
+        raise ValueError("missing SOF0/SOS")
+
+    h, w, comps = frame
+    ncomp = len(comps)
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    n_blocks = (h8 // 8) * (w8 // 8)
+    comp_quant = []
+    comp_dc = []
+    comp_ac = []
+    for (cid, tq), (scid, td, ta) in zip(comps, scan_comps):
+        if cid != scid:
+            raise ValueError("scan/frame component order mismatch")
+        comp_quant.append(quant[tq])
+        comp_dc.append(huff[(0, td)])
+        comp_ac.append(huff[(1, ta)])
+
+    reader = _BitReader(payload, data_start)
+    coeffs = [np.zeros((n_blocks, 64), dtype=np.float64) for _ in range(ncomp)]
+    pred = [0] * ncomp
+    for b in range(n_blocks):
+        for ci in range(ncomp):
+            blk = coeffs[ci][b]
+            ssss = _decode_huffman(reader, comp_dc[ci])
+            diff = _extend(reader.receive(ssss), ssss)
+            pred[ci] += diff
+            blk[0] = pred[ci]
+            k = 1
+            while k < 64:
+                sym = _decode_huffman(reader, comp_ac[ci])
+                if sym == 0x00:  # EOB
+                    break
+                run, ssss = sym >> 4, sym & 0x0F
+                if ssss == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                blk[k] = _extend(reader.receive(ssss), ssss)
+                k += 1
+
+    cmat = _dct_matrix()
+    zz = np.array(_ZIGZAG)
+    planes = []
+    for ci in range(ncomp):
+        nat = np.zeros((n_blocks, 64), dtype=np.float64)
+        nat[:, zz] = coeffs[ci]  # de-zigzag
+        blocks = nat.reshape(-1, 8, 8) * comp_quant[ci][None, :, :]
+        spatial = np.einsum("ji,njk,kl->nil", cmat, blocks, cmat) + 128.0
+        planes.append(_from_blocks(spatial, h8, w8)[:h, :w])
+
+    if ncomp == 1:
+        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px
+    if ncomp == 3:
+        ycc = np.stack(planes, axis=-1)
+        return w, h, 3, _ycbcr_to_rgb(ycc)
+    raise NotImplementedError(f"{ncomp}-component JPEG not supported")
