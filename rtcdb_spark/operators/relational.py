@@ -367,14 +367,18 @@ def skyline_2d(
     be collapsed before the scan — the caller gets them back by re-joining,
     or aggregates them into the distinct step as this helper's `df` input.
     """
-    # `pts` feeds two plan branches (scanned + totals). Persist it so the
-    # partition-id stamp is computed exactly once: the stitch is only sound
-    # if both branches see identical _pid assignments, and recomputation
-    # could diverge if the upstream frame were nondeterministic (ADVICE r3).
+    # `pts` feeds two plan branches (scanned + totals); the partition-id
+    # stamp must be computed exactly once (the stitch is only sound if both
+    # branches see identical _pid assignments — ADVICE r3). An eager
+    # localCheckpoint materializes it once and truncates lineage; unlike
+    # `.persist()` (whose CacheManager entry outlives the query and leaks
+    # storage across invocations in a long-lived session — ADVICE r4), the
+    # checkpointed blocks are reclaimed by the ContextCleaner as soon as
+    # the returned plan is garbage collected.
     pts = (
         df.repartitionByRange(n_partitions, F.col(minimize))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w_run = (
         Window.partitionBy("_pid")

@@ -8,8 +8,8 @@ two-level scheme:
 
 1. range-repartition on the order key so partition boundaries respect the
    global order (equal keys co-locate), and stamp each row with its
-   partition id — computed ONCE (persisted) so every branch sees the same
-   assignment;
+   partition id — computed ONCE (eager localCheckpoint) so every branch
+   sees the same assignment;
 2. run the sequential operator per partition (parallel across partitions);
 3. reduce each partition to one summary row (sum / last value), prefix-scan
    those ``n_partitions`` rows in a single bounded-size task, and broadcast
@@ -41,10 +41,14 @@ def distributed_cumsum(
     """Inclusive global running SUM of each value column in ``order_col``
     order, as ``<prefix><name>`` columns, with no single-partition sort.
     """
+    # Eager localCheckpoint, not .persist(): the stamp must be computed once
+    # for both branches, but a CacheManager entry would outlive the query
+    # and accumulate across invocations (ADVICE r4); checkpointed blocks
+    # are GC-reclaimed with the returned plan.
     pts = (
         df.repartitionByRange(n_partitions, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w_local = (
         Window.partitionBy("_pid")
@@ -86,11 +90,12 @@ def distributed_lag(
     first row keeps NULL, matching ``F.lag`` semantics.
     """
     val = F.col(value_col) if isinstance(value_col, str) else value_col
+    # Eager localCheckpoint, not .persist() — see distributed_cumsum.
     pts = (
         df.withColumn("_v", val)
         .repartitionByRange(n_partitions, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w_local = Window.partitionBy("_pid").orderBy(order_col)
     scanned = pts.withColumn("_loc_prev", F.lag("_v").over(w_local)).withColumn(

@@ -348,7 +348,7 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_json_map",
     """
-    SELECT json_keys(props) AS prop_keys,
+    SELECT array_to_string(json_keys(props), ',') AS prop_keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
            COUNT(*) AS n
     FROM events
@@ -361,12 +361,19 @@ def fn_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed map path for JSON props (SURVEY C-VII map/json): `from_json` →
     MapType, then `map_keys` / `element_at` — the alternative to
     get_json_object when many fields are read (parse once, not per field).
-    Map parsing is JVM-side Jackson; no Python boundary."""
+    Map parsing is JVM-side Jackson; no Python boundary.
+
+    The key list is projected as ``array_join(map_keys(m), ',')`` — a scalar
+    string — because array/map-typed output columns break external result
+    canonicalizers (pandas cannot sort ndarray cells); see
+    tests/test_registry_hygiene.py's scalar-output guard for the
+    driver-window queries.
+    """
     e = load_table(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return (
         e.select(
-            F.map_keys(m).alias("prop_keys"),
+            F.array_join(F.map_keys(m), ",").alias("prop_keys"),
             (F.element_at(m, F.lit("k")) % 10).alias("k_mod"),
         )
         .groupBy("prop_keys", "k_mod")

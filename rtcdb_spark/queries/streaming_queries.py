@@ -329,14 +329,19 @@ def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="rtcdb_vsink_")
     table_root = f"{root}/table"
     stream_to_versioned(
-        read_events_stream(spark, sf_dir), table_root, f"{root}/cp1"
+        read_events_stream(spark, sf_dir), table_root, f"{root}/cp1",
+        app_id="vsink-writer",
     )
     vt = VersionedTable(spark, table_root)
     n_versions = len(vt.versions())
-    # Replay the whole stream with a fresh checkpoint: every batch id is
-    # already committed, so the log must not grow.
+    # Replay the whole stream as the SAME writer (same app_id, fresh
+    # checkpoint so availableNow re-delivers every batch): every
+    # (app_id, batch_id) txn is already committed, so the log must not
+    # grow. A different app_id WOULD re-commit — that is the writer-scoped
+    # idempotence contract (Delta txnAppId), unit-tested separately.
     stream_to_versioned(
-        read_events_stream(spark, sf_dir), table_root, f"{root}/cp2"
+        read_events_stream(spark, sf_dir), table_root, f"{root}/cp2",
+        app_id="vsink-writer",
     )
     assert len(vt.versions()) == n_versions, "replayed batches re-committed"
     out = (

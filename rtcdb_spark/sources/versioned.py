@@ -183,18 +183,30 @@ class VersionedTable:
         replaced: set,
         new_files: list[str],
         max_retries: int,
+        append_conflict=None,
     ) -> int | None:
         """Publish a content-rewrite commit computed against snapshot
-        ``head``. A lost race against a plain APPEND is safe: the retry
-        keeps the appended files (they cannot contain the rewritten rows).
-        A lost race against another REWRITE (optimize/merge/delete/
-        overwrite) is NOT mergeable — the other writer rewrote the same
-        rows into its own files, and naively keeping them would duplicate
-        content (found by the thread-chaos test: two concurrent optimizes
-        doubled the table). In that case the staged files are discarded
-        and ``None`` is returned so the caller RESTARTS against the new
+        ``head``. A lost race against a plain APPEND is usually safe: the
+        retry keeps the appended files. But an append is only mergeable if
+        the rewrite's semantics don't cover its rows — ``merge_upsert``
+        passes ``append_conflict(appended_files) -> bool`` to detect an
+        intervening append that contains one of the merge's keys (both the
+        appended row and the upserted row would survive, duplicating the
+        key — a state no serial order produces). A lost race against
+        another REWRITE (optimize/merge/delete/overwrite) is never
+        mergeable — the other writer rewrote the same rows into its own
+        files, and naively keeping them would duplicate content (found by
+        the thread-chaos test: two concurrent optimizes doubled the
+        table). In either conflict case the staged files are discarded and
+        ``None`` is returned so the caller RESTARTS against the new
         head."""
         import shutil
+
+        def _abandon():
+            txn_dirs = {os.path.dirname(f) for f in new_files}
+            for dstage in txn_dirs:
+                shutil.rmtree(os.path.join(self.root, dstage), ignore_errors=True)
+            return None
 
         for _ in range(max_retries):
             prev = self.latest_version()
@@ -203,10 +215,16 @@ class VersionedTable:
                 for v in range(head + 1, prev + 1)
             ):
                 # concurrent content rewrite: abandon this attempt's files
-                txn_dirs = {os.path.dirname(f) for f in new_files}
-                for dstage in txn_dirs:
-                    shutil.rmtree(os.path.join(self.root, dstage), ignore_errors=True)
-                return None
+                return _abandon()
+            if append_conflict is not None and prev > head:
+                base = set(self._read_manifest(head)["files"])
+                appended = [
+                    f
+                    for f in self._read_manifest(prev)["files"]
+                    if f not in base
+                ]
+                if appended and append_conflict(appended):
+                    return _abandon()
             version = prev + 1
             pm = self._read_manifest(prev)
             survivors = [f for f in pm["files"] if f not in replaced]
@@ -281,14 +299,20 @@ class VersionedTable:
         touches a sliver of files.
 
         Published as op ``merge`` via the same conditional-put as
-        ``commit``; racing APPENDS survive the retry (appends cannot
-        contain the rewritten keys' OLD versions — they are new files);
-        a racing content REWRITE is detected and this merge restarts
-        against the new head (see ``_publish_rewrite``). Note that two
-        writers upserting the SAME key still serialize by version order —
-        last-committed wins, which is the row-level semantics, not a
-        corruption. ``changes()`` refuses ranges crossing a merge
-        (rewritten files carry old rows).
+        ``commit``. Racing writers are SERIALIZABLE: a racing content
+        REWRITE, or a racing APPEND whose rows contain one of this merge's
+        keys, is detected in ``_publish_rewrite`` (the appended files are
+        semi-joined against the source keys — O(appended files), not
+        O(table)) and the merge RESTARTS against the new head; a racing
+        append with disjoint keys is kept as-is. Two writers upserting the
+        SAME key therefore serialize by version order — last-committed
+        wins, the row-level SCD1 semantics. ``changes()`` refuses ranges
+        crossing a merge (rewritten files carry old rows).
+
+        The source key set is joined WITHOUT a forced broadcast — AQE
+        broadcasts it when it is small (the typical upsert batch) and
+        falls back to a shuffle join for a table-sized merge source, so a
+        huge source cannot OOM the driver.
 
         Semantics: for a key present in both, ``source`` wins (SCD1). If
         ``source`` holds several rows per key, deduplicate it first —
@@ -299,6 +323,16 @@ class VersionedTable:
         if dup:
             raise ValueError("merge_upsert source has duplicate keys; reduce first")
 
+        src_keys = source.select(*keys).distinct()
+
+        def _append_conflict(appended_rel: list[str]) -> bool:
+            appended_df = self.spark.read.parquet(
+                *[os.path.join(self.root, f) for f in appended_rel]
+            )
+            return (
+                appended_df.join(src_keys, keys, "left_semi").limit(1).count() > 0
+            )
+
         for _ in range(8):
             head = self.latest_version()
             if head is None:
@@ -306,9 +340,7 @@ class VersionedTable:
             snap = self.read(head).withColumn("_file", F.input_file_name())
             matched_files_abs = [
                 r._file
-                for r in snap.join(
-                    F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
-                )
+                for r in snap.join(src_keys, keys, "left_semi")
                 .select("_file")
                 .distinct()
                 .collect()
@@ -327,9 +359,9 @@ class VersionedTable:
                 old_rows = self.spark.read.parquet(
                     *[os.path.join(self.root, f) for f in rewritten]
                 )
-                survivors = old_rows.join(
-                    F.broadcast(source.select(*keys).distinct()), keys, "left_anti"
-                ).select(*cols)
+                survivors = old_rows.join(src_keys, keys, "left_anti").select(
+                    *cols
+                )
                 merged = survivors.unionByName(source.select(*cols))
             else:
                 merged = source.select(*cols)
@@ -341,7 +373,12 @@ class VersionedTable:
                 if f.endswith(".parquet")
             )
             v = self._publish_rewrite(
-                head, "merge", set(rewritten), new_files, max_retries
+                head,
+                "merge",
+                set(rewritten),
+                new_files,
+                max_retries,
+                append_conflict=_append_conflict,
             )
             if v is not None:
                 return v
@@ -357,7 +394,14 @@ class VersionedTable:
         prior versions still readable until ``vacuum`` — which is what
         actually destroys the bytes, so `delete` + `vacuum(keep_last=1)`
         is the full erasure procedure. Op ``delete`` blocks `changes()`
-        ranges like every rewrite. Returns the new version."""
+        ranges like every rewrite. Returns the new version.
+
+        SQL tri-state semantics (Delta/Iceberg DELETE): a row is deleted
+        only when the predicate evaluates to TRUE; FALSE **and NULL** rows
+        survive. Both the matched-file detection and the rewrite filter use
+        ``(pred) IS TRUE`` / ``NOT (pred) OR (pred) IS NULL`` so a NULL
+        predicate can neither select a file for rewrite nor silently drop
+        rows from a rewritten file."""
         from pyspark.sql import functions as F
 
         for _ in range(8):
@@ -367,7 +411,10 @@ class VersionedTable:
             snap = self.read(head).withColumn("_file", F.input_file_name())
             matched_abs = [
                 r._file
-                for r in snap.filter(predicate).select("_file").distinct().collect()
+                for r in snap.filter(f"({predicate}) IS TRUE")
+                .select("_file")
+                .distinct()
+                .collect()
             ]
             src_manifest = self._read_manifest(head)
             rewritten = [
@@ -380,7 +427,7 @@ class VersionedTable:
                     self.spark.read.parquet(
                         *[os.path.join(self.root, f) for f in rewritten]
                     )
-                    .filter(f"NOT ({predicate})")
+                    .filter(f"NOT ({predicate}) OR ({predicate}) IS NULL")
                 )
                 txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
                 keep.write.mode("error").parquet(os.path.join(self.root, txn_dir))
@@ -595,9 +642,23 @@ class VersionedTable:
 
     # -- retention ---------------------------------------------------------
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(
+        self, keep_last: int = 1, retention_seconds: float = 7 * 86400
+    ) -> int:
         """Drop all but the last ``keep_last`` versions and delete data files
-        no kept manifest references. Returns number of files deleted."""
+        no kept manifest references. Returns number of files deleted.
+
+        ``retention_seconds`` (default 7 days, Delta's default) guards the
+        multi-writer race: a concurrent commit/merge/optimize stages its
+        files in a ``txn-*`` dir BEFORE publishing a manifest, so an
+        unreferenced-but-recent staging dir may be an in-flight
+        transaction — deleting it would publish a manifest pointing at
+        missing files. Staging dirs (and stray files) whose mtime is
+        younger than the retention window are skipped; pass
+        ``retention_seconds=0`` only when no writer can be concurrent
+        (e.g. single-process tests / offline maintenance)."""
+        import time
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
@@ -605,14 +666,32 @@ class VersionedTable:
         referenced = set()
         for v in keep:
             referenced.update(self._read_manifest(v)["files"])
+        now = time.time()
         deleted = 0
         data_root = os.path.join(self.root, _DATA_DIR)
         for commit_name in os.listdir(data_root):
             commit_dir = os.path.join(data_root, commit_name)
-            for f in os.listdir(commit_dir):
+            dir_rels = {
+                os.path.join(_DATA_DIR, commit_name, f)
+                for f in os.listdir(commit_dir)
+            }
+            if not (dir_rels & referenced):
+                # No kept manifest references anything in this dir: it is
+                # either reclaimable history or an IN-FLIGHT staging dir.
+                # Only age can tell them apart — honor the retention window.
+                try:
+                    age = now - os.path.getmtime(commit_dir)
+                except OSError:
+                    continue  # dir vanished (racing writer cleanup)
+                if age < retention_seconds:
+                    continue
+            for f in sorted(os.listdir(commit_dir)):
                 rel = os.path.join(_DATA_DIR, commit_name, f)
                 if f.endswith(".parquet") and rel not in referenced:
-                    os.remove(os.path.join(commit_dir, f))
+                    path = os.path.join(commit_dir, f)
+                    if now - os.path.getmtime(path) < retention_seconds:
+                        continue
+                    os.remove(path)
                     deleted += 1
             if not any(f.endswith(".parquet") for f in os.listdir(commit_dir)):
                 for f in os.listdir(commit_dir):

@@ -205,15 +205,25 @@ def stream_to_versioned(
     events: DataFrame,
     table_root: str,
     checkpoint_dir: str,
+    app_id: str | None = None,
 ) -> None:
     """Exactly-once streaming ingestion into the snapshot-versioned table:
     each micro-batch becomes one ACID commit in the `VersionedTable` log,
-    stamped with its batch id. Idempotence is end-to-end: if the driver
-    dies between a commit and the checkpoint write, Structured Streaming
-    replays the batch — the sink sees the batch id already in the commit
-    log and skips, so the table gains exactly one version per batch no
-    matter how many times a batch is delivered. (This is the Delta
-    `txnAppId`/`txnVersion` idempotent-writer pattern on our own log.)
+    stamped with its writer-scoped ``(app_id, batch_id)`` pair. Idempotence
+    is end-to-end: if the driver dies between a commit and the checkpoint
+    write, Structured Streaming replays the batch — the sink sees the
+    batch id already in the commit log and skips, so the table gains
+    exactly one version per batch no matter how many times a batch is
+    delivered. (This is the Delta `txnAppId`/`txnVersion`
+    idempotent-writer pattern on our own log.)
+
+    The idempotence key is scoped per WRITER: ``app_id`` defaults to the
+    checkpoint dir, which uniquely identifies a streaming query. Two
+    different queries writing to the same table both start at batch id 0 —
+    a bare batch-id key would silently skip the second query's batches as
+    "already committed" (data loss); the (app_id, batch_id) pair keeps
+    their ledgers independent, exactly why Delta's pattern includes
+    txnAppId.
 
     Downstream, every version is a consistent snapshot: readers time-travel
     or tail `changes(since)` to consume the stream's output incrementally
@@ -226,6 +236,8 @@ def stream_to_versioned(
     """
     from rtcdb_spark.sources.versioned import VersionedTable
 
+    app = app_id if app_id is not None else checkpoint_dir
+
     # One full manifest scan per RUN, then the cache absorbs this run's own
     # commits — the O(versions) metadata read happens once at (re)start,
     # not once per micro-batch. (Production logs checkpoint the latest txn
@@ -236,12 +248,15 @@ def stream_to_versioned(
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         vt = VersionedTable(batch_df.sparkSession, table_root)
         if not bootstrapped[0]:
-            seen.update(vt.committed_extras("batch_id"))
+            seen.update(vt.committed_extras("txn"))
             bootstrapped[0] = True
-        if batch_id in seen:
+        txn = f"{app}#{batch_id}"
+        if txn in seen:
             return  # replay after failure: already durable, skip
-        vt.commit(batch_df, extra={"batch_id": batch_id})
-        seen.add(batch_id)
+        vt.commit(
+            batch_df, extra={"txn": txn, "app_id": app, "batch_id": batch_id}
+        )
+        seen.add(txn)
 
     q = (
         events.select("event_id", "ts", "user_id", "event_type", "value")

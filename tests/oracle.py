@@ -95,12 +95,39 @@ def compare(spark_cols, spark_rows, duck_cols, duck_rows, name: str) -> None:
     assert not mismatches, f"{name}: value mismatches:\n" + "\n".join(mismatches)
 
 
+def _assert_driver_window_scalar_schema(name: str, sdf) -> None:
+    """Driver-window queries must return only scalar-typed columns.
+
+    The external driver canonicalizes results with a pandas sort before
+    hashing; array/map/struct cells raise ``TypeError: unhashable type``
+    there and record the row as `err` regardless of correctness (this burned
+    rounds 2 and 4 — `fn_json_map`). Non-window registry queries may still
+    return complex types (the local mirror handles them).
+    """
+    import __spark_entry__ as entry
+    from pyspark.sql import types as T
+
+    if name not in entry._PRIORITY:
+        return
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} is in the driver window but returns complex-typed columns "
+        f"{complex_cols}; project them to scalars (e.g. array_join) — the "
+        "driver canonicalizer cannot sort them"
+    )
+
+
 def check_query(spark, name: str, sf_dir: str) -> int:
     """Run query `name` both ways and compare. Returns the row count."""
     from rtcdb_spark.queries import REGISTRY
 
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
+    _assert_driver_window_scalar_schema(name, sdf)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
     if q.oracle is None:

@@ -206,7 +206,7 @@ def test_versioned_table_matches_model(spark, script):
         for v, want in enumerate(snapshots):
             got = sorted(r["v"] for r in vt.read(v).collect())
             assert got == want, f"version {v}"
-        vt.vacuum(keep_last=1)
+        vt.vacuum(keep_last=1, retention_seconds=0)
         got = sorted(r["v"] for r in vt.read().collect())
         assert got == snapshots[-1]
         assert vt.versions() == [len(snapshots) - 1]

@@ -322,3 +322,41 @@ def test_read_snapshot_missing_is_none_but_corrupt_raises(spark, tmp_path):
 
     with _pytest.raises(Exception):
         _read_snapshot(spark, str(bad)).collect()
+
+
+def test_versioned_sink_idempotence_is_writer_scoped(
+    spark, sf_smoke, stream_dir, tmp_path
+):
+    """ADVICE r4 low: the versioned sink's idempotence key must include an
+    app id. Same writer replaying (same app_id, fresh checkpoint) is
+    skipped; a DIFFERENT writer with its own batch-id sequence must NOT be
+    skipped — a bare batch-id key silently dropped the second stream."""
+    from rtcdb_spark.sources.versioned import VersionedTable
+    from rtcdb_spark.streaming.sinks import stream_to_versioned
+
+    def _stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+
+    table = str(tmp_path / "table")
+    stream_to_versioned(_stream(), table, str(tmp_path / "cp1"), app_id="w1")
+    vt = VersionedTable(spark, table)
+    n1 = len(vt.versions())
+    rows1 = vt.read().count()
+
+    # replay as the SAME writer: no growth
+    stream_to_versioned(_stream(), table, str(tmp_path / "cp2"), app_id="w1")
+    assert len(vt.versions()) == n1
+
+    # a DIFFERENT writer also starting at batch 0 must commit its batches
+    stream_to_versioned(_stream(), table, str(tmp_path / "cp3"), app_id="w2")
+    assert len(vt.versions()) == 2 * n1
+    assert vt.read().count() == 2 * rows1
+
+    # default app_id is the checkpoint dir: a fourth run with a fresh
+    # checkpoint and no explicit app_id is a new writer, not a replay
+    stream_to_versioned(_stream(), table, str(tmp_path / "cp4"))
+    assert len(vt.versions()) == 3 * n1

@@ -55,7 +55,7 @@ def test_vacuum_drops_unreferenced_files(spark, vt):
     vt.commit(_batch(spark, 0, 5))
     vt.commit(_batch(spark, 100, 103), mode="overwrite")
     expected = _rows(_batch(spark, 100, 103))
-    deleted = vt.vacuum(keep_last=1)
+    deleted = vt.vacuum(keep_last=1, retention_seconds=0)
     assert deleted > 0  # version 0's files were unreferenced
     assert _rows(vt.read()) == expected  # latest survives vacuum
     with pytest.raises(ValueError):
@@ -77,7 +77,7 @@ def test_vacuum_keeps_shared_files_of_kept_versions(spark, vt):
     vt.commit(_batch(spark, 0, 5))
     vt.commit(_batch(spark, 5, 8))
     vt.commit(_batch(spark, 8, 9))
-    vt.vacuum(keep_last=2)  # keeps v1 and v2; v0's files are shared with v1
+    vt.vacuum(keep_last=2, retention_seconds=0)  # keeps v1 and v2; v0's files are shared with v1
     assert _rows(vt.read(1)) == _rows(_batch(spark, 0, 8))
     assert _rows(vt.read(2)) == _rows(_batch(spark, 0, 9))
 
@@ -212,7 +212,7 @@ class TestOptimize:
         # prior versions still time-travel
         assert sorted(r.k for r in t.read(1).collect()) == list(range(20))
         # vacuum reclaims the pre-optimize files
-        deleted = t.vacuum(keep_last=1)
+        deleted = t.vacuum(keep_last=1, retention_seconds=0)
         assert deleted >= len(pre) - len(post["files"]) - 1
         assert sorted(r.k for r in t.read().collect()) == list(range(40))
         # only the kept manifest's files remain on disk
@@ -349,7 +349,7 @@ class TestDelete:
         assert got == [k for k in range(100) if not (10 <= k < 20)]
         # time travel still shows the rows until vacuum destroys them
         assert t.read(head).filter("k = 15").count() == 1
-        t.vacuum(keep_last=1)
+        t.vacuum(keep_last=1, retention_seconds=0)
         import pytest
 
         with pytest.raises(ValueError):
@@ -398,7 +398,7 @@ class TestClone:
         assert sorted(r.k for r in src.read().collect()) == list(range(20))
 
         # clone vacuum never deletes source files
-        dev.vacuum(keep_last=1)
+        dev.vacuum(keep_last=1, retention_seconds=0)
         assert sorted(r.k for r in src.read().collect()) == list(range(20))
 
     def test_clone_at_version_and_occupied_dest_rejected(self, spark, tmp_path):
@@ -569,3 +569,157 @@ class TestDataSkipping:
         keep, total = dev.plan_files("k", 0, 5)
         assert len(keep) < total
         assert sorted(r.k for r in dev.read_pruned("k", 0, 5).collect()) == list(range(6))
+
+
+class TestAdviceR4Fixes:
+    """Regression tests for the round-4 ADVICE findings."""
+
+    def test_delete_keeps_null_predicate_rows(self, spark, tmp_path):
+        """SQL tri-state DELETE: rows where the predicate is NULL survive,
+        both in rewritten files and in untouched files (ADVICE r4 high —
+        NOT(NULL)=NULL used to silently drop them from rewritten files)."""
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        # file A: one matching row + one NULL row (gets rewritten);
+        # file B: no matching rows + one NULL row (carried over untouched)
+        t.commit(
+            spark.createDataFrame([(1, 150), (2, None)], "k int, val int")
+            .coalesce(1)
+        )
+        t.commit(
+            spark.createDataFrame([(3, 10), (4, None)], "k int, val int")
+            .coalesce(1)
+        )
+        v = t.delete("val >= 100")
+        got = sorted(
+            (r.k, r.val) for r in t.read(v).collect()
+        )
+        assert got == [(2, None), (3, 10), (4, None)], (
+            "NULL-predicate rows must survive DELETE like in Delta/Iceberg"
+        )
+
+    def test_delete_null_only_file_not_rewritten(self, spark, tmp_path):
+        """A file whose rows all evaluate the predicate to NULL/FALSE is
+        not selected for rewrite (pred IS TRUE matched-file detection)."""
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(
+            spark.createDataFrame([(1, None), (2, None)], "k int, val int")
+            .coalesce(1)
+        )
+        pre = t._read_manifest(0)["files"]
+        v = t.delete("val >= 100")
+        m = t._read_manifest(v)
+        assert m["files"] == pre and m["n_added"] == 0
+        assert t.read(v).count() == 2
+
+    def test_vacuum_spares_recent_staging_dir(self, spark, tmp_path):
+        """An unreferenced txn-* dir younger than the retention window is an
+        in-flight writer's staging area — vacuum must not touch it
+        (ADVICE r4 medium)."""
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(_batch(spark, 0, 5))
+        t.commit(_batch(spark, 100, 103), mode="overwrite")
+        # simulate a concurrent writer mid-commit: staged but unpublished
+        stage = os.path.join(t.root, "data", "txn-inflight")
+        os.makedirs(stage)
+        spark.range(3).write.mode("overwrite").parquet(stage)
+        staged = {
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        }
+        deleted = t.vacuum(keep_last=1)  # default 7-day retention
+        # nothing is old enough to reclaim — neither history nor staging
+        assert deleted == 0
+        assert staged <= set(os.listdir(stage))
+        # explicit retention 0 (offline maintenance) reclaims both
+        deleted = t.vacuum(keep_last=1, retention_seconds=0)
+        assert deleted > 0
+        assert not os.path.exists(stage)
+        assert _rows(t.read()) == _rows(_batch(spark, 100, 103))
+
+    def test_merge_restarts_on_racing_append_with_same_key(
+        self, spark, tmp_path
+    ):
+        """A merge that loses the race to an append containing one of its
+        keys must NOT keep both rows (ADVICE r4 medium: the duplicate-key
+        state no serial order produces). The conflict detection semi-joins
+        the intervening appended files against the source keys and
+        restarts the merge against the new head."""
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+        head = t.latest_version()
+        src = spark.createDataFrame([(2, "B2"), (5, "E")], "k int, v string")
+
+        # Interleave: publish an append with key 2 AFTER the merge read its
+        # snapshot. We simulate by staging the merge manually via the same
+        # internal path the real race exercises: commit the append first,
+        # then call merge_upsert — whose first attempt reads the NEW head,
+        # so to force the stale-head path we call _publish_rewrite directly
+        # with the OLD head and assert it refuses.
+        t.commit(spark.createDataFrame([(2, "b-race")], "k int, v string"))
+
+        def conflict(appended_rel):
+            appended = spark.read.parquet(
+                *[os.path.join(t.root, f) for f in appended_rel]
+            )
+            return (
+                appended.join(
+                    src.select("k").distinct(), ["k"], "left_semi"
+                ).limit(1).count()
+                > 0
+            )
+
+        stage = os.path.join("data", "txn-mergetest")
+        os.makedirs(os.path.join(t.root, stage))
+        src.write.mode("overwrite").parquet(os.path.join(t.root, stage))
+        new_files = sorted(
+            os.path.join(stage, f)
+            for f in os.listdir(os.path.join(t.root, stage))
+            if f.endswith(".parquet")
+        )
+        v = t._publish_rewrite(
+            head, "merge", set(), new_files, 8, append_conflict=conflict
+        )
+        assert v is None, "merge must refuse to publish over a same-key append"
+        # the staged files were discarded
+        assert not os.path.exists(os.path.join(t.root, stage))
+
+        # the end-to-end path converges: merge after the append sees the
+        # new head and rewrites the raced key — exactly one row per key
+        t.merge_upsert(src, ["k"])
+        got = sorted((r.k, r.v) for r in t.read().collect())
+        assert got == [(1, "a"), (2, "B2"), (5, "E")]
+
+    def test_merge_keeps_disjoint_racing_append(self, spark, tmp_path):
+        """A racing append with DISJOINT keys is mergeable — publish
+        proceeds and the appended rows survive."""
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.commit(spark.createDataFrame([(1, "a")], "k int, v string"))
+        head = t.latest_version()
+        src = spark.createDataFrame([(1, "A")], "k int, v string")
+        t.commit(spark.createDataFrame([(9, "z")], "k int, v string"))
+
+        def conflict(appended_rel):
+            appended = spark.read.parquet(
+                *[os.path.join(t.root, f) for f in appended_rel]
+            )
+            return (
+                appended.join(
+                    src.select("k").distinct(), ["k"], "left_semi"
+                ).limit(1).count()
+                > 0
+            )
+
+        replaced = set(t._read_manifest(head)["files"])
+        stage = os.path.join("data", "txn-mergeok")
+        os.makedirs(os.path.join(t.root, stage))
+        src.write.mode("overwrite").parquet(os.path.join(t.root, stage))
+        new_files = sorted(
+            os.path.join(stage, f)
+            for f in os.listdir(os.path.join(t.root, stage))
+            if f.endswith(".parquet")
+        )
+        v = t._publish_rewrite(
+            head, "merge", replaced, new_files, 8, append_conflict=conflict
+        )
+        assert v is not None
+        got = sorted((r.k, r.v) for r in t.read(v).collect())
+        assert got == [(1, "A"), (9, "z")]
