@@ -56,11 +56,24 @@ _PRIORITY = [
     # similarity_mmr_rerank, orders_survival_curve, fn_math, fn_conditional,
     # part_pareto_skyline, funnel_conversion, rollup_cascade,
     # dedup_semantic_clusters.
-    # C-II scan/filter/project + C-I sources
+    # (wave 11, round 5 per VERDICT r4 items 3+7): rotate the
+    # never-driver-confirmed survivors plus the round-5 JPEG flagship into
+    # the window — IN: stream_join_left_outer (C-VIII stream-stream),
+    # text_bpe_tokenize (C-IX trained BPE, rows-only by design), agg_rollup
+    # (C-III grouping sets), window_ranking (C-VI ranking), join_semi
+    # (C-IV semi/anti), fn_array (C-VII array), fn_math (C-VII math),
+    # versioned_data_skipping (C-I manifest stats pruning),
+    # multimodal_jpeg_decode (C-IX compressed decode, new this round).
+    # OUT (all r4 driver-green; every family keeps >=1 green rep):
+    # source_json_roundtrip, agg_count_distinct, distinct_values,
+    # window_lag_lead, fn_datetime, fn_url, stream_running_totals,
+    # text_importance_resample, udf_udtf_tokenize.
+    # C-II scan/filter/project + C-I sources (versioned read path gets its
+    # driver slot)
     "q1_pricing_summary", "scan_filter_project",
     "source_csv_roundtrip", "source_rtcdb_native_roundtrip",
     "source_rtcdb_pruned_scan", "source_rtcdb_string_scan",
-    "source_json_roundtrip",
+    "versioned_data_skipping",
     # (wave 10, round 4): swap four doubly-green entries for the round-4
     # capability flagships, all sf0.01 driver-sim green this session —
     # agg_collect_array -> versioned_merge_upsert (copy-on-write MERGE),
@@ -70,33 +83,35 @@ _PRIORITY = [
     # Families keep >=1 green rep: aggregates (count_distinct, percentiles),
     # similarity (cosine, ivf), multimodal (decode_meta), graph (pagerank,
     # triangle, lpa).
-    # C-III aggregates
-    "agg_count_distinct", "agg_weighted_percentiles",
-    # C-IV joins (as-of family represented by the forward direction)
-    "join_asof_forward",
+    # C-III aggregates (rollup/grouping-sets slot)
+    "agg_rollup", "agg_weighted_percentiles",
+    # C-IV joins (semi/anti gets its driver slot)
+    "join_asof_forward", "join_semi",
     # timeseries resampling (family's driver-window rep)
     "timeseries_resample_interp",
-    # C-V sort / set / distinct
-    "sort_multi_key_limit", "set_intersect_all", "distinct_values",
-    # C-VI windows
-    "window_lag_lead", "window_running_frames",
-    # C-VII scalar functions (json/map family gets its driver slot)
-    "fn_string", "fn_datetime", "fn_url", "fn_json_map",
+    # C-V sort / set
+    "sort_multi_key_limit", "set_intersect_all",
+    # C-VI windows (ranking slot)
+    "window_ranking", "window_running_frames",
+    # C-VII scalar functions (array + math slots; json/map keeps its slot
+    # for the round-5 scalar-projection fix)
+    "fn_string", "fn_array", "fn_math", "fn_json_map",
     # C-VIII event-time (batch)
     "window_tumbling", "window_session",
-    # C-VIII streaming (stateful dedup gets its driver slot)
-    "stream_window_tumbling", "stream_running_totals", "stream_dedup_count",
-    # C-IX text pipeline
-    "text_token_count", "text_importance_resample",
+    # C-VIII streaming (stream-stream join gets its driver slot)
+    "stream_window_tumbling", "stream_join_left_outer", "stream_dedup_count",
+    # C-IX text pipeline (trained BPE gets its rows-only driver slot)
+    "text_token_count", "text_bpe_tokenize",
     # C-IX dedup (exact dedup gets its driver slot)
     "dedup_exact", "dedup_connected_groups_star", "dedup_simhash_probe",
     "dedup_span_fraction",
     # C-IX similarity / ANN / embedding ops
     "similarity_cosine_topk", "similarity_ivf_topk",
-    # C-IX multimodal
+    # C-IX multimodal (JPEG decode, new round 5)
     "multimodal_decode_meta", "multimodal_png_decode",
-    # C-X UDFs (UDAF gets its driver slot)
-    "udf_pandas_scalar", "udf_udtf_tokenize", "udf_grouped_agg",
+    "multimodal_jpeg_decode",
+    # C-X UDFs
+    "udf_pandas_scalar", "udf_grouped_agg",
     # C-IX LLM pipeline
     "text_bm25_search", "text_contamination",
     # sketches / warehouse / reshape / analytics / graph / profiling
