@@ -80,7 +80,10 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_clique: int = 256
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_clique: int = 256,
+    connectivity_only: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -107,7 +110,18 @@ def lsh_candidate_pairs(
     O(bucket) — 8 bytes/doc, linear and spill-safe; it is the quadratic
     pair blowup that kills at scale, and that is what the cap removes.
     Results are bit-identical to uncapped expansion whenever no bucket
-    exceeds max_clique. Dedup across bands keeps each pair once."""
+    exceeds max_clique. Dedup across bands keeps each pair once.
+
+    ``connectivity_only=True`` (round 5 — the threshold switch SCALE.md's
+    100x rung designed for extreme duplicate multiplicity): every bucket
+    emits ONLY star links to its min id — O(bucket) pairs total, never any
+    clique. The pair set is no longer the verifiable near-dup pair list,
+    but it has the SAME transitive closure (every member stays connected
+    through the anchor), so connected-components grouping is unchanged
+    while pair emission drops from O(m²) to O(m) per duplicate cluster of
+    multiplicity m — the one superlinear path the measured 100x stress
+    rung identified. Use it when the goal is dedup GROUPING at extreme
+    multiplicity; keep the default for pair-level similarity reporting."""
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -139,7 +153,17 @@ def lsh_candidate_pairs(
     # bound once via the one-element transform(array(...)) wrapper (SQL has
     # no `let`). Normal buckets expand all pairs straight off the unsorted
     # set; pair orientation is normalized with least/greatest either way.
-    pair_expr = f"""
+    if connectivity_only:
+        # Star links only: anchor = bucket min id, one link per other
+        # member. array_min binds the anchor once; id_a < id_b holds by
+        # construction since the anchor is the minimum.
+        pair_expr = """
+            filter(transform(ids, b -> struct(array_min(ids) AS id_a,
+                                              b AS id_b)),
+                   p -> p.id_a != p.id_b)
+        """
+    else:
+        pair_expr = f"""
         CASE WHEN size(ids) <= {max_clique} THEN
             flatten(transform(ids, (a, i) ->
                 transform(slice(ids, i + 2, size(ids) - i - 1),
@@ -154,7 +178,7 @@ def lsh_candidate_pairs(
                               b -> struct(s[0] AS id_a, b AS id_b))
                 ))[0]
         END
-    """
+        """
     return (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -314,6 +338,7 @@ def simhash_hamming_pairs(
     max_hamming: int = SIMHASH_PROBE_RADIUS,
     id_col: str = "doc_id",
     max_clique: int = 256,
+    connectivity_only: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming ≤ max_hamming) from 64-bit
     SimHash signatures via banded multi-probe.
@@ -338,7 +363,16 @@ def simhash_hamming_pairs(
     oversized and whose distance to the bucket min exceeds the radius can
     be missed — pigeonhole-exact recall at r ≤ max_hamming is guaranteed
     only while no matching band bucket exceeds max_clique. Bit-identical
-    to the uncapped expansion whenever buckets fit the cap."""
+    to the uncapped expansion whenever buckets fit the cap.
+
+    ``connectivity_only=True``: every bucket emits only Hamming-verified
+    star probes against its min-id doc — O(bucket) pairs, the grouping-
+    preserving threshold switch for extreme duplicate multiplicity (see
+    ``lsh_candidate_pairs``). Recall caveat as with beyond-cap links:
+    a pair is connected only through anchors within the radius — exact
+    for the motivating case (identical/near-identical signature floods,
+    hamming 0 to the anchor), approximate for a genuinely diverse bucket
+    whose members straddle the anchor's radius."""
     lo, hi = F.col("sim_lo"), F.col("sim_hi")
     mask = F.lit(0xFFFF)
     band_vals = [
@@ -374,7 +408,16 @@ def simhash_hamming_pairs(
     # oversized buckets (lazy ELSE branch, bound once via the one-element
     # transform(array(...)) wrapper); normal buckets pair straight off the
     # unsorted set and orientation is normalized downstream.
-    pair_expr = f"""
+    if connectivity_only:
+        # Star probes only: anchor = min-id doc (struct sort order leads
+        # with `id`), one Hamming-verified link per other member.
+        pair_expr = """
+            filter(transform(docs, b -> struct(array_min(docs) AS da,
+                                               b AS db)),
+                   p -> p.da.id != p.db.id)
+        """
+    else:
+        pair_expr = f"""
         CASE WHEN size(docs) <= {max_clique} THEN
             flatten(transform(docs, (a, i) ->
                 transform(slice(docs, i + 2, size(docs) - i - 1),
@@ -389,7 +432,7 @@ def simhash_hamming_pairs(
                               b -> struct(s[0] AS da, b AS db))
                 ))[0]
         END
-    """
+        """
     pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
         F.least(F.col("p.da.id"), F.col("p.db.id")).alias("id_a"),
         F.greatest(F.col("p.da.id"), F.col("p.db.id")).alias("id_b"),

@@ -1088,3 +1088,67 @@ class TestBpeProperties:
             assert "".join(apply_merges(w, m1)) == w + "</w>"
         # unseen words still segment validly
         assert "".join(apply_merges("dcba", m1)) == "dcba</w>"
+
+
+def test_connectivity_only_pairs_give_same_components(spark):
+    """VERDICT r4 item 6: the star-link threshold switch for extreme
+    duplicate multiplicity must preserve dedup GROUPING exactly — for
+    both the MinHash-LSH and SimHash pair generators, connectivity_only
+    mode yields the same connected components as the verified-clique
+    default on seeded duplicate corpora, while emitting O(m) instead of
+    O(m^2) pairs per multiplicity-m cluster."""
+    from pyspark.sql import functions as F
+
+    from rtcdb_spark.functions.dedup import (
+        connected_components_star,
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash64,
+        simhash_hamming_pairs,
+    )
+
+    # seeded corpus: 6 distinct base texts, multiplicities 1..40 (40 is
+    # the degenerate-bucket regime relative to max_clique=8 below)
+    bases = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long journey",
+        "how vexingly quick daft zebras jump over the sleeping fence",
+        "sphinx of black quartz judge my vow said the tired archivist",
+        "a completely different document about distributed spark engines",
+        "yet another unique text concerning columnar storage formats",
+    ]
+    mults = [1, 3, 5, 10, 25, 40]
+    rows = []
+    did = 0
+    for text, m in zip(bases, mults):
+        for _ in range(m):
+            rows.append((did, text))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def components(pairs_df):
+        cc = connected_components_star(pairs_df)
+        groups = {}
+        for r in cc.collect():
+            groups.setdefault(r.group_id, set()).add(r[0])
+        return {frozenset(v) for v in groups.values()}
+
+    # MinHash-LSH path
+    sigs = minhash_signatures(doc_shingles(docs))
+    clique_pairs = lsh_candidate_pairs(sigs, max_clique=8)
+    star_pairs = lsh_candidate_pairs(sigs, connectivity_only=True)
+    assert components(star_pairs) == components(clique_pairs)
+    # star mode emits O(m) pairs: for identical docs each band bucket is
+    # one cluster -> at most (m-1) links per band vs m(m-1)/2 cliques
+    n_star = star_pairs.count()
+    n_clique_uncapped = lsh_candidate_pairs(sigs, max_clique=10**6).count()
+    assert n_star < n_clique_uncapped
+    assert n_star <= sum(m - 1 for m in mults) + len(mults) * 4  # per-band slack
+
+    # SimHash path
+    ssigs = simhash64(docs)
+    s_clique = simhash_hamming_pairs(ssigs, max_clique=8)
+    s_star = simhash_hamming_pairs(ssigs, connectivity_only=True)
+    assert components(s_star) == components(s_clique)
+    assert s_star.count() < simhash_hamming_pairs(ssigs, max_clique=10**6).count()
