@@ -107,9 +107,11 @@ _PRIORITY = [
     "dedup_span_fraction",
     # C-IX similarity / ANN / embedding ops
     "similarity_cosine_topk", "similarity_ivf_topk",
-    # C-IX multimodal (JPEG decode, new round 5)
-    "multimodal_decode_meta", "multimodal_png_decode",
-    "multimodal_jpeg_decode",
+    # C-IX multimodal (JPEG decode + MP4 frame sampling, new round 5;
+    # decode_meta rotates out doubly-green, png_decode stays the family's
+    # green rep)
+    "multimodal_png_decode", "multimodal_jpeg_decode",
+    "multimodal_mp4_frame_sample",
     # C-X UDFs
     "udf_pandas_scalar", "udf_grouped_agg",
     # C-IX LLM pipeline

@@ -79,6 +79,10 @@ HEADLINE = [
     "multimodal_image_resize",
     "text_bpe_tokenize",
     "versioned_optimize_compact",
+    # round 5: baseline JPEG codec end-to-end; manifest-stats data skipping
+    # over the (now sharded) versioned commit log
+    "multimodal_jpeg_decode",
+    "versioned_data_skipping",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

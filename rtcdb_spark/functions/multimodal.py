@@ -311,15 +311,25 @@ def decode_audio(payload: bytes) -> dict[str, int]:
 
 
 def frame_sample(payload: bytes, every_n: int = 10) -> list[bytes]:
-    """Frame sampling: for WAV, returns every-nth PCM sample's bytes (the
-    audio analogue of video frame sampling — real, library-free); container
-    video formats require ffmpeg (not in this env)."""
+    """Frame sampling: for WAV, returns every-nth PCM sample's bytes; for
+    MP4/ISO-BMFF (round 5), resolves the stsz/stsc/stco sample tables and
+    slices every-nth ENCODED frame payload out of mdat
+    (`functions.mp4.sample_frames` — container arithmetic, no codec
+    needed; decoding the returned bytes still requires ffmpeg and stays
+    gated). Other container formats require ffmpeg (not in this env)."""
     if payload[:4] == b"RIFF":
         meta = decode_wav(payload)
         step = meta["bits"] // 8 * meta["channels"]
         data = payload[44 : 44 + meta["n_samples"] * step]
         return [data[i : i + step] for i in range(0, len(data), step * every_n)]
-    raise NotImplementedError("video frame sampling requires ffmpeg; not available here")
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from rtcdb_spark.functions.mp4 import sample_frames
+
+        return sample_frames(payload, every_n)
+    raise NotImplementedError(
+        "frame sampling for non-WAV/MP4 containers requires ffmpeg; "
+        "not available here"
+    )
 
 
 def attach_payload(df: DataFrame, text_col: str = "text", out: str = "payload") -> DataFrame:
@@ -770,6 +780,57 @@ def synth_and_jpeg_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             )
 
     return df.select(id_col).mapInPandas(process, JPEG_ROUNDTRIP_SCHEMA)
+
+
+MP4_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("fps", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("sampled_bytes", LongType()),
+        StructField("sampled_byte_sum", LongType()),
+    ]
+)
+
+
+def synth_and_mp4_frame_sample(
+    df: DataFrame, id_col: str = "doc_id", every_n: int = 3
+) -> DataFrame:
+    """Synthesize a valid minimal MP4 per row (seed-derived frame count,
+    sizes, and payload bytes), then run the real frame-sampling path —
+    ftyp check, moov box walk, stsz/stsc/stco resolution to absolute
+    offsets, every-nth mdat slice — inside one Arrow-batched `mapInPandas`
+    pass. The emitted sum over every sampled frame's sizes AND bytes is
+    the proof of correct offset arithmetic: one off-by-one in the chunk
+    walk and the byte sum diverges from the analytic oracle."""
+    from rtcdb_spark.functions.mp4 import make_mp4, parse_mp4
+    from rtcdb_spark.functions.multimodal import frame_sample as _fs
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in MP4_SAMPLE_SCHEMA.fields
+            }
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                n_frames = 5 + i % 20
+                payload = make_mp4(n_frames, seed=i)
+                meta = parse_mp4(payload)
+                frames = _fs(payload, every_n=every_n)
+                out["doc_id"].append(i)
+                out["n_frames"].append(meta["n_samples"])
+                out["fps"].append(meta["fps"])
+                out["duration_ms"].append(meta["duration_ms"])
+                out["n_sampled"].append(len(frames))
+                out["sampled_bytes"].append(sum(len(f) for f in frames))
+                out["sampled_byte_sum"].append(sum(sum(f) for f in frames))
+            yield pd.DataFrame(
+                {k: pd.array(v, dtype="Int64") for k, v in out.items()}
+            )
+
+    return df.select(id_col).mapInPandas(process, MP4_SAMPLE_SCHEMA)
 
 
 def resize_box2(px):

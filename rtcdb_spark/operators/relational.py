@@ -367,19 +367,16 @@ def skyline_2d(
     be collapsed before the scan — the caller gets them back by re-joining,
     or aggregates them into the distinct step as this helper's `df` input.
     """
-    # `pts` feeds two plan branches (scanned + totals); the partition-id
-    # stamp must be computed exactly once (the stitch is only sound if both
-    # branches see identical _pid assignments — ADVICE r3). An eager
-    # localCheckpoint materializes it once and truncates lineage; unlike
-    # `.persist()` (whose CacheManager entry outlives the query and leaks
-    # storage across invocations in a long-lived session — ADVICE r4), the
-    # checkpointed blocks are reclaimed by the ContextCleaner as soon as
-    # the returned plan is garbage collected.
-    pts = (
-        df.repartitionByRange(n_partitions, F.col(minimize))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    # `pts` feeds two plan branches (scanned + totals); the stitch is only
+    # sound if both branches see identical _pid assignments (ADVICE r3).
+    # Round 5: the bucket id is a DETERMINISTIC expression — quantile
+    # boundaries of `minimize` collected once and injected as literal
+    # comparisons — so both branches agree by construction with no
+    # persist/checkpoint barrier (the former leaked CacheManager entries
+    # or paid an extra write-read job; see operators/scan.py).
+    from rtcdb_spark.operators.scan import _range_bucket
+
+    pts = df.withColumn("_pid", _range_bucket(df, minimize, n_partitions))
     w_run = (
         Window.partitionBy("_pid")
         .orderBy(F.asc(minimize), F.desc(maximize))

@@ -664,9 +664,14 @@ def orders_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from rtcdb_spark.operators.scan import distributed_cumsum
 
-    ecdf = distributed_cumsum(by_value, "v", ["c1", "c2"]).select(
-        F.col("cum_c1").alias("cum1"), F.col("cum_c2").alias("cum2")
-    )
+    # bounds_from the raw rows: boundary sampling skips by_value's
+    # aggregation shuffle (3x cheaper boundary job; balance-only choice)
+    ecdf = distributed_cumsum(
+        by_value,
+        "v",
+        ["c1", "c2"],
+        bounds_from=o.select(F.col("o_totalprice").alias("v")),
+    ).select(F.col("cum_c1").alias("cum1"), F.col("cum_c2").alias("cum2"))
     d = (
         ecdf.crossJoin(F.broadcast(tot))
         .agg(

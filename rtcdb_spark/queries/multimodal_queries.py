@@ -397,6 +397,59 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp4_frame_sample",
+    """
+    WITH f AS (
+        SELECT doc_id, CAST(5 + doc_id % 20 AS BIGINT) AS n_frames
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_frames, unnest(range(0, n_frames, 3)) AS k
+        FROM f
+    ),
+    per AS (
+        SELECT doc_id, n_frames, k,
+               50 + (doc_id * 31 + k * 17) % 100 AS fsize,
+               list_sum(list_transform(
+                   generate_series(0, 50 + (doc_id * 31 + k * 17) % 100 - 1),
+                   j -> (doc_id + k * 7 + j * 3) % 256)) AS bsum
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+           CAST(30 AS BIGINT) AS fps,
+           CAST(MAX(n_frames) * 33 AS BIGINT) AS duration_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(fsize) AS BIGINT) AS sampled_bytes,
+           CAST(SUM(bsum) AS BIGINT) AS sampled_byte_sum
+    FROM per
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "mp4", "frame-sample"),
+)
+def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling from the MP4 container (round 5 — closes
+    the 'frame sampling needs ffmpeg' gap at the container level): every
+    document gets a valid minimal ISO BMFF file (`functions.mp4.make_mp4`:
+    ftyp, mdat with seed-derived frame payloads, full moov sample tables),
+    and the sampling path walks the boxes, resolves stsz/stsc/stco into
+    absolute per-frame offsets, and slices every 3rd ENCODED frame out of
+    mdat — what a production pipeline ships to a GPU decode stage; codec
+    decode of the sliced bytes remains honestly env-gated. The oracle
+    recomputes frame count, fps, duration, and the SUM OF EVERY SAMPLED
+    BYTE analytically from the synthesis formulas — one off-by-one in the
+    chunk-offset arithmetic and the byte sum breaks the hash. Scale shape:
+    map-only Arrow-batched `mapInPandas`, embarrassingly parallel; the
+    frame-offset PLAN needs only the ~KB moov, so a scheduler can fan
+    sampled-frame reads across executors without touching mdat."""
+    from rtcdb_spark.functions.multimodal import synth_and_mp4_frame_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_and_mp4_frame_sample(d).orderBy("doc_id")
+
+
+@query(
     "multimodal_image_resize",
     """
     WITH dims AS (

@@ -808,7 +808,10 @@ class VersionedTable:
             kept_segs.update(raw.get("segments", []))
         log_dir = os.path.join(self.root, _LOG_DIR)
         for name in os.listdir(log_dir):
-            if not (name.startswith("seg-") and name.endswith(".json")):
+            is_orphan_tmp = name.endswith(".tmp")  # crashed writer's leftovers
+            if not is_orphan_tmp and not (
+                name.startswith("seg-") and name.endswith(".json")
+            ):
                 continue
             if name in kept_segs:
                 continue

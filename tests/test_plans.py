@@ -185,8 +185,11 @@ def test_skyline_is_prefix_scan_not_self_join(spark, sf_smoke):
     assert p.cartesian_products == 0 and p.nested_loop_joins == 0, p.describe()
     assert p.sort_merge_joins == 0, p.describe()
     assert p.broadcast_joins >= 1, p.describe()  # the prefix-max stitch
-    assert "RangePartitioning" in p.plan or "rangepartitioning" in p.plan.lower(), (
-        "expected a range exchange on the minimize key"
+    # round 5: the scan partitions on the deterministic quantile-bucket id
+    # (hash exchange on _pid), not a RangePartitioning materialization
+    assert "_pid" in p.plan, "expected the stamped range-bucket id"
+    assert "hashpartitioning(_pid" in p.plan.lower().replace(" ", ""), (
+        "expected a hash exchange on the stamped bucket id"
     )
 
 
@@ -325,8 +328,10 @@ def test_distributed_scan_has_no_data_sized_global_sort(spark, sf_smoke):
         ("orders_ks_drift_test", "v#"),
     ):
         p = _plan(spark, sf_smoke, name)
-        # the data branch is range-partitioned (the two-level scan's step 1)
-        assert "rangepartitioning(" in p.plan, name
+        # the data branch is partitioned by the deterministic quantile
+        # bucket id (round 5: hash exchange on _pid; no materialization
+        # barrier, no RangePartitioning)
+        assert "hashpartitioning(_pid" in p.plan.lower().replace(" ", ""), name
         # the per-partition window is keyed on the stamped partition id
         assert "_pid" in p.plan, name
         # a data-sized global window would show a windowspecdefinition
