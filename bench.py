@@ -80,9 +80,11 @@ HEADLINE = [
     "text_bpe_tokenize",
     "versioned_optimize_compact",
     # round 5: baseline JPEG codec end-to-end; manifest-stats data skipping
-    # over the (now sharded) versioned commit log
+    # over the (now sharded) versioned commit log; MP4 sample-table frame
+    # sampling
     "multimodal_jpeg_decode",
     "versioned_data_skipping",
+    "multimodal_mp4_frame_sample",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

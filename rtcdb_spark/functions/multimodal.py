@@ -7,15 +7,15 @@ Spark-side plumbing (schemas, `mapInPandas` batch iteration, partition
 sizing) is real and tested. Formats without external-library dependencies
 get REAL pure-Python codecs: BMP (BITMAPFILEHEADER + BITMAPINFOHEADER
 parse, any standard uncompressed BMP), WAV (RIFF chunk walk, PCM fmt
-parse), and — round 4 — PNG (full decoder: chunk CRC verification, zlib
-inflate, all five scanline filters unfilterd with numpy; 8-bit RGB/RGBA
-non-interlaced, the dominant corpus shape; encoder with rotating filter
-types for honest round-trips) — and, round 5, baseline-sequential JPEG
-(`functions/jpeg.py`: full T.81 encode+decode, wired into `decode_image`
-and the `synth_and_jpeg_roundtrip` op). Formats that genuinely need
-external libraries (progressive JPEG, MP3/MP4, interlaced/paletted/16-bit
-PNG) raise `NotImplementedError` with that label — swap the dispatch body
-on a real cluster and nothing else changes.
+parse), PNG (round 4 decoder — chunk CRC verification, zlib inflate, all
+five scanline filters; round 5: the FULL static spec surface — grayscale
+1/2/4/8/16-bit, gray+alpha, 16-bit truecolor, paletted with tRNS, Adam7
+interlacing), baseline-sequential JPEG (round 5, `functions/jpeg.py`:
+full T.81 encode+decode wired into `decode_image`), and MP4 sample-table
+frame sampling (round 5, `functions/mp4.py`). Formats that genuinely need
+external libraries (progressive JPEG, MP3, APNG animation, codec decode
+of MP4 frame payloads) raise `NotImplementedError` with that label — swap
+the dispatch body on a real cluster and nothing else changes.
 
 Scale notes: `mapInPandas` streams Arrow batches (no per-row pickling);
 decode work is embarrassingly parallel, so throughput scales with cores.
@@ -190,24 +190,103 @@ def make_png(width: int, height: int, seed: int, channels: int = 3) -> bytes:
     )
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass layout: (x0, y0, dx, dy) per PNG spec 8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(data: bytes, height: int, stride: int, bpp: int):
+    """Reconstruct `height` scanlines of `stride` bytes each from the
+    filtered stream (1 filter-type byte + stride bytes per line), with
+    `bpp` = bytes per complete pixel (min 1 — sub-byte depths use 1, per
+    spec 9.2). All five filter types; Sub via per-lane cumulative sum.
+    Returns an (height, stride) int64 array of raw bytes."""
+    import numpy as np
+
+    if len(data) != height * (1 + stride):
+        raise ValueError("PNG pixel stream length mismatch")
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(height, 1 + stride)
+    zero = np.zeros(bpp, dtype=np.int64)
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    n_units = stride // bpp
+    for y in range(height):
+        ft = int(arr[y, 0])
+        f = arr[y, 1:].astype(np.int64)
+        if ft == 0:
+            rec = f
+        elif ft == 2:
+            rec = (f + prev) % 256
+        elif ft == 1 and stride % bpp == 0:
+            rec = np.cumsum(f.reshape(n_units, bpp), axis=0).reshape(-1) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for i0 in range(0, stride, bpp):
+                seg = slice(i0, min(i0 + bpp, stride))
+                left = rec[i0 - bpp : i0] if i0 else zero[: seg.stop - i0]
+                up = prev[seg]
+                if ft == 1:
+                    rec[seg] = (f[seg] + left[: seg.stop - i0]) % 256
+                elif ft == 3:
+                    rec[seg] = (f[seg] + (left[: seg.stop - i0] + up) // 2) % 256
+                else:
+                    upleft = prev[i0 - bpp : i0] if i0 else zero[: seg.stop - i0]
+                    rec[seg] = (
+                        f[seg] + _paeth(left[: seg.stop - i0], up, upleft)
+                    ) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _png_rows_to_samples(rows, width: int, channels: int, depth: int):
+    """(H, stride_bytes) raw scanline bytes → (H, width*channels) samples
+    (int64). Depth 8: identity; 16: big-endian pairs; 1/2/4: unpack MSB-
+    first and truncate the row-end padding bits."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * channels]
+    if depth == 16:
+        pairs = rows.reshape(h, -1, 2)
+        return (pairs[:, :, 0] * 256 + pairs[:, :, 1])[:, : width * channels]
+    # sub-byte depths (gray / palette indices, channels == 1)
+    bits = np.unpackbits(rows.astype(np.uint8), axis=1)
+    per = 8 // depth
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    samples = (vals * weights).sum(axis=2)
+    del per
+    return samples[:, : width * channels]
+
+
 def decode_png(payload: bytes):
     """REAL pure-Python/numpy PNG decoder (no PIL): chunk walk with CRC
-    verification, IHDR parse, IDAT concatenation, zlib inflate, and full
-    scanline unfiltering (all five filter types — None/Sub/Up/Average/
-    Paeth; Sub via per-lane cumulative sum, Average/Paeth per-pixel with
-    vectorized channel lanes). Supports the dominant corpus shape: 8-bit
-    truecolor (RGB/RGBA), non-interlaced. Returns (meta, pixels) where
-    pixels is an (H, W, channels) uint8 array.
+    verification, IHDR parse, IDAT concatenation, zlib inflate, full
+    scanline unfiltering (all five filter types), and — round 5 — the
+    complete static-image spec surface: grayscale (bit depths 1/2/4/8/16),
+    gray+alpha, truecolor RGB/RGBA (8/16-bit), paletted (PLTE, depths
+    1/2/4/8, with tRNS palette alpha), and Adam7 interlacing (seven
+    sub-image passes, each unfiltered independently and scattered into the
+    output grid). Returns (meta, pixels): uint8 pixels (uint16 for 16-bit
+    files), shape (H, W) for grayscale or (H, W, channels) otherwise;
+    paletted files decode to their expanded RGB/RGBA pixels.
 
-    Interlaced (Adam7), paletted, and 16-bit PNGs raise NotImplementedError
-    — honest gates, same policy as JPEG."""
+    Only APNG animation remains out of scope (a genuinely different,
+    multi-frame format)."""
     import zlib
 
     import numpy as np
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte, trns = 8, None, bytearray(), None, None
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -219,61 +298,153 @@ def decode_png(payload: bytes):
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IEND":
             break
         pos += 12 + clen
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
-    width, height, depth, color_type, comp, filt, interlace = ihdr
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth != 8 or color_type not in (2, 6):
-        raise NotImplementedError(
-            f"PNG depth={depth} color_type={color_type}: only 8-bit RGB/RGBA"
-        )
-    channels = 3 if color_type == 2 else 4
-    bpp = channels
-    stride = width * channels
-    rows = zlib.decompress(bytes(idat))
-    if len(rows) != height * (1 + stride):
-        raise ValueError("PNG pixel stream length mismatch")
-    arr = np.frombuffer(rows, dtype=np.uint8).reshape(height, 1 + stride)
-    zero = np.zeros(bpp, dtype=np.int64)
-    out = np.zeros((height, stride), dtype=np.int64)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(height):
-        ft = int(arr[y, 0])
-        f = arr[y, 1:].astype(np.int64)
-        if ft == 0:
-            rec = f
-        elif ft == 2:
-            rec = (f + prev) % 256
-        elif ft == 1:
-            rec = np.cumsum(f.reshape(width, bpp), axis=0).reshape(-1) % 256
-        elif ft in (3, 4):
-            rec = np.zeros(stride, dtype=np.int64)
-            for x in range(width):
-                i = x * bpp
-                left = rec[i - bpp : i] if x else zero
-                up = prev[i : i + bpp]
-                if ft == 3:
-                    rec[i : i + bpp] = (f[i : i + bpp] + (left + up) // 2) % 256
-                else:
-                    upleft = prev[i - bpp : i] if x else zero
-                    rec[i : i + bpp] = (
-                        f[i : i + bpp] + _paeth(left, up, upleft)
-                    ) % 256
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[y] = rec
-        prev = rec
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    raw = zlib.decompress(bytes(idat))
+    bpp = max(1, channels * depth // 8)
+
+    def pass_samples(pw: int, ph: int, buf: bytes):
+        stride = (pw * channels * depth + 7) // 8
+        rows = _png_unfilter(buf, ph, stride, bpp)
+        return _png_rows_to_samples(rows, pw, channels, depth)
+
+    if not interlace:
+        samples = pass_samples(width, height, raw)
+        px = samples.reshape(height, width, channels)
+    else:
+        px = np.zeros((height, width, channels), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * channels * depth + 7) // 8
+            size = ph * (1 + stride)
+            sub = pass_samples(pw, ph, raw[off : off + size])
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            off += size
+        if off != len(raw):
+            raise ValueError("Adam7 stream length mismatch")
+
+    out_channels = channels
+    if color_type == 3:
+        lut = plte
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            lut = np.concatenate([plte, alpha[:, None]], axis=1)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(lut):
+            raise ValueError("palette index out of range")
+        px = lut[idx].astype(np.int64)
+        out_channels = lut.shape[1]
+        depth_out = 8
+    else:
+        depth_out = depth
+
+    dtype = np.uint16 if depth_out == 16 else np.uint8
+    pixels = px.astype(dtype)
+    if out_channels == 1:
+        pixels = pixels.reshape(height, width)
     meta = {
         "width": width,
         "height": height,
-        "bpp": 8 * channels,
+        "bpp": depth_out * out_channels,
         "n_bytes": len(payload),
     }
-    return meta, out.astype(np.uint8).reshape(height, width, channels)
+    return meta, pixels
+
+
+def make_png_ext(
+    px,
+    color_type: int,
+    depth: int = 8,
+    interlace: bool = False,
+    palette=None,
+    trns=None,
+) -> bytes:
+    """Encode ANY spec shape for decoder round-trips (round 5): grayscale
+    (0), truecolor (2), paletted (3, with optional tRNS), gray+alpha (4),
+    RGBA (6); bit depths 1/2/4/8/16 as the spec allows; optional Adam7
+    interlacing. `px` is (H, W) sample values for 1-channel types (palette
+    indices for type 3) or (H, W, C) otherwise. All rows use filter type 0
+    — filter variety is exercised by `make_png`; this encoder exists to
+    round-trip the exotic LAYOUTS."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.int64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    height, width, channels = px.shape
+    assert channels == _PNG_CHANNELS[color_type], (channels, color_type)
+
+    def pack_rows(sub):
+        ph, pw, _c = sub.shape
+        flat = sub.reshape(ph, pw * channels)
+        if depth == 8:
+            row_bytes = flat.astype(np.uint8)
+        elif depth == 16:
+            b = np.zeros((ph, pw * channels * 2), dtype=np.uint8)
+            b[:, 0::2] = flat >> 8
+            b[:, 1::2] = flat & 0xFF
+            row_bytes = b
+        else:
+            per = 8 // depth
+            pad = (-flat.shape[1]) % per
+            padded = np.pad(flat, ((0, 0), (0, pad)))
+            bits = (
+                (padded[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(ph, -1)
+            row_bytes = np.packbits(bits.astype(np.uint8), axis=1)
+        out = bytearray()
+        for y in range(ph):
+            out.append(0)  # filter type 0
+            out += row_bytes[y].tobytes()
+        return bytes(out)
+
+    if interlace:
+        stream = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                stream += pack_rows(sub)
+        stream = bytes(stream)
+    else:
+        stream = pack_rows(px)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        crc = _z.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        assert palette is not None
+        out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+        if trns is not None:
+            out += chunk(b"tRNS", bytes(trns))
+    out += chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b"")
+    return out
 
 
 def decode_image(payload: bytes) -> dict[str, int]:
@@ -336,6 +507,19 @@ def attach_payload(df: DataFrame, text_col: str = "text", out: str = "payload") 
     """Materialize an opaque binary column (here: the UTF-8 bytes of the text
     column, standing in for image/audio bytes)."""
     return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
+
+
+def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread per-row Python codec work across all cores: the synth ops are
+    CPU-bound per row, and a coarse upstream layout (e.g. a one-row-group
+    parquet fixture -> ONE input partition) would serialize the whole
+    corpus onto a single task. Repartitioning the id column is an 8-byte/
+    row round-robin exchange — negligible data movement next to the codec
+    compute it parallelizes. On a real many-file corpus the exchange is
+    still correct: it rebalances skewed file sizes before the expensive
+    map."""
+    spark = df.sparkSession
+    return df.select(id_col).repartition(spark.sparkContext.defaultParallelism)
 
 
 def extract_payload_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
@@ -442,7 +626,7 @@ def synth_and_decode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(process, DECODED_SCHEMA)
+    return _fan_out(df, id_col).mapInPandas(process, DECODED_SCHEMA)
 
 
 AUDIO_FEAT_SCHEMA = StructType(
@@ -503,7 +687,7 @@ def synth_and_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                     rows[k].append(v)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(process, AUDIO_FEAT_SCHEMA)
+    return _fan_out(df, id_col).mapInPandas(process, AUDIO_FEAT_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = StructType(
@@ -567,7 +751,7 @@ def synth_and_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     rows[k].append(v)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(process, IMAGE_STATS_SCHEMA)
+    return _fan_out(df, id_col).mapInPandas(process, IMAGE_STATS_SCHEMA)
 
 
 SILENCE_SCHEMA = StructType(
@@ -619,7 +803,7 @@ def synth_and_silence_bounds(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                     rows[k].append(v)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(process, SILENCE_SCHEMA)
+    return _fan_out(df, id_col).mapInPandas(process, SILENCE_SCHEMA)
 
 
 QUADRANT_SIG_SCHEMA = StructType(
@@ -674,7 +858,7 @@ def synth_and_quadrant_sig(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 sigs.append(image_quadrant_sig(synth_payload(int(doc_id))))
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return df.select(id_col).mapInPandas(process, QUADRANT_SIG_SCHEMA)
+    return _fan_out(df, id_col).mapInPandas(process, QUADRANT_SIG_SCHEMA)
 
 
 PNG_DECODE_SCHEMA = StructType(
@@ -716,7 +900,87 @@ def synth_and_png_decode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["max_byte"].append(int(px.max()))
             yield pd.DataFrame({k: pd.array(v, dtype="Int64") for k, v in out.items()})
 
-    return df.select(id_col).mapInPandas(process, PNG_DECODE_SCHEMA)
+    return _fan_out(df, id_col).mapInPandas(process, PNG_DECODE_SCHEMA)
+
+
+PNG_LAYOUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bpp", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def synth_and_png_layout_decode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Round-5 full-spec-surface PNG decode: each document exercises one of
+    five exotic layouts — 1-bit interlaced grayscale, 16-bit grayscale,
+    4-bit paletted with tRNS alpha, 8-bit gray+alpha, and 16-bit RGBA
+    interlaced — with seed-derived samples, encoded via `make_png_ext` and
+    fully decoded (sub-byte unpacking, big-endian 16-bit samples, PLTE/
+    tRNS expansion, Adam7 pass scatter). The decoded pixel sum is the
+    proof: one wrong bit-order, pass offset, or palette index and it
+    diverges from the analytic oracle."""
+    import numpy as np
+
+    from rtcdb_spark.functions.multimodal import (
+        decode_png as _dec,
+        make_png_ext as _enc,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PNG_LAYOUT_SCHEMA.fields}
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                m, w, h = i % 5, 1 + i % 13, 1 + i % 9
+
+                def vals(n: int, mod: int):
+                    idx = np.arange(n, dtype=np.int64)
+                    return (i * 31 + idx * 7) % mod
+
+                if m == 0:
+                    payload = _enc(
+                        vals(w * h, 2).reshape(h, w),
+                        color_type=0, depth=1, interlace=True,
+                    )
+                elif m == 1:
+                    payload = _enc(
+                        vals(w * h, 65536).reshape(h, w), color_type=0, depth=16
+                    )
+                elif m == 2:
+                    j = np.arange(8, dtype=np.int64)
+                    pal = np.stack(
+                        [(i * 17 + j * 11 + c * 5) % 256 for c in range(3)], axis=1
+                    )
+                    trns = [(i * 13 + int(x) * 3) % 256 for x in j]
+                    payload = _enc(
+                        vals(w * h, 8).reshape(h, w),
+                        color_type=3, depth=4, palette=pal, trns=trns,
+                    )
+                elif m == 3:
+                    payload = _enc(
+                        vals(w * h * 2, 256).reshape(h, w, 2),
+                        color_type=4, depth=8,
+                    )
+                else:
+                    payload = _enc(
+                        vals(w * h * 4, 65536).reshape(h, w, 4),
+                        color_type=6, depth=16, interlace=True,
+                    )
+                meta, px = _dec(payload)
+                out["doc_id"].append(i)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["bpp"].append(meta["bpp"])
+                out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {k: pd.array(v, dtype="Int64") for k, v in out.items()}
+            )
+
+    return _fan_out(df, id_col).mapInPandas(process, PNG_LAYOUT_SCHEMA)
 
 
 JPEG_ROUNDTRIP_SCHEMA = StructType(
@@ -779,7 +1043,7 @@ def synth_and_jpeg_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 }
             )
 
-    return df.select(id_col).mapInPandas(process, JPEG_ROUNDTRIP_SCHEMA)
+    return _fan_out(df, id_col).mapInPandas(process, JPEG_ROUNDTRIP_SCHEMA)
 
 
 MP4_SAMPLE_SCHEMA = StructType(
@@ -830,7 +1094,7 @@ def synth_and_mp4_frame_sample(
                 {k: pd.array(v, dtype="Int64") for k, v in out.items()}
             )
 
-    return df.select(id_col).mapInPandas(process, MP4_SAMPLE_SCHEMA)
+    return _fan_out(df, id_col).mapInPandas(process, MP4_SAMPLE_SCHEMA)
 
 
 def resize_box2(px):
@@ -893,7 +1157,7 @@ def synth_resize_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["resized_pixel_sum"].append(int(small.astype(np.int64).sum()))
             yield pd.DataFrame({k: pd.array(v, dtype="Int64") for k, v in out.items()})
 
-    return df.select(id_col).mapInPandas(process, RESIZE_SCHEMA)
+    return _fan_out(df, id_col).mapInPandas(process, RESIZE_SCHEMA)
 
 
 def _png_from_pixels(px) -> bytes:

@@ -397,6 +397,57 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_layouts",
+    """
+    WITH d AS (
+        SELECT doc_id, doc_id % 5 AS m,
+               1 + doc_id % 13 AS w, 1 + doc_id % 9 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN 16 WHEN 2 THEN 32
+                       WHEN 3 THEN 16 ELSE 64 END AS BIGINT) AS bpp,
+           CAST(CASE m
+             WHEN 0 THEN list_sum(list_transform(generate_series(0, w*h-1),
+                          i -> (doc_id*31 + i*7) % 2))
+             WHEN 1 THEN list_sum(list_transform(generate_series(0, w*h-1),
+                          i -> (doc_id*31 + i*7) % 65536))
+             WHEN 2 THEN list_sum(list_transform(generate_series(0, w*h-1),
+                          i -> (doc_id*17 + ((doc_id*31+i*7)%8)*11) % 256
+                             + (doc_id*17 + ((doc_id*31+i*7)%8)*11 + 5) % 256
+                             + (doc_id*17 + ((doc_id*31+i*7)%8)*11 + 10) % 256
+                             + (doc_id*13 + ((doc_id*31+i*7)%8)*3) % 256))
+             WHEN 3 THEN list_sum(list_transform(generate_series(0, w*h*2-1),
+                          i -> (doc_id*31 + i*7) % 256))
+             ELSE list_sum(list_transform(generate_series(0, w*h*4-1),
+                          i -> (doc_id*31 + i*7) % 65536))
+           END AS BIGINT) AS pixel_sum
+    FROM d
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "png", "interlace", "palette", "16bit"),
+)
+def multimodal_png_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-spec-surface PNG decode (round 5 — closes the r4 honest gates
+    for interlaced/paletted/16-bit PNG): five exotic layouts rotate across
+    documents — 1-bit Adam7-interlaced grayscale, 16-bit grayscale, 4-bit
+    paletted with tRNS alpha (expanded to RGBA), 8-bit gray+alpha, and
+    16-bit RGBA Adam7 — each synthesized deterministically, encoded, and
+    fully decoded in one Arrow-batched `mapInPandas` pass. The oracle
+    recomputes width/height/bpp and the SUM OVER EVERY DECODED SAMPLE
+    analytically (including the palette lookup arithmetic): any wrong
+    bit-unpack order, big-endian 16-bit slip, Adam7 pass offset, or
+    palette/tRNS expansion breaks the hash. Scale shape: map-only after an
+    8-byte/row fan-out exchange; embarrassingly parallel."""
+    from rtcdb_spark.functions.multimodal import synth_and_png_layout_decode
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_and_png_layout_decode(d).orderBy("doc_id")
+
+
+@query(
     "multimodal_mp4_frame_sample",
     """
     WITH f AS (
