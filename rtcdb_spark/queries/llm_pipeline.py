@@ -1299,3 +1299,100 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "text_bigram_perplexity",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+        WHERE len(ts) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bi GROUP BY 1),
+    v AS (
+        SELECT COUNT(DISTINCT w) AS vocab
+        FROM (SELECT unnest(ts) AS w FROM toks)
+    )
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln(CAST(2 * c2.n2 + 1 AS DOUBLE)
+                         / CAST(2 * c1.n1 + v.vocab AS DOUBLE))), 9)
+               AS avg_nll,
+           ROUND(AVG(-ln(CAST(2 * c2.n2 + 1 AS DOUBLE)
+                         / CAST(2 * c1.n1 + v.vocab AS DOUBLE))), 9) > 6.0
+               AS is_flagged
+    FROM bi
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY bi.doc_id
+    ORDER BY bi.doc_id
+    """,
+    tags=("text", "llm", "perplexity", "quality"),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Gopher-style perplexity filtering with a corpus-trained
+    bigram LM (round 5): train add-1/2-smoothed bigram probabilities ON
+    the corpus itself (bigram counts, unigram context counts, vocabulary
+    size), then score every document by its mean negative log-likelihood
+    and flag the high-perplexity tail — the classic statistical-LM quality
+    gate run before expensive neural filtering.
+
+    Determinism: every probability is ONE IEEE-754 division of exact
+    integers ((2*c2+1)/(2*c1+V) — add-k smoothing with k=1/2 cleared to
+    integers), `ln` of identical doubles agrees across engines to <=1 ulp,
+    and the per-doc mean is rounded to 9 decimals (the repo's established
+    log-determinism pattern).
+
+    Scale shape (100 TB): the LM "training" is two hash aggregates over
+    the corpus bigrams (map-side partial) plus a 1-row vocabulary count;
+    scoring re-joins the bigram stream against the count tables on their
+    natural keys — the same join class as TF-IDF/BM25, shuffling
+    bigram-vocabulary-sized tables, never the raw corpus twice. No
+    driver-side model state: the "model" stays distributed, which is
+    exactly how n-gram LM filtering runs on web-scale corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ts"),
+    )
+    bi = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1),"
+                " (w, i) -> struct(w AS w1, ts[i + 1] AS w2))"
+            ).alias("bs"),
+        )
+        .select("doc_id", F.explode("bs").alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.select(F.explode("ts").alias("w")).agg(
+        F.countDistinct("w").alias("vocab")
+    )
+    nll = -F.log(
+        (2 * F.col("n2") + 1).cast("double")
+        / (2 * F.col("n1") + F.col("vocab")).cast("double")
+    )
+    avg_nll = F.round(F.avg(nll), 9)
+    return (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            avg_nll.alias("avg_nll"),
+            (avg_nll > 6.0).alias("is_flagged"),
+        )
+        .orderBy("doc_id")
+    )

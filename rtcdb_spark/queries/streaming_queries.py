@@ -478,6 +478,83 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_join_full_outer",
+    """
+    WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                  - INTERVAL 1 HOUR AS w),
+    matched AS (
+        SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM c JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    ),
+    unmatched_c AS (
+        SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts,
+               CAST(NULL AS DOUBLE) AS purchase_value
+        FROM c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        )
+        AND c.ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
+    ),
+    unmatched_p AS (
+        SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+               CAST(NULL AS TIMESTAMP) AS click_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        )
+        AND p.ts < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_c
+    UNION ALL SELECT * FROM unmatched_p
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    tags=("streaming", "join", "full-outer", "watermark"),
+)
+def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join run to completion (round 5): matched
+    pairs plus BOTH sides' eviction-driven null extensions. The oracle
+    models each side's distinct eviction schedule — a click null-emits
+    when the watermark passes the END of its forward match window
+    (click_ts + 2 h), a purchase when the watermark passes its OWN
+    timestamp (its match window looks backward, so the first unmatchable
+    moment is its event time) — and rows inside the terminal watermark lag
+    stay unemitted on both sides. Hash-matching matches plus both
+    null-extension sets plus both boundaries verifies the complete outer
+    state machine, including that the two sides evict on different
+    clocks."""
+    from rtcdb_spark.streaming.events import stream_stream_full_join
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = run_available_now(
+        stream_stream_full_join(clicks, purchases), output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        "purchase_ts",
+        "purchase_value",
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+@query(
     "stream_rtcdb_native_sink",
     """
     SELECT event_type,

@@ -266,3 +266,51 @@ def stream_stream_left_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_stream_full_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER join (round 5 — completes the join family):
+    matched pairs emit as in the inner join; each side null-extends on its
+    own state-eviction schedule, which the join condition derives
+    per-side from the watermark. A CLICK emits unmatched once the
+    watermark passes the end of its match window (click_ts + horizon — no
+    matching purchase can still arrive); a PURCHASE emits unmatched once
+    the watermark passes its own timestamp (future clicks all have
+    click_ts > wm >= purchase_ts, outside the purchase's backward-looking
+    window [purchase_ts - horizon, purchase_ts]). Both time bounds plus
+    both watermarks are mandatory — without them the outer state could
+    never be declared complete and Spark rejects the query."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon}
+            """
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
