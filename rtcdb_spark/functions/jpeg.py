@@ -16,10 +16,15 @@ directions are implemented from the public spec:
   stuffed-byte handling, dequantize, dezigzag, inverse DCT (matrix form),
   YCbCr→RGB, clamp, crop to the true image size.
 
-Progressive JPEG, chroma subsampling on decode (we never emit it), restart
-markers, and arithmetic coding stay honestly gated with
-``NotImplementedError`` — the baseline-sequential subset here is the
-dominant corpus shape.
+Round 5 adds PROGRESSIVE mode (T.81 Annex G) in both directions:
+``encode_jpeg_progressive`` serializes the same quantized coefficients as
+a DC-first / per-component AC-first / DC-refinement / AC-refinement scan
+script (spectral selection + successive approximation with Al=1), and
+``decode_jpeg`` reassembles SOF2 streams scan by scan — including EOB
+runs, ZRL-in-refinement, and correction-bit consumption — to the
+bit-identical pixels of the baseline serialization (pinned by tests).
+Chroma subsampling on decode (we never emit it), restart markers, and
+arithmetic coding stay honestly gated with ``NotImplementedError``.
 
 Scale: the codec runs inside Arrow-batched ``mapInPandas``
 (`functions/multimodal.py`), embarrassingly parallel per payload —
@@ -272,10 +277,13 @@ def _pad_replicate(plane, h8: int, w8: int):
 # --------------------------------------------------------------------------
 
 
-def encode_jpeg(pixels, quality: int = 90) -> bytes:
-    """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array as baseline
-    sequential JFIF. Colour is 4:4:4 (every component full resolution) —
-    one block per component per MCU."""
+def _compute_coefficients(pixels, quality: int):
+    """Shared front half of every serialization mode: level shift, forward
+    DCT, quantization, zigzag. Returns (gray, h, w, quants, plane_tbl,
+    comp_coeffs) with comp_coeffs one (n_blocks, 64) int64 array per
+    component in zigzag order — baseline and progressive scans serialize
+    the SAME coefficients, which is what makes their decodes comparable
+    bit-exactly in tests."""
     import numpy as np
 
     gray = pixels.ndim == 2
@@ -307,6 +315,47 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
         q = np.round(coeffs / quants[tbl][None, :, :]).astype(np.int64)
         # zigzag-order every block once, vectorized
         comp_coeffs.append(q.reshape(-1, 64)[:, zz])
+    return gray, h, w, quants, plane_tbl, comp_coeffs
+
+
+def _header_bytes(h, w, gray, quants, plane_tbl, sof_marker: bytes) -> bytes:
+    """SOI + APP0/JFIF + DQT(s) + SOFx + DHT(s) — shared by the baseline
+    and progressive serializers (progressive differs only in the SOF
+    marker and its scan script)."""
+    import numpy as np
+
+    zz = np.array(_ZIGZAG, dtype=np.int64)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(quants):
+        qz = q.reshape(-1)[zz]  # DQT payload is in zigzag order
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(int(x) for x in qz)
+    ncomp = 1 if gray else 3
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, plane_tbl[ci])  # 1x1 sampling
+    huff_specs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        huff_specs += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in huff_specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    return bytes(out)
+
+
+def encode_jpeg(pixels, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array as baseline
+    sequential JFIF. Colour is 4:4:4 (every component full resolution) —
+    one block per component per MCU."""
+    import numpy as np
+
+    gray, h, w, quants, plane_tbl, comp_coeffs = _compute_coefficients(
+        pixels, quality
+    )
+    n_planes = 1 if gray else 3
 
     dc_codes = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     ac_codes = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -316,10 +365,10 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     comp_huff = [0] if gray else [0, 1, 1]
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
-    n_blocks = (h8 // 8) * (w8 // 8)
+    pred = [0] * n_planes
+    n_blocks = comp_coeffs[0].shape[0]
     for b in range(n_blocks):  # MCU loop: interleave one block per component
-        for ci in range(len(planes)):
+        for ci in range(n_planes):
             blk = comp_coeffs[ci][b]
             hi = comp_huff[ci]
             diff = int(blk[0]) - pred[ci]
@@ -351,24 +400,10 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
                 bw.write(code, length)
     bw.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, q in enumerate(quants):
-        qz = q.reshape(-1)[zz]  # DQT payload is in zigzag order
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(int(x) for x in qz)
-    ncomp = len(planes)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, plane_tbl[ci])  # 1x1 sampling
-    huff_specs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if not gray:
-        huff_specs += [
-            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-        ]
-    for tc_th, bits, vals in huff_specs:
-        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), tc_th)
-        out += bytes(bits) + bytes(vals)
+    ncomp = n_planes
+    out = bytearray(
+        _header_bytes(h, w, gray, quants, plane_tbl, sof_marker=b"\xff\xc0")
+    )
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         td_ta = comp_huff[ci] * 0x11  # same index for DC and AC tables
@@ -377,6 +412,185 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _sos_header(comp_list: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    """SOS marker segment: components as (component_id, TdTa byte)."""
+    ns = len(comp_list)
+    out = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+    for cid, tdta in comp_list:
+        out += struct.pack("BB", cid, tdta)
+    out += struct.pack("BBB", ss, se, (ah << 4) | al)
+    return bytes(out)
+
+
+def encode_jpeg_progressive(pixels, quality: int = 90) -> bytes:
+    """Encode as PROGRESSIVE JFIF (SOF2, T.81 Annex G) using spectral
+    selection AND successive approximation — the same quantized
+    coefficients as ``encode_jpeg``, serialized as a four-stage scan
+    script:
+
+      1. DC first scan, interleaved, Al=1 (all DC bits except the LSB)
+      2. one AC first scan per component, band 1..63, Al=1 (EOB-run coded)
+      3. DC refinement scan, Ah=1→Al=0 (one raw bit per block)
+      4. one AC refinement scan per component, Ah=1→Al=0 (correction bits
+         for history coefficients, run-coded newly-significant ±1s)
+
+    Because the coefficients are shared with the baseline path, decoding
+    this stream MUST reproduce ``decode_jpeg(encode_jpeg(px))``
+    bit-exactly — the property the tests pin."""
+    gray, h, w, quants, plane_tbl, comp_coeffs = _compute_coefficients(
+        pixels, quality
+    )
+    n_planes = 1 if gray else 3
+    dc_codes = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    ac_codes = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        dc_codes.append(_build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        ac_codes.append(_build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    comp_huff = [0] if gray else [0, 1, 1]
+    n_blocks = comp_coeffs[0].shape[0]
+
+    out = bytearray(
+        _header_bytes(h, w, gray, quants, plane_tbl, sof_marker=b"\xff\xc2")
+    )
+
+    # -- scan 1: DC first, interleaved, Al=1 -------------------------------
+    al = 1
+    out += _sos_header(
+        [(ci + 1, comp_huff[ci] << 4) for ci in range(n_planes)], 0, 0, 0, al
+    )
+    bw = _BitWriter()
+    pred = [0] * n_planes
+    for b in range(n_blocks):
+        for ci in range(n_planes):
+            v = int(comp_coeffs[ci][b][0]) >> al  # arithmetic shift (G.1.2.1)
+            diff = v - pred[ci]
+            pred[ci] = v
+            ssss, bits = _magnitude(diff)
+            code, length = dc_codes[comp_huff[ci]][ssss]
+            bw.write(code, length)
+            if ssss:
+                bw.write(bits, ssss)
+    bw.flush()
+    out += bw.buf
+
+    # -- scan 2: AC first per component, band 1..63, Al=1 ------------------
+    for ci in range(n_planes):
+        out += _sos_header([(ci + 1, comp_huff[ci])], 1, 63, 0, al)
+        out += _encode_ac_first(comp_coeffs[ci], ac_codes[comp_huff[ci]], 1, 63, al)
+
+    # -- scan 3: DC refinement, interleaved, Ah=1 Al=0 ---------------------
+    out += _sos_header(
+        [(ci + 1, comp_huff[ci] << 4) for ci in range(n_planes)], 0, 0, 1, 0
+    )
+    bw = _BitWriter()
+    for b in range(n_blocks):
+        for ci in range(n_planes):
+            bw.write(int(comp_coeffs[ci][b][0]) & 1, 1)  # the withheld LSB
+    bw.flush()
+    out += bw.buf
+
+    # -- scan 4: AC refinement per component, Ah=1 Al=0 --------------------
+    for ci in range(n_planes):
+        out += _sos_header([(ci + 1, comp_huff[ci])], 1, 63, 1, 0)
+        out += _encode_ac_refine(comp_coeffs[ci], ac_codes[comp_huff[ci]], 1, 63, 0)
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_ac_first(coeffs, ac_tbl, ss: int, se: int, al: int) -> bytes:
+    """AC first scan body (T.81 G.1.2.2): run-length + VLI coding of the
+    point-transformed band. End-of-band is coded as EOB0 per block (run
+    length 1) so the standard Annex-K tables suffice — EOBn (n>0) symbols
+    need custom Huffman tables, which real encoders train per image; the
+    DECODER handles full EOB runs (unit-tested with a crafted stream)."""
+    bw = _BitWriter()
+    for blk in coeffs:
+        run = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al  # point transform truncates magnitude
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tbl[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            s = t if v > 0 else -t
+            ssss, bits = _magnitude(s)
+            code, length = ac_tbl[(run << 4) | ssss]
+            bw.write(code, length)
+            bw.write(bits, ssss)
+            run = 0
+            wrote = True
+        if run > 0 or not wrote:
+            code, length = ac_tbl[0x00]  # EOB0: band ends here
+            bw.write(code, length)
+    bw.flush()
+    return bytes(bw.buf)
+
+
+def _encode_ac_refine(coeffs, ac_tbl, ss: int, se: int, al: int) -> bytes:
+    """AC refinement scan body (T.81 G.1.2.3): correction bits for
+    coefficients already significant at the prior precision, run-coded
+    newly-significant ±1 values. As in ``_encode_ac_first``, end-of-band
+    is EOB0 per block (standard tables); the block's owed correction bits
+    follow its own EOB0 — exactly where the decoder's EOB-run consumer
+    reads them."""
+    bw = _BitWriter()
+    for blk in coeffs:
+        band = [int(blk[k]) for k in range(ss, se + 1)]
+        absvals = [abs(v) >> al for v in band]
+        n = len(band)
+        new_positions = [i for i, t in enumerate(absvals) if t == 1]
+        pos = 0  # next band index the decoder's walk will visit
+
+        def emit_bits_until(stop: int, max_zeros: int | None = None) -> int:
+            """Mirror the decoder's walk from `pos` up to (exclusive)
+            `stop` or until `max_zeros` zero-history positions have been
+            consumed: history coefficients emit their correction bit,
+            zeros count down. Returns the new walk position."""
+            nonlocal pos
+            zeros = 0
+            while pos < (stop if stop is not None else n):
+                t = absvals[pos]
+                if t == 0:
+                    zeros += 1
+                    if max_zeros is not None and zeros == max_zeros:
+                        pos += 1
+                        return pos
+                elif t > 1:
+                    bw.write(t & 1, 1)
+                pos += 1
+            return pos
+
+        for p in new_positions:
+            r = sum(1 for i in range(pos, p) if absvals[i] == 0)
+            while r > 15:
+                code, length = ac_tbl[0xF0]
+                bw.write(code, length)
+                emit_bits_until(p, max_zeros=16)
+                r -= 16
+            code, length = ac_tbl[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if band[p] >= 0 else 0, 1)
+            emit_bits_until(p)  # history bits the decoder passes en route
+            pos = p + 1
+        if pos < n and (
+            any(t == 0 for t in absvals[pos:]) or any(t > 1 for t in absvals[pos:])
+        ):
+            # band tail: EOB0 ends this block; the decoder's EOB-run
+            # consumer then reads a correction bit at every remaining
+            # history coefficient
+            code, length = ac_tbl[0x00]
+            bw.write(code, length)
+            emit_bits_until(n)
+    bw.flush()
+    return bytes(bw.buf)
 
 
 def make_jpeg(width: int, height: int, seed: int, gray: bool = False, quality: int = 90) -> bytes:
@@ -469,12 +683,153 @@ def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> in
     raise ValueError("invalid Huffman code")
 
 
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker (FF xx, xx not 00/FF) at or after
+    ``pos`` — how a multi-scan decoder finds the end of an entropy-coded
+    segment."""
+    n = len(payload)
+    while pos < n - 1:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("ran off the end looking for a marker")
+
+
+def _decode_scan_baseline(reader, coeffs, scan_idx, dc_tbls, ac_tbls):
+    """Sequential scan: DC diff + full AC band per block, interleaved."""
+    pred = [0] * len(scan_idx)
+    n_blocks = coeffs[0].shape[0]
+    for b in range(n_blocks):
+        for si, ci in enumerate(scan_idx):
+            blk = coeffs[ci][b]
+            ssss = _decode_huffman(reader, dc_tbls[si])
+            diff = _extend(reader.receive(ssss), ssss)
+            pred[si] += diff
+            blk[0] = pred[si]
+            k = 1
+            while k < 64:
+                sym = _decode_huffman(reader, ac_tbls[si])
+                if sym == 0x00:  # EOB
+                    break
+                run, ssss = sym >> 4, sym & 0x0F
+                if ssss == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                blk[k] = _extend(reader.receive(ssss), ssss)
+                k += 1
+
+
+def _decode_scan_dc_first(reader, coeffs, scan_idx, dc_tbls, al):
+    pred = [0] * len(scan_idx)
+    n_blocks = coeffs[0].shape[0]
+    for b in range(n_blocks):
+        for si, ci in enumerate(scan_idx):
+            ssss = _decode_huffman(reader, dc_tbls[si])
+            diff = _extend(reader.receive(ssss), ssss)
+            pred[si] += diff
+            coeffs[ci][b][0] = pred[si] << al
+
+
+def _decode_scan_dc_refine(reader, coeffs, scan_idx, al):
+    n_blocks = coeffs[0].shape[0]
+    p1 = 1 << al
+    for b in range(n_blocks):
+        for ci in scan_idx:
+            if reader.read_bit():
+                coeffs[ci][b][0] = int(coeffs[ci][b][0]) | p1
+
+
+def _decode_scan_ac_first(reader, blocks, ac_tbl, ss, se, al):
+    """AC first scan of one component (T.81 G.2.2 / F.2.2.2 with EOB runs)."""
+    eobrun = 0
+    for blk in blocks:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _decode_huffman(reader, ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC band overflow")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+
+def _decode_scan_ac_refine(reader, blocks, ac_tbl, ss, se, al):
+    """AC refinement scan of one component (T.81 G.2.2): correction bits
+    for already-significant coefficients, run-positioned new ±1<<Al
+    values, EOB runs that still carry correction bits for the remainder
+    of each covered band."""
+    p1 = 1 << al
+    eobrun = 0
+
+    def correct(blk, k):
+        v = int(blk[k])
+        if reader.read_bit() and (v & p1) == 0:
+            blk[k] = v + (p1 if v >= 0 else -p1)
+
+    for blk in blocks:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _decode_huffman(reader, ac_tbl)
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude")
+                    newval = p1 if reader.read_bit() else -p1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break  # remainder of this band joins the EOB run
+                    # ZRL: skip 16 zero-history positions, no new value
+                while k <= se:
+                    if int(blk[k]) != 0:
+                        correct(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement position overflow")
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # consume correction bits inside the EOB run
+                if int(blk[k]) != 0:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+
+
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential JFIF/JPEG. Returns
-    ``(width, height, ncomp, pixels)`` with pixels an (H, W, ncomp) or
-    (H, W) uint8 array. Supports 8-bit baseline, 1 or 3 components, 1x1
-    sampling (4:4:4) — exactly what ``encode_jpeg`` emits, and the honest
-    gate for anything else."""
+    """Decode a JFIF/JPEG: 8-bit BASELINE sequential (SOF0) and — round 5 —
+    PROGRESSIVE (SOF2, T.81 Annex G: spectral selection + successive
+    approximation, DC/AC first and refinement scans, EOB-run coding).
+    Returns ``(width, height, ncomp, pixels)`` with pixels an
+    (H, W, ncomp) or (H, W) uint8 array. 1 or 3 components, 1x1 sampling
+    (4:4:4). Arithmetic coding, hierarchical mode, chroma subsampling and
+    restart intervals remain honestly gated."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -483,8 +838,10 @@ def decode_jpeg(payload: bytes):
     quant: dict[int, object] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
-    scan_comps = None
-    data_start = None
+    progressive = False
+    coeffs: list | None = None
+    comp_ids: list[int] = []
+    saw_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -507,7 +864,8 @@ def decode_jpeg(payload: bytes):
                 nat[np.array(_ZIGZAG)] = zz_tbl  # de-zigzag into natural order
                 quant[tq] = nat.reshape(8, 8)
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -518,8 +876,14 @@ def decode_jpeg(payload: bytes):
                     raise NotImplementedError("chroma subsampling not supported on decode")
                 comps.append((cid, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic) not supported")
+            comp_ids = [cid for cid, _ in comps]
+            h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            n_blocks = (h8 // 8) * (w8 // 8)
+            coeffs = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "unsupported JPEG mode (arithmetic/hierarchical/extended)"
+            )
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -532,66 +896,62 @@ def decode_jpeg(payload: bytes):
                 p += 17 + nvals
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals not supported")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode this scan's entropy segment
+            if frame is None or coeffs is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_comps = []
+            scan_idx, dc_tbls, ac_tbls = [], [], []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
-            data_start = pos + seglen
-            break
+                if cs not in comp_ids:
+                    raise ValueError(f"scan references unknown component {cs}")
+                scan_idx.append(comp_ids.index(cs))
+                dc_tbls.append(huff.get((0, tdta >> 4)))
+                ac_tbls.append(huff.get((1, tdta & 0x0F)))
+            s_ss, s_se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            s_ah, s_al = ahal >> 4, ahal & 0x0F
+            reader = _BitReader(payload, pos + seglen)
+            if not progressive:
+                _decode_scan_baseline(reader, coeffs, scan_idx, dc_tbls, ac_tbls)
+            elif s_ss == 0 and s_se == 0:
+                if s_ah == 0:
+                    _decode_scan_dc_first(reader, coeffs, scan_idx, dc_tbls, s_al)
+                else:
+                    _decode_scan_dc_refine(reader, coeffs, scan_idx, s_al)
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                blocks = coeffs[scan_idx[0]]
+                if s_ah == 0:
+                    _decode_scan_ac_first(
+                        reader, blocks, ac_tbls[0], s_ss, s_se, s_al
+                    )
+                else:
+                    _decode_scan_ac_refine(
+                        reader, blocks, ac_tbls[0], s_ss, s_se, s_al
+                    )
+            saw_scan = True
+            pos = _next_marker(payload, reader.pos)
+            continue
         pos += seglen
-    if frame is None or scan_comps is None or data_start is None:
-        raise ValueError("missing SOF0/SOS")
+    if frame is None or not saw_scan:
+        raise ValueError("missing SOF/SOS")
 
     h, w, comps = frame
     ncomp = len(comps)
     h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     n_blocks = (h8 // 8) * (w8 // 8)
-    comp_quant = []
-    comp_dc = []
-    comp_ac = []
-    for (cid, tq), (scid, td, ta) in zip(comps, scan_comps):
-        if cid != scid:
-            raise ValueError("scan/frame component order mismatch")
-        comp_quant.append(quant[tq])
-        comp_dc.append(huff[(0, td)])
-        comp_ac.append(huff[(1, ta)])
-
-    reader = _BitReader(payload, data_start)
-    coeffs = [np.zeros((n_blocks, 64), dtype=np.float64) for _ in range(ncomp)]
-    pred = [0] * ncomp
-    for b in range(n_blocks):
-        for ci in range(ncomp):
-            blk = coeffs[ci][b]
-            ssss = _decode_huffman(reader, comp_dc[ci])
-            diff = _extend(reader.receive(ssss), ssss)
-            pred[ci] += diff
-            blk[0] = pred[ci]
-            k = 1
-            while k < 64:
-                sym = _decode_huffman(reader, comp_ac[ci])
-                if sym == 0x00:  # EOB
-                    break
-                run, ssss = sym >> 4, sym & 0x0F
-                if ssss == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                blk[k] = _extend(reader.receive(ssss), ssss)
-                k += 1
-
     cmat = _dct_matrix()
     zz = np.array(_ZIGZAG)
     planes = []
     for ci in range(ncomp):
+        tq = comps[ci][1]
+        if tq not in quant:
+            raise ValueError(f"missing quant table {tq}")
         nat = np.zeros((n_blocks, 64), dtype=np.float64)
-        nat[:, zz] = coeffs[ci]  # de-zigzag
-        blocks = nat.reshape(-1, 8, 8) * comp_quant[ci][None, :, :]
+        nat[:, zz] = coeffs[ci].astype(np.float64)  # de-zigzag
+        blocks = nat.reshape(-1, 8, 8) * quant[tq][None, :, :]
         spatial = np.einsum("ji,njk,kl->nil", cmat, blocks, cmat) + 128.0
         planes.append(_from_blocks(spatial, h8, w8)[:h, :w])
 

@@ -903,6 +903,72 @@ def synth_and_png_decode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _fan_out(df, id_col).mapInPandas(process, PNG_DECODE_SCHEMA)
 
 
+JPEG_PROGRESSIVE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bpp", LongType()),
+        StructField("n_scans", LongType()),
+        StructField("prog_equals_baseline", BooleanType()),
+    ]
+)
+
+
+def synth_and_jpeg_progressive(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Round-5 progressive JPEG end-to-end: per row, encode the synthetic
+    image BOTH ways — baseline sequential and progressive (T.81 Annex G
+    scan script: DC first, per-component AC first, DC refinement, AC
+    refinement) — decode both streams, and emit whether the pixels are
+    BIT-IDENTICAL (they must be: both serializations carry the same
+    quantized coefficients, so any slip in EOB handling, refinement
+    correction bits, or successive-approximation reassembly breaks the
+    flag). n_scans counts the SOS markers actually emitted."""
+    import numpy as np
+
+    from rtcdb_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        synth_pixels,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in JPEG_PROGRESSIVE_SCHEMA.fields
+            }
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                w, h = 1 + i % 19, 1 + i % 11
+                gray = i % 2 == 1
+                quality = 80 + (i % 4) * 5
+                px = synth_pixels(w, h, i, gray=gray)
+                prog_payload = encode_jpeg_progressive(px, quality=quality)
+                bw_, bh_, bn_, bpx = decode_jpeg(encode_jpeg(px, quality=quality))
+                pw_, ph_, pn_, ppx = decode_jpeg(prog_payload)
+                equal = (bw_, bh_, bn_) == (pw_, ph_, pn_) and np.array_equal(
+                    bpx, ppx
+                )
+                out["doc_id"].append(i)
+                out["width"].append(pw_)
+                out["height"].append(ph_)
+                out["bpp"].append(8 * pn_)
+                out["n_scans"].append(prog_payload.count(b"\xff\xda"))
+                out["prog_equals_baseline"].append(bool(equal))
+            yield pd.DataFrame(
+                {
+                    k: pd.array(
+                        v,
+                        dtype="boolean" if k == "prog_equals_baseline" else "Int64",
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return _fan_out(df, id_col).mapInPandas(process, JPEG_PROGRESSIVE_SCHEMA)
+
+
 PNG_LAYOUT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -397,6 +397,40 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_progressive",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 19 AS BIGINT) AS width,
+           CAST(1 + doc_id % 11 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 END AS BIGINT) AS bpp,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 4 END AS BIGINT) AS n_scans,
+           TRUE AS prog_equals_baseline
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "jpeg", "progressive"),
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG end-to-end (round 5 — closes the r4 'progressive
+    stays env-gated' note): every document is encoded BOTH as baseline
+    sequential and as progressive (T.81 Annex G: spectral selection +
+    successive approximation — DC first scan, per-component AC first
+    scans with EOB coding, raw-bit DC refinement, correction-bit AC
+    refinement), both streams are fully decoded, and the query emits
+    whether the two decodes are BIT-IDENTICAL — which they must be, since
+    both serializations carry the same quantized coefficients. The oracle
+    pins dims, scan count (8 colour / 4 grayscale), and the equality flag
+    TRUE for all 500+ documents; a single slip anywhere in the
+    progressive state machine flips a flag and breaks the hash. Scale
+    shape: map-only after the fan-out exchange, embarrassingly
+    parallel."""
+    from rtcdb_spark.functions.multimodal import synth_and_jpeg_progressive
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_and_jpeg_progressive(d).orderBy("doc_id")
+
+
+@query(
     "multimodal_png_layouts",
     """
     WITH d AS (

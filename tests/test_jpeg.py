@@ -76,15 +76,112 @@ def test_rejects_non_jpeg_and_truncation():
         decode_jpeg(payload[: len(payload) // 3])  # truncated mid-markers
 
 
-def test_rejects_progressive_marker():
-    """A SOF2 (progressive) frame header is an honest NotImplementedError,
-    not a wrong answer."""
+def test_rejects_arithmetic_marker():
+    """A SOF9 (arithmetic-coded) frame header is an honest
+    NotImplementedError, not a wrong answer. (SOF2 progressive is
+    SUPPORTED as of round 5 — see TestProgressive.)"""
     payload = bytearray(make_jpeg(8, 8, 2, gray=True))
     idx = payload.find(b"\xff\xc0")
     assert idx > 0
-    payload[idx + 1] = 0xC2  # SOF0 -> SOF2
+    payload[idx + 1] = 0xC9  # SOF0 -> SOF9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
+
+
+class TestProgressive:
+    """Progressive JPEG (T.81 Annex G): the progressive serializer shares
+    the baseline path's quantized coefficients, so its decode must equal
+    the baseline decode BIT-EXACTLY — pinning the whole DC/AC first +
+    refinement scan machinery, EOB handling, and successive-approximation
+    reassembly."""
+
+    def test_progressive_equals_baseline_decode(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_progressive
+
+        rng = np.random.RandomState(7)
+        for trial in range(12):
+            gray = trial % 2 == 1
+            w, h = 1 + int(rng.randint(33)), 1 + int(rng.randint(33))
+            q = [50, 75, 90, 95][trial % 4]
+            shape = (h, w) if gray else (h, w, 3)
+            px = rng.randint(0, 256, size=shape).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(px, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(px, quality=q))
+            assert base[0:3] == prog[0:3]
+            assert np.array_equal(base[3], prog[3]), (trial, shape, q)
+
+    def test_progressive_uses_sof2_and_multiple_scans(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_progressive
+
+        p = encode_jpeg_progressive(synth_pixels(16, 16, 3), quality=90)
+        assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+        assert p.count(b"\xff\xda") == 8  # DC first + 3 AC first + DC ref + 3 AC ref
+
+    def test_decoder_handles_eob_runs(self):
+        """EOBn (n>0) symbols need custom Huffman tables our encoder does
+        not emit — craft two streams by hand, one coding 4 empty-tail
+        blocks as a single EOB4, one as 4x EOB0, and assert identical
+        decodes."""
+        import struct
+
+        from rtcdb_spark.functions.jpeg import (
+            _BitWriter,
+            _build_codes,
+            _DC_LUMA_BITS,
+            _DC_LUMA_VALS,
+        )
+
+        # flat 9-bit AC table: symbols 0x00..0xFE present, code == symbol
+        # (DHT BITS entries are bytes, so one length holds at most 255)
+        flat_bits = [0] * 8 + [255] + [0] * 7
+        flat_vals = list(range(255))
+        flat = _build_codes(flat_bits, flat_vals)
+        assert flat[0x20] == (0x20, 9)
+        dc_codes = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+
+        def craft(use_eobrun: bool) -> bytes:
+            out = bytearray(b"\xff\xd8")
+            out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+            out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 32, 1)
+            out += struct.pack("BBB", 1, 0x11, 0)
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + 12, 0x00)
+            out += bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + 255, 0x10)
+            out += bytes(flat_bits) + bytes(flat_vals)
+            # scan 1: DC first, Al=1 — four zero diffs
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0x01])
+            bw = _BitWriter()
+            for _ in range(4):
+                code, length = dc_codes[0]
+                bw.write(code, length)
+            bw.flush()
+            out += bw.buf
+            # scan 2: AC first, band 1..63, Al=1
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0x01])
+            bw = _BitWriter()
+            bw.write(0x02, 9)  # (run 0, ssss 2) at k=1
+            bw.write(0b10, 2)  # value +2
+            if use_eobrun:
+                bw.write(0x20, 9)  # EOB4: r=2 ...
+                bw.write(0, 2)  # ... extra bits 0 -> run of 4 blocks
+            else:
+                for _ in range(4):  # block 0 tail + blocks 1..3
+                    bw.write(0x00, 9)
+            bw.flush()
+            out += bw.buf
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        a = craft(use_eobrun=True)
+        b = craft(use_eobrun=False)
+        assert a != b
+        wa, ha, na, pa = decode_jpeg(a)
+        wb, hb, nb, pb = decode_jpeg(b)
+        assert (wa, ha, na) == (32, 8, 1) == (wb, hb, nb)
+        assert np.array_equal(pa, pb)
+        # the single AC coefficient (2 << Al=1) actually landed: the image
+        # is not flat
+        assert pa.min() != pa.max()
 
 
 def test_decode_image_dispatch_routes_jpeg():
