@@ -68,10 +68,18 @@ _PRIORITY = [
     # source_json_roundtrip, agg_count_distinct, distinct_values,
     # window_lag_lead, fn_datetime, fn_url, stream_running_totals,
     # text_importance_resample, udf_udtf_tokenize.
+    # (wave 12, round 5): rotate the round-5 capability flagships in —
+    # multimodal_jpeg_progressive (T.81 Annex-G progressive codec),
+    # multimodal_png_layouts (full-spec PNG surface), text_bigram_perplexity
+    # (CCNet-style LM quality gate), stream_join_full_outer (C-VIII
+    # stream-stream full outer). OUT (all driver-green in a prior ledger;
+    # every family keeps >=1 green rep): source_csv_roundtrip,
+    # window_tumbling, merge_upsert_customers, graph_triangle_count.
+    # All four incoming queries pass the sf0.01 driver-sim this session.
     # C-II scan/filter/project + C-I sources (versioned read path gets its
     # driver slot)
     "q1_pricing_summary", "scan_filter_project",
-    "source_csv_roundtrip", "source_rtcdb_native_roundtrip",
+    "source_rtcdb_native_roundtrip",
     "source_rtcdb_pruned_scan", "source_rtcdb_string_scan",
     "versioned_data_skipping",
     # (wave 10, round 4): swap four doubly-green entries for the round-4
@@ -97,11 +105,12 @@ _PRIORITY = [
     # for the round-5 scalar-projection fix)
     "fn_string", "fn_array", "fn_math", "fn_json_map",
     # C-VIII event-time (batch)
-    "window_tumbling", "window_session",
-    # C-VIII streaming (stream-stream join gets its driver slot)
+    "window_session",
+    # C-VIII streaming (stream-stream joins get driver slots)
     "stream_window_tumbling", "stream_join_left_outer", "stream_dedup_count",
-    # C-IX text pipeline (trained BPE gets its rows-only driver slot)
-    "text_token_count", "text_bpe_tokenize",
+    "stream_join_full_outer",
+    # C-IX text pipeline (trained BPE + LM perplexity slots)
+    "text_token_count", "text_bpe_tokenize", "text_bigram_perplexity",
     # C-IX dedup (exact dedup gets its driver slot)
     "dedup_exact", "dedup_connected_groups_star", "dedup_simhash_probe",
     "dedup_span_fraction",
@@ -111,15 +120,16 @@ _PRIORITY = [
     # decode_meta rotates out doubly-green, png_decode stays the family's
     # green rep)
     "multimodal_png_decode", "multimodal_jpeg_decode",
-    "multimodal_mp4_frame_sample",
+    "multimodal_mp4_frame_sample", "multimodal_jpeg_progressive",
+    "multimodal_png_layouts",
     # C-X UDFs
     "udf_pandas_scalar", "udf_grouped_agg",
     # C-IX LLM pipeline
     "text_bm25_search", "text_contamination",
     # sketches / warehouse / reshape / analytics / graph / profiling
-    "freq_heavy_hitters", "merge_upsert_customers", "reshape_unpivot",
+    "freq_heavy_hitters", "reshape_unpivot",
     "anomaly_zscore_daily",
-    "graph_pagerank", "graph_triangle_count", "graph_label_propagation",
+    "graph_pagerank", "graph_label_propagation",
     # round-4 capability flagships
     "versioned_merge_upsert", "stream_cdc_upsert", "matview_incremental_refresh",
 ]

@@ -85,6 +85,12 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "versioned_data_skipping",
     "multimodal_mp4_frame_sample",
+    # round 5, wave 2: progressive JPEG, full-spec PNG layouts, bigram-LM
+    # perplexity gate, full-outer stream-stream join
+    "multimodal_jpeg_progressive",
+    "multimodal_png_layouts",
+    "text_bigram_perplexity",
+    "stream_join_full_outer",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
