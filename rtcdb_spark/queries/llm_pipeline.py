@@ -1313,26 +1313,29 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
         WHERE len(ts) >= 2
     ),
+    bi_doc AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS n_dw FROM bi GROUP BY 1, 2, 3
+    ),
     c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bi GROUP BY 1, 2),
     c1 AS (SELECT w1, COUNT(*) AS n1 FROM bi GROUP BY 1),
     v AS (
         SELECT COUNT(DISTINCT w) AS vocab
         FROM (SELECT unnest(ts) AS w FROM toks)
+    ),
+    lm AS (
+        SELECT w1, w2,
+               -ln(CAST(2 * c2.n2 + 1 AS DOUBLE)
+                   / CAST(2 * c1.n1 + v.vocab AS DOUBLE)) AS nll
+        FROM c2 JOIN c1 USING (w1) CROSS JOIN v
     )
-    SELECT bi.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(-ln(CAST(2 * c2.n2 + 1 AS DOUBLE)
-                         / CAST(2 * c1.n1 + v.vocab AS DOUBLE))), 9)
-               AS avg_nll,
-           ROUND(AVG(-ln(CAST(2 * c2.n2 + 1 AS DOUBLE)
-                         / CAST(2 * c1.n1 + v.vocab AS DOUBLE))), 9) > 6.0
-               AS is_flagged
-    FROM bi
-    JOIN c2 USING (w1, w2)
-    JOIN c1 USING (w1)
-    CROSS JOIN v
-    GROUP BY bi.doc_id
-    ORDER BY bi.doc_id
+    SELECT bi_doc.doc_id,
+           CAST(SUM(n_dw) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(n_dw * nll) / SUM(n_dw), 9) AS avg_nll,
+           ROUND(SUM(n_dw * nll) / SUM(n_dw), 9) > 6.0 AS is_flagged
+    FROM bi_doc
+    JOIN lm USING (w1, w2)
+    GROUP BY bi_doc.doc_id
+    ORDER BY bi_doc.doc_id
     """,
     tags=("text", "llm", "perplexity", "quality"),
 )
@@ -1351,10 +1354,13 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-determinism pattern).
 
     Scale shape (100 TB): the LM "training" is two hash aggregates over
-    the corpus bigrams (map-side partial) plus a 1-row vocabulary count;
-    scoring re-joins the bigram stream against the count tables on their
-    natural keys — the same join class as TF-IDF/BM25, shuffling
-    bigram-vocabulary-sized tables, never the raw corpus twice. No
+    the corpus bigrams (map-side partial) plus a 1-row vocabulary count.
+    Scoring never re-joins the raw bigram STREAM against anything:
+    per-distinct-bigram NLL is computed on the VOCABULARY-sized c2⋈c1
+    join, and the per-doc aggregate reduces the stream to distinct
+    (doc, bigram) counts first — so every join operand is
+    bigram-vocabulary-sized, the same class as TF-IDF's tables, while the
+    corpus-sized stream is touched only by hash aggregates. No
     driver-side model state: the "model" stays distributed, which is
     exactly how n-gram LM filtering runs on web-scale corpora."""
     d = load_table(spark, sf_dir, "documents")
@@ -1374,23 +1380,40 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("bs").alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # Aggregate CASCADE: the corpus-wide bigram explode feeds exactly one
+    # hash aggregate (bi_doc); c2 and c1 derive from it by re-aggregation
+    # of vocabulary-sized tables — the rollup_cascade pattern, saving two
+    # full re-evaluations of the explode at 100 TB.
+    bi_doc = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_dw")
+    )
+    c2 = bi_doc.groupBy("w1", "w2").agg(F.sum("n_dw").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     v = toks.select(F.explode("ts").alias("w")).agg(
         F.countDistinct("w").alias("vocab")
     )
-    nll = -F.log(
-        (2 * F.col("n2") + 1).cast("double")
-        / (2 * F.col("n1") + F.col("vocab")).cast("double")
-    )
-    avg_nll = F.round(F.avg(nll), 9)
-    return (
-        bi.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
+    lm = (
+        c2.join(c1, ["w1"])
         .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    (2 * F.col("n2") + 1).cast("double")
+                    / (2 * F.col("n1") + F.col("vocab")).cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    avg_nll = F.round(
+        F.sum(F.col("n_dw") * F.col("nll")) / F.sum("n_dw"), 9
+    )
+    return (
+        bi_doc.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("n_dw").cast("bigint").alias("n_bigrams"),
             avg_nll.alias("avg_nll"),
             (avg_nll > 6.0).alias("is_flagged"),
         )
