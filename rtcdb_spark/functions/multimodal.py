@@ -969,6 +969,76 @@ def synth_and_jpeg_progressive(df: DataFrame, id_col: str = "doc_id") -> DataFra
     return _fan_out(df, id_col).mapInPandas(process, JPEG_PROGRESSIVE_SCHEMA)
 
 
+JPEG_420_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_mcus", LongType()),
+        StructField("n_restarts", LongType()),
+        StructField("max_err_le_4", BooleanType()),
+    ]
+)
+
+
+def synth_and_jpeg_420_restart(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Round-5 4:2:0 + restart-marker JPEG end-to-end: per row, encode the
+    synthetic RGB image with 2x2-subsampled chroma and a seed-derived
+    restart interval, decode it (interleaved four-luma-block MCUs, RSTm
+    consumption with DC-predictor reset, chroma box-upsample), and emit
+    the counted RSTm markers plus a provable error bound. The synthetics
+    have CONSTANT chroma, so subsampling is exactly lossless there and
+    the measured max round-trip error (2, same as 4:4:4) bounds at 4 with
+    margin; the restart count is exact container arithmetic
+    ((n_mcus - 1) // interval) that one marker slip breaks."""
+    import numpy as np
+
+    from rtcdb_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_420,
+        synth_pixels,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in JPEG_420_SCHEMA.fields}
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                w, h = 1 + i % 21, 1 + i % 13
+                quality = 85 + (i % 3) * 5
+                ri = 1 + i % 4
+                px = synth_pixels(w, h, i)
+                payload = encode_jpeg_420(
+                    px, quality=quality, restart_interval=ri
+                )
+                got_w, got_h, _n, back = decode_jpeg(payload)
+                err = int(
+                    np.abs(back.astype(np.int64) - px.astype(np.int64)).max()
+                )
+                n_rst = sum(
+                    1
+                    for j in range(len(payload) - 1)
+                    if payload[j] == 0xFF and 0xD0 <= payload[j + 1] <= 0xD7
+                )
+                n_mcus = ((w + 15) // 16) * ((h + 15) // 16)
+                out["doc_id"].append(i)
+                out["width"].append(got_w)
+                out["height"].append(got_h)
+                out["n_mcus"].append(n_mcus)
+                out["n_restarts"].append(n_rst)
+                out["max_err_le_4"].append(bool(err <= 4))
+            yield pd.DataFrame(
+                {
+                    k: pd.array(
+                        v, dtype="boolean" if k == "max_err_le_4" else "Int64"
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return _fan_out(df, id_col).mapInPandas(process, JPEG_420_SCHEMA)
+
+
 PNG_LAYOUT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

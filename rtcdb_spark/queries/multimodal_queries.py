@@ -431,6 +431,44 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_420_restart",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 21 AS BIGINT) AS width,
+           CAST(1 + doc_id % 13 AS BIGINT) AS height,
+           CAST(((1 + doc_id % 21 + 15) // 16)
+                * ((1 + doc_id % 13 + 15) // 16) AS BIGINT) AS n_mcus,
+           CAST((((1 + doc_id % 21 + 15) // 16)
+                 * ((1 + doc_id % 13 + 15) // 16) - 1)
+                // (1 + doc_id % 4) AS BIGINT) AS n_restarts,
+           TRUE AS max_err_le_4
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "jpeg", "subsampling", "restart"),
+)
+def multimodal_jpeg_420_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma subsampling + restart markers end-to-end (round 5 —
+    the dominant real-world JPEG layout): every document is encoded with
+    2x2-box-subsampled chroma (four luma + two chroma blocks per 16x16
+    MCU) and a seed-derived DRI restart interval, then fully decoded —
+    interleaved MCU order, RSTm sequence verification with DC-predictor
+    reset, chroma box-upsampling. The oracle pins dims, the MCU count,
+    the EXACT restart-marker count ((n_mcus-1)//interval — one misplaced
+    or missing RSTm breaks the hash), and the provable error bound
+    (constant-chroma synthetics make subsampling lossless; measured max 2,
+    bound 4 with margin). Restart segments are what make one huge JPEG
+    decodable in PARALLEL — each segment is independently decodable, so a
+    100 TB video-frame or scanned-document corpus can split single large
+    images across tasks. Scale shape: map-only after the fan-out
+    exchange."""
+    from rtcdb_spark.functions.multimodal import synth_and_jpeg_420_restart
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_and_jpeg_420_restart(d).orderBy("doc_id")
+
+
+@query(
     "multimodal_png_layouts",
     """
     WITH d AS (

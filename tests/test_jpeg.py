@@ -202,3 +202,181 @@ def test_quality_monotonic_size():
     px = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
     sizes = [len(encode_jpeg(px, quality=q)) for q in (50, 75, 95)]
     assert sizes[0] < sizes[1] < sizes[2]
+
+
+class TestRestartMarkers:
+    """DRI/RSTm support (T.81 B.2.4.4/E.2.4): restart segments byte-align,
+    reset DC prediction, and decode to pixels identical to the
+    unrestarted stream — the property that makes segments independently
+    decodable (parallel decode of one huge JPEG)."""
+
+    @pytest.mark.parametrize("ri", [1, 2, 5])
+    @pytest.mark.parametrize("gray", [True, False])
+    def test_restart_roundtrip_identical(self, ri, gray):
+        rng = np.random.RandomState(ri * 7 + gray)
+        w, h = 30, 21  # 4x3 = 12 MCUs
+        shape = (h, w) if gray else (h, w, 3)
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(px, quality=90))
+        restarted = decode_jpeg(encode_jpeg(px, quality=90, restart_interval=ri))
+        assert plain[0:3] == restarted[0:3]
+        assert np.array_equal(plain[3], restarted[3])
+
+    def test_marker_count_and_sequence(self):
+        px = np.arange(24 * 40 * 3, dtype=np.uint8).reshape(24, 40, 3) % 251
+        p = encode_jpeg(px, quality=85, restart_interval=3)
+        assert b"\xff\xdd" in p  # DRI segment present
+        # 3x5 = 15 MCUs, interval 3 -> RST after MCU 3,6,9,12 = 4 markers,
+        # cycling RST0..RST3
+        msts = [
+            p[i + 1] - 0xD0
+            for i in range(len(p) - 1)
+            if p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7
+        ]
+        assert msts == [0, 1, 2, 3]
+
+    def test_corrupt_restart_sequence_rejected(self):
+        px = np.zeros((24, 40), dtype=np.uint8)
+        p = bytearray(encode_jpeg(px, quality=90, restart_interval=3))
+        # find the first RST marker and break its sequence number
+        for i in range(len(p) - 1):
+            if p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7:
+                p[i + 1] = 0xD7  # RST0 -> RST7
+                break
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(p))
+
+    def test_progressive_scans_with_restarts(self):
+        """Crafted progressive stream (DC first + AC first scans) with
+        DRI=2 over 4 MCUs must decode identically to the same stream
+        without restarts."""
+        import struct
+
+        from rtcdb_spark.functions.jpeg import (
+            _BitWriter,
+            _build_codes,
+            _DC_LUMA_BITS,
+            _DC_LUMA_VALS,
+        )
+
+        flat_bits = [0] * 8 + [255] + [0] * 7
+        flat_vals = list(range(255))
+        dc_codes = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+
+        def craft(with_restart: bool) -> bytes:
+            out = bytearray(b"\xff\xd8")
+            out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+            out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 32, 1)
+            out += struct.pack("BBB", 1, 0x11, 0)
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + 12, 0x00)
+            out += bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + 255, 0x10)
+            out += bytes(flat_bits) + bytes(flat_vals)
+            if with_restart:
+                out += b"\xff\xdd" + struct.pack(">HH", 4, 2)
+            # DC first scan, Al=1: DC values 2,2,2,2 (shifted: 1 each).
+            # Without restart: diffs 1,0,0,0; with DRI=2 the predictor
+            # resets at MCU 2 -> diffs 1,0,[RST0],1,0
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0x01])
+            bw = _BitWriter()
+
+            def dc_diff(d):
+                ssss = 0 if d == 0 else d.bit_length()
+                code, length = dc_codes[ssss]
+                bw.write(code, length)
+                if ssss:
+                    bw.write(d, ssss)
+
+            dc_diff(1); dc_diff(0)
+            if with_restart:
+                bw.flush()
+                bw.buf += b"\xff\xd0"
+            dc_diff(1) if with_restart else dc_diff(0)
+            dc_diff(0)
+            bw.flush()
+            out += bw.buf
+            # AC first scan, band 1..63, Al=1: k=1 coefficient +2 per block
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0x01])
+            bw = _BitWriter()
+            for b in range(4):
+                if with_restart and b == 2:
+                    bw.flush()
+                    bw.buf += b"\xff\xd0"
+                bw.write(0x02, 9)
+                bw.write(0b10, 2)
+                bw.write(0x00, 9)  # EOB0
+            bw.flush()
+            out += bw.buf
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        wa, ha, na, pa = decode_jpeg(craft(with_restart=True))
+        wb, hb, nb, pb = decode_jpeg(craft(with_restart=False))
+        assert (wa, ha, na) == (32, 8, 1) == (wb, hb, nb)
+        assert np.array_equal(pa, pb)
+
+
+class TestChromaSubsampling:
+    """4:2:0 (T.81 A.2.3): 2x2-subsampled chroma, four-luma-block MCUs."""
+
+    def test_dims_and_smooth_chroma_accuracy(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_420
+
+        rng = np.random.RandomState(5)
+        for w, h in [(1, 1), (15, 9), (16, 16), (33, 21), (50, 35)]:
+            g = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            px = np.stack([g, g, g], axis=-1)  # gray content: constant chroma
+            W, H, N, out = decode_jpeg(encode_jpeg_420(px, quality=92))
+            assert (W, H, N) == (w, h, 3)
+            err = np.abs(out.astype(int) - px.astype(int))
+            # constant chroma survives subsampling exactly; error is the
+            # luma DCT path only
+            assert err.max() <= 48, (w, h, int(err.max()))
+
+    def test_matches_444_on_constant_chroma_synthetics(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_420
+
+        for seed in (0, 3, 5):
+            px = synth_pixels(33, 21, seed)  # chroma planes are constant
+            _, _, _, o444 = decode_jpeg(encode_jpeg(px, quality=90))
+            _, _, _, o420 = decode_jpeg(encode_jpeg_420(px, quality=90))
+            e444 = np.abs(o444.astype(int) - px.astype(int)).mean()
+            e420 = np.abs(o420.astype(int) - px.astype(int)).mean()
+            assert abs(e444 - e420) < 0.05, (seed, e444, e420)
+
+    def test_420_payload_smaller_on_noise(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_420
+
+        rng = np.random.RandomState(9)
+        px = rng.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+        assert len(encode_jpeg_420(px, quality=90)) < 0.8 * len(
+            encode_jpeg(px, quality=90)
+        )
+
+    def test_420_with_restart_interval(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_420
+
+        rng = np.random.RandomState(11)
+        px = rng.randint(0, 256, size=(35, 50, 3)).astype(np.uint8)
+        a = decode_jpeg(encode_jpeg_420(px, quality=90))
+        b = decode_jpeg(encode_jpeg_420(px, quality=90, restart_interval=2))
+        assert a[0:3] == b[0:3] and np.array_equal(a[3], b[3])
+
+    def test_sof_carries_sampling_factors(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_420
+
+        p = encode_jpeg_420(synth_pixels(20, 20, 1), quality=90)
+        i = p.find(b"\xff\xc0")
+        comp0 = p[i + 2 + 8 :]
+        assert comp0[1] == 0x22 and comp0[4] == 0x11 and comp0[7] == 0x11
+
+    def test_unsupported_layouts_rejected(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_420
+
+        with pytest.raises(ValueError):
+            encode_jpeg_420(np.zeros((8, 8), dtype=np.uint8))  # not RGB
+        p = bytearray(encode_jpeg_420(synth_pixels(16, 16, 2), quality=90))
+        i = p.find(b"\xff\xc0")
+        p[i + 2 + 8 + 1] = 0x21  # 2x1 sampling: valid JPEG, not implemented
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(p))

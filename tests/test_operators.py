@@ -674,7 +674,10 @@ class TestPngCodec:
         with pytest.raises(ValueError, match="CRC"):
             decode_png(bytes(p))
 
-    def test_unsupported_shapes_gated(self):
+    def test_malformed_shapes_rejected(self):
+        """16-bit and interlaced PNGs are SUPPORTED as of round 5 (see
+        tests/test_png_full.py); truncated streams of those shapes must
+        still fail loudly rather than decode garbage."""
         import struct
         import zlib
 
@@ -686,15 +689,21 @@ class TestPngCodec:
             crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
             return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-        # 16-bit depth
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        # valid headers but NO pixel data: stream-length mismatch
+        for depth, interlace in ((16, 0), (8, 1)):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+            p = (
+                _PNG_SIG
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b""))
+                + chunk(b"IEND", b"")
+            )
+            with pytest.raises(ValueError):
+                decode_png(p)
+        # bad color type is a hard error, not a gate
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
         p = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-        with pytest.raises(NotImplementedError):
-            decode_png(p)
-        # interlaced
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-        p = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_png(p)
 
     def test_dispatch_recognizes_png(self):
