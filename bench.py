@@ -91,6 +91,8 @@ HEADLINE = [
     "multimodal_png_layouts",
     "text_bigram_perplexity",
     "stream_join_full_outer",
+    # round 5, wave 3: 4:2:0 + restart-marker JPEG
+    "multimodal_jpeg_420_restart",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

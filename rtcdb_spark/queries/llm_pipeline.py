@@ -1419,3 +1419,57 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "curation_shuffle_shards",
+    """
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(k % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    ORDER BY shard, pos
+    """,
+    tags=("llm", "curation", "shuffle", "shards"),
+)
+def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle into training shards (round 5):
+    the step that MATERIALIZES training-data order. Each document gets an
+    engine-portable 60-bit key from md5(seed || doc_id); the key's residue
+    picks one of 8 shards and the key order fixes the position within the
+    shard — so the exact byte order a trainer reads is reproducible from
+    (corpus, seed) alone, across engines and across reruns, and changing
+    the seed epoch re-shuffles with zero data movement beyond the
+    re-write. Every training-data paper's ablation depends on this
+    property; a nondeterministic engine shuffle cannot provide it.
+
+    Scale shape (100 TB): one hash exchange on the shard id + a
+    within-shard sort — at real scale shard count is chosen so each shard
+    is one writer task's output (thousands of shards), which is exactly a
+    `repartitionByRange`-free, skew-immune (md5 keys are uniform)
+    distributed sort. No driver state."""
+    from rtcdb_spark.functions.text import stable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        stable_hash60(
+            F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    w = Window.partitionBy(F.col("k") % 8).orderBy("k", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            (F.col("k") % 8).cast("bigint").alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
