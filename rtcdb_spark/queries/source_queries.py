@@ -581,3 +581,57 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("char_sum"),
         F.lit(bad_n).cast("bigint").alias("n_bad"),
     )
+
+
+@query(
+    "source_rtcdb_index_stats",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST((COUNT(*) + 1023) // 1024 AS BIGINT) AS n_blocks
+    FROM documents
+    """,
+    tags=("source", "rtcdb-format", "index", "aggregate-pushdown"),
+)
+def source_rtcdb_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-only aggregates on the reference's own format (round 5 — the
+    reference's A8 `get_min`/`get_max` finally served the way its index
+    was DESIGNED to serve them, README.md:49-56): documents are written
+    as a native table, then min/max/count for two Uint64 columns are
+    answered from the 40-byte sparse-index entries alone —
+    `sources.rtcdb_native.index_stats` reads ZERO data blocks, performs
+    zero LZ4 decodes. The oracle computes the same aggregates by scanning
+    the parquet original, so a hash match proves the index entries the
+    writer emitted are exact over every block (including short tail
+    blocks). The aggregate-pushdown analogue of parquet footer stats: at
+    a billion rows this is ~40 MB of index I/O vs ~8 GB of data."""
+    from rtcdb_spark.sources.rtcdb_native import index_stats, write_rtcdb
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).orderBy("doc_id")
+    root = os.path.join(_IO_ROOT, "rtcdb_native_index_stats")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    write_rtcdb(d, root, "documents")
+    s_doc = index_stats(root, "documents", "doc_id")
+    s_chars = index_stats(root, "documents", "n_chars")
+    assert s_doc["n_rows"] == s_chars["n_rows"]
+    return spark.createDataFrame(
+        [
+            (
+                s_doc["min"],
+                s_doc["max"],
+                s_chars["min"],
+                s_chars["max"],
+                s_doc["n_rows"],
+                s_doc["n_blocks"],
+            )
+        ],
+        "min_doc long, max_doc long, min_chars long, max_chars long, "
+        "n_rows long, n_blocks long",
+    )

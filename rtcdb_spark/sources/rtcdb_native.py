@@ -635,3 +635,39 @@ def read_rtcdb(spark: SparkSession, root: str, table: str) -> DataFrame:
     # driver may hand us its own session)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark.read.format("rtcdb").option("table", table).load(root)
+
+
+def index_stats(root: str, table: str, col: str) -> dict:
+    """Exact min / max / row count for a Uint64 column answered from the
+    40-byte sparse-index entries ALONE — zero data-block reads or LZ4
+    decodes (round 5). This is the reference's OWN designed use of its
+    index (README.md:49-56 stores per-block min/max precisely so
+    aggregates can skip data; its `get_min`/`get_max` helpers,
+    src/data.rs:22-60, never got an index-backed caller because the read
+    path was a stub). Here: min over block minima, max over block maxima
+    (both exact for Uint64 — the index stores full 8-byte big-endian
+    values), and the row count from Σ decompressed_size/8 (u64 cells are
+    fixed-width). O(n_blocks) metadata I/O — at the format's 1024-row
+    blocks, a billion-row column answers from ~40 MB of index instead of
+    ~8 GB of compressed data.
+
+    String columns raise: their index entries hold 8-byte PREFIXES
+    (truncated min / max), so index-only extrema would be bounds, not
+    values — use a scan, or `plan_blocks` pruning."""
+    meta = load_metadata(root)
+    t = next(tb for tb in meta["tables"] if tb["name"] == table)
+    dtype = next(c["dtype"] for c in t["columns"] if c["name"] == col)
+    if dtype != "Uint64":
+        raise ValueError(
+            f"index-only stats are exact only for Uint64 columns; {col} is "
+            f"{dtype} (its index holds 8-byte prefixes, i.e. bounds)"
+        )
+    entries = read_index(root, table, col)
+    if not entries:
+        raise ValueError(f"{table}.{col}: empty index")
+    return {
+        "min": min(struct.unpack(">Q", e[3])[0] for e in entries),
+        "max": max(struct.unpack(">Q", e[4])[0] for e in entries),
+        "n_rows": sum(e[2] // 8 for e in entries),
+        "n_blocks": len(entries),
+    }

@@ -402,3 +402,30 @@ def test_in_list_filter_prunes_blocks(spark, tmp_path):
 
     back = read_rtcdb(spark, root, "t").filter(F.col("k").isin(10, 40, 99))
     assert sorted(r.k for r in back.collect()) == [10, 40, 99]
+
+
+class TestIndexStats:
+    """Index-only aggregates (round 5): exact min/max/count from the
+    40-byte entries with zero block decodes."""
+
+    def test_exact_over_multi_block_and_tail(self, spark, tmp_path):
+        from rtcdb_spark.sources.rtcdb_native import index_stats, write_rtcdb
+
+        d = spark.range(0, 2500).selectExpr(
+            "id + 7 AS k", "(id * 13) % 1009 AS v"
+        )
+        write_rtcdb(d, str(tmp_path), "t")
+        sk = index_stats(str(tmp_path), "t", "k")
+        sv = index_stats(str(tmp_path), "t", "v")
+        assert sk == {"min": 7, "max": 2506, "n_rows": 2500, "n_blocks": 3}
+        assert sv["min"] == 0 and sv["max"] == 1008 and sv["n_rows"] == 2500
+
+    def test_string_columns_refused(self, spark, tmp_path):
+        import pytest
+
+        from rtcdb_spark.sources.rtcdb_native import index_stats, write_rtcdb
+
+        d = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+        write_rtcdb(d, str(tmp_path), "t")
+        with pytest.raises(ValueError, match="prefix"):
+            index_stats(str(tmp_path), "t", "s")
