@@ -144,16 +144,29 @@ class VersionedTable:
             m["stats"] = stats
         return m
 
+    def _n_files_of(self, version: int) -> int:
+        """Total file count of a version: the recorded counter when
+        present, else one segment resolution (legacy manifests)."""
+        n = self._read_manifest_raw(version).get("n_files", -1)
+        if n < 0:
+            n = len(self._read_manifest(version)["files"])
+        return n
+
     def history(self) -> list[dict[str, Any]]:
-        """Commit history, oldest first: version, op, files added/total."""
+        """Commit history, oldest first: version, op, files added/total.
+        Reads manifests RAW — ``n_files`` is recorded at commit time, so
+        listing a long history never resolves segment file lists
+        (O(versions) metadata, not O(versions x files)); manifests
+        predating the counter fall back to one resolution."""
         out = []
         for v in self.versions():
-            m = self._read_manifest(v)
+            m = self._read_manifest_raw(v)
+            n_files = self._n_files_of(v)
             out.append(
                 {
                     "version": v,
                     "op": m["op"],
-                    "n_files": len(m["files"]),
+                    "n_files": n_files,
                     "n_added": m["n_added"],
                 }
             )
@@ -228,6 +241,11 @@ class VersionedTable:
                 "op": mode,
                 "segments": segments,
                 "n_added": len(new_files),
+                "n_files": (
+                    len(new_files)
+                    if mode == "overwrite" or prev is None
+                    else self._n_files_of(prev) + len(new_files)
+                ),
             }
             if extra:
                 manifest["extra"] = extra
@@ -322,6 +340,7 @@ class VersionedTable:
                 "op": op,
                 "segments": segments,
                 "n_added": len(new_files),
+                "n_files": len(new_files) + len(survivors),
             }
             if self._try_publish(version, manifest):
                 return version
@@ -656,6 +675,7 @@ class VersionedTable:
             "op": "clone",
             "segments": [seg],
             "n_added": 0,
+            "n_files": len(src["files"]),
             "extra": {"cloned_from": os.path.abspath(self.root), "source_version": v},
         }
         if not dest._try_publish(0, manifest):
