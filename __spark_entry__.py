@@ -76,6 +76,12 @@ _PRIORITY = [
     # every family keeps >=1 green rep): source_csv_roundtrip,
     # window_tumbling, merge_upsert_customers, graph_triangle_count.
     # All four incoming queries pass the sf0.01 driver-sim this session.
+    # (wave 13, round 5): multimodal_png_decode -> stream_dedup_near_simhash
+    # (ONLINE banded-SimHash near-dup over arbitrary state + the new
+    # shuffle-free rowwise HOF signature; oracle-matched at sf0.01 this
+    # session). png_decode is driver-green in the r4 ledger and multimodal
+    # keeps 4 reps (jpeg_decode, mp4_frame_sample, jpeg_progressive,
+    # png_layouts); streaming-dedup family keeps stream_dedup_count green.
     # C-II scan/filter/project + C-I sources (versioned read path gets its
     # driver slot)
     "q1_pricing_summary", "scan_filter_project",
@@ -108,7 +114,7 @@ _PRIORITY = [
     "window_session",
     # C-VIII streaming (stream-stream joins get driver slots)
     "stream_window_tumbling", "stream_join_left_outer", "stream_dedup_count",
-    "stream_join_full_outer",
+    "stream_join_full_outer", "stream_dedup_near_simhash",
     # C-IX text pipeline (trained BPE + LM perplexity slots)
     "text_token_count", "text_bpe_tokenize", "text_bigram_perplexity",
     # C-IX dedup (exact dedup gets its driver slot)
@@ -119,7 +125,7 @@ _PRIORITY = [
     # C-IX multimodal (JPEG decode + MP4 frame sampling, new round 5;
     # decode_meta rotates out doubly-green, png_decode stays the family's
     # green rep)
-    "multimodal_png_decode", "multimodal_jpeg_decode",
+    "multimodal_jpeg_decode",
     "multimodal_mp4_frame_sample", "multimodal_jpeg_progressive",
     "multimodal_png_layouts",
     # C-X UDFs

@@ -93,6 +93,9 @@ HEADLINE = [
     "stream_join_full_outer",
     # round 5, wave 3: 4:2:0 + restart-marker JPEG
     "multimodal_jpeg_420_restart",
+    # round 5, wave 4: online banded-SimHash near-dup over arbitrary state
+    # (+ the shuffle-free rowwise HOF signature it rides on)
+    "stream_dedup_near_simhash",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

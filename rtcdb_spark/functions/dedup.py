@@ -326,6 +326,56 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def simhash64_rowwise(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document → (id, sim_hi, sim_lo) with ZERO shuffle.
+
+    Value-identical to :func:`simhash64` (same md5 prefix-window token
+    hashes, same ±1 occurrence-weighted bit sums, same word split), but
+    computed per ROW with higher-order functions instead of an
+    explode+groupBy: `aggregate` folds the token array into a 64-element
+    ±1-sum accumulator, entirely inside whole-stage codegen. No token
+    explode, no signature shuffle — the map-side shape a streaming operator
+    needs (a stateless projection can precede `applyInPandasWithState`,
+    where a streaming groupBy could not) and the cheaper shape at 100 TB
+    (the per-doc signature never leaves its input partition).
+
+    The one-element ``transform(array(...))[0]`` wrapper binds the
+    accumulator once so the two output words don't re-fold the token array.
+    """
+    toks = f"split({text_col}, ' ')"
+    hashes = (
+        f"transform({toks}, t -> named_struct("
+        "'hi', CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), "
+        "'lo', CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)))"
+    )
+    bits = (
+        f"aggregate({hashes}, array_repeat(0, 64), (acc, h) -> "
+        "zip_with(acc, sequence(0, 63), (a, b) -> a + "
+        "IF(((CASE WHEN b < 32 THEN shiftright(h.lo, b) "
+        "ELSE shiftright(h.hi, b - 32) END) & 1) = 1, 1, -1)))"
+    )
+
+    def word(offset: int) -> str:
+        # bs is the 64-element ±1-sum array; slice is 1-indexed.
+        return (
+            f"aggregate(zip_with(slice(bs, {offset + 1}, 32), sequence(0, 31), "
+            "(s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), "
+            "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        )
+
+    # inline() is a generator: the one-element struct array is evaluated
+    # exactly once per row and flattened to (sim_hi, sim_lo) columns —
+    # projecting the struct's fields separately would re-fold the token
+    # array once per output column (CollapseProject inlines the struct).
+    sig = (
+        f"inline(transform(array({bits}), bs -> named_struct("
+        f"'sim_hi', {word(32)}, 'sim_lo', {word(0)})))"
+    )
+    return docs.select(F.col(id_col), F.expr(sig))
+
+
 # Hamming-probe banding: 4 bands × 16 bits. Pigeonhole: two 64-bit signatures
 # within Hamming distance ≤ 3 differ in at most 3 bands, so at least one band
 # matches exactly — the equi-join on (band_id, band_val) has perfect recall

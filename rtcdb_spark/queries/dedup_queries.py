@@ -19,7 +19,7 @@ from rtcdb_spark.functions.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash32,
-    simhash64,
+    simhash64_rowwise,
     simhash_hamming_pairs,
 )
 from rtcdb_spark.functions.text import (
@@ -279,11 +279,13 @@ def dedup_simhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe (`functions.dedup.simhash_hamming_pairs`): 4×16-bit bands
     make candidate lookup an equi-join with *exact* recall at radius ≤ 3
     (pigeonhole), so the Spark side never does the all-pairs product the
-    brute-force oracle uses. One bucket-key shuffle; Hamming verified inline
-    with bit_count(xor) on the carried signature words."""
+    brute-force oracle uses. The signature itself is a per-row
+    higher-order-function fold (`simhash64_rowwise` — map-side, no token
+    explode), so the bucket-key groupBy is the query's ONLY shuffle;
+    Hamming verified inline with bit_count(xor) on the carried words."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        simhash_hamming_pairs(simhash64(d))
+        simhash_hamming_pairs(simhash64_rowwise(d))
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
@@ -1003,7 +1005,7 @@ def dedup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     which this surfaces. Two map-combined aggregates over the signature
     key — the same single-shuffle scale shape as exact dedup."""
     d = load_table(spark, sf_dir, "documents")
-    clusters = simhash64(d).groupBy("sim_hi", "sim_lo").agg(
+    clusters = simhash64_rowwise(d).groupBy("sim_hi", "sim_lo").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return (
@@ -1058,7 +1060,7 @@ def dedup_survivorship_best_record(spark: SparkSession, sf_dir: str) -> DataFram
     signature computation; output lists each multi-member cluster's
     golden record."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = simhash64(d).join(d.select("doc_id", "n_chars", "source"), "doc_id")
+    sigs = simhash64_rowwise(d).join(d.select("doc_id", "n_chars", "source"), "doc_id")
     from pyspark.sql import Window
 
     wp = Window.partitionBy("sim_hi", "sim_lo").orderBy(
@@ -1150,7 +1152,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = jaccard_pairs(sh, pairs).select(
         "id_a", "id_b", (F.col("jaccard") >= 0.5).cast("int").alias("is_dup")
     )
-    sigs = simhash64(sample)
+    sigs = simhash64_rowwise(sample)
     ga = sigs.select(F.col("doc_id").alias("id_a"), F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"))
     gb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sim_hi").alias("hb"), F.col("sim_lo").alias("lb"))
     ham = (

@@ -747,3 +747,145 @@ def stream_append_mode_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(agg, output_mode="append")
     return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_dedup_near_simhash",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h_hi,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h_lo
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN (CASE WHEN b < 32 THEN (h_lo >> b)
+                          ELSE (h_hi >> (b - 32)) END) & 1 = 1
+                    THEN 1 ELSE -1 END AS w
+        FROM h CROSS JOIN generate_series(0, 63) t(b)
+    ),
+    per_bit AS (SELECT doc_id, b, SUM(w) AS s FROM bits GROUP BY doc_id, b),
+    sigs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 AND b >= 32
+                             THEN (CAST(1 AS BIGINT) << (b % 32)) ELSE 0 END)
+                    AS BIGINT) AS sim_hi,
+               CAST(SUM(CASE WHEN s > 0 AND b < 32
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS sim_lo
+        FROM per_bit GROUP BY doc_id
+    ),
+    dup AS (
+        SELECT DISTINCT a.doc_id
+        FROM sigs a JOIN sigs b ON b.doc_id < a.doc_id
+        WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+              + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+    )
+    SELECT s.doc_id,
+           CAST(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_near_dup
+    FROM sigs s LEFT JOIN dup d ON s.doc_id = d.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("streaming", "dedup", "simhash"),
+)
+def stream_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE near-dup detection: documents stream through a banded-SimHash
+    stateful operator (`streaming.dedup.stream_near_dedup_simhash`) that
+    flags each arrival within Hamming radius 3 of any earlier doc, keeping
+    only capped per-band signature buckets as state (never the corpus).
+    The signature is a stateless per-row higher-order-function fold
+    (`simhash64_rowwise` — zero shuffle), so bucket probing is the query's
+    single stateful operator. The brute-force all-pairs oracle defines the
+    semantics; the streaming plan must reproduce it with bucketed state
+    only. Per-doc OR over the four band verdicts runs on the sink output
+    (Spark forbids chaining a second stateful agg after arbitrary state).
+    """
+    from rtcdb_spark.streaming import run_available_now, stream_near_dedup_simhash
+    from rtcdb_spark.streaming.events import read_table_stream
+
+    sdf = read_table_stream(spark, sf_dir, "documents")
+    flags = run_available_now(
+        stream_near_dedup_simhash(sdf), output_mode="append"
+    )
+    return (
+        flags.groupBy("doc_id")
+        .agg(F.max(F.col("is_dup").cast("int")).cast("long").alias("is_near_dup"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stream_ingest_dedup_versioned",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h_hi,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h_lo
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN (CASE WHEN b < 32 THEN (h_lo >> b)
+                          ELSE (h_hi >> (b - 32)) END) & 1 = 1
+                    THEN 1 ELSE -1 END AS w
+        FROM h CROSS JOIN generate_series(0, 63) t(b)
+    ),
+    per_bit AS (SELECT doc_id, b, SUM(w) AS s FROM bits GROUP BY doc_id, b),
+    sigs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 AND b >= 32
+                             THEN (CAST(1 AS BIGINT) << (b % 32)) ELSE 0 END)
+                    AS BIGINT) AS sim_hi,
+               CAST(SUM(CASE WHEN s > 0 AND b < 32
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS sim_lo
+        FROM per_bit GROUP BY doc_id
+    ),
+    dup AS (
+        SELECT DISTINCT a.doc_id
+        FROM sigs a JOIN sigs b ON b.doc_id < a.doc_id
+        WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+              + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+    ORDER BY d.doc_id
+    """,
+    tags=("streaming", "dedup", "versioned", "composition"),
+)
+def stream_ingest_dedup_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSITE a corpus-ingest job runs: stream documents through the
+    online near-dup gate (`stream_near_dedup_simhash`), append each
+    micro-batch's survivors to a `VersionedTable` under the exactly-once
+    (app_id, batch_id) commit protocol, then read the resulting snapshot.
+    Every stage is an audited operator (stateful streaming dedup, ACID
+    commit log, manifest-planned read); the oracle recomputes the survivor
+    set from the brute-force all-pairs near-dup definition. Replay safety
+    and multi-batch arrival are exercised in tests/test_streaming.py."""
+    import tempfile
+
+    from rtcdb_spark.sources import load_table
+    from rtcdb_spark.sources.versioned import VersionedTable
+    from rtcdb_spark.streaming import stream_ingest_near_dedup_to_versioned
+    from rtcdb_spark.streaming.events import read_table_stream
+
+    root = tempfile.mkdtemp(prefix="rtcdb_ingest_dedup_")
+    ckpt = tempfile.mkdtemp(prefix="rtcdb_ingest_ckpt_")
+    sdf = read_table_stream(spark, sf_dir, "documents")
+    static = load_table(spark, sf_dir, "documents")
+    stream_ingest_near_dedup_to_versioned(sdf, static, root, ckpt)
+    return (
+        VersionedTable(spark, root)
+        .read()
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -6,8 +6,13 @@ windowing operators (`F.window` / `F.session_window`) — the batch forms in
 ``rtcdb_spark.queries.events_time`` are the oracle-checkable twins of these.
 """
 
+from rtcdb_spark.streaming.dedup import (  # noqa: F401
+    stream_ingest_near_dedup_to_versioned,
+    stream_near_dedup_simhash,
+)
 from rtcdb_spark.streaming.events import (  # noqa: F401
     read_events_stream,
+    read_table_stream,
     run_available_now,
     stream_dedup,
     stream_enrich_static,
@@ -28,7 +33,10 @@ from rtcdb_spark.streaming.stateful import (  # noqa: F401
 
 __all__ = [
     "read_events_stream",
+    "read_table_stream",
     "run_available_now",
+    "stream_ingest_near_dedup_to_versioned",
+    "stream_near_dedup_simhash",
     "stream_dedup",
     "stream_enrich_static",
     "stream_session",

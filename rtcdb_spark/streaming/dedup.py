@@ -1,0 +1,237 @@
+"""Streaming near-duplicate detection (SURVEY §2 C-VIII × C-IX).
+
+Batch near-dedup (`functions.dedup.simhash_hamming_pairs`) answers "which
+pairs in this corpus are near-dups"; a training-data INGEST pipeline needs
+the online form: as documents arrive, flag each one that is within Hamming
+radius r of ANY previously-accepted document, without ever re-scanning the
+corpus. The reference has no streaming at all (SURVEY §3); this is
+north-star surface built on Structured Streaming's arbitrary-state API.
+
+Shape (the only state layout that scales to an unbounded corpus):
+
+1. Signature is computed STATELESSLY per row (`simhash64_rowwise` — a
+   higher-order-function fold, no explode, no shuffle), so the one stateful
+   operator in the query is the dedup itself. A streaming groupBy signature
+   (like batch `simhash64`) would be a second stateful aggregation and
+   Spark cannot chain an unwindowed agg into `applyInPandasWithState`.
+2. Each doc explodes into 4 (band_id, band_val) keys — 16-bit slices of the
+   64-bit signature. Pigeonhole: two signatures within Hamming distance ≤ 3
+   agree exactly on at least one band, so per-band bucket probing has exact
+   recall at radius ≤ 3.
+3. `applyInPandasWithState` keyed by (band_id, band_val): state is the
+   bucket's seen-signature list, capped at `max_bucket` entries (the same
+   degenerate-flood bound as the batch prober — state per key is O(cap),
+   total state O(#distinct band values × cap), sharded across the state
+   store; NEVER O(corpus)). Each arriving doc is Hamming-verified against
+   the bucket (vectorized numpy xor+popcount) and appended if the cap
+   allows.
+4. A doc is a near-dup iff ANY of its 4 band buckets flags it — the final
+   per-doc OR runs on the sink output (batch side): Spark does not allow a
+   second stateful aggregation downstream of arbitrary state in one
+   streaming query, and the per-(doc, band) flags are exactly what a real
+   pipeline would sink anyway.
+
+Determinism contract: "previously accepted" = smaller `doc_id`, so arrival
+order must be doc_id order (micro-batch splits must not interleave ids —
+tests feed id-ordered file splits). Under that contract the result is
+bit-identical to the batch/SQL definition: doc X is a near-dup iff some
+Y.doc_id < X.doc_id has hamming(X, Y) ≤ max_hamming — which is what the
+DuckDB oracle computes by brute force.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from rtcdb_spark.functions.dedup import SIMHASH_PROBE_RADIUS, simhash64_rowwise
+
+_OUTPUT_SCHEMA = "doc_id LONG, band_id INT, is_dup BOOLEAN"
+_STATE_SCHEMA = "ids ARRAY<LONG>, his ARRAY<LONG>, los ARRAY<LONG>"
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount: view each int64 as 8 bytes, unpack to
+    bits, sum. Values here are non-negative (< 2^32 per word)."""
+    b = np.ascontiguousarray(a, dtype=np.int64).view(np.uint8)
+    return np.unpackbits(b).reshape(-1, 8 * 8).sum(axis=1)
+
+
+def _make_update(max_hamming: int, max_bucket: int):
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, his, los = state.get
+            ids = list(ids)
+        else:
+            ids, his, los = [], [], []
+        seen_hi = np.array(his, dtype=np.int64)
+        seen_lo = np.array(los, dtype=np.int64)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # Intra-batch arrival order = doc_id order (the determinism
+        # contract above); the state-store group itself is unordered.
+        batch = batch.sort_values("doc_id", ignore_index=True)
+        out_ids: list[int] = []
+        out_dup: list[bool] = []
+        for doc_id, hi, lo in zip(
+            batch["doc_id"].tolist(), batch["sim_hi"].tolist(), batch["sim_lo"].tolist()
+        ):
+            if len(seen_hi):
+                ham = _popcount64(np.bitwise_xor(seen_hi, hi)) + _popcount64(
+                    np.bitwise_xor(seen_lo, lo)
+                )
+                dup = bool((ham <= max_hamming).any())
+            else:
+                dup = False
+            out_ids.append(int(doc_id))
+            out_dup.append(dup)
+            if len(ids) < max_bucket:
+                ids.append(int(doc_id))
+                seen_hi = np.append(seen_hi, np.int64(hi))
+                seen_lo = np.append(seen_lo, np.int64(lo))
+        state.update((ids, seen_hi.tolist(), seen_lo.tolist()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "band_id": pd.Series([key[0]] * len(out_ids), dtype="int32"),
+                "is_dup": pd.Series(out_dup, dtype="bool"),
+            }
+        )
+
+    return _update
+
+
+def stream_near_dedup_simhash(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_PROBE_RADIUS,
+    max_bucket: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Online SimHash near-dup flags over a document stream.
+
+    Returns a streaming DataFrame of (doc_id, band_id, is_dup): one row per
+    (doc, band), `is_dup` true iff an earlier doc in that band's bucket is
+    within `max_hamming`. Reduce to per-doc flags with
+    ``groupBy(doc_id).agg(max(is_dup))`` on the sink output (see module
+    docstring for why the OR happens batch-side).
+
+    State per band bucket is capped at `max_bucket` signatures (40 bytes
+    each), so a pathological flood of one band value cannot grow state —
+    past the cap, recall degrades only for docs whose EVERY matching band
+    is over-capped (the batch prober's exact caveat, `dedup.py`).
+    """
+    sigs = simhash64_rowwise(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    lo, hi = F.col("sim_lo"), F.col("sim_hi")
+    mask = F.lit(0xFFFF)
+    band_vals = [
+        lo.bitwiseAND(mask),
+        F.shiftright(lo, 16).bitwiseAND(mask),
+        hi.bitwiseAND(mask),
+        F.shiftright(hi, 16).bitwiseAND(mask),
+    ]
+    bands = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        v.alias("band_val"),
+                        F.col("doc_id"),
+                        F.col("sim_hi"),
+                        F.col("sim_lo"),
+                    )
+                    for b, v in enumerate(band_vals)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    return bands.groupBy("band_id", "band_val").applyInPandasWithState(
+        _make_update(max_hamming, max_bucket),
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_ingest_near_dedup_to_versioned(
+    docs: DataFrame,
+    static_docs: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    max_hamming: int = SIMHASH_PROBE_RADIUS,
+) -> None:
+    """End-to-end TRAINING-DATA INGEST pipeline as one streaming query:
+    documents stream through the online banded-SimHash near-dup gate
+    (`stream_near_dedup_simhash`) and every SURVIVOR (doc not within the
+    Hamming radius of any earlier arrival) is appended to a
+    `VersionedTable` with the exactly-once ``(app_id, batch_id)`` commit
+    protocol (`streaming.sinks.stream_to_versioned`'s pattern) — the
+    composite a 100 TB corpus-ingest job actually runs: dedup at ingest
+    time, ACID snapshots out, replay-safe end to end.
+
+    Per micro-batch inside foreachBatch (batch scope, so the per-doc OR
+    over band verdicts is legal — Spark forbids a second stateful agg
+    downstream of arbitrary state): collapse the batch's (doc, band) flags
+    to per-doc, keep non-dups, re-join the full rows from `static_docs`
+    (at scale: the payload store keyed by doc_id — the stateful operator
+    carries only ids+flags, never document bodies), commit. A replayed
+    batch finds its txn stamp already in the commit log and skips, so the
+    table gains exactly one version per batch regardless of retries.
+    """
+    from pyspark.sql import functions as F
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    flags = stream_near_dedup_simhash(docs, max_hamming=max_hamming)
+    app = app_id if app_id is not None else checkpoint_dir
+    seen: set = set()
+    bootstrapped = [False]
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vt = VersionedTable(batch_df.sparkSession, table_root)
+        if not bootstrapped[0]:
+            seen.update(vt.committed_extras("txn"))
+            bootstrapped[0] = True
+        txn = f"{app}#{batch_id}"
+        if txn in seen:
+            # Replay after failure: already durable — skip the commit, but
+            # still drain every partition (a noop write): the upstream
+            # stateful operator's per-partition state stores must commit
+            # for the batch, and Spark 4 validates exactly that.
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        survivors = (
+            batch_df.groupBy("doc_id")
+            .agg(F.max("is_dup").alias("dup"))
+            .filter(~F.col("dup"))
+            .join(static_docs, "doc_id")
+            .drop("dup")
+        )
+        vt.commit(
+            survivors, extra={"txn": txn, "app_id": app, "batch_id": batch_id}
+        )
+        seen.add(txn)
+
+    q = (
+        flags.writeStream.foreachBatch(_commit_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -26,21 +26,22 @@ from rtcdb_spark.session import tune
 _MEMSINK_IDS = itertools.count()
 
 
-def read_events_stream(
+def read_table_stream(
     spark: SparkSession,
     sf_dir: str,
+    table: str,
     max_files_per_trigger: int | None = None,
     path: str | None = None,
 ) -> DataFrame:
-    """readStream over the events parquet, ts normalized to TIMESTAMP_NTZ.
+    """readStream over any fixture table's parquet.
 
     The file source requires an explicit schema; we take it from the batch
     footer (one cheap metadata read). ``path`` overrides the default
-    ``<sf_dir>/events.parquet`` — tests point it at a directory of
-    time-split files to exercise multi-batch watermark advancement.
+    ``<sf_dir>/<table>.parquet`` — tests point it at a directory of
+    pre-split files to exercise multi-batch arrival.
     """
     tune(spark)
-    src = path or os.path.join(sf_dir, "events.parquet")
+    src = path or os.path.join(sf_dir, f"{table}.parquet")
     schema = spark.read.parquet(src).schema
     reader = spark.readStream.schema(schema)
     if os.path.isfile(src):
@@ -49,7 +50,18 @@ def read_events_stream(
         src = os.path.dirname(src)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(src)
+    return reader.parquet(src)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """readStream over the events parquet, ts normalized to TIMESTAMP_NTZ
+    (see `read_table_stream` for the file-source mechanics)."""
+    df = read_table_stream(spark, sf_dir, "events", max_files_per_trigger, path)
     dtype = dict(df.dtypes).get("ts")
     if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -360,3 +360,148 @@ def test_versioned_sink_idempotence_is_writer_scoped(
     # checkpoint and no explicit app_id is a new writer, not a replay
     stream_to_versioned(_stream(), table, str(tmp_path / "cp4"))
     assert len(vt.versions()) == 3 * n1
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup dedup (banded SimHash over arbitrary state)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, sf_smoke, tmp_path_factory) -> str:
+    """Documents split into 3 id-ordered files (the arrival-order contract:
+    micro-batches must not interleave doc_ids)."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("docs_stream"))
+    d = load_table(spark, sf_smoke, "documents")
+    n = d.count()
+    cuts = [n // 3, 2 * n // 3]
+    parts = [
+        d.filter(F.col("doc_id") < cuts[0]),
+        d.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        d.filter(F.col("doc_id") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        sub = os.path.join(root, f"slice-{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(root, f"slice-{i}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                # FileStreamSource orders by mtime: force slice order.
+                os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    return root
+
+
+def _brute_force_near_dup_flags(spark, sf_smoke, max_hamming=3):
+    """Oracle semantics: doc is a near-dup iff some smaller-id doc is within
+    the Hamming radius (all-pairs on the collected signatures)."""
+    from rtcdb_spark.functions.dedup import simhash64
+
+    sigs = sorted(
+        (r.doc_id, r.sim_hi, r.sim_lo)
+        for r in simhash64(load_table(spark, sf_smoke, "documents")).collect()
+    )
+    flags = {}
+    for i, (di, hi, lo) in enumerate(sigs):
+        flags[di] = any(
+            ((hi ^ hj).bit_count() + (lo ^ lj).bit_count()) <= max_hamming
+            for dj, hj, lj in sigs[:i]
+        )
+    return flags
+
+
+def test_simhash_rowwise_equals_groupby(spark, sf_smoke):
+    from rtcdb_spark.functions.dedup import simhash64, simhash64_rowwise
+
+    d = load_table(spark, sf_smoke, "documents")
+    a = {r.doc_id: (r.sim_hi, r.sim_lo) for r in simhash64(d).collect()}
+    b = {r.doc_id: (r.sim_hi, r.sim_lo) for r in simhash64_rowwise(d).collect()}
+    assert a == b
+
+
+def test_stream_near_dedup_multi_batch_matches_brute_force(
+    spark, sf_smoke, docs_stream_dir
+):
+    """3 micro-batches of id-ordered arrivals: per-band capped state must
+    reproduce the all-pairs definition exactly (pigeonhole recall at r<=3)."""
+    from rtcdb_spark.streaming import stream_near_dedup_simhash
+    from rtcdb_spark.streaming.events import read_table_stream
+
+    sdf = read_table_stream(
+        spark, sf_smoke, "documents", max_files_per_trigger=1, path=docs_stream_dir
+    )
+    out = run_available_now(stream_near_dedup_simhash(sdf), output_mode="append")
+    got = {
+        r.doc_id: bool(r.dup)
+        for r in out.groupBy("doc_id").agg(F.max("is_dup").alias("dup")).collect()
+    }
+    want = _brute_force_near_dup_flags(spark, sf_smoke)
+    assert got == want
+    assert any(got.values())  # fixture contains near-dups; test isn't vacuous
+
+
+def test_stream_near_dedup_capped_state_never_invents_dups(
+    spark, sf_smoke, docs_stream_dir
+):
+    """With a pathologically small bucket cap, recall may drop but every
+    flagged doc must still be a true near-dup (flags subset of brute force):
+    capped state holds genuinely-earlier docs only."""
+    from rtcdb_spark.streaming import stream_near_dedup_simhash
+    from rtcdb_spark.streaming.events import read_table_stream
+
+    sdf = read_table_stream(
+        spark, sf_smoke, "documents", max_files_per_trigger=1, path=docs_stream_dir
+    )
+    out = run_available_now(
+        stream_near_dedup_simhash(sdf, max_bucket=2), output_mode="append"
+    )
+    got = {
+        r.doc_id: bool(r.dup)
+        for r in out.groupBy("doc_id").agg(F.max("is_dup").alias("dup")).collect()
+    }
+    want = _brute_force_near_dup_flags(spark, sf_smoke)
+    assert all(want[d] for d, f in got.items() if f)
+
+
+def test_stream_ingest_near_dedup_versioned_multi_batch_and_replay(
+    spark, sf_smoke, docs_stream_dir, tmp_path
+):
+    """3 micro-batches through the dedup gate into the versioned table:
+    survivors equal the brute-force definition, one commit per batch, and a
+    full second RUN over the same input (fresh checkpoint, same app_id)
+    replays every batch as already-committed — table unchanged."""
+    from rtcdb_spark.sources.versioned import VersionedTable
+    from rtcdb_spark.streaming import stream_ingest_near_dedup_to_versioned
+    from rtcdb_spark.streaming.events import read_table_stream
+
+    root = str(tmp_path / "table")
+    static = load_table(spark, sf_smoke, "documents")
+
+    def run(ckpt: str) -> None:
+        sdf = read_table_stream(
+            spark, sf_smoke, "documents",
+            max_files_per_trigger=1, path=docs_stream_dir,
+        )
+        stream_ingest_near_dedup_to_versioned(
+            sdf, static, root, ckpt, app_id="ingest-test"
+        )
+
+    run(str(tmp_path / "ckpt1"))
+    vt = VersionedTable(spark, root)
+    v1 = vt.latest_version()
+    got = sorted(r.doc_id for r in vt.read().select("doc_id").collect())
+    want = sorted(
+        d for d, f in _brute_force_near_dup_flags(spark, sf_smoke).items() if not f
+    )
+    assert got == want
+    n_batches = 3
+    assert v1 + 1 >= n_batches  # one commit per non-empty micro-batch
+
+    # Second run, same app_id: every batch id is already in the ledger.
+    run(str(tmp_path / "ckpt2"))
+    assert VersionedTable(spark, root).latest_version() == v1
+    got2 = sorted(r.doc_id for r in VersionedTable(spark, root).read()
+                  .select("doc_id").collect())
+    assert got2 == want
