@@ -94,8 +94,10 @@ HEADLINE = [
     # round 5, wave 3: 4:2:0 + restart-marker JPEG
     "multimodal_jpeg_420_restart",
     # round 5, wave 4: online banded-SimHash near-dup over arbitrary state
-    # (+ the shuffle-free rowwise HOF signature it rides on)
+    # (+ the shuffle-free rowwise HOF signature it rides on), and the
+    # ingest composite it feeds (dedup gate -> exactly-once versioned append)
     "stream_dedup_near_simhash",
+    "stream_ingest_dedup_versioned",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -77,7 +77,11 @@ def _make_update(max_hamming: int, max_bucket: int):
             ids, his, los = [], [], []
         seen_hi = np.array(his, dtype=np.int64)
         seen_lo = np.array(los, dtype=np.int64)
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        frames = [p for p in pdfs if len(p)]  # all-NA empties poison concat
+        if not frames:
+            state.update((ids, seen_hi.tolist(), seen_lo.tolist()))
+            return
+        batch = pd.concat(frames, ignore_index=True)
         # Intra-batch arrival order = doc_id order (the determinism
         # contract above); the state-store group itself is unordered.
         batch = batch.sort_values("doc_id", ignore_index=True)

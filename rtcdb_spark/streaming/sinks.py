@@ -252,7 +252,12 @@ def stream_to_versioned(
             bootstrapped[0] = True
         txn = f"{app}#{batch_id}"
         if txn in seen:
-            return  # replay after failure: already durable, skip
+            # Replay after failure: already durable — skip the commit but
+            # drain every partition anyway, so any stateful operator
+            # upstream of the sink still gets its per-partition state-store
+            # commits (Spark 4 validates this inside foreachBatch).
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         vt.commit(
             batch_df, extra={"txn": txn, "app_id": app, "batch_id": batch_id}
         )
