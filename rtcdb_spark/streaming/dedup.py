@@ -54,7 +54,23 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from rtcdb_spark.functions.dedup import SIMHASH_PROBE_RADIUS, simhash64_rowwise
 
 _OUTPUT_SCHEMA = "doc_id LONG, band_id INT, is_dup BOOLEAN"
-_STATE_SCHEMA = "ids ARRAY<LONG>, his ARRAY<LONG>, los ARRAY<LONG>"
+_STATE_SCHEMA = (
+    "vals ARRAY<LONG>, ids ARRAY<LONG>, his ARRAY<LONG>, los ARRAY<LONG>"
+)
+
+# State-key granularity: grouping by the exact (band_id, band_val) would be
+# semantically cleanest but dispatches one pandas call per 16-bit bucket —
+# at 5k docs that is ~20k near-empty groups and the per-group Python
+# overhead dominates wall-clock. Instead the state key is the bucket's
+# high bits, (band_id, band_val >> _SHARD_SHIFT), and each state row holds
+# ALL of its shard's sub-buckets as parallel arrays with the exact
+# band_val per signature; probing filters on band_val equality, so the
+# semantics (and the per-sub-bucket cap) are bit-identical to exact-key
+# grouping while group count drops 2^_SHARD_SHIFT-fold. State-store
+# sharding across executors still applies — only the key CARDINALITY
+# changed, and 4×256 keys spread over hundreds of partitions stays
+# balanced because the signature bits are uniform.
+_SHARD_SHIFT = 8
 
 
 def _popcount64(a: np.ndarray) -> np.ndarray:
@@ -71,15 +87,18 @@ def _make_update(max_hamming: int, max_bucket: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            ids, his, los = state.get
+            vals, ids, his, los = state.get
             ids = list(ids)
         else:
-            ids, his, los = [], [], []
+            vals, ids, his, los = [], [], [], []
+        seen_val = np.array(vals, dtype=np.int64)
         seen_hi = np.array(his, dtype=np.int64)
         seen_lo = np.array(los, dtype=np.int64)
         frames = [p for p in pdfs if len(p)]  # all-NA empties poison concat
         if not frames:
-            state.update((ids, seen_hi.tolist(), seen_lo.tolist()))
+            state.update(
+                (seen_val.tolist(), ids, seen_hi.tolist(), seen_lo.tolist())
+            )
             return
         batch = pd.concat(frames, ignore_index=True)
         # Intra-batch arrival order = doc_id order (the determinism
@@ -87,23 +106,31 @@ def _make_update(max_hamming: int, max_bucket: int):
         batch = batch.sort_values("doc_id", ignore_index=True)
         out_ids: list[int] = []
         out_dup: list[bool] = []
-        for doc_id, hi, lo in zip(
-            batch["doc_id"].tolist(), batch["sim_hi"].tolist(), batch["sim_lo"].tolist()
+        for doc_id, band_val, hi, lo in zip(
+            batch["doc_id"].tolist(),
+            batch["band_val"].tolist(),
+            batch["sim_hi"].tolist(),
+            batch["sim_lo"].tolist(),
         ):
-            if len(seen_hi):
-                ham = _popcount64(np.bitwise_xor(seen_hi, hi)) + _popcount64(
-                    np.bitwise_xor(seen_lo, lo)
-                )
+            sub = seen_val == band_val  # exact sub-bucket within the shard
+            n_sub = int(sub.sum())
+            if n_sub:
+                ham = _popcount64(
+                    np.bitwise_xor(seen_hi[sub], hi)
+                ) + _popcount64(np.bitwise_xor(seen_lo[sub], lo))
                 dup = bool((ham <= max_hamming).any())
             else:
                 dup = False
             out_ids.append(int(doc_id))
             out_dup.append(dup)
-            if len(ids) < max_bucket:
+            if n_sub < max_bucket:  # cap is per sub-bucket, as before
                 ids.append(int(doc_id))
+                seen_val = np.append(seen_val, np.int64(band_val))
                 seen_hi = np.append(seen_hi, np.int64(hi))
                 seen_lo = np.append(seen_lo, np.int64(lo))
-        state.update((ids, seen_hi.tolist(), seen_lo.tolist()))
+        state.update(
+            (seen_val.tolist(), ids, seen_hi.tolist(), seen_lo.tolist())
+        )
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(out_ids, dtype="int64"),
@@ -162,7 +189,10 @@ def stream_near_dedup_simhash(
             )
         ).alias("e")
     ).select("e.*")
-    return bands.groupBy("band_id", "band_val").applyInPandasWithState(
+    shard = F.shiftright(F.col("band_val"), _SHARD_SHIFT).alias("shard")
+    return bands.withColumn("shard", shard).groupBy(
+        "band_id", "shard"
+    ).applyInPandasWithState(
         _make_update(max_hamming, max_bucket),
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

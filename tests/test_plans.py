@@ -343,3 +343,18 @@ def test_distributed_scan_has_no_data_sized_global_sort(spark, sf_smoke):
             if m.lstrip().startswith(key)
         ]
         assert not globals_, f"{name}: unpartitioned global window over {key}: {globals_}"
+
+
+def test_stream_near_dedup_signature_is_map_side(spark, sf_smoke):
+    """The streaming near-dup gate's ONLY shuffle may be the state groupBy:
+    the rowwise HOF signature + band explode must stay inside the scan
+    stage (no Exchange, no Aggregate before FlatMapGroupsInPandasWithState
+    — a groupBy-computed signature would both shuffle the corpus twice and
+    be an illegal second stateful operator)."""
+    from rtcdb_spark.streaming import stream_near_dedup_simhash
+    from rtcdb_spark.streaming.events import read_table_stream
+
+    sdf = read_table_stream(spark, sf_smoke, "documents")
+    plan = stream_near_dedup_simhash(sdf)._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandasWithState" in plan, plan
+    assert "Aggregate" not in plan, plan  # signature must not be an agg
