@@ -103,8 +103,23 @@ _PRIORITY = [
     "join_asof_forward", "join_semi",
     # timeseries resampling (family's driver-window rep)
     "timeseries_resample_interp",
+    # (wave 14, round 5): sort_multi_key_limit -> versioned_zorder_skipping
+    # (OPTIMIZE ... ZORDER BY: multi-dimensional clustering feeding the
+    # manifest's stats pruning) and dedup_span_fraction ->
+    # versioned_bloom_point_skipping (commit-time per-file Bloom index;
+    # point-lookup file skipping where range stats cannot prune). Both
+    # incoming queries oracle-matched at sf0.001+sf0.01 this session;
+    # both outgoing are r4 driver-green (C-V keeps set_intersect_all,
+    # dedup keeps exact/star/simhash green reps). Also
+    # stream_window_tumbling -> versioned_incremental_optimize
+    # (small_only_bytes compaction: O(small files) maintenance, carried
+    # large files byte-identical, metadata-only count_rows invariant;
+    # oracle-matched at sf0.001+sf0.01 this session) — outgoing is r4
+    # driver-green and streaming keeps stream_dedup_count green.
     # C-V sort / set
-    "sort_multi_key_limit", "set_intersect_all",
+    "set_intersect_all",
+    # C-I versioned clustering + bloom index (round-5 wave-5 flagships)
+    "versioned_zorder_skipping", "versioned_bloom_point_skipping",
     # C-VI windows (ranking slot)
     "window_ranking", "window_running_frames",
     # C-VII scalar functions (array + math slots; json/map keeps its slot
@@ -113,13 +128,13 @@ _PRIORITY = [
     # C-VIII event-time (batch)
     "window_session",
     # C-VIII streaming (stream-stream joins get driver slots)
-    "stream_window_tumbling", "stream_join_left_outer", "stream_dedup_count",
+    "stream_join_left_outer", "stream_dedup_count",
     "stream_join_full_outer", "stream_dedup_near_simhash",
+    "versioned_incremental_optimize",
     # C-IX text pipeline (trained BPE + LM perplexity slots)
     "text_token_count", "text_bpe_tokenize", "text_bigram_perplexity",
     # C-IX dedup (exact dedup gets its driver slot)
     "dedup_exact", "dedup_connected_groups_star", "dedup_simhash_probe",
-    "dedup_span_fraction",
     # C-IX similarity / ANN / embedding ops
     "similarity_cosine_topk", "similarity_ivf_topk",
     # C-IX multimodal (JPEG decode + MP4 frame sampling, new round 5;

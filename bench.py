@@ -98,6 +98,13 @@ HEADLINE = [
     # ingest composite it feeds (dedup gate -> exactly-once versioned append)
     "stream_dedup_near_simhash",
     "stream_ingest_dedup_versioned",
+    # round 5, wave 5: OPTIMIZE ... ZORDER BY (multi-dimensional clustering
+    # feeding manifest-stats data skipping) + per-file Bloom index point
+    # lookups
+    "versioned_zorder_skipping",
+    "versioned_bloom_point_skipping",
+    "versioned_incremental_optimize",
+    "versioned_predicate_routing",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -567,3 +567,209 @@ def versioned_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "versioned_zorder_skipping",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+           MIN(l_orderkey) AS min_okey,
+           MAX(l_orderkey) AS max_okey
+    FROM lineitem
+    WHERE l_partkey BETWEEN 0 AND 49
+    """,
+    tags=("warehouse", "versioned", "zorder", "data-skipping"),
+)
+def versioned_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY inside the versioned table (Delta's
+    multi-dimensional clustering): the table starts clustered by
+    l_orderkey only, so the manifest's per-file l_partkey stats span the
+    full domain and a partkey predicate prunes NOTHING. One
+    ``optimize(zorder_by=[l_orderkey, l_partkey])`` rewrite later, the
+    same manifest stats are tight on BOTH dimensions — asserted in-query:
+    the partkey probe plans strictly fewer files after z-ordering than
+    before, and an orderkey probe still prunes too. Clustering is a plan
+    property, never a result change, so the oracle's direct partkey-range
+    aggregate must hash-match exactly. This is the lakehouse form of the
+    reference's single-dimension sorted-table contract (README.md:44) —
+    generalized to every z-ordered column at once."""
+    import tempfile
+
+    from rtcdb_spark.deterministic import dsum
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_zorder_"))
+    vt.commit(
+        li.repartitionByRange(8, "l_orderkey").sortWithinPartitions("l_orderkey")
+    )
+    before, total_before = vt.plan_files("l_partkey", 0, 49)
+    vt.optimize(target_files=8, zorder_by=["l_orderkey", "l_partkey"])
+    after, total_after = vt.plan_files("l_partkey", 0, 49)
+    assert len(after) < total_after, f"zorder pruned nothing ({len(after)}/{total_after})"
+    assert len(after) < len(before), (
+        f"zorder did not improve partkey pruning ({len(before)} -> {len(after)})"
+    )
+    okey_keep, okey_total = vt.plan_files("l_orderkey", 0, 300)
+    assert len(okey_keep) < okey_total, "orderkey dimension lost pruning"
+    return vt.read_pruned("l_partkey", 0, 49).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("l_quantity", alias="qty_sum"),
+        F.min("l_orderkey").alias("min_okey"),
+        F.max("l_orderkey").alias("max_okey"),
+    )
+
+
+@query(
+    "versioned_bloom_point_skipping",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+           MIN(o_custkey) AS min_ckey
+    FROM orders
+    WHERE o_orderkey = 1234
+    """,
+    tags=("warehouse", "versioned", "bloom", "data-skipping"),
+)
+def versioned_bloom_point_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom filter index (Delta's bloom index): the table is
+    round-robin distributed, so every file's [o_orderkey min, max] spans
+    the whole domain and RANGE stats prune nothing for a point key — but
+    the commit-time per-file blooms prove which files never saw the key,
+    and the planner keeps ~1 of 8 (plus the bloom's false-positive rate,
+    vanishing at these fill ratios). Asserted in-query: the bloom plan is
+    a strict subset of the stats-only plan. Blooms are built distributed
+    (one (file, word) bit_or aggregate; only n_files x 1 KiB of words
+    reach the driver/manifest) and tested driver-side with the md5-prefix
+    hash twin — no Spark job at plan time, the property that matters when
+    a 100 TB table's point lookup should read one file, not list a
+    million. Pruning is sound (no bloom false negatives; bloom-less files
+    always read), so the oracle's direct point aggregate hash-matches."""
+    import tempfile
+
+    from rtcdb_spark.deterministic import dsum
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_bloom_"))
+    vt.commit(o.repartition(8), bloom_cols=["o_orderkey"])
+    stats_keep, total = vt.plan_files("o_orderkey", 1234, 1234)
+    bloom_keep, _ = vt.plan_files_point("o_orderkey", 1234)
+    assert len(bloom_keep) < total, f"bloom pruned nothing ({len(bloom_keep)}/{total})"
+    assert len(bloom_keep) < len(stats_keep), (
+        f"bloom no better than range stats ({len(stats_keep)} -> {len(bloom_keep)})"
+    )
+    return vt.read_point("o_orderkey", 1234).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("o_totalprice", alias="price_sum"),
+        F.min("o_custkey").alias("min_ckey"),
+    )
+
+
+@query(
+    "versioned_incremental_optimize",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    """,
+    tags=("warehouse", "versioned", "optimize", "compaction"),
+)
+def versioned_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE (Delta's real semantic): only files under the
+    size threshold compact; already-large files carry into the new
+    manifest byte-identical. A full-table OPTIMIZE is O(table) — routine
+    maintenance cannot rewrite 100 TB because ingest dropped some KB-sized
+    files next to it; the incremental form is O(small files) = O(ingest
+    since last optimize). Asserted in-query: the big file's path survives
+    the rewrite verbatim (zero data movement for it), the six small files
+    become one, and the metadata-only ``count_rows`` (per-file footer
+    row counts recorded at commit — the reference's index-not-data trick,
+    README.md:49) is invariant across the rewrite. Content-identical, so
+    the oracle's whole-table aggregate hash-matches."""
+    import tempfile
+
+    from rtcdb_spark.sources.versioned import _META_KEY, VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_incropt_"))
+    vt.commit(d.filter(F.col("doc_id") < 440).coalesce(1))
+    for lo in range(440, 500, 10):
+        vt.commit(
+            d.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+            ).coalesce(1)
+        )
+    head = vt.latest_version()
+    files = vt._read_manifest(head)["files"]
+    stats = vt.file_stats(head)
+    sizes = {f: stats[f][_META_KEY]["bytes"] for f in files}
+    big = max(sizes, key=sizes.get)
+    rows_before = vt.count_rows(head)
+    v = vt.optimize(small_only_bytes=sizes[big])
+    after = vt._read_manifest(v)["files"]
+    assert big in after, "incremental optimize rewrote the large file"
+    assert len(after) == 2, f"expected big + 1 compacted, got {len(after)}"
+    assert vt.count_rows(v) == rows_before, "metadata row count drifted"
+    return vt.read(v).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("char_sum"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+@query(
+    "versioned_predicate_routing",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+           MIN(l_orderkey) AS min_okey,
+           MAX(l_orderkey) AS max_okey
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 400 AND 700 AND l_quantity >= 25
+    """,
+    tags=("warehouse", "versioned", "data-skipping", "predicate-routing"),
+)
+def versioned_predicate_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent predicate-routed data skipping (what Delta/Iceberg do
+    inside their scan): the user hands ``read_where`` a SQL WHERE string;
+    the planner splits the conjunction, routes range conjuncts through the
+    manifest's min/max stats and equality conjuncts through the per-file
+    blooms, intersects the keep-sets, and still applies the FULL predicate
+    row-level — pruning is a plan change, never a result change.
+    Unrecognized conjuncts (the ``l_quantity >= 25`` here prunes nothing
+    on a quantity-uniform layout, and anything with OR/parens) simply
+    contribute no pruning — sound by construction. Asserted in-query: the
+    orderkey-ranged table plans strictly fewer files than it holds, and
+    the exact metadata min/max of the cluster key (the reference's A8
+    get_min/get_max, served index-only, README.md:49) brackets the probe
+    range."""
+    import tempfile
+
+    from rtcdb_spark.deterministic import dsum
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_route_"))
+    vt.commit(
+        li.repartitionByRange(8, "l_orderkey").sortWithinPartitions("l_orderkey")
+    )
+    pred = "l_orderkey BETWEEN 400 AND 700 AND l_quantity >= 25"
+    keep, total = vt.plan_files_where(pred)
+    assert len(keep) < total, f"routing pruned nothing ({len(keep)}/{total})"
+    mn, mx = vt.min_max("l_orderkey")
+    assert mn <= 400 and mx >= 700, "metadata min/max does not bracket probe"
+    return vt.read_where(pred).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("l_quantity", alias="qty_sum"),
+        F.min("l_orderkey").alias("min_okey"),
+        F.max("l_orderkey").alias("max_okey"),
+    )

@@ -64,6 +64,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+# Reserved keys inside a file's stats dict (per-column Bloom filters;
+# file-level rows/bytes) — they cannot collide with a real column's
+# [min, max] entry because plan_files callers name actual parquet columns.
+_BLOOM_KEY = "__bloom__"
+_META_KEY = "__meta__"
 
 
 class VersionedTable:
@@ -198,8 +203,20 @@ class VersionedTable:
         mode: str = "append",
         max_retries: int = 64,
         extra: dict[str, Any] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 65536,
+        bloom_hashes: int = 4,
     ) -> int:
         """Write ``df`` as a new version; returns the version number.
+
+        ``bloom_cols`` records a per-file Bloom filter over each listed
+        column alongside the min/max stats (Delta's bloom filter index):
+        point lookups on a high-cardinality key that hash-distributes
+        across files — where every file's [min, max] spans the domain and
+        range stats prune nothing — skip via ``plan_files_point`` instead.
+        ~``bloom_bits``/8 bytes per file per column of manifest metadata;
+        files committed without a bloom are simply never bloom-pruned
+        (same soundness rule as stats).
 
         ``append`` keeps prior files in the new manifest; ``overwrite``
         starts the manifest from only the new files (prior versions remain
@@ -225,6 +242,12 @@ class VersionedTable:
             if f.endswith(".parquet")
         )
         new_stats = self._collect_stats(new_files)
+        if bloom_cols:
+            blooms = self._build_blooms(
+                new_files, bloom_cols, bloom_bits, bloom_hashes
+            )
+            for f, per_col in blooms.items():
+                new_stats.setdefault(f, {})[_BLOOM_KEY] = per_col
         # One segment for this commit's files, written ONCE — O(new files)
         # metadata regardless of table size; retries only re-point at it.
         seg = self._write_segment(new_files, new_stats)
@@ -347,12 +370,42 @@ class VersionedTable:
         raise RuntimeError(f"{op} lost the version race {max_retries} times")
 
     def optimize(
-        self, target_files: int = 1, max_retries: int = 64, max_restarts: int = 8
+        self,
+        target_files: int = 1,
+        max_retries: int = 64,
+        max_restarts: int = 8,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
+        small_only_bytes: int | None = None,
     ) -> int:
         """Compact the current snapshot's files into ``target_files`` larger
         ones as a NEW version (op ``optimize``) — Delta/Iceberg's OPTIMIZE:
         content-identical, small-file problem solved, prior versions still
         time-travelable, old files reclaimed by ``vacuum``.
+
+        ``small_only_bytes`` makes the compaction INCREMENTAL — Delta's
+        actual OPTIMIZE semantic: only files smaller than the threshold
+        are rewritten (their sizes come from the commit-time ``__meta__``
+        manifest entry, falling back to one stat call for legacy files);
+        already-large files carry into the new manifest byte-identical.
+        A full-table rewrite is O(table) — unusable as routine maintenance
+        at 100 TB, where ingest continuously produces small files next to
+        petabytes of already-compacted ones; the incremental form is
+        O(small files), which is O(ingest since last optimize). With fewer
+        than 2 small files the call is a metadata no-op returning the
+        current head. ``small_only_bytes`` composes with ``zorder_by``
+        (the small subset is z-ordered as it compacts).
+
+        ``zorder_by`` is Delta's ``OPTIMIZE ... ZORDER BY``: instead of a
+        layout-preserving coalesce, the rewrite range-partitions + sorts the
+        snapshot along the Morton curve of the listed numeric columns
+        (``sources.layout.zorder_value`` — a pure column expression), so the
+        per-file min/max stats the commit records are tight on EVERY listed
+        column and ``plan_files``/``read_pruned`` skip files for predicates
+        on any of them. On a 100 TB table clustered by ingest time this is
+        what makes a second (or third) query dimension prunable without a
+        copy of the data per dimension. Content-identical like plain
+        optimize — clustering is a plan property, never a result change.
 
         ``changes()`` refuses ranges that cross an optimize commit: the
         rewritten files contain OLD rows, so a file-set diff no longer
@@ -370,8 +423,37 @@ class VersionedTable:
             head = self.latest_version()
             if head is None:
                 raise ValueError("table has no commits")
-            src_files = self._read_manifest(head)["files"]
-            df = self.read(head).coalesce(target_files)
+            m = self._read_manifest(head)
+            src_files = m["files"]
+            if small_only_bytes is not None:
+                stats = m.get("stats", {})
+
+                def _size(f: str) -> int:
+                    meta = stats.get(f, {}).get(_META_KEY)
+                    if meta is not None:
+                        return meta["bytes"]
+                    return os.path.getsize(os.path.join(self.root, f))
+
+                src_files = [f for f in src_files if _size(f) < small_only_bytes]
+                if len(src_files) < 2:
+                    return head  # nothing worth compacting: metadata no-op
+                snap = self.spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in src_files]
+                )
+            else:
+                snap = self.read(head)
+            if zorder_by:
+                from rtcdb_spark.sources.layout import zorder_value
+
+                z = zorder_value(snap, zorder_by, bits=zorder_bits)
+                df = (
+                    snap.withColumn("_z", z)
+                    .repartitionByRange(target_files, "_z")
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
+            else:
+                df = snap.coalesce(target_files)
             txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
             df.write.mode("error").parquet(os.path.join(self.root, txn_dir))
             new_files = sorted(
@@ -578,6 +660,13 @@ class VersionedTable:
                     out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
                 else:
                     out[name] = [mn, mx]
+        # file-level physical metadata (rows from the footer, bytes from the
+        # filesystem) — what metadata-only COUNT(*) and size-targeted
+        # compaction plan from without ever touching data pages
+        out[_META_KEY] = {
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(abs_path),
+        }
         return out
 
     def _collect_stats(self, new_files: list[str]) -> dict:
@@ -593,6 +682,61 @@ class VersionedTable:
         v = self.latest_version() if version is None else version
         m = self._read_manifest(v)
         return m.get("stats", {})
+
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact COUNT(*) from metadata alone: per-file row counts recorded
+        at commit (``__meta__`` in the stats map) summed over the
+        manifest; a file committed before row counts existed costs one
+        parquet footer read. Zero data I/O either way — the reason a
+        100 TB table answers COUNT(*) in manifest-read time, same trick as
+        the reference's sparse index serving get_min/get_max without block
+        decodes (reference README.md:49)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no commits")
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        total = 0
+        for f in m["files"]:
+            meta = stats.get(f, {}).get(_META_KEY)
+            if meta is not None:
+                total += meta["rows"]
+            else:
+                import pyarrow.parquet as pq
+
+                total += pq.ParquetFile(
+                    os.path.join(self.root, f)
+                ).metadata.num_rows
+        return total
+
+    def min_max(self, col: str, version: int | None = None) -> tuple:
+        """Exact (min, max) of ``col`` from manifest stats alone — the
+        versioned-table form of the reference's A8 ``get_min``/``get_max``
+        served from its sparse index without block decodes
+        (reference src/lib.rs get_min/get_max, README.md:49). Exact for
+        numeric/boolean/timestamp columns (footer min/max are exact there);
+        long string values can be writer-truncated in footers, so treat
+        string results as bounds, same as the pruning path does. Falls
+        back to one footer read for a stats-less legacy file; raises if
+        the column has no stats anywhere (e.g. an all-NULL or binary
+        column — the caller must scan)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no commits")
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        mn = mx = None
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                s = self._file_stats(os.path.join(self.root, f)).get(col)
+            if s is None:
+                continue
+            mn = s[0] if mn is None else min(mn, s[0])
+            mx = s[1] if mx is None else max(mx, s[1])
+        if mn is None:
+            raise ValueError(f"no stats recorded for column {col!r}")
+        return mn, mx
 
     def plan_files(
         self, col: str, lo, hi, version: int | None = None
@@ -640,6 +784,214 @@ class VersionedTable:
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
         return df.filter(cond)
+
+    # -- bloom filter index (point-lookup file skipping) --------------------
+
+    def _build_blooms(
+        self, files: list[str], cols: list[str], n_bits: int, n_hashes: int
+    ) -> dict:
+        """Per-file Bloom words over each column, built DISTRIBUTED: rows
+        hash to bit positions in executors, one (file, word) bit_or
+        aggregate, and only n_files x n_bits/64 longs reach the driver —
+        the sketch travels, never the keys (same shape as
+        functions.sketches.bloom_bits, per file). NULLs are excluded: a
+        bloom answers `= value`, and SQL equality is never true for NULL."""
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.functions.sketches import salted_bucket
+
+        assert n_bits % 64 == 0
+        by_base = {os.path.basename(f): f for f in files}
+        src = self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in files]
+        ).select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"),
+            *cols,
+        )
+        out: dict = {}
+        for col in cols:
+            rows = (
+                src.where(F.col(col).isNotNull())
+                .select(
+                    "_f",
+                    F.explode(
+                        F.array(
+                            *[salted_bucket(col, i, n_bits) for i in range(n_hashes)]
+                        )
+                    ).alias("pos"),
+                )
+                .select(
+                    "_f",
+                    (F.col("pos") / 64).cast("int").alias("w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                    ).alias("bit"),
+                )
+                .groupBy("_f", "w")
+                .agg(F.bit_or("bit").alias("bits"))
+                .collect()
+            )
+            per_file: dict = {}
+            for r in rows:
+                arr = per_file.setdefault(by_base[r["_f"]], [0] * (n_bits // 64))
+                arr[r["w"]] |= r["bits"]
+            for f, arr in per_file.items():
+                out.setdefault(f, {})[col] = {
+                    "bits": n_bits,
+                    "hashes": n_hashes,
+                    "words": arr,
+                }
+        return out
+
+    @staticmethod
+    def _bloom_positions(value, n_bits: int, n_hashes: int) -> list[int]:
+        """Python twin of functions.sketches.salted_bucket (md5-prefix hash)
+        so the planner tests membership without a Spark job. Exact for
+        int/string keys — Spark's CONCAT renders them identically to str()."""
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"s{i}|{value}".encode()).hexdigest()[:15], 16)
+            % n_bits
+            for i in range(n_hashes)
+        ]
+
+    def plan_files_point(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Point-lookup file planning: skip a file when its [min, max]
+        excludes ``value`` OR its Bloom filter proves ``value`` was never
+        written to it. The bloom is what works on a high-cardinality key
+        hash-distributed across files — every file's range spans the domain
+        (stats keep everything) but each file holds ~1/n_files of the keys,
+        so the bloom keeps ~1 file (+ its false-positive rate). Sound: a
+        bloom has no false negatives, and files without one are kept."""
+        if value is None:
+            raise ValueError("point lookup on NULL is never equal; no planning")
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no commits")
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            fs = stats.get(f, {})
+            s = fs.get(col)
+            if s is not None and (s[0] > value or s[1] < value):
+                continue
+            bloom = fs.get(_BLOOM_KEY, {}).get(col)
+            if bloom is not None and not all(
+                (bloom["words"][p // 64] >> (p % 64)) & 1
+                for p in self._bloom_positions(
+                    value, bloom["bits"], bloom["hashes"]
+                )
+            ):
+                continue
+            keep.append(f)
+        return keep, len(m["files"])
+
+    def read_point(
+        self, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Read with bloom + stats point pruning THEN the exact equality
+        filter — a plan change, never a result change."""
+        from pyspark.sql import functions as F
+
+        keep, _total = self.plan_files_point(col, value, version)
+        if not keep:
+            return self.read(version).filter(F.lit(False))
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in keep]
+        )
+        return df.filter(F.col(col) == F.lit(value))
+
+    # -- predicate-routed read (auto data skipping) --------------------------
+
+    @staticmethod
+    def _conjuncts(predicate: str) -> list[str]:
+        """Split a predicate on top-level ANDs, keeping each
+        ``BETWEEN .. AND ..`` intact. No parenthesis support — a predicate
+        with parens/OR comes back whole (one unparseable conjunct = no
+        pruning from it, which is sound)."""
+        import re
+
+        if "(" in predicate or re.search(r"\bOR\b", predicate, re.I):
+            return [predicate]
+        parts = re.split(r"\s+AND\s+", predicate, flags=re.I)
+        out: list[str] = []
+        for p in parts:
+            if out and re.search(r"\bBETWEEN\s+\S+$", out[-1], re.I):
+                out[-1] = f"{out[-1]} AND {p}"
+            else:
+                out.append(p)
+        return out
+
+    def plan_files_where(
+        self, predicate: str, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """File planning from a SQL predicate string: each recognizable
+        conjunct (``col = lit``, ``col >/>=/</<= lit``, ``col BETWEEN a AND
+        b``) prunes via the stats/bloom planners and the keep-sets
+        intersect; anything unrecognized prunes nothing (sound — the full
+        predicate is still applied row-level by ``read_where``). This is
+        the transparent routing Delta/Iceberg do inside their scan: the
+        user writes a WHERE clause, the skipping finds it."""
+        import re
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no commits")
+        m = self._read_manifest(v)
+        keep = set(m["files"])
+
+        def _lit(tok: str):
+            if tok.startswith("'"):
+                return tok[1:-1]
+            return float(tok) if "." in tok or "e" in tok.lower() else int(tok)
+
+        num = r"(?:'[^']*'|-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)"
+        cmp_re = re.compile(rf"^\s*(\w+)\s*(>=|<=|==|=|>|<)\s*({num})\s*$")
+        btw_re = re.compile(
+            rf"^\s*(\w+)\s+BETWEEN\s+({num})\s+AND\s+({num})\s*$", re.I
+        )
+        for c in self._conjuncts(predicate):
+            mm = cmp_re.match(c)
+            if mm:
+                col, op, tok = mm.groups()
+                val = _lit(tok)
+                if op in ("=", "=="):
+                    sub, _ = self.plan_files_point(col, val, v)
+                elif op in (">", ">="):
+                    # strict > prunes with the closed bound — sound superset
+                    sub, _ = self.plan_files(col, val, None, v)
+                else:
+                    sub, _ = self.plan_files(col, None, val, v)
+                keep &= set(sub)
+                continue
+            mb = btw_re.match(c)
+            if mb:
+                col, lo, hi = mb.groups()
+                sub, _ = self.plan_files(col, _lit(lo), _lit(hi), v)
+                keep &= set(sub)
+        files = [f for f in m["files"] if f in keep]
+        return files, len(m["files"])
+
+    def read_where(
+        self, predicate: str, version: int | None = None
+    ) -> DataFrame:
+        """Read with predicate-routed file skipping THEN the full row-level
+        predicate — the user-facing form: write SQL, get manifest pruning
+        (stats + blooms) for free on the conjuncts that support it. A plan
+        change, never a result change."""
+        from pyspark.sql import functions as F
+
+        keep, _total = self.plan_files_where(predicate, version)
+        if not keep:
+            return self.read(version).filter(F.lit(False))
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in keep]
+        )
+        return df.filter(F.expr(predicate))
 
     def clone(self, dest_root: str, version: int | None = None) -> "VersionedTable":
         """Zero-copy shallow clone (Delta's SHALLOW CLONE): create a new

@@ -206,6 +206,8 @@ def stream_to_versioned(
     table_root: str,
     checkpoint_dir: str,
     app_id: str | None = None,
+    autocompact_files: int | None = None,
+    autocompact_bytes: int = 32 << 20,
 ) -> None:
     """Exactly-once streaming ingestion into the snapshot-versioned table:
     each micro-batch becomes one ACID commit in the `VersionedTable` log,
@@ -233,6 +235,18 @@ def stream_to_versioned(
 
     Scale: the commit itself is the executor-parallel parquet write plus
     one manifest conditional-put; the batch-id scan is O(versions) metadata.
+
+    ``autocompact_files`` is Delta's auto-compaction: when a commit leaves
+    the manifest holding at least that many files, the sink runs an
+    INCREMENTAL ``optimize(small_only_bytes=autocompact_bytes)`` inline —
+    only sub-threshold files rewrite (O(recent ingest), never O(table)),
+    so a long-running stream cannot accrete the small-file problem faster
+    than it cleans it up. Exactly-once is unaffected: compaction is
+    content-identical and batch replays are skipped by txn id before any
+    compaction runs. Trade-off, documented honestly: ``changes()`` refuses
+    ranges that cross a compaction commit, so a change-feed consumer must
+    checkpoint at or after each compaction point (the same CDF-vs-
+    auto-optimize tension Delta documents).
     """
     from rtcdb_spark.sources.versioned import VersionedTable
 
@@ -258,10 +272,15 @@ def stream_to_versioned(
             # commits (Spark 4 validates this inside foreachBatch).
             batch_df.write.format("noop").mode("overwrite").save()
             return
-        vt.commit(
+        v = vt.commit(
             batch_df, extra={"txn": txn, "app_id": app, "batch_id": batch_id}
         )
         seen.add(txn)
+        if (
+            autocompact_files is not None
+            and vt._read_manifest(v)["n_files"] >= autocompact_files
+        ):
+            vt.optimize(small_only_bytes=autocompact_bytes)
 
     q = (
         events.select("event_id", "ts", "user_id", "event_type", "value")

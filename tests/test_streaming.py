@@ -505,3 +505,47 @@ def test_stream_ingest_near_dedup_versioned_multi_batch_and_replay(
     got2 = sorted(r.doc_id for r in VersionedTable(spark, root).read()
                   .select("doc_id").collect())
     assert got2 == want
+
+
+def test_versioned_sink_autocompact_bounds_file_count(
+    spark, sf_smoke, stream_dir, tmp_path
+):
+    """Auto-compaction: with 3 one-file micro-batches and a 2-file
+    threshold, the sink's inline incremental optimize keeps the manifest's
+    file count bounded while content and exactly-once replay semantics are
+    untouched."""
+    from rtcdb_spark.sources.versioned import VersionedTable
+    from rtcdb_spark.streaming.sinks import stream_to_versioned
+
+    def _stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+
+    table = str(tmp_path / "table")
+    stream_to_versioned(
+        _stream(), table, str(tmp_path / "cp1"), app_id="w1",
+        autocompact_files=2, autocompact_bytes=1 << 30,
+    )
+    vt = VersionedTable(spark, table)
+    head = vt.latest_version()
+    m = vt._read_manifest(head)
+    assert m["n_files"] == 1, f"autocompact left {m['n_files']} files"
+    assert m["op"] == "optimize"
+    want = spark.read.parquet(stream_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    assert vt.read().count() == want.count()
+    assert sorted(r.event_id for r in vt.read().collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+
+    # replay as the same writer: batches skip BEFORE any compaction runs
+    n_versions = len(vt.versions())
+    stream_to_versioned(
+        _stream(), table, str(tmp_path / "cp2"), app_id="w1",
+        autocompact_files=2, autocompact_bytes=1 << 30,
+    )
+    assert len(vt.versions()) == n_versions

