@@ -85,7 +85,7 @@ _PRIORITY = [
     # C-II scan/filter/project + C-I sources (versioned read path gets its
     # driver slot)
     "q1_pricing_summary", "scan_filter_project",
-    "source_rtcdb_native_roundtrip",
+    "source_db_api_roundtrip",
     "source_rtcdb_pruned_scan", "source_rtcdb_string_scan",
     "versioned_data_skipping",
     # (wave 10, round 4): swap four doubly-green entries for the round-4
@@ -115,7 +115,12 @@ _PRIORITY = [
     # (small_only_bytes compaction: O(small files) maintenance, carried
     # large files byte-identical, metadata-only count_rows invariant;
     # oracle-matched at sf0.001+sf0.01 this session) — outgoing is r4
-    # driver-green and streaming keeps stream_dedup_count green.
+    # driver-green and streaming keeps stream_dedup_count green. Also
+    # source_rtcdb_native_roundtrip -> source_db_api_roundtrip (A1/A2/A3
+    # composed: Database.init catalog write, write_data row-list ingest,
+    # Database.open cold catalog re-read, SQL over the reopened table;
+    # previously unit-only). Outgoing is r4 driver-green; the native
+    # format keeps pruned_scan + string_scan as green reps.
     # C-V sort / set
     "set_intersect_all",
     # C-I versioned clustering + bloom index (round-5 wave-5 flagships)

@@ -105,6 +105,8 @@ HEADLINE = [
     "versioned_bloom_point_skipping",
     "versioned_incremental_optimize",
     "versioned_predicate_routing",
+    # round 5, wave 6: reference-shaped embedded API end-to-end
+    "source_db_api_roundtrip",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -635,3 +635,67 @@ def source_rtcdb_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_doc long, max_doc long, min_chars long, max_chars long, "
         "n_rows long, n_blocks long",
     )
+
+
+@query(
+    "source_db_api_roundtrip",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation
+    WHERE n_nationkey >= 5
+    GROUP BY region_key
+    ORDER BY region_key
+    """,
+    tags=("source", "db-api", "catalog"),
+)
+def source_db_api_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-shaped embedded API end-to-end: ``Database.init``
+    writes the metadata.json catalog (A1, reference src/metadata.rs:62-71),
+    ``write_data`` ingests a row LIST with type/width checks (A3, the
+    reference's row-oriented append, src/storage.rs:224-297),
+    ``Database.open`` re-reads the catalog cold (A2, src/lib.rs:22-29),
+    and ``sql`` runs the aggregate over the reopened table — the four
+    reference entry points a migrating user touches first, composed in
+    one query. The row list is nation (25 rows — catalog-scale by
+    construction; bulk ingest is the DataFrame ``append`` path, benched
+    separately)."""
+    import tempfile
+
+    from rtcdb_spark.db import Database, TableMeta
+
+    rows = [
+        [int(r["n_nationkey"]), str(r["n_name"]), int(r["n_regionkey"])]
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()  # 25 rows: the reference's row-list ingest shape
+    ]
+    path = tempfile.mkdtemp(prefix="rtcdb_dbapi_")
+    db = Database.init(
+        spark,
+        path,
+        [
+            TableMeta(
+                "nation",
+                [
+                    ("n_nationkey", "int64"),
+                    ("n_name", "string"),
+                    ("n_regionkey", "int64"),
+                ],
+            )
+        ],
+    )
+    db.write_data("nation", rows)
+    reopened = Database.open(spark, path)
+    return reopened.sql(
+        """
+        SELECT n_regionkey AS region_key,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               MIN(n_name) AS first_name
+        FROM nation
+        WHERE n_nationkey >= 5
+        GROUP BY n_regionkey
+        ORDER BY region_key
+        """
+    )
