@@ -1152,3 +1152,82 @@ def test_connectivity_only_pairs_give_same_components(spark):
     s_star = simhash_hamming_pairs(ssigs, connectivity_only=True)
     assert components(s_star) == components(s_clique)
     assert s_star.count() < simhash_hamming_pairs(ssigs, max_clique=10**6).count()
+
+
+# -- predicate-routed reads: pruning must NEVER change results ------------
+
+_pred_col = st.sampled_from(["k", "v"])
+_pred_val = st.integers(min_value=-50, max_value=4200)
+
+
+@st.composite
+def _conjunction(draw):
+    n = draw(st.integers(1, 3))
+    parts = []
+    for _ in range(n):
+        col = draw(_pred_col)
+        kind = draw(st.sampled_from(["=", ">=", "<=", ">", "<", "between"]))
+        if kind == "between":
+            a, b = draw(_pred_val), draw(_pred_val)
+            parts.append(f"{col} BETWEEN {min(a, b)} AND {max(a, b)}")
+        else:
+            parts.append(f"{col} {kind} {draw(_pred_val)}")
+    return " AND ".join(parts)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pred=_conjunction(), data=st.data())
+def test_read_where_equals_full_scan_filter(spark, tmp_path_factory, pred, data):
+    """SOUNDNESS of predicate-routed file skipping: for arbitrary
+    conjunctions of range/equality/BETWEEN conjuncts over a multi-file
+    bloom-indexed table, read_where must return exactly the rows a full
+    scan + filter returns — pruning is a plan change, never a result
+    change. (The one guarantee that makes data skipping deployable; a
+    single false skip silently corrupts every downstream aggregate.)"""
+    from pyspark.sql import functions as F
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="rtcdb_prop_route_")
+    try:
+        vt = VersionedTable(spark, root)
+        # 4 files, interleaved k so stats overlap across files; v clustered
+        df = spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+        )
+        vt.commit(df.repartition(4, F.col("k") % 4), bloom_cols=["k"])
+        want = sorted(
+            (r["k"], r["v"]) for r in df.filter(F.expr(pred)).collect()
+        )
+        got = sorted(
+            (r["k"], r["v"]) for r in vt.read_where(pred).collect()
+        )
+        assert got == want, pred
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=60),
+       probe=st.integers(0, 10**6))
+def test_bloom_never_false_negative(spark, keys, probe):
+    """A bloom-indexed point plan must keep the file holding the probed
+    key whenever the key was written (no false negatives, the soundness
+    half of the bloom contract); read_point returns exactly the matching
+    rows either way."""
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="rtcdb_prop_bloom_")
+    try:
+        vt = VersionedTable(spark, root)
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        vt.commit(df.coalesce(1), bloom_cols=["k"], bloom_bits=1024)
+        got = sorted(r["k"] for r in vt.read_point("k", probe).collect())
+        assert got == sorted(k for k in keys if k == probe)
+        if probe in keys:
+            keep, _ = vt.plan_files_point("k", probe)
+            assert keep, "false negative: holder file was pruned"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
