@@ -105,8 +105,10 @@ HEADLINE = [
     "versioned_bloom_point_skipping",
     "versioned_incremental_optimize",
     "versioned_predicate_routing",
-    # round 5, wave 6: reference-shaped embedded API end-to-end
+    # round 5, wave 6: reference-shaped embedded API end-to-end + HTML
+    # visible-text extraction (the web-corpus conversion stage)
     "source_db_api_roundtrip",
+    "text_html_extract",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -61,3 +61,55 @@ def sql_shingles(expr: str, n: int = 3) -> str:
         f"list_transform(generate_series(1, greatest(len(string_split({expr}, ' ')) - {n - 1}, 1)), "
         f"i -> array_to_string(string_split({expr}, ' ')[i:i+{n - 1}], ' '))"
     )
+
+
+# -- HTML -> text extraction (the web-corpus conversion stage) --------------
+
+# Order matters: container payloads (script/style) and comments vanish
+# BEFORE the generic tag strip (else "<script>a<b</script>" leaves "a<b"
+# half-stripped); entities decode AFTER tags (else "&lt;p&gt;" becomes a
+# strippable tag); "&amp;" decodes LAST (else "&amp;lt;" double-decodes).
+_HTML_STRIP_RULES: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+]
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Extract visible text from HTML markup — the conversion stage every
+    web-scale training corpus runs before any quality/dedup step. Pure
+    column expressions (regexp_replace chain, JVM-side, whole-stage
+    codegen): script/style payloads and comments removed, tags stripped,
+    the five standard entities decoded, whitespace collapsed. Regex-based
+    by design (a KB-scale header parse, not a DOM): the same class of
+    extractor CCNet/C4 used at crawl scale; a full DOM/boilerplate model
+    (trafilatura-style) is a model choice, not an engine primitive."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _HTML_STRIP_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def sql_html_to_text(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` (RE2 and Java regex agree on
+    every construct used: inline (?is), non-greedy spans, classes)."""
+    out = expr
+    for pat, rep in _HTML_STRIP_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        e = ent.replace("'", "''")
+        c = ch.replace("'", "''")
+        out = f"replace({out}, '{e}', '{c}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rtcdb_spark.functions.text import MERSENNE_P, sql_stable_hash_mod, stable_hash_mod
+from rtcdb_spark.functions.text import (
+    MERSENNE_P,
+    sql_html_to_text as _sql_html_to_text,
+    sql_stable_hash_mod,
+    stable_hash_mod,
+)
 from rtcdb_spark.queries.base import query
 from rtcdb_spark.sources import load_table
 
@@ -663,3 +668,73 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = [(r.word, r.cnt) for r in vocab_df.collect()]
     merges = train_merges(vocab, n_merges=60)
     return tokenize_with_merges(d, merges).orderBy("doc_id")
+
+
+_HTML_WRAP_SQL = (
+    "'<html><head><title>doc ' || doc_id || '</title>"
+    "<style>p{color:red}</style>"
+    "<script>var x = \"1 < 2 && 3\";</script></head>"
+    "<body><h1>Doc &amp; ' || doc_id || '</h1><p>' || substr(text, 1, 100) || "
+    "'</p><!-- boilerplate --><p>' || substr(text, 101) || '</p></body></html>'"
+)
+
+
+@query(
+    "text_html_extract",
+    f"""
+    WITH wrapped AS (
+        SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+    ),
+    extracted AS (
+        SELECT doc_id, {_sql_html_to_text("html")} AS txt
+        FROM wrapped
+    )
+    SELECT doc_id,
+           md5(txt) AS content_md5,
+           CAST(length(txt) AS BIGINT) AS n_chars,
+           CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens
+    FROM extracted
+    ORDER BY doc_id
+    """,
+    tags=("text", "html", "extraction", "llm-pipeline"),
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible-text extraction, the conversion stage in front of
+    every web-corpus pipeline (C4/CCNet run exactly this class of
+    regex extractor at crawl scale). Each document is wrapped in a
+    deterministic HTML frame — head/title, a style block, a script block
+    whose payload contains '<' and '&&' (the classic half-strip trap), an
+    entity-bearing headline, two paragraphs split mid-text, and a comment
+    — then `functions.text.html_to_text` recovers the visible text with a
+    pure regexp_replace chain (JVM codegen, zero UDFs). The oracle builds
+    the IDENTICAL frame and runs the IDENTICAL chain in DuckDB
+    (`sql_html_to_text`), and the md5 of every extracted document must
+    hash-match — content equality, not just statistics. Map-only at any
+    scale: no shuffle anywhere in the operator."""
+    from rtcdb_spark.functions.text import html_to_text
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id"),
+        F.lit(
+            '</title><style>p{color:red}</style>'
+            '<script>var x = "1 < 2 && 3";</script></head><body><h1>Doc &amp; '
+        ),
+        F.col("doc_id"),
+        F.lit("</h1><p>"),
+        F.substring("text", 1, 100),
+        F.lit("</p><!-- boilerplate --><p>"),
+        F.expr("substr(text, 101)"),
+        F.lit("</p></body></html>"),
+    )
+    txt = html_to_text(html)
+    return (
+        d.select(
+            "doc_id",
+            F.md5(txt).alias("content_md5"),
+            F.length(txt).cast("bigint").alias("n_chars"),
+            F.size(F.split(txt, " ")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -809,3 +809,59 @@ class TestResize:
         ).reshape(5, 7, 3)
         _, back = decode_png(_png_from_pixels(rng_px))
         assert np.array_equal(back, rng_px)
+
+
+class TestHtmlToText:
+    """functions.text.html_to_text: rule-order traps that silently corrupt
+    extraction if the regexp chain is reordered."""
+
+    def _extract(self, spark, html: str) -> str:
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.functions.text import html_to_text
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(html_to_text(F.col("h")).alias("t")).first()["t"]
+
+    def test_script_with_angle_bracket_payload(self, spark):
+        # '<' inside the script payload must not survive as a half tag
+        got = self._extract(
+            spark, '<p>a</p><script>if (1 < 2) { x("</b>"); }</script><p>b</p>'
+        )
+        assert got == "a b"
+
+    def test_style_and_comments_vanish(self, spark):
+        got = self._extract(
+            spark, "<style>p { color: red }</style>word<!-- hidden text -->s"
+        )
+        assert got == "word s"
+
+    def test_entities_decode_after_tags_amp_last(self, spark):
+        # '&lt;p&gt;' must decode to a literal '<p>' STRING, never strip;
+        # '&amp;lt;' must decode once to '&lt;', never twice to '<'
+        got = self._extract(spark, "<b>&lt;p&gt;</b> &amp;lt; &quot;q&quot;")
+        assert got == '<p> &lt; "q"'
+
+    def test_whitespace_collapse(self, spark):
+        got = self._extract(spark, "<div>\n  a\t\tb \n</div><br>c")
+        assert got == "a b c"
+
+    def test_duckdb_twin_is_identical(self, spark):
+        import duckdb
+
+        from rtcdb_spark.functions.text import sql_html_to_text
+
+        cases = [
+            '<p>a</p><script>if (1 < 2) { x("</b>"); }</script><p>b</p>',
+            "<style>p{c:r}</style>word<!-- gone -->s",
+            "<b>&lt;p&gt;</b> &amp;amp; &#39;x&#39;",
+            "plain no markup",
+            "<a href='u?x=1&amp;y=2'>link</a> tail",
+        ]
+        con = duckdb.connect()
+        for h in cases:
+            want = self._extract(spark, h)
+            got = con.execute(
+                f"SELECT {sql_html_to_text('v')} FROM (SELECT ? AS v)", [h]
+            ).fetchone()[0]
+            assert got == want, h
