@@ -208,6 +208,7 @@ def stream_to_versioned(
     app_id: str | None = None,
     autocompact_files: int | None = None,
     autocompact_bytes: int = 32 << 20,
+    autocompact_zorder_by: list[str] | None = None,
 ) -> None:
     """Exactly-once streaming ingestion into the snapshot-versioned table:
     each micro-batch becomes one ACID commit in the `VersionedTable` log,
@@ -247,6 +248,15 @@ def stream_to_versioned(
     ranges that cross a compaction commit, so a change-feed consumer must
     checkpoint at or after each compaction point (the same CDF-vs-
     auto-optimize tension Delta documents).
+
+    ``autocompact_zorder_by`` additionally Morton-clusters each compaction
+    along the listed columns (Delta's auto-optimize + ZORDER pairing): the
+    stream's recent small files keep getting folded into z-ordered files
+    whose manifest stats prune on every listed dimension — a continuously
+    clustered table with no external maintenance job. Only the small-file
+    subset re-clusters per trigger, so the cost stays O(recent ingest);
+    files that already graduated past the size threshold keep their
+    clustering until a manual full OPTIMIZE reclusters everything.
     """
     from rtcdb_spark.sources.versioned import VersionedTable
 
@@ -280,7 +290,10 @@ def stream_to_versioned(
             autocompact_files is not None
             and vt._read_manifest(v)["n_files"] >= autocompact_files
         ):
-            vt.optimize(small_only_bytes=autocompact_bytes)
+            vt.optimize(
+                small_only_bytes=autocompact_bytes,
+                zorder_by=autocompact_zorder_by,
+            )
 
     q = (
         events.select("event_id", "ts", "user_id", "event_type", "value")
