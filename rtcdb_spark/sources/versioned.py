@@ -302,6 +302,7 @@ class VersionedTable:
         new_files: list[str],
         max_retries: int,
         append_conflict=None,
+        bloom_stats: dict | None = None,
     ) -> int | None:
         """Publish a content-rewrite commit computed against snapshot
         ``head``. A lost race against a plain APPEND is usually safe: the
@@ -350,7 +351,11 @@ class VersionedTable:
             # A rewrite consolidates: one segment for the new files, one for
             # the survivors (O(rewritten + survivors) metadata — a rewrite
             # already touches that much state; appends never pay this).
-            segments = [self._write_segment(new_files, self._collect_stats(new_files))]
+            new_stats = self._collect_stats(new_files)
+            if bloom_stats:
+                for f, per_col in bloom_stats.items():
+                    new_stats.setdefault(f, {})[_BLOOM_KEY] = per_col
+            segments = [self._write_segment(new_files, new_stats)]
             if survivors:
                 segments.append(
                     self._write_segment(
@@ -377,6 +382,9 @@ class VersionedTable:
         zorder_by: list[str] | None = None,
         zorder_bits: int = 16,
         small_only_bytes: int | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 65536,
+        bloom_hashes: int = 4,
     ) -> int:
         """Compact the current snapshot's files into ``target_files`` larger
         ones as a NEW version (op ``optimize``) — Delta/Iceberg's OPTIMIZE:
@@ -395,6 +403,11 @@ class VersionedTable:
         than 2 small files the call is a metadata no-op returning the
         current head. ``small_only_bytes`` composes with ``zorder_by``
         (the small subset is z-ordered as it compacts).
+
+        ``bloom_cols`` re-indexes the rewritten files (a rewrite otherwise
+        DROPS the replaced files' Bloom filters — sound but point lookups
+        stop pruning on compacted data); survivors keep their existing
+        blooms either way.
 
         ``zorder_by`` is Delta's ``OPTIMIZE ... ZORDER BY``: instead of a
         layout-preserving coalesce, the rewrite range-partitions + sorts the
@@ -461,8 +474,18 @@ class VersionedTable:
                 for f in os.listdir(os.path.join(self.root, txn_dir))
                 if f.endswith(".parquet")
             )
+            blooms = (
+                self._build_blooms(new_files, bloom_cols, bloom_bits, bloom_hashes)
+                if bloom_cols
+                else None
+            )
             v = self._publish_rewrite(
-                head, "optimize", set(src_files), new_files, max_retries
+                head,
+                "optimize",
+                set(src_files),
+                new_files,
+                max_retries,
+                bloom_stats=blooms,
             )
             if v is not None:
                 return v

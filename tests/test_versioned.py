@@ -1091,3 +1091,31 @@ class TestPredicateRoutedRead:
         assert vt.min_max("k") == (0, 3499)
         with pytest.raises(ValueError, match="no stats"):
             vt.min_max("nope")
+
+
+class TestOptimizeBloomRebuild:
+    def test_compaction_reindexes_point_lookups(self, spark, vt):
+        """A rewrite drops the replaced files' blooms; optimize(bloom_cols)
+        re-indexes the compacted output so point lookups keep pruning."""
+        for lo in (0, 1000, 2000, 3000):
+            vt.commit(
+                spark.range(lo, lo + 1000)
+                .select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+                .coalesce(1),
+                bloom_cols=["k"],
+            )
+        # plain compaction: content fine, but bloom gone -> stats-only plan
+        vt.optimize(target_files=4, zorder_by=["k", "v"])
+        from rtcdb_spark.sources.versioned import _BLOOM_KEY
+
+        assert not any(
+            _BLOOM_KEY in s for s in vt.file_stats().values()
+        ), "rewrite unexpectedly carried blooms for rewritten files"
+        # re-indexing compaction: blooms back on every file, probe prunes
+        vt.optimize(target_files=4, zorder_by=["k", "v"], bloom_cols=["k"])
+        stats = vt.file_stats()
+        m = vt._read_manifest(vt.latest_version())
+        assert all(_BLOOM_KEY in stats[f] for f in m["files"])
+        keep, total = vt.plan_files_point("k", 2500)
+        assert total == 4 and len(keep) < total
+        assert _rows(vt.read_point("k", 2500)) == [(2500, 17500)]
