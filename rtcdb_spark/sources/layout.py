@@ -165,3 +165,50 @@ def _parquet_file_count(path: str) -> int:
     for root, _dirs, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+def hilbert_value(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
+    """2-D Hilbert curve index over two numeric columns, as a pure column
+    expression (an `aggregate` fold over bit planes — JVM-side, no UDF).
+
+    The Hilbert curve preserves locality strictly better than the Morton
+    (Z-order) curve: consecutive curve positions are always adjacent cells
+    (Morton takes long diagonal jumps at quadrant boundaries), so files cut
+    from contiguous curve ranges have tighter per-dimension min/max boxes —
+    the same reason Delta's liquid clustering moved from Z-order to Hilbert.
+    Columns are min/max-normalized to ``bits`` bits exactly like
+    :func:`zorder_value`; the fold is Hamilton's standard xy→d transform
+    (rotate/reflect per bit plane, state (x, y, d) carried through a
+    named_struct accumulator). 2·bits ≤ 62 keeps d in a signed long.
+    """
+    if len(cols) != 2:
+        raise ValueError("hilbert_value supports exactly 2 columns")
+    if 2 * bits > 62:
+        raise ValueError(f"2 x {bits} bits exceeds a signed long")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    norm = []
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        span = (hi - lo) or 1.0
+        norm.append(
+            f"CAST(least({top}, floor((CAST({c} AS DOUBLE) - {lo!r}) "
+            f"/ {span!r} * {top + 1})) AS BIGINT)"
+        )
+    s = "shiftleft(CAST(1 AS BIGINT), i)"
+    rx = f"IF((acc.x & {s}) != 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
+    ry = f"IF((acc.y & {s}) != 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
+    expr = (
+        f"aggregate(sequence({bits - 1}, 0, -1), "
+        f"named_struct('x', {norm[0]}, 'y', {norm[1]}, 'd', CAST(0 AS BIGINT)), "
+        f"(acc, i) -> named_struct("
+        # reflect (when ry=0 and rx=1) then swap (when ry=0); s-1-v reflects
+        f"'x', IF({ry} = 0, IF({rx} = 1, {s} - 1 - acc.y, acc.y), acc.x), "
+        f"'y', IF({ry} = 0, IF({rx} = 1, {s} - 1 - acc.x, acc.x), acc.y), "
+        f"'d', acc.d + {s} * {s} * CAST((3 * {rx}) ^ {ry} AS BIGINT)), "
+        f"acc -> acc.d)"
+    )
+    return F.expr(expr)

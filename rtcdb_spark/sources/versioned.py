@@ -385,6 +385,7 @@ class VersionedTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 65536,
         bloom_hashes: int = 4,
+        curve: str = "zorder",
     ) -> int:
         """Compact the current snapshot's files into ``target_files`` larger
         ones as a NEW version (op ``optimize``) — Delta/Iceberg's OPTIMIZE:
@@ -408,6 +409,11 @@ class VersionedTable:
         DROPS the replaced files' Bloom filters — sound but point lookups
         stop pruning on compacted data); survivors keep their existing
         blooms either way.
+
+        ``curve="hilbert"`` (2 columns only) clusters along the Hilbert
+        curve instead of the Morton curve — strictly better locality
+        (no quadrant-boundary jumps), tighter per-file boxes on both
+        dimensions; the same upgrade Delta's liquid clustering made.
 
         ``zorder_by`` is Delta's ``OPTIMIZE ... ZORDER BY``: instead of a
         layout-preserving coalesce, the rewrite range-partitions + sorts the
@@ -456,9 +462,14 @@ class VersionedTable:
             else:
                 snap = self.read(head)
             if zorder_by:
-                from rtcdb_spark.sources.layout import zorder_value
+                from rtcdb_spark.sources.layout import hilbert_value, zorder_value
 
-                z = zorder_value(snap, zorder_by, bits=zorder_bits)
+                if curve == "hilbert":
+                    z = hilbert_value(snap, zorder_by, bits=zorder_bits)
+                elif curve == "zorder":
+                    z = zorder_value(snap, zorder_by, bits=zorder_bits)
+                else:
+                    raise ValueError(f"unknown curve {curve!r}")
                 df = (
                     snap.withColumn("_z", z)
                     .repartitionByRange(target_files, "_z")

@@ -203,3 +203,68 @@ def test_zorder_write_roundtrip_and_clusters_second_dim(spark, sf_smoke, tmp_pat
     # Z-order must at least halve the per-file price span; lexicographic
     # files each cover ~the whole price domain.
     assert z_span < 0.5 * lex_span, (z_span, lex_span)
+
+
+def _xy2d_reference(n, x, y):
+    """Hamilton's xy->d transform, the trivially-correct Python model."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_matches_reference_on_full_grid(spark):
+    from rtcdb_spark.sources.layout import hilbert_value
+
+    n = 8  # bits=3: the full 64-cell grid, exhaustive
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.withColumn("h", hilbert_value(df, ["x", "y"], bits=3)).collect()
+    }
+    assert got == {(x, y): _xy2d_reference(n, x, y) for x, y in rows}
+    assert sorted(got.values()) == list(range(n * n))  # a space-filling walk
+
+
+def test_hilbert_rejects_bad_arity_and_width(spark):
+    import pytest
+
+    from rtcdb_spark.sources.layout import hilbert_value
+
+    df = spark.range(4).selectExpr("id AS x", "id AS y", "id AS z")
+    with pytest.raises(ValueError, match="exactly 2"):
+        hilbert_value(df, ["x", "y", "z"])
+    with pytest.raises(ValueError, match="signed long"):
+        hilbert_value(df, ["x", "y"], bits=32)
+
+
+def test_hilbert_optimize_prunes_both_dimensions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    n = 64
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(df.repartitionByRange(8, "x").sortWithinPartitions("x"))
+    vt.optimize(target_files=8, zorder_by=["x", "y"], curve="hilbert")
+    kx, total = vt.plan_files("x", 0, 7)
+    ky, _ = vt.plan_files("y", 0, 7)
+    assert len(kx) < total and len(ky) < total
+    # content identical
+    assert vt.read().count() == n * n
+    got = sorted((r["x"], r["y"]) for r in vt.read_pruned("y", 0, 7).collect())
+    want = sorted((r["x"], r["y"]) for r in df.filter("y <= 7").collect())
+    assert got == want
