@@ -109,6 +109,8 @@ HEADLINE = [
     # visible-text extraction (the web-corpus conversion stage)
     "source_db_api_roundtrip",
     "text_html_extract",
+    # round 5, wave 8: Hilbert-curve clustering
+    "versioned_hilbert_skipping",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -624,6 +624,62 @@ def versioned_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_hilbert_skipping",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+           MIN(l_partkey) AS min_pkey,
+           MAX(l_partkey) AS max_pkey
+    FROM lineitem
+    WHERE l_partkey BETWEEN 60 AND 119
+    """,
+    tags=("warehouse", "versioned", "hilbert", "data-skipping"),
+)
+def versioned_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE with Hilbert-curve clustering (`curve="hilbert"`, the
+    liquid-clustering upgrade over Morton): the orderkey-clustered table
+    prunes nothing for a partkey range; one Hilbert rewrite later both
+    dimensions prune — asserted in-query exactly like the Morton flagship
+    (`versioned_zorder_skipping`), plus the Hilbert-specific property
+    measured in SCALE.md §16: no quadrant-boundary jumps keeps contiguous
+    curve ranges spatially compact, so per-file boxes are tighter than
+    Morton's on the same file count. `layout.hilbert_value` is Hamilton's
+    xy→d transform as one `aggregate` fold (pure column expressions),
+    exhaustively reference-pinned in tests/test_layout.py. Clustering is
+    a plan property, never a result change — the oracle's direct range
+    aggregate hash-matches."""
+    import tempfile
+
+    from rtcdb_spark.deterministic import dsum
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_hilbert_"))
+    vt.commit(
+        li.repartitionByRange(8, "l_orderkey").sortWithinPartitions("l_orderkey")
+    )
+    before, _ = vt.plan_files("l_partkey", 60, 119)
+    vt.optimize(
+        target_files=8, zorder_by=["l_orderkey", "l_partkey"], curve="hilbert"
+    )
+    after, total = vt.plan_files("l_partkey", 60, 119)
+    assert len(after) < total, f"hilbert pruned nothing ({len(after)}/{total})"
+    assert len(after) < len(before), (
+        f"hilbert did not improve partkey pruning ({len(before)} -> {len(after)})"
+    )
+    okey, okey_total = vt.plan_files("l_orderkey", 0, 300)
+    assert len(okey) < okey_total, "orderkey dimension lost pruning"
+    return vt.read_pruned("l_partkey", 60, 119).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("l_quantity", alias="qty_sum"),
+        F.min("l_partkey").alias("min_pkey"),
+        F.max("l_partkey").alias("max_pkey"),
+    )
+
+
+@query(
     "versioned_bloom_point_skipping",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
