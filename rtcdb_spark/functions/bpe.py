@@ -111,6 +111,51 @@ def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return sym
 
 
+def sql_merge_replay_ctes(
+    merges: list[tuple[str, str]], src: str, word_col: str = "word"
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`apply_merges`: a CTE chain that replays a
+    literal merge list greedily left-to-right over every word in ``src``.
+
+    Returns ``(cte_body, last_cte_name)``; the final CTE holds
+    ``(word, s)`` where ``s`` is the space-separated symbol string with one
+    leading and one trailing space (token count = #spaces - 1).
+
+    Exactness argument (unit-pinned against :func:`apply_merges`,
+    including a==b merges): one merge step is three ``replace`` calls —
+
+    1. double every separator space, so every symbol boundary holds TWO
+       spaces and adjacent pattern matches stop competing for a shared
+       boundary character;
+    2. replace ``' a  b '`` with ``' ab '``: the single-space anchors
+       bind to the INNER space of each boundary, so any two adjacent
+       occurrences (including self-runs like ``e e e e``) each still see
+       their own anchor, and SQL replace's left-to-right scan is exactly
+       BPE's greedy order;
+    3. collapse the remaining double spaces back to singles (the
+       construction never yields more than two in a row).
+
+    Symbols never contain spaces or quotes (``[a-z]+`` and ``</w>``), so
+    both the replace patterns and the SQL literals are injection-free —
+    asserted below. Kept as chained CTEs (depth 3 per merge) because
+    DuckDB's expression binder caps nesting at 128.
+    """
+    for a, b in merges:
+        for s in (a, b):
+            assert s and " " not in s and "'" not in s, f"unsafe symbol {s!r}"
+    parts = [
+        f"m0 AS (SELECT {word_col} AS word, ' ' || "
+        f"regexp_replace({word_col}, '(.)', '\\1 ', 'g') || '</w> ' AS s "
+        f"FROM {src})"
+    ]
+    for i, (a, b) in enumerate(merges):
+        parts.append(
+            f"m{i + 1} AS (SELECT word, replace(replace(replace(s, ' ', "
+            f"'  '), ' {a}  {b} ', ' {a}{b} '), '  ', ' ') AS s FROM m{i})"
+        )
+    return ",\n".join(parts), f"m{len(merges)}"
+
+
 def tokenize_with_merges(
     docs: DataFrame,
     merges: list[tuple[str, str]],

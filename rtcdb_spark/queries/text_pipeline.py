@@ -634,9 +634,77 @@ def text_length_outliers_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# The merge table text_bpe_tokenize trains at sf0.01, pinned as a literal
+# so the DuckDB oracle can REPLAY the greedy apply stage (merge TRAINING is
+# iterative argmax — not SQL — so the oracle instead verifies that the
+# runtime-trained merges equal this table AND that every document
+# tokenizes identically under them; tests/test_bpe.py re-trains at sf0.01
+# and asserts equality, guarding fixture drift). Trained by:
+#   word_counts(documents @ sf0.01) -> top 2000 (cnt desc, word asc)
+#   -> train_merges(vocab, n_merges=60)
+_BPE_MERGES_SF001: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er</w>"),
+    ("a", "l"), ("al", "l"), ("all", "</w>"), ("m", "all</w>"),
+    ("s", "mall</w>"), ("er", "g"), ("erg", "e</w>"), ("l", "ow</w>"),
+    ("m", "erge</w>"), ("s", "low</w>"), ("c", "t"), ("ct", "or"),
+    ("ctor", "</w>"), ("d", "er</w>"), ("e", "ctor</w>"),
+    ("or", "der</w>"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB oracle for text_bpe_tokenize: replay the pinned trained-merge
+    table (see _BPE_MERGES_SF001) greedily over every distinct corpus word
+    with functions.bpe.sql_merge_replay_ctes, then roll token counts up per
+    document. Hash-matching proves BOTH that runtime training at sf0.01
+    reproduces the pinned merges and that the map-only apply stage
+    tokenizes every document exactly like the greedy reference."""
+    from rtcdb_spark.functions.bpe import sql_merge_replay_ctes
+
+    ctes, last = sql_merge_replay_ctes(_BPE_MERGES_SF001, src="uniq")
+    return f"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    uniq AS (SELECT DISTINCT word FROM words),
+    {ctes},
+    tok AS (
+        SELECT word,
+               CAST(length(s) - length(replace(s, ' ', '')) AS BIGINT) - 1
+                   AS n_tok
+        FROM {last}
+    ),
+    per_doc AS (
+        SELECT w.doc_id,
+               SUM(t.n_tok) AS n_subword_tokens,
+               COUNT(*) AS n_words,
+               SUM(length(w.word)) AS n_word_chars
+        FROM words w JOIN tok t USING (word)
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_subword_tokens, 0) AS BIGINT) AS n_subword_tokens,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_word_chars, 0) AS BIGINT) AS n_word_chars
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
 @query(
     "text_bpe_tokenize",
-    None,  # trained-BPE apply is iterative, not SQL-expressible; rows-only
+    _bpe_oracle_sql(),
     tags=("text", "tokens", "bpe", "llm-pipeline"),
 )
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,12 +715,19 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(V·K) metadata work with lexicographic tie-breaks, so any
     partitioning yields identical merges; the merge list (KBs) then ships
     in a map-only Arrow-batched pandas UDF that tokenizes every document.
-    Emits per-doc subword/word/char counts: n_subword_tokens strictly
-    between n_words (perfect merging) and n_words + n_word_chars (no
-    merging) is asserted in unit tests; determinism across repeated runs
-    is covered by the rows-only driver check plus the exact-merge unit
-    fixture. The oracle is omitted because merge training is inherently
-    iterative (not SQL) — this is one of the documented rows-only ops."""
+    Emits per-doc subword/word/char counts.
+
+    Oracle (round 6, closing the r5 `no_oracle` window slot): merge
+    training is iterative argmax — not SQL — but the trained table is a
+    deterministic function of the corpus, so the sf0.01 result is PINNED
+    as a literal (_BPE_MERGES_SF001, re-derived and asserted by
+    tests/test_bpe.py) and DuckDB replays the greedy apply stage over it
+    with a replace-chain proven bit-identical to `apply_merges` (space-
+    doubling trick; see functions.bpe.sql_merge_replay_ctes). A hash match
+    therefore verifies training determinism AND apply correctness. The
+    pinned table is sf0.01-specific by construction — exactly the scale the
+    driver's oracle comparison runs at; at other SFs the query trains its
+    own merges as before."""
     from rtcdb_spark.functions.bpe import (
         tokenize_with_merges,
         train_merges,

@@ -770,6 +770,61 @@ class TestBpe:
         total_char_lvl = sum(r.n_word_chars + r.n_words for r in out)
         assert total_sub < total_char_lvl * 0.8
 
+    def test_pinned_merge_table_matches_sf001_training(self, spark, sf_correct):
+        """The oracle's literal merge table (_BPE_MERGES_SF001) must equal
+        what the query actually trains at sf0.01 — guards fixture drift:
+        if the documents fixture ever changes, this fails before the
+        driver's hash gate does."""
+        from rtcdb_spark.functions.bpe import train_merges, word_counts
+        from rtcdb_spark.queries.text_pipeline import _BPE_MERGES_SF001
+        from rtcdb_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        d = load_table(spark, sf_correct, "documents")
+        vocab_df = (
+            word_counts(d).orderBy(F.desc("cnt"), F.asc("word")).limit(2000)
+        )
+        vocab = [(r.word, r.cnt) for r in vocab_df.collect()]
+        assert train_merges(vocab, n_merges=60) == _BPE_MERGES_SF001
+
+    def test_sql_merge_replay_bit_identical_to_greedy(self):
+        """The DuckDB replace-chain replay (sql_merge_replay_ctes) is
+        bit-identical to the greedy Python apply, including the hard
+        cases: a==b self-runs (odd/even lengths), adjacent occurrences
+        sharing a boundary, merges touching </w>, and chained multi-char
+        symbols."""
+        import duckdb
+
+        from rtcdb_spark.functions.bpe import (
+            apply_merges,
+            sql_merge_replay_ctes,
+        )
+
+        merges = [
+            ("e", "e"), ("a", "b"), ("ee", "e"), ("ab", "ab"),
+            ("s", "</w>"), ("e", "s</w>"), ("ee", "ee"),
+        ]
+        words = [
+            "eeee", "eee", "eeeee", "eeeeee", "eeeeeee", "abab", "ababab",
+            "abeee", "sees", "ess", "ssss", "aabb", "es", "seeeees", "abe",
+            "aaaa", "ebebe", "x",
+        ]
+        con = duckdb.connect()
+        try:
+            con.execute("CREATE TABLE w(word VARCHAR)")
+            con.executemany(
+                "INSERT INTO w VALUES (?)", [(x,) for x in words]
+            )
+            ctes, last = sql_merge_replay_ctes(merges, src="w")
+            rows = con.execute(
+                f"WITH {ctes} SELECT word, s FROM {last}"
+            ).fetchall()
+        finally:
+            con.close()
+        assert len(rows) == len(words)
+        for w, seg in rows:
+            assert seg.strip().split(" ") == apply_merges(w, merges), w
+
 
 class TestResize:
     def test_box2_exact_floor_mean(self):
