@@ -1021,9 +1021,11 @@ def decode_jpeg(payload: bytes):
     PROGRESSIVE (SOF2, T.81 Annex G: spectral selection + successive
     approximation, DC/AC first and refinement scans, EOB-run coding).
     Returns ``(width, height, ncomp, pixels)`` with pixels an
-    (H, W, ncomp) or (H, W) uint8 array. 1 or 3 components, 1x1 sampling
-    (4:4:4). Arithmetic coding, hierarchical mode, chroma subsampling and
-    restart intervals remain honestly gated."""
+    (H, W, ncomp) or (H, W) uint8 array. 1 or 3 components. Supported
+    sampling: 4:4:4 (1x1) and — round 5 — 4:2:0 (2x2 luma), plus
+    DRI/RSTm restart-interval consumption. Still honestly gated:
+    arithmetic coding, hierarchical and extended-precision modes, and
+    the progressive+subsampled combination."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":

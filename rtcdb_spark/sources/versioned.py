@@ -78,6 +78,7 @@ class VersionedTable:
         self.spark = spark
         self.root = root
         self._seg_cache: dict[str, tuple[list[str], dict]] = {}
+        self._legacy_upgrade: dict[int, str] = {}
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
 
@@ -289,10 +290,17 @@ class VersionedTable:
     def _segments_of(self, version: int, raw: dict[str, Any]) -> list[str]:
         """The segment list of a manifest; a legacy inline manifest is
         converted by writing its file list as one segment (one-time
-        upgrade, after which the new manifest references it)."""
+        upgrade, after which the new manifest references it). The upgrade
+        is memoized per version — a published manifest is immutable, and
+        without the memo every iteration of commit()'s conditional-put
+        retry loop would write a fresh orphan seg-*.json per lost race."""
         if "segments" in raw:
             return list(raw["segments"])
-        return [self._write_segment(raw["files"], raw.get("stats", {}))]
+        seg = self._legacy_upgrade.get(version)
+        if seg is None:
+            seg = self._write_segment(raw["files"], raw.get("stats", {}))
+            self._legacy_upgrade[version] = seg
+        return [seg]
 
     def _publish_rewrite(
         self,
@@ -612,9 +620,15 @@ class VersionedTable:
         compliance workflow (GDPR/right-to-be-forgotten) needs on an
         otherwise append-only table: O(matched files) data movement,
         prior versions still readable until ``vacuum`` — which is what
-        actually destroys the bytes, so `delete` + `vacuum(keep_last=1)`
-        is the full erasure procedure. Op ``delete`` blocks `changes()`
-        ranges like every rewrite. Returns the new version.
+        actually destroys the bytes. Full erasure is `delete` +
+        `vacuum(keep_last=1, retention_seconds=0)`: vacuum's DEFAULT
+        retention (7 days) deliberately keeps recently-written files to
+        protect racing readers/writers, so without `retention_seconds=0`
+        the deleted rows' bytes survive on disk for the retention window.
+        Multi-writer caveat: zero-retention vacuum can break a concurrent
+        reader of an old snapshot — quiesce writers first for a compliance
+        purge. Op ``delete`` blocks `changes()` ranges like every rewrite.
+        Returns the new version.
 
         SQL tri-state semantics (Delta/Iceberg DELETE): a row is deleted
         only when the predicate evaluates to TRUE; FALSE **and NULL** rows
@@ -829,8 +843,21 @@ class VersionedTable:
         aggregate, and only n_files x n_bits/64 longs reach the driver —
         the sketch travels, never the keys (same shape as
         functions.sketches.bloom_bits, per file). NULLs are excluded: a
-        bloom answers `= value`, and SQL equality is never true for NULL."""
+        bloom answers `= value`, and SQL equality is never true for NULL.
+
+        Keys are restricted to integer/string columns: the build hashes
+        Spark's CONCAT string rendering of the column while the probe
+        (`_bloom_positions`) hashes Python ``str(value)``, and those two
+        renderings agree ONLY for integers and strings. A double/decimal/
+        timestamp/boolean column renders differently on the two sides
+        ('1.0'/'1.0E8'/scale-padded vs '1'/'100000000.0'), which would
+        produce Bloom FALSE NEGATIVES — files silently pruned that do
+        contain the key. Validated here (both commit() and optimize()
+        route through this builder) so an unsupported key is a loud
+        ValueError at index-build time, never a wrong answer at read
+        time."""
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         from rtcdb_spark.functions.sketches import salted_bucket
 
@@ -842,6 +869,19 @@ class VersionedTable:
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"),
             *cols,
         )
+        ok_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in src.schema.fields
+            if f.name in cols and not isinstance(f.dataType, ok_types)
+        ]
+        if bad:
+            raise ValueError(
+                "bloom_cols must be integer- or string-typed (build hashes "
+                "Spark's string rendering, probe hashes Python str(value); "
+                "they diverge for other types, causing false-negative "
+                f"pruning): {', '.join(bad)}"
+            )
         out: dict = {}
         for col in cols:
             rows = (
@@ -899,12 +939,17 @@ class VersionedTable:
         hash-distributed across files — every file's range spans the domain
         (stats keep everything) but each file holds ~1/n_files of the keys,
         so the bloom keeps ~1 file (+ its false-positive rate). Sound: a
-        bloom has no false negatives, and files without one are kept."""
+        bloom has no false negatives, files without one are kept, and a
+        probe value that is not an int/str skips bloom pruning entirely
+        (build-side hashing only matches Python str() for those types —
+        see _build_blooms; anything else could false-negative)."""
         if value is None:
             raise ValueError("point lookup on NULL is never equal; no planning")
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError("table has no commits")
+        # bool is an int subclass but renders 'True' vs Spark's 'true'
+        bloomable = isinstance(value, (int, str)) and not isinstance(value, bool)
         m = self._read_manifest(v)
         stats = m.get("stats", {})
         keep = []
@@ -913,7 +958,7 @@ class VersionedTable:
             s = fs.get(col)
             if s is not None and (s[0] > value or s[1] < value):
                 continue
-            bloom = fs.get(_BLOOM_KEY, {}).get(col)
+            bloom = fs.get(_BLOOM_KEY, {}).get(col) if bloomable else None
             if bloom is not None and not all(
                 (bloom["words"][p // 64] >> (p % 64)) & 1
                 for p in self._bloom_positions(
@@ -1068,14 +1113,19 @@ class VersionedTable:
             raise ValueError(f"{dest_root} already has commits")
         return dest
 
-    def committed_extras(self, key: str) -> set:
+    def committed_extras(self, key: str, absent_key: str | None = None) -> set:
         """All values of ``extra[key]`` across committed manifests — e.g.
         the set of already-committed streaming batch ids. O(versions)
-        metadata reads, no data I/O."""
+        metadata reads, no data I/O. ``absent_key`` restricts to manifests
+        that do NOT carry that extra — how the streaming sink reads the
+        pre-'txn' legacy ledger without picking up new-format commits
+        (which stamp both 'batch_id' and 'txn')."""
         out = set()
         for v in self.versions():
             m = self._read_manifest_raw(v)  # extras live in the manifest,
             if "extra" in m and key in m["extra"]:  # no segment resolution
+                if absent_key is not None and absent_key in m["extra"]:
+                    continue
                 out.add(m["extra"][key])
         return out
 

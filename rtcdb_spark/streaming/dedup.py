@@ -37,6 +37,18 @@ tests feed id-ordered file splits). Under that contract the result is
 bit-identical to the batch/SQL definition: doc X is a near-dup iff some
 Y.doc_id < X.doc_id has hamming(X, Y) ≤ max_hamming — which is what the
 DuckDB oracle computes by brute force.
+
+The contract is ENFORCED, not assumed (round 6): every state group
+remembers the largest doc_id it has processed, and a later micro-batch
+delivering a smaller-or-equal id to that group raises immediately — an
+out-of-order production feed fails loudly instead of silently changing
+which doc of a near-dup pair survives. For genuinely unordered feeds the
+correct construction is different: buffer arrivals behind an event-time
+watermark (`withWatermark` + a delay ≥ the feed's max disorder), sort each
+emitted window by doc_id, and run the gate on the ordered output — recall
+is unchanged, detection just waits out the disorder window. That variant
+trades latency for order; this operator implements the zero-latency
+ordered-feed form and refuses inputs that break its premise.
 """
 
 from __future__ import annotations
@@ -55,8 +67,10 @@ from rtcdb_spark.functions.dedup import SIMHASH_PROBE_RADIUS, simhash64_rowwise
 
 _OUTPUT_SCHEMA = "doc_id LONG, band_id INT, is_dup BOOLEAN"
 _STATE_SCHEMA = (
-    "vals ARRAY<LONG>, ids ARRAY<LONG>, his ARRAY<LONG>, los ARRAY<LONG>"
+    "vals ARRAY<LONG>, ids ARRAY<LONG>, his ARRAY<LONG>, los ARRAY<LONG>, "
+    "max_id LONG"
 )
+_MIN_ID = -(1 << 63)
 
 # State-key granularity: grouping by the exact (band_id, band_val) would be
 # semantically cleanest but dispatches one pandas call per 16-bit bucket —
@@ -91,23 +105,40 @@ def _make_update(max_hamming: int, max_bucket: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            vals, ids, his, los = state.get
+            vals, ids, his, los, max_id = state.get
             ids = list(ids)
         else:
-            vals, ids, his, los = [], [], [], []
+            vals, ids, his, los, max_id = [], [], [], [], _MIN_ID
         seen_val = np.array(vals, dtype=np.int64)
         seen_hi = np.array(his, dtype=np.int64)
         seen_lo = np.array(los, dtype=np.int64)
         frames = [p for p in pdfs if len(p)]  # all-NA empties poison concat
         if not frames:
             state.update(
-                (seen_val.tolist(), ids, seen_hi.tolist(), seen_lo.tolist())
+                (seen_val.tolist(), ids, seen_hi.tolist(), seen_lo.tolist(),
+                 max_id)
             )
             return
         batch = pd.concat(frames, ignore_index=True)
         # Intra-batch arrival order = doc_id order (the determinism
         # contract above); the state-store group itself is unordered.
         batch = batch.sort_values("doc_id", ignore_index=True)
+        # Enforce the cross-batch half of the contract: this group already
+        # processed ids up to max_id, so a smaller-or-equal arrival means
+        # micro-batches interleaved ids — fail loudly (see module
+        # docstring for the watermark-buffered alternative for feeds that
+        # are genuinely unordered).
+        first_id = int(batch["doc_id"].iloc[0])
+        if first_id <= max_id:
+            raise ValueError(
+                "id-ordered arrival contract violated: state group "
+                f"{key} already processed doc_id {max_id} but received "
+                f"doc_id {first_id} in a later micro-batch; near-dup "
+                "survivor choice would become arrival-order-dependent. "
+                "Order the feed by doc_id (or buffer behind a watermark) "
+                "before the dedup gate."
+            )
+        max_id = int(batch["doc_id"].iloc[-1])
         out_ids: list[int] = []
         out_dup: list[bool] = []
         for doc_id, band_val, hi, lo in zip(
@@ -133,7 +164,8 @@ def _make_update(max_hamming: int, max_bucket: int):
                 seen_hi = np.append(seen_hi, np.int64(hi))
                 seen_lo = np.append(seen_lo, np.int64(lo))
         state.update(
-            (seen_val.tolist(), ids, seen_hi.tolist(), seen_lo.tolist())
+            (seen_val.tolist(), ids, seen_hi.tolist(), seen_lo.tolist(),
+             max_id)
         )
         yield pd.DataFrame(
             {

@@ -273,6 +273,20 @@ def stream_to_versioned(
         vt = VersionedTable(batch_df.sparkSession, table_root)
         if not bootstrapped[0]:
             seen.update(vt.committed_extras("txn"))
+            # Legacy ledger: commits written before the sink stamped 'txn'
+            # carried only a bare 'batch_id' extra. Seed those too (mapped
+            # to THIS writer's app id), or a crash-replay against a
+            # pre-upgrade table would re-commit and duplicate rows. Caveat
+            # (inherent to the legacy format, which had no writer scoping):
+            # if a DIFFERENT legacy writer committed batch N to this table,
+            # this writer's batch N is also treated as durable. (absent_key
+            # keeps new-format commits — which stamp both keys — out of
+            # the legacy scan, so OTHER writers' txn-scoped ledgers never
+            # leak into this one.)
+            seen.update(
+                f"{app}#{b}"
+                for b in vt.committed_extras("batch_id", absent_key="txn")
+            )
             bootstrapped[0] = True
         txn = f"{app}#{batch_id}"
         if txn in seen:

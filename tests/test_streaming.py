@@ -362,6 +362,49 @@ def test_versioned_sink_idempotence_is_writer_scoped(
     assert len(vt.versions()) == 3 * n1
 
 
+def test_versioned_sink_bootstraps_legacy_batch_id_ledger(
+    spark, sf_smoke, stream_dir, tmp_path
+):
+    """ADVICE r5 low: a table written by the pre-'txn' sink (bare
+    'batch_id' extras) must still be replay-safe under the new sink — its
+    legacy ledger seeds the bootstrap, so a crash-replayed batch is
+    skipped instead of re-committed (duplicated rows)."""
+    from rtcdb_spark.sources.versioned import VersionedTable
+    from rtcdb_spark.streaming.sinks import stream_to_versioned
+
+    def _stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+
+    table = str(tmp_path / "table")
+    stream_to_versioned(_stream(), table, str(tmp_path / "cp1"), app_id="w1")
+    vt = VersionedTable(spark, table)
+    n1 = len(vt.versions())
+    rows1 = vt.read().count()
+
+    # simulate the pre-upgrade on-disk state: strip 'txn' from every
+    # manifest, leaving only the legacy 'batch_id' stamp
+    import json
+
+    for v in vt.versions():
+        p = vt._manifest_path(v)
+        with open(p) as fh:
+            m = json.load(fh)
+        if "extra" in m and "txn" in m["extra"]:
+            del m["extra"]["txn"]
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+
+    # replay as the same writer against the legacy-format table: the
+    # legacy ledger must be seen — zero growth (pre-fix: rows doubled)
+    stream_to_versioned(_stream(), table, str(tmp_path / "cp2"), app_id="w1")
+    assert len(vt.versions()) == n1
+    assert vt.read().count() == rows1
+
+
 # ---------------------------------------------------------------------------
 # Streaming near-dup dedup (banded SimHash over arbitrary state)
 # ---------------------------------------------------------------------------
@@ -463,6 +506,44 @@ def test_stream_near_dedup_capped_state_never_invents_dups(
     }
     want = _brute_force_near_dup_flags(spark, sf_smoke)
     assert all(want[d] for d, f in got.items() if f)
+
+
+def test_stream_near_dedup_detects_interleaved_arrival(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The id-ordered arrival contract is enforced: feeding the HIGH id
+    range before the LOW one must raise the contract violation instead of
+    silently flipping which doc of a near-dup pair survives."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from rtcdb_spark.streaming import stream_near_dedup_simhash
+    from rtcdb_spark.streaming.events import read_table_stream
+
+    root = str(tmp_path_factory.mktemp("docs_interleaved"))
+    d = load_table(spark, sf_smoke, "documents")
+    n = d.count()
+    parts = [  # deliberately out of order: ids >= n/2 arrive first
+        d.filter(F.col("doc_id") >= n // 2),
+        d.filter(F.col("doc_id") < n // 2),
+    ]
+    for i, p in enumerate(parts):
+        sub = os.path.join(root, f"slice-{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(root, f"slice-{i}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    sdf = read_table_stream(
+        spark, sf_smoke, "documents", max_files_per_trigger=1, path=root
+    )
+    with pytest.raises(StreamingQueryException) as exc:
+        run_available_now(
+            stream_near_dedup_simhash(sdf), output_mode="append"
+        )
+    assert "id-ordered arrival contract violated" in str(exc.value)
 
 
 def test_stream_ingest_near_dedup_versioned_multi_batch_and_replay(

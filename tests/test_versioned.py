@@ -964,6 +964,70 @@ class TestBloomIndex:
             vt.plan_files_point("k", None)
         assert _rows(vt.read_point("k", 3)) == [(3, 30)]
 
+    def test_non_int_string_bloom_cols_rejected(self, spark, vt):
+        """Bloom keys must be integer/string typed: the build hashes
+        Spark's CONCAT rendering, the probe hashes Python str(value), and
+        those diverge for double/decimal/timestamp — which would produce
+        FALSE-NEGATIVE pruning (missing rows). Both commit() and
+        optimize() must refuse loudly at index-build time."""
+        df = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+        with pytest.raises(ValueError, match="integer- or string-typed"):
+            vt.commit(df.coalesce(1), bloom_cols=["v"])
+        vt.commit(df.coalesce(1))
+        with pytest.raises(ValueError, match="integer- or string-typed"):
+            vt.optimize(bloom_cols=["v"])
+
+    def test_non_int_string_probe_skips_bloom_not_files(self, spark, vt):
+        """A probe value whose Python str() differs from Spark's rendering
+        (float, bool) must skip BLOOM pruning — never prune a file that
+        holds the key. Stats pruning still applies; results stay exact."""
+        vt.commit(self._keyed(spark, 0, 100).coalesce(1), bloom_cols=["k"])
+        # float probe of an existing int key: 50.0 hashes differently from
+        # the build-side '50' — pre-fix this bloom-pruned the true holder
+        keep, total = vt.plan_files_point("k", 50.0)
+        assert total == 1 and len(keep) == 1
+        assert _rows(vt.read_point("k", 50.0)) == [(50, 350)]
+        # bool is an int subclass but renders 'True' vs Spark's 'true'
+        keep_b, _ = vt.plan_files_point("k", True)
+        assert len(keep_b) == 1  # stats keep it (1 in [0,100)); bloom skipped
+
+    def test_legacy_segment_upgrade_memoized(self, spark, vt, tmp_path):
+        """commit() against a legacy inline manifest must not write a fresh
+        upgrade segment per retry: the upgrade is memoized per version."""
+        import json
+        import os
+
+        vt.commit(self._keyed(spark, 0, 10).coalesce(1))
+        # rewrite manifest 0 into the legacy inline form
+        mpath = vt._manifest_path(0)
+        with open(mpath) as fh:
+            m = json.load(fh)
+        files, stats = vt._read_manifest(0)["files"], vt._read_manifest(0).get("stats", {})
+        legacy = {"version": 0, "op": "append", "files": files, "stats": stats}
+        with open(mpath, "w") as fh:
+            json.dump(legacy, fh)
+        vt._seg_cache.clear()
+        log_dir = os.path.join(vt.root, "_log")
+        n_before = len([f for f in os.listdir(log_dir) if f.startswith("seg-")])
+        raw = vt._read_manifest_raw(0)
+        s1 = vt._segments_of(0, raw)
+        s2 = vt._segments_of(0, raw)
+        s3 = vt._segments_of(0, raw)
+        assert s1 == s2 == s3
+        n_after = len([f for f in os.listdir(log_dir) if f.startswith("seg-")])
+        assert n_after == n_before + 1  # exactly ONE upgrade segment
+
+    def test_committed_extras_absent_key_filters_new_format(self, spark, vt):
+        """absent_key='txn' reads only pre-txn legacy ledger entries, so a
+        new-format writer's batch ids never leak into a legacy scan."""
+        d = self._keyed(spark, 0, 5).coalesce(1)
+        vt.commit(d, extra={"batch_id": 0})  # legacy sink stamp
+        vt.commit(d, extra={"txn": "a#1", "app_id": "a", "batch_id": 1})
+        assert vt.committed_extras("batch_id") == {0, 1}
+        assert vt.committed_extras("batch_id", absent_key="txn") == {0}
+
     def test_blooms_survive_rewrite_carry(self, spark, vt):
         """Survivor files carry their blooms through a rewrite commit;
         rewritten files lose theirs (sound: kept, never mis-pruned)."""
