@@ -668,6 +668,66 @@ def dedup_connected_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(edges).orderBy("node")
 
 
+@query(
+    "dedup_star_connectivity_groups",
+    f"""
+    WITH RECURSIVE {_SQL_SH},
+    {_SQL_SIGS},
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, sig)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM cand
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT e.src, q.r FROM sym e JOIN reach q ON q.node = e.dst
+    ),
+    groups AS (SELECT node, MIN(r) AS group_id FROM reach GROUP BY node)
+    SELECT node, group_id,
+           CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
+    FROM groups
+    ORDER BY node
+    """,
+    tags=("dedup", "lsh", "connectivity-only", "star", "extreme-multiplicity"),
+)
+def dedup_star_connectivity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The designed 100 TB dedup-grouping path, oracle-gated (round 6):
+    ``lsh_candidate_pairs(connectivity_only=True)`` emits ONLY star links
+    (anchor = bucket min id) — O(m) pairs per duplicate cluster of
+    multiplicity m instead of the O(m²) clique (`functions/dedup.py`;
+    measured 100x rung in SCALE.md §14: 17.5 s clique vs 2.7 s star,
+    identical groups) — then large-star/small-star connected components
+    produce the cluster census. The oracle computes reachability over the
+    FULL candidate clique set in DuckDB; a hash match therefore proves the
+    star-link graph has the exact same transitive closure as all-pairs
+    expansion — the property the whole mode rests on. Per-node output
+    (node, group_id, component size) rather than just a census, so a
+    single mis-grouped doc fails the gate."""
+    from pyspark.sql.window import Window
+
+    from rtcdb_spark.functions.dedup import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(d)
+    links = lsh_candidate_pairs(
+        minhash_signatures(sh), connectivity_only=True
+    )
+    groups = connected_components_star(links)
+    w = Window.partitionBy("group_id")
+    return groups.select(
+        "node",
+        "group_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+    ).orderBy("node")
+
+
 _SPAN_N = 8  # tokens per span ("line" analogue for the single-line fixture text)
 _SPAN_MIN_DOCS = 3  # spans in at least this many docs are boilerplate (fixture-calibrated)
 

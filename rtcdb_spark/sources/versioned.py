@@ -71,6 +71,27 @@ _BLOOM_KEY = "__bloom__"
 _META_KEY = "__meta__"
 
 
+def _merge_schemas(prev: dict | None, new: dict) -> dict | None:
+    """Additive union of two StructType-JSON dicts for the manifest's
+    schema-in-the-log entry. Returns ``None`` when the union is unknowable
+    (legacy prior manifest with no recorded schema) or unsound (same field
+    name, different type) — callers then omit the schema and readers fall
+    back to footer inference, which can never be wrong, only slower."""
+    if prev is None:
+        return None
+    if prev == new:
+        return prev
+    prev_fields = {f["name"]: f for f in prev["fields"]}
+    merged = list(prev["fields"])
+    for f in new["fields"]:
+        old = prev_fields.get(f["name"])
+        if old is None:
+            merged.append(f)  # additive evolution: new column appended
+        elif old["type"] != f["type"]:
+            return None  # type conflict: don't record a lie
+    return {**prev, "fields": merged}
+
+
 class VersionedTable:
     """A parquet table with a linear history of snapshot versions."""
 
@@ -235,6 +256,7 @@ class VersionedTable:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        df_schema = json.loads(df.schema.json())
         txn_dir = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:16]}")
         df.write.mode("error").parquet(os.path.join(self.root, txn_dir))
         new_files = sorted(
@@ -257,9 +279,17 @@ class VersionedTable:
             version = 0 if prev is None else prev + 1
             if mode == "overwrite" or prev is None:
                 segments = [seg]
+                schema = df_schema
             else:
                 pm_raw = self._read_manifest_raw(prev)
                 segments = self._segments_of(prev, pm_raw) + [seg]
+                # Schema-in-the-log (Delta's pattern): the manifest records
+                # the table schema so readers never pay plan-time footer
+                # inference. An append maintains it as the additive union;
+                # a conflict (same name, different type) or a legacy prior
+                # manifest (unknown union) records nothing — readers of
+                # those versions fall back to inference, which is sound.
+                schema = _merge_schemas(pm_raw.get("schema"), df_schema)
             manifest = {
                 "version": version,
                 "op": mode,
@@ -271,6 +301,8 @@ class VersionedTable:
                     else self._n_files_of(prev) + len(new_files)
                 ),
             }
+            if schema is not None:
+                manifest["schema"] = schema
             if extra:
                 manifest["extra"] = extra
             if self._try_publish(version, manifest):
@@ -378,6 +410,12 @@ class VersionedTable:
                 "n_added": len(new_files),
                 "n_files": len(new_files) + len(survivors),
             }
+            # Content rewrites never change the table schema: carry the
+            # head's recorded schema-in-the-log forward (re-read inside the
+            # retry loop, so a racing append's schema evolution is kept).
+            prev_schema = self._read_manifest_raw(prev).get("schema")
+            if prev_schema is not None:
+                manifest["schema"] = prev_schema
             if self._try_publish(version, manifest):
                 return version
         raise RuntimeError(f"{op} lost the version race {max_retries} times")
@@ -823,7 +861,8 @@ class VersionedTable:
         keep, _total = self.plan_files(col, lo, hi, version)
         if not keep:
             return self.read(version).filter(F.lit(False))
-        df = self.spark.read.parquet(
+        v = self.latest_version() if version is None else version
+        df = self._reader(self._read_manifest_raw(v)).parquet(
             *[os.path.join(self.root, f) for f in keep]
         )
         cond = F.lit(True)
@@ -979,7 +1018,8 @@ class VersionedTable:
         keep, _total = self.plan_files_point(col, value, version)
         if not keep:
             return self.read(version).filter(F.lit(False))
-        df = self.spark.read.parquet(
+        v = self.latest_version() if version is None else version
+        df = self._reader(self._read_manifest_raw(v)).parquet(
             *[os.path.join(self.root, f) for f in keep]
         )
         return df.filter(F.col(col) == F.lit(value))
@@ -1067,7 +1107,8 @@ class VersionedTable:
         keep, _total = self.plan_files_where(predicate, version)
         if not keep:
             return self.read(version).filter(F.lit(False))
-        df = self.spark.read.parquet(
+        v = self.latest_version() if version is None else version
+        df = self._reader(self._read_manifest_raw(v)).parquet(
             *[os.path.join(self.root, f) for f in keep]
         )
         return df.filter(F.expr(predicate))
@@ -1143,16 +1184,34 @@ class VersionedTable:
         files read the new columns as NULL — parquet footer merge, one
         metadata pass, no data rewrite). Default off: schema merging costs
         a footer read per file at plan time, so callers opt in when the
-        table is known to have evolved."""
+        table is known to have evolved.
+
+        When the manifest carries the schema-in-the-log (round 6; every
+        commit maintains it as the additive union), the scan plans with
+        that EXPLICIT schema: zero plan-time footer inference — the same
+        reason Delta/Iceberg store the schema in metadata; on an evolved
+        table this also means old files surface the later columns as NULL
+        without paying ``mergeSchema``'s per-file footer pass."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError("table has no commits")
         m = self._read_manifest(v)
         paths = [os.path.join(self.root, f) for f in m["files"]]
-        reader = self.spark.read
+        reader = self._reader(m if not merge_schema else None)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
+
+    def _reader(self, manifest: dict | None):
+        """A DataFrameReader planned with the manifest's recorded schema
+        when available (skips footer inference), else plain inference."""
+        reader = self.spark.read
+        sj = (manifest or {}).get("schema")
+        if sj is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(sj))
+        return reader
 
     def changes(self, since_version: int, until_version: int | None = None) -> DataFrame:
         """Incremental read: only rows ADDED after ``since_version`` up to
@@ -1193,7 +1252,9 @@ class VersionedTable:
             new = [f for f in self._read_manifest(until)["files"] if f not in base]
         if not new:
             return self.read(until).limit(0)
-        return self.spark.read.parquet(*[os.path.join(self.root, f) for f in new])
+        return self._reader(raw_until).parquet(
+            *[os.path.join(self.root, f) for f in new]
+        )
 
     # -- retention ---------------------------------------------------------
 

@@ -1019,6 +1019,38 @@ class TestBloomIndex:
         n_after = len([f for f in os.listdir(log_dir) if f.startswith("seg-")])
         assert n_after == n_before + 1  # exactly ONE upgrade segment
 
+    def test_schema_in_log_recorded_and_planned(self, spark, vt):
+        """Every commit records the table schema in the manifest
+        (Delta-style schema-in-the-log) so reads plan with an explicit
+        schema — zero footer inference; an evolved table's old files
+        surface later columns as NULL on a DEFAULT read."""
+        d1 = spark.createDataFrame([(1, 10)], "k bigint, v bigint")
+        d2 = spark.createDataFrame(
+            [(2, 20, "x")], "k bigint, v bigint, tag string"
+        )
+        vt.commit(d1.coalesce(1))
+        vt.commit(d2.coalesce(1))
+        assert "schema" in vt._read_manifest_raw(0)
+        m1 = vt._read_manifest_raw(1)
+        assert [f["name"] for f in m1["schema"]["fields"]] == ["k", "v", "tag"]
+        got = {r.k: (r.v, r.tag) for r in vt.read().collect()}
+        assert got == {1: (10, None), 2: (20, "x")}  # no mergeSchema needed
+        # a content rewrite carries the schema forward
+        vt.optimize()
+        assert vt._read_manifest_raw(2)["schema"] == m1["schema"]
+        got2 = {r.k: (r.v, r.tag) for r in vt.read().collect()}
+        assert got2 == got
+
+    def test_schema_in_log_type_conflict_falls_back(self, spark, vt):
+        """A same-name/different-type commit cannot record a truthful
+        union: the manifest omits the schema and readers fall back to
+        footer inference (sound, never a lie)."""
+        vt.commit(spark.createDataFrame([(1, 10)], "k bigint, v bigint"))
+        vt.commit(spark.createDataFrame([(2, "s")], "k bigint, v string"))
+        assert "schema" in vt._read_manifest_raw(0)
+        assert "schema" not in vt._read_manifest_raw(1)
+        vt.read().count()  # still readable via inference
+
     def test_committed_extras_absent_key_filters_new_format(self, spark, vt):
         """absent_key='txn' reads only pre-txn legacy ledger entries, so a
         new-format writer's batch ids never leak into a legacy scan."""
