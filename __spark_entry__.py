@@ -82,12 +82,38 @@ _PRIORITY = [
     # session). png_decode is driver-green in the r4 ledger and multimodal
     # keeps 4 reps (jpeg_decode, mp4_frame_sample, jpeg_progressive,
     # png_layouts); streaming-dedup family keeps stream_dedup_count green.
-    # C-II scan/filter/project + C-I sources (versioned read path gets its
-    # driver slot)
+    # (wave 15, round 6 per VERDICT r5 items 1/2/4/7): text_bpe_tokenize
+    # KEEPS its slot — it now has a real oracle (greedy-merge replay over
+    # the pinned sf0.01-trained table), closing the structural no_oracle
+    # hole. IN: the six unconfirmed round-5 operators —
+    # versioned_hilbert_skipping, versioned_predicate_routing,
+    # text_html_extract, source_rtcdb_index_stats,
+    # stream_ingest_dedup_versioned, curation_shuffle_shards — plus the
+    # new oracle-gated connectivity-only grouping
+    # (dedup_star_connectivity_groups, VERDICT item 4) and nine perennial
+    # residue re-confirmations: agg_count_distinct, sort_multi_key_limit,
+    # distinct_values, window_lag_lead, fn_datetime, fn_conditional,
+    # window_tumbling, source_csv_roundtrip, udf_udtf_tokenize (all
+    # prior-round driver-green + local-mirror green this session).
+    # OUT (all r5-driver-green; every family keeps >=1 green rep in the
+    # window or a prior ledger): source_rtcdb_pruned_scan (string_scan
+    # stays), versioned_data_skipping + versioned_zorder_skipping
+    # (predicate_routing exercises the same stats planner; bloom_point +
+    # incremental_optimize stay), agg_rollup (percentiles stay),
+    # join_asof_forward (join_semi stays), window_ranking
+    # (running_frames stays), fn_string + fn_math (array/json stay),
+    # window_session (tumbling re-reps batch event-time),
+    # stream_join_left_outer (full_outer + dedup_count stay),
+    # text_token_count (bm25/contamination/bigram stay),
+    # dedup_simhash_probe (exact/star stay), similarity_cosine_topk (ivf
+    # stays), multimodal_jpeg_progressive (decode/mp4/png stay),
+    # udf_pandas_scalar (grouped_agg stays), anomaly_zscore_daily.
+    # C-II scan/filter/project + C-I sources (index-only stats + CSV get
+    # driver slots)
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
-    "source_rtcdb_pruned_scan", "source_rtcdb_string_scan",
-    "versioned_data_skipping",
+    "source_rtcdb_string_scan", "source_rtcdb_index_stats",
+    "source_csv_roundtrip",
     # (wave 10, round 4): swap four doubly-green entries for the round-4
     # capability flagships, all sf0.01 driver-sim green this session —
     # agg_collect_array -> versioned_merge_upsert (copy-on-write MERGE),
@@ -97,10 +123,13 @@ _PRIORITY = [
     # Families keep >=1 green rep: aggregates (count_distinct, percentiles),
     # similarity (cosine, ivf), multimodal (decode_meta), graph (pagerank,
     # triangle, lpa).
-    # C-III aggregates (rollup/grouping-sets slot)
-    "agg_rollup", "agg_weighted_percentiles",
-    # C-IV joins (semi/anti gets its driver slot)
-    "join_asof_forward", "join_semi",
+    # C-I versioned clustering + index + routing (round-5/6 flagships)
+    "versioned_hilbert_skipping", "versioned_bloom_point_skipping",
+    "versioned_predicate_routing", "versioned_incremental_optimize",
+    # C-III aggregates (percentiles + count-distinct re-confirmation)
+    "agg_weighted_percentiles", "agg_count_distinct",
+    # C-IV joins (semi/anti keeps its driver slot)
+    "join_semi",
     # timeseries resampling (family's driver-window rep)
     "timeseries_resample_interp",
     # (wave 14, round 5): sort_multi_key_limit -> versioned_zorder_skipping
@@ -121,40 +150,34 @@ _PRIORITY = [
     # Database.open cold catalog re-read, SQL over the reopened table;
     # previously unit-only). Outgoing is r4 driver-green; the native
     # format keeps pruned_scan + string_scan as green reps.
-    # C-V sort / set
-    "set_intersect_all",
-    # C-I versioned clustering + bloom index (round-5 wave-5 flagships)
-    "versioned_zorder_skipping", "versioned_bloom_point_skipping",
-    # C-VI windows (ranking slot)
-    "window_ranking", "window_running_frames",
-    # C-VII scalar functions (array + math slots; json/map keeps its slot
-    # for the round-5 scalar-projection fix)
-    "fn_string", "fn_array", "fn_math", "fn_json_map",
-    # C-VIII event-time (batch)
-    "window_session",
-    # C-VIII streaming (stream-stream joins get driver slots)
-    "stream_join_left_outer", "stream_dedup_count",
-    "stream_join_full_outer", "stream_dedup_near_simhash",
-    "versioned_incremental_optimize",
-    # C-IX text pipeline (trained BPE + LM perplexity slots)
-    "text_token_count", "text_bpe_tokenize", "text_bigram_perplexity",
-    # C-IX dedup (exact dedup gets its driver slot)
-    "dedup_exact", "dedup_connected_groups_star", "dedup_simhash_probe",
-    # C-IX similarity / ANN / embedding ops
-    "similarity_cosine_topk", "similarity_ivf_topk",
-    # C-IX multimodal (JPEG decode + MP4 frame sampling, new round 5;
-    # decode_meta rotates out doubly-green, png_decode stays the family's
-    # green rep)
-    "multimodal_jpeg_decode",
-    "multimodal_mp4_frame_sample", "multimodal_jpeg_progressive",
-    "multimodal_png_layouts",
-    # C-X UDFs
-    "udf_pandas_scalar", "udf_grouped_agg",
-    # C-IX LLM pipeline
+    # C-V sort / set / limit / distinct
+    "set_intersect_all", "sort_multi_key_limit", "distinct_values",
+    # C-VI windows (frames + analytic lag/lead)
+    "window_running_frames", "window_lag_lead",
+    # C-VII scalar functions (array, json/map, datetime, conditional)
+    "fn_array", "fn_json_map", "fn_datetime", "fn_conditional",
+    # C-VIII event-time (batch tumbling)
+    "window_tumbling",
+    # C-VIII streaming (near-dup gate + the ingest composite it feeds)
+    "stream_dedup_count", "stream_join_full_outer",
+    "stream_dedup_near_simhash", "stream_ingest_dedup_versioned",
+    # C-IX text pipeline (trained BPE now ORACLE-GATED + LM perplexity +
+    # HTML extraction front end)
+    "text_bpe_tokenize", "text_bigram_perplexity", "text_html_extract",
     "text_bm25_search", "text_contamination",
-    # sketches / warehouse / reshape / analytics / graph / profiling
+    # C-IX dedup (exact, star CC, connectivity-only star-link mode) +
+    # curation shard shuffle
+    "dedup_exact", "dedup_connected_groups_star",
+    "dedup_star_connectivity_groups", "curation_shuffle_shards",
+    # C-IX similarity / ANN
+    "similarity_ivf_topk",
+    # C-IX multimodal
+    "multimodal_jpeg_decode", "multimodal_mp4_frame_sample",
+    "multimodal_png_layouts",
+    # C-X UDFs (UDAF + UDTF)
+    "udf_grouped_agg", "udf_udtf_tokenize",
+    # sketches / reshape / graph
     "freq_heavy_hitters", "reshape_unpivot",
-    "anomaly_zscore_daily",
     "graph_pagerank", "graph_label_propagation",
     # round-4 capability flagships
     "versioned_merge_upsert", "stream_cdc_upsert", "matview_incremental_refresh",

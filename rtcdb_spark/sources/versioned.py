@@ -872,6 +872,62 @@ class VersionedTable:
             cond = cond & (F.col(col) <= F.lit(hi))
         return df.filter(cond)
 
+    def plan_files_distributed(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+        parallelism: int = 32,
+    ) -> tuple[list[str], int]:
+        """Executor-parallel file planning — the form that survives 1M+
+        file manifests, where driver-side resolution holds every segment's
+        stats in one process (measured: ~2.3 s / ~1 GB driver RSS at 1M
+        entries, SCALE.md §14). The Iceberg move: manifests (our segments)
+        are parsed IN EXECUTORS — one mapInPandas over the segment-name
+        list opens each seg-*.json, applies the [lo, hi] overlap test to
+        its own files, and ships back only SURVIVING file names, so driver
+        memory is O(keep) + O(segments), never O(table files). Same
+        soundness contract as ``plan_files``: a file without stats for
+        ``col`` is kept. Total file count comes from the manifest's O(1)
+        recorded counter — no resolution. Results are identical to the
+        driver-side planner (asserted in tests); use this when segment
+        count x files-per-segment outgrows the driver, and the driver
+        planner below for small tables (a Spark job has ~100 ms of fixed
+        scheduling cost the driver loop doesn't pay)."""
+        import pandas as pd
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("table has no commits")
+        raw = self._read_manifest_raw(v)
+        seg_names = self._segments_of(v, raw)
+        total = self._n_files_of(v)
+        log_root = os.path.join(self.root, _LOG_DIR)
+
+        def scan_segments(batches):
+            for pdf in batches:
+                keep: list[str] = []
+                for name in pdf["seg"]:
+                    with open(os.path.join(log_root, name)) as fh:
+                        seg = json.load(fh)
+                    stats = seg.get("stats", {})
+                    for f in seg["files"]:
+                        s = stats.get(f, {}).get(col)
+                        if s is not None and (
+                            (hi is not None and s[0] > hi)
+                            or (lo is not None and s[1] < lo)
+                        ):
+                            continue
+                        keep.append(f)
+                yield pd.DataFrame({"file": pd.Series(keep, dtype="object")})
+
+        segs_df = self.spark.createDataFrame(
+            [(n,) for n in seg_names], "seg string"
+        ).repartition(min(parallelism, max(1, len(seg_names))))
+        rows = segs_df.mapInPandas(scan_segments, "file string").collect()
+        return sorted(r["file"] for r in rows), total
+
     # -- bloom filter index (point-lookup file skipping) --------------------
 
     def _build_blooms(

@@ -819,6 +819,86 @@ class TestManifestSharding:
         assert manifest_bytes < 200_000, "manifest must stay O(segments)"
 
 
+    def test_distributed_plan_matches_driver_plan(self, spark, tmp_path):
+        """Executor-side planning must return exactly the driver planner's
+        keep-set (plus the same total), including keeping stats-less
+        files."""
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        segs = []
+        for s in range(20):
+            files = [f"data/txn-{s:02d}/part-{i:02d}.parquet" for i in range(50)]
+            stats = {
+                f: {"k": [s * 50 + i, s * 50 + i]}
+                for i, f in enumerate(files)
+                if i % 7 != 0  # every 7th file has no stats: must be kept
+            }
+            segs.append(t._write_segment(files, stats))
+        assert t._try_publish(
+            0, {"version": 0, "op": "append", "segments": segs,
+                "n_added": 1000, "n_files": 1000}
+        )
+        for lo, hi in [(100, 199), (None, 10), (990, None), (5000, 6000)]:
+            keep_d, total_d = t.plan_files("k", lo, hi)
+            keep_x, total_x = t.plan_files_distributed("k", lo, hi)
+            assert total_d == total_x == 1000
+            assert sorted(keep_d) == keep_x, (lo, hi)
+
+    def test_plan_time_at_1m_files(self, spark, tmp_path):
+        """The 1M-file metadata rung (VERDICT r5 #6): 10,000 segments x 100
+        files. Measures the driver-side cold resolve (the path that stops
+        scaling here) against executor-side planning (plan_files_distributed
+        — driver memory O(keep), the Iceberg shape), plus the append
+        publish cost, which must stay O(1) in table size."""
+        import resource
+        import time
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        segs = []
+        for s in range(10_000):
+            files = [f"data/txn-{s:05d}/part-{i:03d}.parquet" for i in range(100)]
+            stats = {
+                f: {"k": [s * 100 + i, s * 100 + i]} for i, f in enumerate(files)
+            }
+            segs.append(t._write_segment(files, stats))
+        assert t._try_publish(
+            0, {"version": 0, "op": "append", "segments": segs,
+                "n_added": 100, "n_files": 1_000_000}
+        )
+
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.monotonic()
+        keep, total = t.plan_files("k", 500_000, 500_099)
+        driver_s = time.monotonic() - t0
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert total == 1_000_000 and len(keep) == 100
+
+        t2 = VersionedTable(spark, str(tmp_path / "vt"))  # cold caches
+        t0 = time.monotonic()
+        keep_x, total_x = t2.plan_files_distributed("k", 500_000, 500_099)
+        exec_s = time.monotonic() - t0
+        assert total_x == 1_000_000 and sorted(keep) == keep_x
+
+        t0 = time.monotonic()
+        seg = t._write_segment(["data/txn-new/part-000.parquet"], {})
+        ok = t._try_publish(
+            1,
+            {"version": 1, "op": "append",
+             "segments": t._segments_of(0, t._read_manifest_raw(0)) + [seg],
+             "n_added": 1, "n_files": 1_000_001},
+        )
+        append_s = time.monotonic() - t0
+        assert ok
+
+        print(
+            f"\n1M-file metadata rung: driver cold plan {driver_s:.2f}s "
+            f"(+{(rss1 - rss0) / 1024:.0f} MB maxrss), executor plan "
+            f"{exec_s:.2f}s, append publish {append_s * 1000:.0f}ms"
+        )
+        assert driver_s < 60.0
+        assert exec_s < 60.0
+        assert append_s < 1.0, "append metadata cost must not scale with table"
+
+
 class TestZorderOptimize:
     """OPTIMIZE ... ZORDER BY: content-identical rewrite that makes the
     manifest's per-file stats tight on every listed column."""
