@@ -110,10 +110,19 @@ _PRIORITY = [
     # udf_pandas_scalar (grouped_agg stays), anomaly_zscore_daily.
     # C-II scan/filter/project + C-I sources (index-only stats + CSV get
     # driver slots)
+    # (wave 16, round 6): the round-6 capability flagships — Delta Lake
+    # log interop (partitioned multi-commit roundtrip; zero-copy export +
+    # overwrite/time travel) and progressive+4:2:0 JPEG (the previously
+    # gated combination). OUT (all r5-driver-green; families keep green
+    # reps): graph_label_propagation (pagerank stays), stream_dedup_count
+    # (full_outer/near_simhash/ingest/cdc stay), multimodal_mp4_frame_sample
+    # (jpeg_decode + png_layouts stay). All three incoming queries pass
+    # the sf0.01 driver-sim this session.
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
     "source_rtcdb_string_scan", "source_rtcdb_index_stats",
     "source_csv_roundtrip",
+    "source_delta_partitioned_roundtrip", "source_delta_time_travel",
     # (wave 10, round 4): swap four doubly-green entries for the round-4
     # capability flagships, all sf0.01 driver-sim green this session —
     # agg_collect_array -> versioned_merge_upsert (copy-on-write MERGE),
@@ -159,7 +168,7 @@ _PRIORITY = [
     # C-VIII event-time (batch tumbling)
     "window_tumbling",
     # C-VIII streaming (near-dup gate + the ingest composite it feeds)
-    "stream_dedup_count", "stream_join_full_outer",
+    "stream_join_full_outer",
     "stream_dedup_near_simhash", "stream_ingest_dedup_versioned",
     # C-IX text pipeline (trained BPE now ORACLE-GATED + LM perplexity +
     # HTML extraction front end)
@@ -171,14 +180,14 @@ _PRIORITY = [
     "dedup_star_connectivity_groups", "curation_shuffle_shards",
     # C-IX similarity / ANN
     "similarity_ivf_topk",
-    # C-IX multimodal
-    "multimodal_jpeg_decode", "multimodal_mp4_frame_sample",
+    # C-IX multimodal (progressive+4:2:0 is new round-6 capability)
+    "multimodal_jpeg_decode", "multimodal_jpeg_progressive_420",
     "multimodal_png_layouts",
     # C-X UDFs (UDAF + UDTF)
     "udf_grouped_agg", "udf_udtf_tokenize",
     # sketches / reshape / graph
     "freq_heavy_hitters", "reshape_unpivot",
-    "graph_pagerank", "graph_label_propagation",
+    "graph_pagerank",
     # round-4 capability flagships
     "versioned_merge_upsert", "stream_cdc_upsert", "matview_incremental_refresh",
 ]

@@ -111,6 +111,14 @@ HEADLINE = [
     "text_html_extract",
     # round 5, wave 8: Hilbert-curve clustering
     "versioned_hilbert_skipping",
+    # round 6: progressive + 4:2:0 JPEG (the previously-gated combination),
+    # the oracle-gated connectivity-only dedup grouping, and Delta Lake
+    # transaction-log interop (partitioned roundtrip + zero-copy export /
+    # overwrite time travel)
+    "multimodal_jpeg_progressive_420",
+    "dedup_star_connectivity_groups",
+    "source_delta_partitioned_roundtrip",
+    "source_delta_time_travel",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

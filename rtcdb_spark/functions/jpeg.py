@@ -31,7 +31,12 @@ decodable in parallel restart segments), and 4:2:0 chroma subsampling in
 both directions (``encode_jpeg_420``: 2x2-box-downsampled Cb/Cr, four
 luma + two chroma blocks per 16x16 MCU — the dominant real-world layout;
 the decoder handles the interleaved MCU order and box-upsamples chroma).
-Arithmetic coding, hierarchical mode, progressive+subsampling, and
+Round 6 closes the progressive+subsampling gate:
+``encode_jpeg_progressive_420`` serializes the 4:2:0 coefficients with
+the Annex-G scan script (interleaved MCU-order DC scans; per-component
+non-interleaved AC scans over the TRUE block grid, skipping MCU padding
+— T.81 A.2.2 vs A.2.3), and the decoder reassembles it bit-identically
+to the baseline 4:2:0 decode. Arithmetic coding, hierarchical mode, and
 sampling layouts other than 4:4:4 / 4:2:0 stay honestly gated with
 ``NotImplementedError``.
 
@@ -439,19 +444,16 @@ def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_420(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
-    """Encode an (H, W, 3) RGB uint8 array as baseline JFIF with 4:2:0
-    chroma subsampling (T.81 A.2.3 — the dominant real-world layout): the
-    luma plane keeps full resolution (sampling 2x2) while Cb/Cr are 2x2
-    box-downsampled (sampling 1x1), so each 16x16-pixel MCU carries four
-    Y blocks plus one Cb and one Cr block. ~2x fewer coefficient blocks
-    than 4:4:4 at visually equivalent quality for natural images — the
-    rate/quality trade every camera and web encoder ships by default.
-    ``restart_interval`` works as in ``encode_jpeg`` (per 16x16 MCU)."""
+def _compute_coefficients_420(pixels, quality: int):
+    """Shared front half of the 4:2:0 serializers (baseline and — round 6
+    — progressive): full-res luma, 2x2-box-downsampled chroma, DCT +
+    quantize + zigzag. Both modes serialize these SAME coefficients, so
+    their decodes compare bit-exactly in tests (the same sharing trick as
+    ``_compute_coefficients`` for 4:4:4)."""
     import numpy as np
 
     if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError("encode_jpeg_420 needs an (H, W, 3) RGB array")
+        raise ValueError("4:2:0 encoding needs an (H, W, 3) RGB array")
     h, w = pixels.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -477,9 +479,26 @@ def encode_jpeg_420(pixels, quality: int = 90, restart_interval: int = 0) -> byt
         c = np.einsum("ij,njk,lk->nil", cmat, blocks, cmat)
         return np.round(c / q[None, :, :]).astype(np.int64).reshape(-1, 64)[:, zz]
 
-    ycoef = coefs(ypad, quants[0])
-    cbcoef = coefs(cbd, quants[1])
-    crcoef = coefs(crd, quants[1])
+    return (
+        h, w, h16, w16, quants,
+        coefs(ypad, quants[0]), coefs(cbd, quants[1]), coefs(crd, quants[1]),
+    )
+
+
+def encode_jpeg_420(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
+    """Encode an (H, W, 3) RGB uint8 array as baseline JFIF with 4:2:0
+    chroma subsampling (T.81 A.2.3 — the dominant real-world layout): the
+    luma plane keeps full resolution (sampling 2x2) while Cb/Cr are 2x2
+    box-downsampled (sampling 1x1), so each 16x16-pixel MCU carries four
+    Y blocks plus one Cb and one Cr block. ~2x fewer coefficient blocks
+    than 4:4:4 at visually equivalent quality for natural images — the
+    rate/quality trade every camera and web encoder ships by default.
+    ``restart_interval`` works as in ``encode_jpeg`` (per 16x16 MCU)."""
+    import numpy as np
+
+    h, w, h16, w16, quants, ycoef, cbcoef, crcoef = _compute_coefficients_420(
+        pixels, quality
+    )
 
     dc_codes = [
         _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -643,6 +662,121 @@ def encode_jpeg_progressive(pixels, quality: int = 90) -> bytes:
         out += _encode_ac_refine(comp_coeffs[ci], ac_codes[comp_huff[ci]], 1, 63, 0)
 
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive_420(pixels, quality: int = 90) -> bytes:
+    """PROGRESSIVE + 4:2:0 (round 6 — closes the r5 honest gate on the
+    combination): SOF2 with 2x2 luma sampling, the same quantized
+    coefficients as ``encode_jpeg_420``, serialized as the four-stage
+    Annex-G scan script of ``encode_jpeg_progressive``.
+
+    The parts the combination adds over either feature alone (T.81 G.1 +
+    A.2.3):
+
+    - DC scans are INTERLEAVED and therefore walk MCUs — four luma blocks
+      (row-major within the 16x16 MCU) then one Cb and one Cr per MCU,
+      with per-component DPCM predictors across that order;
+    - AC scans are per-component and NON-interleaved, covering only the
+      component's TRUE block grid (ceil(comp_dim/8)) in the component's
+      own raster order — NOT the MCU-padded storage grid, which for 2x2
+      luma can hold a whole extra block row/column that interleaved scans
+      encode but non-interleaved scans must skip (T.81 A.2.2 vs A.2.3).
+
+    Sharing coefficients with the baseline 4:2:0 path makes
+    ``decode_jpeg`` of this stream bit-identical to the baseline 4:2:0
+    decode — the property the tests pin."""
+    h, w, h16, w16, quants, ycoef, cbcoef, crcoef = _compute_coefficients_420(
+        pixels, quality
+    )
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+    comp_arrays = [ycoef, cbcoef, crcoef]
+    comp_huff = [0, 1, 1]
+    mcux, mcuy = w16 // 16, h16 // 16
+    yw, cw = w16 // 8, w16 // 16
+
+    def mcu_blocks():
+        """(component, storage index) in interleaved MCU order."""
+        for m in range(mcux * mcuy):
+            r, c = divmod(m, mcux)
+            for v in range(2):
+                for u in range(2):
+                    yield 0, (2 * r + v) * yw + (2 * c + u)
+            yield 1, r * cw + c
+            yield 2, r * cw + c
+
+    # Non-interleaved AC scans cover the TRUE component grid only.
+    ch2, cw2 = (h + 1) // 2, (w + 1) // 2  # chroma true resolution
+    y_idx = [
+        r * yw + c
+        for r in range((h + 7) // 8)
+        for c in range((w + 7) // 8)
+    ]
+    c_idx = [
+        r * cw + c
+        for r in range((ch2 + 7) // 8)
+        for c in range((cw2 + 7) // 8)
+    ]
+    blocklists = [
+        [ycoef[i] for i in y_idx],
+        [cbcoef[i] for i in c_idx],
+        [crcoef[i] for i in c_idx],
+    ]
+
+    out = bytearray(
+        _header_bytes(
+            h, w, False, quants, [0, 1, 1], sof_marker=b"\xff\xc2",
+            sampling=[0x22, 0x11, 0x11],
+        )
+    )
+
+    # -- scan 1: DC first, interleaved MCU order, Al=1 ----------------------
+    al = 1
+    out += _sos_header(
+        [(ci + 1, comp_huff[ci] << 4) for ci in range(3)], 0, 0, 0, al
+    )
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for ci, bidx in mcu_blocks():
+        v = int(comp_arrays[ci][bidx][0]) >> al  # arithmetic shift (G.1.2.1)
+        diff = v - pred[ci]
+        pred[ci] = v
+        ssss, bits = _magnitude(diff)
+        code, length = dc_codes[comp_huff[ci]][ssss]
+        bw.write(code, length)
+        if ssss:
+            bw.write(bits, ssss)
+    bw.flush()
+    out += bw.buf
+
+    # -- scan 2: AC first per component, true grid, Al=1 --------------------
+    for ci in range(3):
+        out += _sos_header([(ci + 1, comp_huff[ci])], 1, 63, 0, al)
+        out += _encode_ac_first(blocklists[ci], ac_codes[comp_huff[ci]], 1, 63, al)
+
+    # -- scan 3: DC refinement, interleaved MCU order, Ah=1 Al=0 ------------
+    out += _sos_header(
+        [(ci + 1, comp_huff[ci] << 4) for ci in range(3)], 0, 0, 1, 0
+    )
+    bw = _BitWriter()
+    for ci, bidx in mcu_blocks():
+        bw.write(int(comp_arrays[ci][bidx][0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+
+    # -- scan 4: AC refinement per component, true grid, Ah=1 Al=0 ----------
+    for ci in range(3):
+        out += _sos_header([(ci + 1, comp_huff[ci])], 1, 63, 1, 0)
+        out += _encode_ac_refine(blocklists[ci], ac_codes[comp_huff[ci]], 1, 63, 0)
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -907,29 +1041,55 @@ def _decode_scan_baseline(
                         k += 1
 
 
-def _decode_scan_dc_first(reader, coeffs, scan_idx, dc_tbls, al, dri=0):
+def _decode_scan_dc_first(
+    reader, coeffs, scan_idx, dc_tbls, al, dri=0,
+    samp=None, mcu_dims=None, grid_w=None,
+):
+    """Progressive DC first scan — interleaved, so with subsampling it
+    walks MCUs placing Hi x Vi blocks per component (same layout rule as
+    the sequential scan, T.81 A.2.3)."""
+    if samp is None:
+        samp = [(1, 1)] * len(scan_idx)
+        mcu_dims = (coeffs[scan_idx[0]].shape[0], 1)
+        grid_w = [1] * len(scan_idx)
+    n_mcux = mcu_dims[1]
     pred = [0] * len(scan_idx)
-    n_blocks = coeffs[0].shape[0]
-    for b in range(n_blocks):
-        if dri and b and b % dri == 0:
-            reader.sync_restart(b // dri - 1)
+    for m in range(mcu_dims[0] * mcu_dims[1]):
+        if dri and m and m % dri == 0:
+            reader.sync_restart(m // dri - 1)
             pred = [0] * len(scan_idx)
+        r, c = divmod(m, n_mcux)
         for si, ci in enumerate(scan_idx):
-            ssss = _decode_huffman(reader, dc_tbls[si])
-            diff = _extend(reader.receive(ssss), ssss)
-            pred[si] += diff
-            coeffs[ci][b][0] = pred[si] << al
+            hi, vi = samp[si]
+            for v in range(vi):
+                for u in range(hi):
+                    bidx = (r * vi + v) * grid_w[si] + (c * hi + u)
+                    ssss = _decode_huffman(reader, dc_tbls[si])
+                    diff = _extend(reader.receive(ssss), ssss)
+                    pred[si] += diff
+                    coeffs[ci][bidx][0] = pred[si] << al
 
 
-def _decode_scan_dc_refine(reader, coeffs, scan_idx, al, dri=0):
-    n_blocks = coeffs[0].shape[0]
+def _decode_scan_dc_refine(
+    reader, coeffs, scan_idx, al, dri=0, samp=None, mcu_dims=None, grid_w=None
+):
+    if samp is None:
+        samp = [(1, 1)] * len(scan_idx)
+        mcu_dims = (coeffs[scan_idx[0]].shape[0], 1)
+        grid_w = [1] * len(scan_idx)
+    n_mcux = mcu_dims[1]
     p1 = 1 << al
-    for b in range(n_blocks):
-        if dri and b and b % dri == 0:
-            reader.sync_restart(b // dri - 1)
-        for ci in scan_idx:
-            if reader.read_bit():
-                coeffs[ci][b][0] = int(coeffs[ci][b][0]) | p1
+    for m in range(mcu_dims[0] * mcu_dims[1]):
+        if dri and m and m % dri == 0:
+            reader.sync_restart(m // dri - 1)
+        r, c = divmod(m, n_mcux)
+        for si, ci in enumerate(scan_idx):
+            hi, vi = samp[si]
+            for v in range(vi):
+                for u in range(hi):
+                    bidx = (r * vi + v) * grid_w[si] + (c * hi + u)
+                    if reader.read_bit():
+                        coeffs[ci][bidx][0] = int(coeffs[ci][bidx][0]) | p1
 
 
 def _decode_scan_ac_first(reader, blocks, ac_tbl, ss, se, al, dri=0):
@@ -1022,10 +1182,10 @@ def decode_jpeg(payload: bytes):
     approximation, DC/AC first and refinement scans, EOB-run coding).
     Returns ``(width, height, ncomp, pixels)`` with pixels an
     (H, W, ncomp) or (H, W) uint8 array. 1 or 3 components. Supported
-    sampling: 4:4:4 (1x1) and — round 5 — 4:2:0 (2x2 luma), plus
-    DRI/RSTm restart-interval consumption. Still honestly gated:
-    arithmetic coding, hierarchical and extended-precision modes, and
-    the progressive+subsampled combination."""
+    sampling: 4:4:4 (1x1) and 4:2:0 (2x2 luma) — in BOTH frame modes,
+    including (round 6) progressive+4:2:0 — plus DRI/RSTm
+    restart-interval consumption. Still honestly gated: arithmetic
+    coding, hierarchical and extended-precision modes."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1075,10 +1235,6 @@ def decode_jpeg(payload: bytes):
                 raise NotImplementedError(
                     f"unsupported sampling layout {samps}: only 4:4:4 and "
                     "4:2:0 (2x2 luma) are implemented"
-                )
-            if progressive and samps != [(1, 1)] * nc:
-                raise NotImplementedError(
-                    "progressive + chroma subsampling not supported"
                 )
             frame = (h, w, comps)
             comp_ids = [cid for cid, _tq, _hi, _vi in comps]
@@ -1139,14 +1295,39 @@ def decode_jpeg(payload: bytes):
             elif s_ss == 0 and s_se == 0:
                 if s_ah == 0:
                     _decode_scan_dc_first(
-                        reader, coeffs, scan_idx, dc_tbls, s_al, dri=dri
+                        reader, coeffs, scan_idx, dc_tbls, s_al, dri=dri,
+                        samp=[samps[ci] for ci in scan_idx],
+                        mcu_dims=(mcuy, mcux),
+                        grid_w=[grid_w[ci] for ci in scan_idx],
                     )
                 else:
-                    _decode_scan_dc_refine(reader, coeffs, scan_idx, s_al, dri=dri)
+                    _decode_scan_dc_refine(
+                        reader, coeffs, scan_idx, s_al, dri=dri,
+                        samp=[samps[ci] for ci in scan_idx],
+                        mcu_dims=(mcuy, mcux),
+                        grid_w=[grid_w[ci] for ci in scan_idx],
+                    )
             else:
                 if ns != 1:
                     raise ValueError("progressive AC scan must be single-component")
-                blocks = coeffs[scan_idx[0]]
+                ci = scan_idx[0]
+                # Non-interleaved AC scans cover the component's TRUE
+                # block grid (ceil(comp_dim/8)), not the MCU-padded
+                # storage grid (T.81 A.2.2): with 2x2 luma, the storage
+                # grid can hold an extra block row/column that this scan
+                # must skip. Row views mutate the backing array in place.
+                hi, vi = samps[ci]
+                cw_true = (((w * hi + hmax - 1) // hmax) + 7) // 8
+                ch_true = (((h * vi + vmax - 1) // vmax) + 7) // 8
+                gw = grid_w[ci]
+                if cw_true == gw and ch_true == grid_h[ci]:
+                    blocks = coeffs[ci]
+                else:
+                    blocks = [
+                        coeffs[ci][r * gw + c]
+                        for r in range(ch_true)
+                        for c in range(cw_true)
+                    ]
                 if s_ah == 0:
                     _decode_scan_ac_first(
                         reader, blocks, ac_tbls[0], s_ss, s_se, s_al, dri=dri

@@ -1039,6 +1039,79 @@ def synth_and_jpeg_420_restart(df: DataFrame, id_col: str = "doc_id") -> DataFra
     return _fan_out(df, id_col).mapInPandas(process, JPEG_420_SCHEMA)
 
 
+JPEG_PROG_420_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_mcus", LongType()),
+        StructField("n_scans", LongType()),
+        StructField("prog_equals_baseline", BooleanType()),
+    ]
+)
+
+
+def synth_and_jpeg_progressive_420(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Round-6 PROGRESSIVE + 4:2:0 JPEG end-to-end (closes the r5 honest
+    gate on the combination): per row, encode the synthetic RGB image as
+    baseline 4:2:0 AND as progressive 4:2:0 (Annex-G scan script over the
+    subsampled coefficient set: interleaved MCU-order DC scans,
+    per-component non-interleaved AC scans over the TRUE block grid),
+    decode both, and emit whether the pixels are BIT-IDENTICAL — they
+    must be, since both serializations carry the same quantized
+    coefficients. Seed-derived dims up to 37x29 deliberately hit the
+    cases where the luma storage grid (MCU-padded to 16) holds an extra
+    block row/column the non-interleaved scans must skip — the one place
+    the combination can silently slip. n_scans counts emitted SOS
+    markers (always 8: DC first, 3x AC first, DC refine, 3x AC refine)."""
+    import numpy as np
+
+    from rtcdb_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_420,
+        encode_jpeg_progressive_420,
+        synth_pixels,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in JPEG_PROG_420_SCHEMA.fields
+            }
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                w, h = 1 + i % 37, 1 + i % 29
+                quality = 80 + (i % 4) * 5
+                px = synth_pixels(w, h, i)
+                prog_payload = encode_jpeg_progressive_420(px, quality=quality)
+                bw_, bh_, bn_, bpx = decode_jpeg(
+                    encode_jpeg_420(px, quality=quality)
+                )
+                pw_, ph_, pn_, ppx = decode_jpeg(prog_payload)
+                equal = (bw_, bh_, bn_) == (pw_, ph_, pn_) and np.array_equal(
+                    bpx, ppx
+                )
+                out["doc_id"].append(i)
+                out["width"].append(pw_)
+                out["height"].append(ph_)
+                out["n_mcus"].append(((w + 15) // 16) * ((h + 15) // 16))
+                out["n_scans"].append(prog_payload.count(b"\xff\xda"))
+                out["prog_equals_baseline"].append(bool(equal))
+            yield pd.DataFrame(
+                {
+                    k: pd.array(
+                        v,
+                        dtype="boolean" if k == "prog_equals_baseline" else "Int64",
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return _fan_out(df, id_col).mapInPandas(process, JPEG_PROG_420_SCHEMA)
+
+
 PNG_LAYOUT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

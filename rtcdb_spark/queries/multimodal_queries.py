@@ -469,6 +469,41 @@ def multimodal_jpeg_420_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_progressive_420",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 37 AS BIGINT) AS width,
+           CAST(1 + doc_id % 29 AS BIGINT) AS height,
+           CAST(((1 + doc_id % 37 + 15) // 16)
+                * ((1 + doc_id % 29 + 15) // 16) AS BIGINT) AS n_mcus,
+           CAST(8 AS BIGINT) AS n_scans,
+           TRUE AS prog_equals_baseline
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "jpeg", "progressive", "subsampling"),
+)
+def multimodal_jpeg_progressive_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE + 4:2:0 JPEG end-to-end (round 6 — closes the last
+    non-arithmetic JPEG gate): every document is encoded as baseline
+    4:2:0 AND progressive 4:2:0 — the combination real photo encoders
+    emit by default (e.g. mozjpeg's output) — both streams fully decoded,
+    and the query emits whether the decodes are BIT-IDENTICAL. The new
+    machinery the combination exercises: interleaved MCU-order DC scans
+    (four luma + two chroma data units per 16x16 MCU with per-component
+    DPCM), and non-interleaved AC scans that must cover the component's
+    TRUE block grid while SKIPPING the MCU-padding blocks the DC scans
+    wrote (T.81 A.2.2 vs A.2.3) — dims up to 37x29 force grids where
+    padding rows/columns exist. The oracle pins dims, MCU count, the
+    8-scan script, and the equality flag TRUE for every document. Scale
+    shape: map-only after the fan-out exchange."""
+    from rtcdb_spark.functions.multimodal import synth_and_jpeg_progressive_420
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_and_jpeg_progressive_420(d).orderBy("doc_id")
+
+
+@query(
     "multimodal_png_layouts",
     """
     WITH d AS (

@@ -699,3 +699,112 @@ def source_db_api_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY region_key
         """
     )
+
+
+@query(
+    "source_delta_partitioned_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("source", "delta", "interchange", "partitioned"),
+)
+def source_delta_partitioned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta Lake transaction-log interop end-to-end (round 6,
+    `sources/delta_log.py` — the PUBLIC delta-io protocol, implemented the
+    way `rtcdb_native` implements the reference's byte format): orders is
+    written as a PARTITIONED Delta table in three commits (create + two
+    appends, Hive-layout directories, one `add` action per file with
+    `partitionValues`), then read back by REPLAYING the JSON log — schema
+    from `metaData.schemaString` (no footer inference), partition column
+    re-attached from the log since Delta data files do not store it. The
+    aggregate groups BY that re-attached partition column, so one wrong
+    partitionValue, missed add action, or mis-parsed directory name moves
+    rows between groups and breaks the hash. min/max keys prove both
+    appends landed."""
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import append_delta, read_delta, write_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_rt_")
+    import shutil
+
+    shutil.rmtree(path)  # write_delta wants to create it
+    write_delta(
+        o.filter(F.col("o_orderkey") % 3 == 0), path,
+        partition_by=["o_orderpriority"],
+    )
+    append_delta(o.filter(F.col("o_orderkey") % 3 == 1), path)
+    append_delta(o.filter(F.col("o_orderkey") % 3 == 2), path)
+    t = read_delta(spark, path)
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "source_delta_time_travel",
+    """
+    SELECT 'v0' AS snapshot, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 250
+    UNION ALL
+    SELECT 'latest' AS snapshot, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id >= 250
+    ORDER BY snapshot, doc_id
+    """,
+    tags=("source", "delta", "interchange", "time-travel", "zero-copy"),
+)
+def source_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta interop's remove-action + zero-copy surface in one query: a
+    VersionedTable (two commits of documents) exports METADATA-ONLY to
+    Delta format (`versioned_to_delta`: absolute-path add actions, no
+    byte of data copied), then `overwrite_delta` replaces the contents
+    (remove actions for every live file + new adds). Reading version 0
+    must replay only the export's adds; reading latest must apply the
+    removes — the query returns both snapshots tagged, so a reader that
+    ignores removes (latest would still see v0 rows) or drops the
+    absolute-path adds (v0 would be empty) breaks the row set, not just
+    a count."""
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import overwrite_delta, read_delta, versioned_to_delta
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_delta_src_"))
+    vt.commit(d.filter(F.col("doc_id") < 100))
+    vt.commit(d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 250)))
+    dest = tempfile.mkdtemp(prefix="rtcdb_delta_tt_")
+    import shutil
+
+    shutil.rmtree(dest)
+    versioned_to_delta(vt, dest)
+    overwrite_delta(d.filter(F.col("doc_id") >= 250), dest)
+    v0 = read_delta(spark, dest, version=0).select(
+        F.lit("v0").alias("snapshot"), "doc_id", F.col("n_chars").cast("bigint")
+    )
+    latest = read_delta(spark, dest).select(
+        F.lit("latest").alias("snapshot"), "doc_id", F.col("n_chars").cast("bigint")
+    )
+    return v0.unionByName(latest).orderBy("snapshot", "doc_id")

@@ -380,3 +380,53 @@ class TestChromaSubsampling:
         p[i + 2 + 8 + 1] = 0x21  # 2x1 sampling: valid JPEG, not implemented
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(p))
+
+
+class TestProgressive420:
+    """Round 6: progressive + 4:2:0 — the combination previously gated.
+    Both serializers share _compute_coefficients_420, so their decodes
+    must be bit-identical; the hard part is scan coverage (interleaved
+    MCU-order DC vs true-grid non-interleaved AC, T.81 A.2.2/A.2.3)."""
+
+    @pytest.mark.parametrize(
+        "h,w",
+        [
+            (16, 16),  # exact MCU grid
+            (24, 40),  # luma true grid SMALLER than MCU-padded storage grid
+            (23, 17),  # both dims ragged
+            (8, 8),    # single-MCU, quarter-filled
+            (33, 31),  # odd chroma dims
+            (48, 15),  # single-MCU-column
+        ],
+    )
+    def test_bit_identical_to_baseline_420(self, h, w):
+        from rtcdb_spark.functions.jpeg import (
+            encode_jpeg_420,
+            encode_jpeg_progressive_420,
+        )
+
+        rng = np.random.RandomState(h * 100 + w)
+        for px in (
+            synth_pixels(w, h, seed=h + w),
+            rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8),
+        ):
+            b = decode_jpeg(encode_jpeg_420(px, quality=85))
+            p = decode_jpeg(encode_jpeg_progressive_420(px, quality=85))
+            assert b[:3] == p[:3]
+            assert np.array_equal(b[3], p[3])
+
+    def test_uses_sof2_eight_scans_and_sampling_factors(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_progressive_420
+
+        p = encode_jpeg_progressive_420(synth_pixels(37, 29, 5), quality=90)
+        assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+        assert p.count(b"\xff\xda") == 8  # DC, 3xAC, DC-refine, 3xAC-refine
+        i = p.find(b"\xff\xc2")
+        comp0 = p[i + 2 + 8 :]
+        assert comp0[1] == 0x22 and comp0[4] == 0x11 and comp0[7] == 0x11
+
+    def test_rgb_required(self):
+        from rtcdb_spark.functions.jpeg import encode_jpeg_progressive_420
+
+        with pytest.raises(ValueError):
+            encode_jpeg_progressive_420(np.zeros((8, 8), dtype=np.uint8))
