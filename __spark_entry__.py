@@ -167,9 +167,11 @@ _PRIORITY = [
     "fn_array", "fn_json_map", "fn_datetime", "fn_conditional",
     # C-VIII event-time (batch tumbling)
     "window_tumbling",
-    # C-VIII streaming (near-dup gate + the ingest composite it feeds)
-    "stream_join_full_outer",
-    "stream_dedup_near_simhash", "stream_ingest_dedup_versioned",
+    # C-VIII streaming (near-dup gate, its round-6 UNORDERED-feed twin,
+    # and the ingest composite; full_outer rotated out r5-green —
+    # streaming keeps near_simhash/ingest/cdc as green reps)
+    "stream_dedup_near_simhash", "stream_dedup_near_simhash_unordered",
+    "stream_ingest_dedup_versioned",
     # C-IX text pipeline (trained BPE now ORACLE-GATED + LM perplexity +
     # HTML extraction front end)
     "text_bpe_tokenize", "text_bigram_perplexity", "text_html_extract",

@@ -119,6 +119,7 @@ HEADLINE = [
     "dedup_star_connectivity_groups",
     "source_delta_partitioned_roundtrip",
     "source_delta_time_travel",
+    "stream_dedup_near_simhash_unordered",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

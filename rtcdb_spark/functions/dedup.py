@@ -327,7 +327,10 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def simhash64_rowwise(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document → (id, sim_hi, sim_lo) with ZERO shuffle.
 
@@ -373,7 +376,10 @@ def simhash64_rowwise(
         f"inline(transform(array({bits}), bs -> named_struct("
         f"'sim_hi', {word(32)}, 'sim_lo', {word(0)})))"
     )
-    return docs.select(F.col(id_col), F.expr(sig))
+    # extra_cols ride along unchanged (e.g. the event-time column the
+    # unordered streaming gate watermarks on).
+    carried = [F.col(c) for c in (extra_cols or [])]
+    return docs.select(F.col(id_col), *carried, F.expr(sig))
 
 
 # Hamming-probe banding: 4 bands × 16 bits. Pigeonhole: two 64-bit signatures

@@ -749,9 +749,7 @@ def stream_append_mode_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
-@query(
-    "stream_dedup_near_simhash",
-    """
+_NEAR_SIMHASH_FLAGS_ORACLE = """
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -790,7 +788,12 @@ def stream_append_mode_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS is_near_dup
     FROM sigs s LEFT JOIN dup d ON s.doc_id = d.doc_id
     ORDER BY s.doc_id
-    """,
+    """
+
+
+@query(
+    "stream_dedup_near_simhash",
+    _NEAR_SIMHASH_FLAGS_ORACLE,
     tags=("streaming", "dedup", "simhash"),
 )
 def stream_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,6 +815,78 @@ def stream_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = run_available_now(
         stream_near_dedup_simhash(sdf), output_mode="append"
     )
+    return (
+        flags.groupBy("doc_id")
+        .agg(F.max(F.col("is_dup").cast("int")).cast("long").alias("is_near_dup"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stream_dedup_near_simhash_unordered",
+    _NEAR_SIMHASH_FLAGS_ORACLE,
+    tags=("streaming", "dedup", "simhash", "watermark", "out-of-order"),
+)
+def stream_dedup_near_simhash_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The UNORDERED-feed near-dup gate (round 6 — implements the
+    watermark-buffered alternative the ordered gate's contract documents):
+    documents are deliberately scattered across three micro-batches by a
+    deterministic ±40-id jitter (xxhash64), so ids interleave across
+    batches — the arrival pattern that makes the zero-latency gate RAISE
+    its contract violation — then flow through
+    `streaming.dedup.stream_near_dedup_simhash_unordered`: each band
+    bucket buffers arrivals behind a 100 s event-time watermark
+    (ts = 1000 + doc_id seconds, so the watermark bounds the id disorder)
+    and finalizes docs in (event time, doc_id) order via event-time
+    timeouts; a trailing sentinel (huge ts) flushes the tail. The SAME
+    brute-force all-pairs oracle judges it: out-of-order delivery must
+    change NOTHING about which docs are flagged. State = capped seen
+    buckets + the disorder window's buffer, never the corpus."""
+    import os
+    import tempfile
+
+    from rtcdb_spark.sources import load_table
+    from rtcdb_spark.streaming import (
+        run_available_now,
+        stream_near_dedup_simhash_unordered as gate,
+    )
+    from rtcdb_spark.streaming.events import read_table_stream
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    root = tempfile.mkdtemp(prefix="rtcdb_unordered_feed_")
+    jit = d.withColumn(
+        "slot", F.col("doc_id") + (F.xxhash64("doc_id") % 81) - 40
+    )
+    cuts = [n // 3, 2 * n // 3]
+    parts = [
+        jit.filter(F.col("slot") < cuts[0]).drop("slot"),
+        jit.filter((F.col("slot") >= cuts[0]) & (F.col("slot") < cuts[1])).drop("slot"),
+        jit.filter(F.col("slot") >= cuts[1]).drop("slot"),
+        spark.createDataFrame([(-1, "flush")], "doc_id bigint, text string"),
+    ]
+    for i, p in enumerate(parts):
+        sub = os.path.join(root, f"slice-{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(root, f"slice-{i}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    sdf = read_table_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, path=root
+    ).select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") < 0, F.timestamp_seconds(F.lit(n + 101_000))
+        )
+        .otherwise(F.timestamp_seconds(F.col("doc_id") + 1000))
+        .alias("ts"),
+    )
+    flags = run_available_now(gate(sdf, delay="100 seconds"), output_mode="append")
     return (
         flags.groupBy("doc_id")
         .agg(F.max(F.col("is_dup").cast("int")).cast("long").alias("is_near_dup"))

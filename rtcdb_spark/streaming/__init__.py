@@ -9,6 +9,7 @@ windowing operators (`F.window` / `F.session_window`) — the batch forms in
 from rtcdb_spark.streaming.dedup import (  # noqa: F401
     stream_ingest_near_dedup_to_versioned,
     stream_near_dedup_simhash,
+    stream_near_dedup_simhash_unordered,
 )
 from rtcdb_spark.streaming.events import (  # noqa: F401
     read_events_stream,
@@ -37,6 +38,7 @@ __all__ = [
     "run_available_now",
     "stream_ingest_near_dedup_to_versioned",
     "stream_near_dedup_simhash",
+    "stream_near_dedup_simhash_unordered",
     "stream_dedup",
     "stream_enrich_static",
     "stream_session",

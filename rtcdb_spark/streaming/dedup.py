@@ -237,6 +237,183 @@ def stream_near_dedup_simhash(
     )
 
 
+_UNORDERED_STATE_SCHEMA = (
+    "pvals ARRAY<LONG>, pids ARRAY<LONG>, phis ARRAY<LONG>, plos ARRAY<LONG>, "
+    "ptss ARRAY<LONG>, "
+    "svals ARRAY<LONG>, sids ARRAY<LONG>, shis ARRAY<LONG>, slos ARRAY<LONG>"
+)
+
+
+def _make_unordered_update(max_hamming: int, max_bucket: int):
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pvals, pids, phis, plos, ptss, svals, sids, shis, slos = state.get
+            pend = [list(x) for x in (pvals, pids, phis, plos, ptss)]
+            sids = list(sids)
+        else:
+            pend = [[], [], [], [], []]
+            svals, sids, shis, slos = [], [], [], []
+        seen_val = np.array(svals, dtype=np.int64)
+        seen_hi = np.array(shis, dtype=np.int64)
+        seen_lo = np.array(slos, dtype=np.int64)
+        for p in pdfs:
+            if not len(p):
+                continue
+            pend[0].extend(int(x) for x in p["band_val"])
+            pend[1].extend(int(x) for x in p["doc_id"])
+            pend[2].extend(int(x) for x in p["sim_hi"])
+            pend[3].extend(int(x) for x in p["sim_lo"])
+            # event time in ms; works for datetime64[ns]/[us] alike
+            pend[4].extend(
+                int(x) for x in
+                (pd.to_datetime(p["ts"]).astype("int64") // 1_000_000)
+            )
+        wm = state.getCurrentWatermarkMs()
+        # Finalize every buffered doc the watermark has passed, in
+        # (event time, doc_id) order — the deterministic "earlier"
+        # relation an unordered feed can actually promise. Later docs
+        # stay buffered; anything older than the watermark can no longer
+        # arrive (Spark drops it upstream), so the order is final.
+        order = sorted(range(len(pend[1])), key=lambda i: (pend[4][i], pend[1][i]))
+        ready = [i for i in order if pend[4][i] < wm]
+        hold = [i for i in order if pend[4][i] >= wm]
+        out_ids: list[int] = []
+        out_dup: list[bool] = []
+        for i in ready:
+            band_val, doc_id, hi, lo = (
+                pend[0][i], pend[1][i], pend[2][i], pend[3][i],
+            )
+            sub = seen_val == band_val
+            n_sub = int(sub.sum())
+            if n_sub:
+                ham = _popcount64(
+                    np.bitwise_xor(seen_hi[sub], hi)
+                ) + _popcount64(np.bitwise_xor(seen_lo[sub], lo))
+                dup = bool((ham <= max_hamming).any())
+            else:
+                dup = False
+            out_ids.append(doc_id)
+            out_dup.append(dup)
+            if n_sub < max_bucket:
+                sids.append(doc_id)
+                seen_val = np.append(seen_val, np.int64(band_val))
+                seen_hi = np.append(seen_hi, np.int64(hi))
+                seen_lo = np.append(seen_lo, np.int64(lo))
+        state.update(
+            (
+                [pend[0][i] for i in hold],
+                [pend[1][i] for i in hold],
+                [pend[2][i] for i in hold],
+                [pend[3][i] for i in hold],
+                [pend[4][i] for i in hold],
+                seen_val.tolist(), sids, seen_hi.tolist(), seen_lo.tolist(),
+            )
+        )
+        if hold:
+            # Re-fire as soon as the watermark moves again, so buffered
+            # docs drain without needing new data in THIS group.
+            state.setTimeoutTimestamp(max(wm + 1, 1))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "band_id": pd.Series([key[0]] * len(out_ids), dtype="int32"),
+                    "is_dup": pd.Series(out_dup, dtype="bool"),
+                }
+            )
+
+    return _update
+
+
+def stream_near_dedup_simhash_unordered(
+    docs: DataFrame,
+    delay: str,
+    max_hamming: int = SIMHASH_PROBE_RADIUS,
+    max_bucket: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The UNORDERED-feed form of :func:`stream_near_dedup_simhash` — the
+    watermark-buffered alternative the ordered gate's contract points to.
+
+    Feeds whose arrival order is not doc_id order (any real multi-source
+    ingest) cannot use the zero-latency gate: "first arrival survives"
+    would be nondeterministic. This variant makes the survivor choice
+    deterministic again by buffering each band bucket's arrivals behind an
+    EVENT-TIME watermark (``withWatermark(ts_col, delay)`` — ``delay``
+    must bound the feed's disorder) and finalizing docs only once the
+    watermark passes them, in (event time, doc_id) order. Under a
+    monotone doc_id→ts mapping this reproduces the ordered gate's
+    semantics EXACTLY on an arbitrarily shuffled feed — the brute-force
+    oracle stays the judge.
+
+    Costs, stated honestly: detection latency ≥ ``delay``; state carries
+    the buffered window on top of the capped seen-buckets (O(docs within
+    the disorder window), not O(corpus)); docs later than ``delay`` out
+    of order are dropped by the watermark upstream (Spark's standard
+    late-data rule). Emission uses event-time timeouts, so buffered docs
+    drain as the watermark advances even when their group gets no new
+    rows; the final watermark never passes the last ``delay`` of the
+    feed — streams that end (availableNow runs) finalize the tail by
+    appending one sentinel row with ts beyond max+delay, the standard
+    flush pattern. One boundary to know: a row whose event time equals
+    the CURRENT watermark is dropped by Spark's standard late-record
+    filter — including the initial watermark of 0 ms, so event times at
+    exactly the 1970 epoch never enter (tests offset their synthetic
+    clocks; real feeds don't emit epoch-zero timestamps)."""
+    sigs = simhash64_rowwise(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+        ),
+        extra_cols=["ts"],
+    )
+    lo, hi = F.col("sim_lo"), F.col("sim_hi")
+    mask = F.lit(0xFFFF)
+    band_vals = [
+        lo.bitwiseAND(mask),
+        F.shiftright(lo, 16).bitwiseAND(mask),
+        hi.bitwiseAND(mask),
+        F.shiftright(hi, 16).bitwiseAND(mask),
+    ]
+    bands = sigs.select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        v.alias("band_val"),
+                        F.col("doc_id"),
+                        F.col("sim_hi"),
+                        F.col("sim_lo"),
+                    )
+                    for b, v in enumerate(band_vals)
+                ]
+            )
+        ).alias("e"),
+    ).select("ts", "e.*")
+    shard = F.shiftright(F.col("band_val"), _SHARD_SHIFT).alias("shard")
+    return (
+        bands.withColumn("shard", shard)
+        .withWatermark("ts", delay)
+        .groupBy("band_id", "shard")
+        .applyInPandasWithState(
+            _make_unordered_update(max_hamming, max_bucket),
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_UNORDERED_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_ingest_near_dedup_to_versioned(
     docs: DataFrame,
     static_docs: DataFrame,

@@ -508,6 +508,82 @@ def test_stream_near_dedup_capped_state_never_invents_dups(
     assert all(want[d] for d, f in got.items() if f)
 
 
+def _write_slices(root, parts):
+    """Write DataFrames as single parquet files with forced mtime order."""
+    import os
+
+    for i, p in enumerate(parts):
+        sub = os.path.join(root, f"slice-{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                dst = os.path.join(root, f"slice-{i}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+
+def test_stream_near_dedup_unordered_matches_brute_force(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The watermark-buffered variant reproduces the id-order semantics on
+    a feed whose micro-batches interleave ids (bounded disorder): docs are
+    scattered across 3 slices by a +/-40-id deterministic jitter, fed
+    oldest-slice-first, with ts = 1000 + doc_id seconds and a 100 s
+    watermark delay bounding the disorder. A trailing sentinel (huge ts)
+    flushes the tail past the final watermark. (ts is offset from the
+    epoch: a row whose event time EQUALS the initial watermark of 0 is
+    dropped by Spark's late-record filter — the boundary the operator
+    docstring documents.)"""
+    from rtcdb_spark.streaming import (
+        run_available_now,
+        stream_near_dedup_simhash_unordered,
+    )
+    from rtcdb_spark.streaming.events import read_table_stream
+
+    root = str(tmp_path_factory.mktemp("docs_unordered"))
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    n = d.count()
+    jittered = d.withColumn(
+        "slot", F.col("doc_id") + (F.xxhash64("doc_id") % 81) - 40
+    )
+    cuts = [n // 3, 2 * n // 3]
+    parts = [
+        jittered.filter(F.col("slot") < cuts[0]).drop("slot"),
+        jittered.filter(
+            (F.col("slot") >= cuts[0]) & (F.col("slot") < cuts[1])
+        ).drop("slot"),
+        jittered.filter(F.col("slot") >= cuts[1]).drop("slot"),
+    ]
+    # trailing flush: one sentinel doc (id -1) whose ts exceeds max+delay
+    sentinel = spark.createDataFrame(
+        [(-1, "flush")], "doc_id bigint, text string"
+    )
+    _write_slices(root, parts + [sentinel])
+    sdf = read_table_stream(
+        spark, sf_smoke, "documents", max_files_per_trigger=1, path=root
+    ).select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") < 0,
+            F.timestamp_seconds(F.lit(n + 101_000)),
+        )
+        .otherwise(F.timestamp_seconds(F.col("doc_id") + 1000))
+        .alias("ts"),
+    )
+    out = run_available_now(
+        stream_near_dedup_simhash_unordered(sdf, delay="100 seconds"),
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: bool(r.dup)
+        for r in out.groupBy("doc_id").agg(F.max("is_dup").alias("dup")).collect()
+    }
+    want = _brute_force_near_dup_flags(spark, sf_smoke)
+    assert got == want  # every real doc emitted; sentinel never finalizes
+    assert any(got.values())
+
+
 def test_stream_near_dedup_detects_interleaved_arrival(
     spark, sf_smoke, tmp_path_factory
 ):
