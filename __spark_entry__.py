@@ -182,9 +182,10 @@ _PRIORITY = [
     "dedup_star_connectivity_groups", "curation_shuffle_shards",
     # C-IX similarity / ANN
     "similarity_ivf_topk",
-    # C-IX multimodal (progressive+4:2:0 is new round-6 capability)
+    # C-IX multimodal (progressive+4:2:0 and APNG animation are new
+    # round-6 capability; png_layouts rotated out r5-green)
     "multimodal_jpeg_decode", "multimodal_jpeg_progressive_420",
-    "multimodal_png_layouts",
+    "multimodal_apng_animate",
     # C-X UDFs (UDAF + UDTF)
     "udf_grouped_agg", "udf_udtf_tokenize",
     # sketches / reshape / graph

@@ -120,6 +120,7 @@ HEADLINE = [
     "source_delta_partitioned_roundtrip",
     "source_delta_time_travel",
     "stream_dedup_near_simhash_unordered",
+    "multimodal_apng_animate",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -12,10 +12,12 @@ five scanline filters; round 5: the FULL static spec surface — grayscale
 1/2/4/8/16-bit, gray+alpha, 16-bit truecolor, paletted with tRNS, Adam7
 interlacing), baseline-sequential JPEG (round 5, `functions/jpeg.py`:
 full T.81 encode+decode wired into `decode_image`), and MP4 sample-table
-frame sampling (round 5, `functions/mp4.py`). Formats that genuinely need
-external libraries (progressive JPEG, MP3, APNG animation, codec decode
-of MP4 frame payloads) raise `NotImplementedError` with that label — swap
-the dispatch body on a real cluster and nothing else changes.
+frame sampling (round 5, `functions/mp4.py`). Round 5 closed the
+progressive-JPEG gate, round 6 closes APNG (full animation composition —
+`make_apng`/`decode_apng` below) and progressive+4:2:0 JPEG. Formats that
+genuinely need external libraries (MP3, codec decode of MP4 frame
+payloads) raise `NotImplementedError` with that label — swap the dispatch
+body on a real cluster and nothing else changes.
 
 Scale notes: `mapInPandas` streams Arrow batches (no per-row pickling);
 decode work is embarrassingly parallel, so throughput scales with cores.
@@ -278,8 +280,9 @@ def decode_png(payload: bytes):
     files), shape (H, W) for grayscale or (H, W, channels) otherwise;
     paletted files decode to their expanded RGB/RGBA pixels.
 
-    Only APNG animation remains out of scope (a genuinely different,
-    multi-frame format)."""
+    APNG animation decodes through :func:`decode_apng` (round 6); this
+    static decoder reads an APNG's default image and skips the animation
+    chunks, exactly like a non-animated viewer."""
     import zlib
 
     import numpy as np
@@ -445,6 +448,238 @@ def make_png_ext(
             out += chunk(b"tRNS", bytes(trns))
     out += chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b"")
     return out
+
+
+# -- APNG (round 6 — closes the "APNG animation out of scope" gate) ---------
+# Chunk grammar per the public APNG spec (now PNG 3rd-edition §11.3.6 /
+# the original Mozilla spec): acTL (frame/play counts) before IDAT; one
+# fcTL per frame (sequence number, region, delays, dispose_op, blend_op);
+# frame 0's pixels in IDAT when its fcTL precedes IDAT, later frames in
+# fdAT chunks (sequence number + deflate stream). Composition model:
+# RGBA canvas starts fully transparent; per frame render the region, then
+# SOURCE-replace or OVER-composite; dispose_op decides what the NEXT
+# frame composes against (NONE keep / BACKGROUND clear region /
+# PREVIOUS revert region).
+
+_APNG_DISPOSE_NONE, _APNG_DISPOSE_BACKGROUND, _APNG_DISPOSE_PREVIOUS = 0, 1, 2
+_APNG_BLEND_SOURCE, _APNG_BLEND_OVER = 0, 1
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _filter_rgba_stream(px) -> bytes:
+    """Filter an (H, W, 4) uint8 frame with the same rotating 0..4 filter
+    schedule `make_png` uses, so APNG decode exercises every unfilter
+    path too."""
+    import numpy as np
+
+    h, w, _c = px.shape
+    raw = px.reshape(h, w * 4).astype(np.int64)
+    bpp = 4
+    zero = np.zeros(bpp, dtype=np.int64)
+    stream = bytearray()
+    prev = np.zeros(w * 4, dtype=np.int64)
+    for y in range(h):
+        row = raw[y]
+        left = np.concatenate([zero, row[:-bpp]]) if w > 1 else zero * 0
+        upleft = np.concatenate([zero, prev[:-bpp]]) if w > 1 else zero * 0
+        ft = y % 5
+        if ft == 0:
+            f = row
+        elif ft == 1:
+            f = (row - left) % 256
+        elif ft == 2:
+            f = (row - prev) % 256
+        elif ft == 3:
+            f = (row - (left + prev) // 2) % 256
+        else:
+            f = (row - _paeth(left, prev, upleft)) % 256
+        stream.append(ft)
+        stream += f.astype(np.uint8).tobytes()
+        prev = row
+    return bytes(stream)
+
+
+def _fctl(
+    seq: int, w: int, h: int, x: int, y: int, dispose: int, blend: int
+) -> bytes:
+    return _png_chunk(
+        b"fcTL",
+        struct.pack(">IIIIIHHBB", seq, w, h, x, y, 1, 10, dispose, blend),
+    )
+
+
+def make_apng(width: int, height: int, seed: int, frames: list[dict]) -> bytes:
+    """Build a valid APNG (RGBA8): frame 0 is the full-canvas IDAT image
+    (its fcTL precedes IDAT, so it is part of the animation); each later
+    frame is a dict {px: (h, w, 4) uint8, x, y, dispose, blend} rendered
+    as fcTL + one fdAT. Sequence numbers are the single shared counter
+    the spec requires across fcTL/fdAT."""
+    import zlib
+
+    import numpy as np
+
+    base = np.asarray(frames[0]["px"], dtype=np.uint8)
+    assert base.shape == (height, width, 4), "frame 0 must be full-canvas RGBA"
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    )
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    out += _fctl(
+        seq, width, height, 0, 0,
+        frames[0].get("dispose", _APNG_DISPOSE_NONE),
+        frames[0].get("blend", _APNG_BLEND_SOURCE),
+    )
+    seq += 1
+    out += _png_chunk(b"IDAT", zlib.compress(_filter_rgba_stream(base)))
+    for fr in frames[1:]:
+        px = np.asarray(fr["px"], dtype=np.uint8)
+        fh, fw, _c = px.shape
+        x, y = fr.get("x", 0), fr.get("y", 0)
+        assert x + fw <= width and y + fh <= height, "frame region out of bounds"
+        out += _fctl(
+            seq, fw, fh, x, y,
+            fr.get("dispose", _APNG_DISPOSE_NONE),
+            fr.get("blend", _APNG_BLEND_SOURCE),
+        )
+        seq += 1
+        out += _png_chunk(
+            b"fdAT",
+            struct.pack(">I", seq) + zlib.compress(_filter_rgba_stream(px)),
+        )
+        seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(payload: bytes):
+    """Decode an APNG into (meta, frames): the COMPOSED full-canvas RGBA
+    frames the animation displays, applying blend_op (SOURCE replace /
+    OVER alpha-composite, non-premultiplied integer samples rounded
+    half-up) and dispose_op (NONE / BACKGROUND clears the region /
+    PREVIOUS reverts it) exactly per the spec's composition model. Scope:
+    RGBA8 non-interlaced (the layout every APNG encoder emits by
+    default); other layouts raise NotImplementedError honestly. A default
+    image whose fcTL is absent (IDAT outside the animation) is skipped,
+    per spec."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, actl = 8, None, None
+    idat = bytearray()
+    # frame assembly: list of (fctl_fields, bytearray of deflate data)
+    pending: list = []
+    idat_fctl = None
+    expected_seq = 0
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"acTL":
+            actl = struct.unpack(">II", data)
+        elif ctype == b"fcTL":
+            f = struct.unpack(">IIIIIHHBB", data)
+            if f[0] != expected_seq:
+                raise ValueError("APNG sequence number out of order")
+            expected_seq += 1
+            if not idat:  # precedes IDAT → IDAT is this frame's pixels
+                idat_fctl = f
+            else:
+                pending.append([f, bytearray()])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"fdAT":
+            (seq,) = struct.unpack_from(">I", data, 0)
+            if seq != expected_seq:
+                raise ValueError("APNG sequence number out of order")
+            expected_seq += 1
+            if not pending:
+                raise ValueError("fdAT before any fcTL")
+            pending[-1][1] += data[4:]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or actl is None:
+        raise ValueError("missing IHDR/acTL")
+    width, height, depth, color_type, _c, _f, interlace = ihdr
+    if depth != 8 or color_type != 6 or interlace:
+        raise NotImplementedError(
+            "APNG composition implemented for RGBA8 non-interlaced frames"
+        )
+
+    def render(buf: bytes, fw: int, fh: int):
+        rows = _png_unfilter(zlib.decompress(bytes(buf)), fh, fw * 4, 4)
+        return rows.reshape(fh, fw, 4)
+
+    regions: list = []
+    if idat_fctl is not None:
+        regions.append((idat_fctl, render(idat, idat_fctl[1], idat_fctl[2])))
+    for f, buf in pending:
+        regions.append((f, render(buf, f[1], f[2])))
+    if len(regions) != actl[0]:
+        raise ValueError(
+            f"acTL declares {actl[0]} frames, found {len(regions)}"
+        )
+
+    canvas = np.zeros((height, width, 4), dtype=np.int64)
+    frames_out = []
+    for f, px in regions:
+        _seq, fw, fh, x, y, _dn, _dd, dispose, blend = f
+        if x + fw > width or y + fh > height:
+            raise ValueError("frame region outside canvas")
+        saved = canvas[y : y + fh, x : x + fw].copy()
+        dst = canvas[y : y + fh, x : x + fw]
+        if blend == _APNG_BLEND_SOURCE:
+            dst[:] = px
+        elif blend == _APNG_BLEND_OVER:
+            sa = px[:, :, 3:4].astype(np.float64) / 255.0
+            da = dst[:, :, 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            with np.errstate(invalid="ignore"):
+                oc = np.where(
+                    oa > 0,
+                    (
+                        px[:, :, :3] * sa
+                        + dst[:, :, :3] * da * (1.0 - sa)
+                    )
+                    / np.where(oa > 0, oa, 1.0),
+                    0.0,
+                )
+            dst[:, :, :3] = np.floor(oc + 0.5).astype(np.int64)
+            dst[:, :, 3] = np.floor(oa[:, :, 0] * 255.0 + 0.5).astype(np.int64)
+        else:
+            raise ValueError(f"bad blend_op {blend}")
+        frames_out.append(canvas.astype(np.uint8).copy())
+        if dispose == _APNG_DISPOSE_BACKGROUND:
+            canvas[y : y + fh, x : x + fw] = 0
+        elif dispose == _APNG_DISPOSE_PREVIOUS:
+            canvas[y : y + fh, x : x + fw] = saved
+        elif dispose != _APNG_DISPOSE_NONE:
+            raise ValueError(f"bad dispose_op {dispose}")
+    meta = {
+        "width": width,
+        "height": height,
+        "n_frames": actl[0],
+        "n_plays": actl[1],
+        "bpp": 32,
+        "n_bytes": len(payload),
+    }
+    return meta, frames_out
 
 
 def decode_image(payload: bytes) -> dict[str, int]:
@@ -1110,6 +1345,128 @@ def synth_and_jpeg_progressive_420(
             )
 
     return _fan_out(df, id_col).mapInPandas(process, JPEG_PROG_420_SCHEMA)
+
+
+APNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_fdat", LongType()),
+        StructField("compose_equals_reference", BooleanType()),
+    ]
+)
+
+
+def synth_and_apng_animate(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Round-6 APNG end-to-end (closes the 'APNG animation out of scope'
+    gate): per row, build a real animated PNG — full-canvas RGBA8 first
+    frame in IDAT, seed-derived sub-rectangle frames in fdAT chunks with
+    rotating dispose_op (NONE/BACKGROUND/PREVIOUS) and alternating
+    blend_op (SOURCE/OVER) — decode it back through the chunk parser +
+    zlib + unfilter + composition pipeline, and compare every composed
+    frame BIT-EXACTLY against an independent straight-line numpy
+    composition of the same frame plan (no chunk machinery). One slipped
+    sequence number, mis-applied dispose revert, or OVER-blend rounding
+    difference flips the flag. n_fdat is exact container arithmetic."""
+    import numpy as np
+
+    from rtcdb_spark.functions.multimodal import decode_apng, make_apng
+
+    def _plan(i: int):
+        W, H = 8 + i % 13, 6 + i % 9
+        n_frames = 2 + i % 3
+        idx = np.arange(H * W * 4, dtype=np.int64)
+        base = ((i * 31 + idx * 7) % 256).astype(np.uint8).reshape(H, W, 4)
+        frames = [{"px": base, "dispose": 0, "blend": 0}]
+        for k in range(1, n_frames):
+            fw, fh = 1 + (i + k) % 3, 1 + (i + 2 * k) % 3
+            x = (i * 5 + k * 3) % (W - fw + 1)
+            y = (i * 7 + k * 5) % (H - fh + 1)
+            fi = np.arange(fh * fw * 4, dtype=np.int64)
+            px = ((i * 13 + k * 101 + fi * 7) % 256).astype(np.uint8).reshape(
+                fh, fw, 4
+            )
+            frames.append(
+                {"px": px, "x": x, "y": y, "dispose": k % 3,
+                 "blend": (i + k) % 2}
+            )
+        return W, H, frames
+
+    def _reference(W: int, H: int, frames: list[dict]):
+        """Straight-line composition — deliberately NOT the decoder."""
+        canvas = np.zeros((H, W, 4), dtype=np.float64)
+        out = []
+        for fr in frames:
+            px = fr["px"].astype(np.float64)
+            fh, fw = px.shape[:2]
+            x, y = fr.get("x", 0), fr.get("y", 0)
+            region = (slice(y, y + fh), slice(x, x + fw))
+            saved = canvas[region].copy()
+            if fr["blend"] == 0:
+                canvas[region] = px
+            else:
+                dst = canvas[region]
+                sa = px[:, :, 3:4] / 255.0
+                da = dst[:, :, 3:4] / 255.0
+                oa = sa + da * (1 - sa)
+                oc = np.where(
+                    oa > 0,
+                    (px[:, :, :3] * sa + dst[:, :, :3] * da * (1 - sa))
+                    / np.where(oa > 0, oa, 1),
+                    0.0,
+                )
+                dst[:, :, :3] = np.floor(oc + 0.5)
+                dst[:, :, 3] = np.floor(oa[:, :, 0] * 255 + 0.5)
+            out.append(canvas.astype(np.uint8).copy())
+            if fr["dispose"] == 1:
+                canvas[region] = 0
+            elif fr["dispose"] == 2:
+                canvas[region] = saved
+        return out
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in APNG_SCHEMA.fields}
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                W, H, frames = _plan(i)
+                payload = make_apng(W, H, i, frames)
+                meta, got = decode_apng(payload)
+                want = _reference(W, H, frames)
+                equal = (
+                    meta["n_frames"] == len(frames)
+                    and len(got) == len(want)
+                    and all(np.array_equal(a, b) for a, b in zip(got, want))
+                )
+                out["doc_id"].append(i)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["n_frames"].append(meta["n_frames"])
+                # exact chunk walk (a byte-scan could false-match inside
+                # deflate data)
+                n_fdat, pos = 0, 8
+                while pos + 8 <= len(payload):
+                    (clen,) = struct.unpack_from(">I", payload, pos)
+                    if payload[pos + 4 : pos + 8] == b"fdAT":
+                        n_fdat += 1
+                    pos += 12 + clen
+                out["n_fdat"].append(n_fdat)
+                out["compose_equals_reference"].append(bool(equal))
+            yield pd.DataFrame(
+                {
+                    k: pd.array(
+                        v,
+                        dtype="boolean"
+                        if k == "compose_equals_reference"
+                        else "Int64",
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return _fan_out(df, id_col).mapInPandas(process, APNG_SCHEMA)
 
 
 PNG_LAYOUT_SCHEMA = StructType(

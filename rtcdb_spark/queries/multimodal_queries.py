@@ -504,6 +504,39 @@ def multimodal_jpeg_progressive_420(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "multimodal_apng_animate",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 13 AS BIGINT) AS width,
+           CAST(6 + doc_id % 9 AS BIGINT) AS height,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_fdat,
+           TRUE AS compose_equals_reference
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "png", "apng", "animation"),
+)
+def multimodal_apng_animate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APNG animation end-to-end (round 6 — closes the 'APNG out of
+    scope' gate): every document builds a real animated PNG (acTL; frame
+    0 full-canvas in IDAT with its fcTL first; seed-derived sub-rectangle
+    frames in fdAT chunks; shared sequence numbering; rotating
+    NONE/BACKGROUND/PREVIOUS dispose ops and alternating SOURCE/OVER
+    blends), decodes it through the chunk parser + zlib + all-five-filter
+    unfilter + the spec's composition model, and asserts every composed
+    frame BIT-EXACT against an independent straight-line numpy
+    composition. The oracle pins canvas dims, the frame count (2 + id%3),
+    the exact fdAT chunk count (frames - 1, counted by chunk walk), and
+    the equality flag for all 500+ docs. Scale shape: map-only after the
+    fan-out exchange, like every codec kernel."""
+    from rtcdb_spark.functions.multimodal import synth_and_apng_animate
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_and_apng_animate(d).orderBy("doc_id")
+
+
+@query(
     "multimodal_png_layouts",
     """
     WITH d AS (

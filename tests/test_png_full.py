@@ -131,3 +131,124 @@ def test_malformed_rejection():
     with pytest.raises(ValueError):
         decode_png(bytes(stripped))
     del zl
+
+
+class TestApng:
+    """APNG animation (round 6): composition model + container validation."""
+
+    def _frames(self, W=13, H=9, seed=3):
+        rng = np.random.RandomState(seed)
+        base = rng.randint(0, 256, size=(H, W, 4)).astype(np.uint8)
+        f1 = rng.randint(0, 256, size=(4, 5, 4)).astype(np.uint8)
+        f2 = rng.randint(0, 256, size=(3, 3, 4)).astype(np.uint8)
+        return [
+            {"px": base},
+            {"px": f1, "x": 2, "y": 1, "dispose": 2, "blend": 0},
+            {"px": f2, "x": 6, "y": 4, "dispose": 1, "blend": 1},
+        ]
+
+    def test_compose_matches_reference(self):
+        from rtcdb_spark.functions.multimodal import decode_apng, make_apng
+
+        frames = self._frames()
+        meta, out = decode_apng(make_apng(13, 9, 1, frames))
+        assert meta["n_frames"] == 3 and len(out) == 3
+        # frame 1 SOURCE-replaces its rect
+        assert np.array_equal(out[1][1:5, 2:7], frames[1]["px"])
+        # PREVIOUS dispose: frame 2 composes against the pre-frame-1
+        # canvas (compare rows 1..3 — row 4 col 6 is inside frame 2's own
+        # OVER-blended rect)
+        assert np.array_equal(out[2][1:4, 2:7], out[0][1:4, 2:7])
+        # untouched canvas pixels are identical across frames 0 and 1
+        assert np.array_equal(out[0][0, :], out[1][0, :])
+
+    def test_sequence_number_validation(self):
+        import struct as st
+        import zlib as zl
+
+        from rtcdb_spark.functions.multimodal import decode_apng, make_apng
+
+        p = bytearray(make_apng(13, 9, 1, self._frames()))
+        # corrupt the first fdAT's sequence number
+        pos = 8
+        while pos + 8 <= len(p):
+            (clen,) = st.unpack_from(">I", p, pos)
+            if p[pos + 4 : pos + 8] == b"fdAT":
+                body = bytearray(p[pos + 8 : pos + 8 + clen])
+                st.pack_into(">I", body, 0, 99)
+                crc = zl.crc32(b"fdAT" + bytes(body)) & 0xFFFFFFFF
+                p[pos + 8 : pos + 8 + clen] = body
+                st.pack_into(">I", p, pos + 8 + clen, crc)
+                break
+            pos += 12 + clen
+        with pytest.raises(ValueError, match="sequence"):
+            decode_apng(bytes(p))
+
+    def test_frame_count_must_match_actl(self):
+        import struct as st
+        import zlib as zl
+
+        from rtcdb_spark.functions.multimodal import decode_apng, make_apng
+
+        p = bytearray(make_apng(13, 9, 1, self._frames()))
+        pos = 8
+        while pos + 8 <= len(p):
+            (clen,) = st.unpack_from(">I", p, pos)
+            if p[pos + 4 : pos + 8] == b"acTL":
+                body = st.pack(">II", 7, 0)  # lie about the frame count
+                crc = zl.crc32(b"acTL" + body) & 0xFFFFFFFF
+                p[pos + 8 : pos + 8 + clen] = body
+                st.pack_into(">I", p, pos + 8 + clen, crc)
+                break
+            pos += 12 + clen
+        with pytest.raises(ValueError, match="frames"):
+            decode_apng(bytes(p))
+
+    def test_default_image_excluded_when_fctl_absent(self):
+        """fcTL AFTER IDAT: the IDAT image is a non-animated default image
+        and the animation is only the fdAT frames (spec's other form)."""
+        import struct as st
+        import zlib as zl
+
+        from rtcdb_spark.functions.multimodal import decode_apng, make_apng
+
+        full = make_apng(13, 9, 1, self._frames())
+        # rebuild: drop frame 0's fcTL (the one before IDAT), patch acTL,
+        # and renumber the remaining fcTL/fdAT sequence fields from 0
+        chunks = []
+        pos = 8
+        while pos + 8 <= len(full):
+            (clen,) = st.unpack_from(">I", full, pos)
+            chunks.append((full[pos + 4 : pos + 8], full[pos + 8 : pos + 8 + clen]))
+            pos += 12 + clen
+        out = bytearray(full[:8])
+        seq = 0
+        first_fctl_dropped = False
+        for ctype, body in chunks:
+            if ctype == b"acTL":
+                body = st.pack(">II", 2, 0)
+            elif ctype == b"fcTL":
+                if not first_fctl_dropped:
+                    first_fctl_dropped = True
+                    continue
+                body = st.pack(">I", seq) + body[4:]
+                seq += 1
+            elif ctype == b"fdAT":
+                body = st.pack(">I", seq) + body[4:]
+                seq += 1
+            crc = zl.crc32(ctype + body) & 0xFFFFFFFF
+            out += st.pack(">I", len(body)) + ctype + body + st.pack(">I", crc)
+        meta, frames = decode_apng(bytes(out))
+        assert meta["n_frames"] == 2 and len(frames) == 2
+        # first animation frame is the 4x5 sub-rect composed on a
+        # TRANSPARENT canvas, not on the default image
+        assert (frames[0][0, 0] == 0).all()
+
+    def test_non_rgba8_gated(self):
+        from rtcdb_spark.functions.multimodal import decode_apng
+
+        with pytest.raises(ValueError):
+            decode_apng(b"nope")
+        # a plain (non-animated) PNG has no acTL
+        with pytest.raises(ValueError, match="acTL"):
+            decode_apng(make_png(4, 4, 1))
