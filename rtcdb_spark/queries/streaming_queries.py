@@ -857,19 +857,23 @@ def stream_dedup_near_simhash_unordered(
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = d.count()
     root = tempfile.mkdtemp(prefix="rtcdb_unordered_feed_")
-    jit = d.withColumn(
-        "slot", F.col("doc_id") + (F.xxhash64("doc_id") % 81) - 40
-    )
+    # one scan, one partitioned write: doc → slice by jittered id, the
+    # sentinel as slice 3 (vs 3 separate filter+coalesce writes, which
+    # tripled the harness cost at sf0.1)
     cuts = [n // 3, 2 * n // 3]
-    parts = [
-        jit.filter(F.col("slot") < cuts[0]).drop("slot"),
-        jit.filter((F.col("slot") >= cuts[0]) & (F.col("slot") < cuts[1])).drop("slot"),
-        jit.filter(F.col("slot") >= cuts[1]).drop("slot"),
-        spark.createDataFrame([(-1, "flush")], "doc_id bigint, text string"),
-    ]
-    for i, p in enumerate(parts):
-        sub = os.path.join(root, f"slice-{i}")
-        p.coalesce(1).write.mode("overwrite").parquet(sub)
+    slot = F.col("doc_id") + (F.xxhash64("doc_id") % 81) - 40
+    sliced = d.withColumn(
+        "slice",
+        F.when(slot < cuts[0], 0).when(slot < cuts[1], 1).otherwise(2),
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, "flush", 3)], "doc_id bigint, text string, slice int"
+        )
+    )
+    stage = os.path.join(root, "_stage")
+    sliced.repartition(4, "slice").write.partitionBy("slice").parquet(stage)
+    for i in range(4):
+        sub = os.path.join(stage, f"slice={i}")
         for f in os.listdir(sub):
             if f.endswith(".parquet"):
                 dst = os.path.join(root, f"slice-{i}.parquet")

@@ -237,6 +237,8 @@ def stream_near_dedup_simhash(
     )
 
 
+_UNORDERED_SHARD_SHIFT = 12
+
 _UNORDERED_STATE_SCHEMA = (
     "pvals ARRAY<LONG>, pids ARRAY<LONG>, phis ARRAY<LONG>, plos ARRAY<LONG>, "
     "ptss ARRAY<LONG>, "
@@ -267,11 +269,9 @@ def _make_unordered_update(max_hamming: int, max_bucket: int):
             pend[1].extend(int(x) for x in p["doc_id"])
             pend[2].extend(int(x) for x in p["sim_hi"])
             pend[3].extend(int(x) for x in p["sim_lo"])
-            # event time in ms; works for datetime64[ns]/[us] alike
-            pend[4].extend(
-                int(x) for x in
-                (pd.to_datetime(p["ts"]).astype("int64") // 1_000_000)
-            )
+            # ts_ms precomputed JVM-side (unix_millis) — a per-group
+            # pd.to_datetime here measurably dominated at 20k groups
+            pend[4].extend(int(x) for x in p["ts_ms"])
         wm = state.getCurrentWatermarkMs()
         # Finalize every buffered doc the watermark has passed, in
         # (event time, doc_id) order — the deterministic "earlier"
@@ -398,8 +398,13 @@ def stream_near_dedup_simhash_unordered(
                 ]
             )
         ).alias("e"),
-    ).select("ts", "e.*")
-    shard = F.shiftright(F.col("band_val"), _SHARD_SHIFT).alias("shard")
+    ).select("ts", F.unix_millis("ts").alias("ts_ms"), "e.*")
+    # Coarser shard key than the ordered gate (_SHARD_SHIFT): the
+    # watermark-buffered form re-fires EVERY pending group per microbatch
+    # via event-time timeouts, so per-group dispatch overhead multiplies
+    # by the number of drain rounds — fewer, fatter groups win (measured
+    # at sf0.1: shift 4 → 18.0 s, shift 8 → the recorded baseline).
+    shard = F.shiftright(F.col("band_val"), _UNORDERED_SHARD_SHIFT).alias("shard")
     return (
         bands.withColumn("shard", shard)
         .withWatermark("ts", delay)
