@@ -730,10 +730,21 @@ def source_delta_partitioned_roundtrip(
     aggregate groups BY that re-attached partition column, so one wrong
     partitionValue, missed add action, or mis-parsed directory name moves
     rows between groups and breaks the hash. min/max keys prove both
-    appends landed."""
+    appends landed. Round 6 wave 2: after the appends the table is
+    CHECKPOINTED (classic single-file parquet checkpoint, spec types —
+    partitionValues as map<string,string>) and every JSON commit deleted,
+    so the read plans PURELY from checkpoint replay — the long-lived-table
+    path where O(all commits ever) JSON folding is no longer possible."""
+    import os
     import tempfile
 
-    from rtcdb_spark.sources.delta_log import append_delta, read_delta, write_delta
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        checkpoint_delta,
+        delta_versions,
+        read_delta,
+        write_delta,
+    )
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -748,6 +759,9 @@ def source_delta_partitioned_roundtrip(
     )
     append_delta(o.filter(F.col("o_orderkey") % 3 == 1), path)
     append_delta(o.filter(F.col("o_orderkey") % 3 == 2), path)
+    checkpoint_delta(path)
+    for v in delta_versions(path):  # clean ALL JSON history: checkpoint-only
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
     t = read_delta(spark, path)
     return (
         t.groupBy("o_orderpriority")

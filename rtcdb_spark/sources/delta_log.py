@@ -29,12 +29,22 @@ table whose log points at the existing parquet files — metadata-only, the
 Delta-format twin of `VersionedTable.clone`, instant at any table size
 (same caveat: vacuuming the source breaks the export).
 
-Honest gates: parquet CHECKPOINT files are not read (tables whose JSON
-history was cleaned past `_last_checkpoint` raise NotImplementedError —
-checkpoint replay is the same fold over a parquet file of actions),
-and writer features beyond plain appends/overwrites (deletion vectors,
-column mapping, generated columns, CDC files) are refused at the
-protocol/metaData gate.
+Checkpoints (round 6, same protocol chapter): `checkpoint_delta` writes
+the classic single-file parquet checkpoint — one row per LIVE action
+(protocol, metaData, the live adds), `%020d.checkpoint.parquet`, plus the
+`_last_checkpoint` pointer — and the reader starts replay FROM the newest
+checkpoint at-or-before the requested version instead of version 0, so
+JSON commits older than the checkpoint can be vacuumed away (the whole
+point of checkpoints: O(live files + commits-since-checkpoint) planning
+on a long-lived table, not O(all commits ever)). Time travel BEFORE the
+oldest checkpoint still needs the JSON history and raises clearly if it
+was cleaned.
+
+Honest gates: writer features beyond plain appends/overwrites (deletion
+vectors, column mapping, generated columns, CDC files) are refused at the
+protocol/metaData gate; multi-part checkpoints and v2 checkpoints
+(sidecars) are not produced or read — the classic single-file form is
+what this writer emits and what its reader replays.
 
 Scale: log replay is O(commits + live files) driver-side metadata — the
 same shape Delta's own Spark connector uses below checkpoint scale; the
@@ -79,48 +89,101 @@ def delta_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+
+
+def delta_checkpoints(path: str) -> list[int]:
+    """Available single-file checkpoint versions, oldest first."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".checkpoint.parquet") and f[:20].isdigit():
+            out.append(int(f[:20]))
+    return sorted(out)
+
+
+def _check_protocol(p: dict) -> None:
+    if p.get("minReaderVersion", 1) > 1:
+        raise NotImplementedError(
+            f"requires Delta reader version {p['minReaderVersion']} "
+            "(deletion vectors / column mapping); only reader version 1 "
+            "tables are supported"
+        )
+
+
+def _demap(v):
+    """pyarrow renders map<string,string> as a list of (k, v) pairs;
+    normalize back to the dicts the JSON-log path produces."""
+    if isinstance(v, list) and all(
+        isinstance(x, tuple) and len(x) == 2 for x in v
+    ):
+        return dict(v)
+    return v
+
+
+def _fold_action(action: dict, state: dict) -> None:
+    if action.get("protocol") is not None:
+        _check_protocol(action["protocol"])
+    elif action.get("metaData") is not None:
+        m = dict(action["metaData"])
+        m["configuration"] = _demap(m.get("configuration"))
+        if isinstance(m.get("format"), dict):
+            m["format"] = {
+                **m["format"], "options": _demap(m["format"].get("options")),
+            }
+        state["meta"] = m
+    elif action.get("add") is not None:
+        a = dict(action["add"])
+        a["partitionValues"] = _demap(a.get("partitionValues")) or {}
+        state["adds"][a["path"]] = a
+    elif action.get("remove") is not None:
+        state["adds"].pop(action["remove"]["path"], None)
+
+
 def _snapshot_state(
     path: str, version: int | None = None
 ) -> tuple[dict, dict[str, dict]]:
-    """Fold the log into (metaData, live add-actions by path)."""
+    """Fold the log into (metaData, live add-actions by path): start from
+    the newest parquet checkpoint at-or-before the target version (if
+    any), then replay the JSON commits after it — O(live files +
+    commits-since-checkpoint), which is why checkpoints exist."""
     versions = delta_versions(path)
-    if not versions:
+    cps = delta_checkpoints(path)
+    if not versions and not cps:
         raise ValueError(f"{path} has no _delta_log commits")
-    if versions[0] != 0:
-        raise NotImplementedError(
-            "log history starts past version 0 (cleaned up to a parquet "
-            "checkpoint); checkpoint replay is not implemented"
+    head = max(versions[-1] if versions else -1, cps[-1] if cps else -1)
+    until = head if version is None else version
+    if until > head or until < 0:
+        raise ValueError(
+            f"no such Delta version: {version} "
+            f"(commits {versions}, checkpoints {cps})"
         )
-    until = versions[-1] if version is None else version
-    if until not in versions:
-        raise ValueError(f"no such Delta version: {version} (have {versions})")
-    meta: dict | None = None
-    adds: dict[str, dict] = {}
-    for v in versions:
-        if v > until:
-            break
+    start_cp = max((c for c in cps if c <= until), default=None)
+    state: dict = {"meta": None, "adds": {}}
+    if start_cp is not None:
+        import pyarrow.parquet as pq
+
+        for action in pq.read_table(_checkpoint_path(path, start_cp)).to_pylist():
+            _fold_action(action, state)
+    replay_from = 0 if start_cp is None else start_cp + 1
+    have = set(versions)
+    for v in range(replay_from, until + 1):
+        if v not in have:
+            raise NotImplementedError(
+                f"commit {v:020d}.json is missing and no checkpoint covers "
+                "it — JSON history cleaned past the newest usable "
+                "checkpoint; time travel that far back is gone (the same "
+                "contract as Delta's logRetentionDuration)"
+            )
         with open(_commit_path(path, v)) as fh:
             for line in fh:
                 line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    p = action["protocol"]
-                    if p.get("minReaderVersion", 1) > 1:
-                        raise NotImplementedError(
-                            f"requires Delta reader version "
-                            f"{p['minReaderVersion']} (deletion vectors / "
-                            "column mapping); only reader version 1 tables "
-                            "are supported"
-                        )
-                elif "metaData" in action:
-                    meta = action["metaData"]
-                elif "add" in action:
-                    a = action["add"]
-                    adds[a["path"]] = a
-                elif "remove" in action:
-                    adds.pop(action["remove"]["path"], None)
+                if line:
+                    _fold_action(json.loads(line), state)
+    meta, adds = state["meta"], state["adds"]
     if meta is None:
         raise ValueError("log has no metaData action")
     if meta.get("format", {}).get("provider", "parquet") != "parquet":
@@ -128,6 +191,98 @@ def _snapshot_state(
             f"unsupported data format {meta['format']!r}"
         )
     return meta, adds
+
+
+def checkpoint_delta(path: str, version: int | None = None) -> int:
+    """Write the classic single-file parquet checkpoint for ``version``
+    (default: latest) plus the ``_last_checkpoint`` pointer — one row per
+    live action (protocol, metaData, every live add), spec field names
+    and types (partitionValues as map<string,string>), so JSON commits at
+    or before it can be cleaned while the table stays readable. Returns
+    the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    versions = delta_versions(path)
+    if not versions and not delta_checkpoints(path):
+        raise ValueError(f"{path} is not a Delta table")
+    v = (
+        version
+        if version is not None
+        else max(versions[-1] if versions else -1, *(delta_checkpoints(path) or [-1]))
+    )
+    meta, adds = _snapshot_state(path, v)
+
+    protocol_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct(
+                [("provider", pa.string()),
+                 ("options", pa.map_(pa.string(), pa.string()))]
+            )),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    n = 2 + len(adds)
+    proto_col = [{"minReaderVersion": 1, "minWriterVersion": 2}] + [None] * (n - 1)
+    meta_row = {
+        "id": meta["id"],
+        "format": {
+            "provider": meta.get("format", {}).get("provider", "parquet"),
+            "options": list(
+                (meta.get("format", {}).get("options") or {}).items()
+            ),
+        },
+        "schemaString": meta["schemaString"],
+        "partitionColumns": meta.get("partitionColumns", []) or [],
+        "configuration": list((meta.get("configuration") or {}).items()),
+        "createdTime": meta.get("createdTime"),
+    }
+    meta_col = [None, meta_row] + [None] * (n - 2)
+    add_col: list = [None, None]
+    for p in sorted(adds):
+        a = adds[p]
+        add_col.append(
+            {
+                "path": a["path"],
+                "partitionValues": list(
+                    (a.get("partitionValues") or {}).items()
+                ),
+                "size": a.get("size", 0),
+                "modificationTime": a.get("modificationTime", 0),
+                "dataChange": bool(a.get("dataChange", True)),
+            }
+        )
+    table = pa.table(
+        {
+            "protocol": pa.array(proto_col, type=protocol_t),
+            "metaData": pa.array(meta_col, type=meta_t),
+            "add": pa.array(add_col, type=add_t),
+        }
+    )
+    tmp = _checkpoint_path(path, v) + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.rename(tmp, _checkpoint_path(path, v))
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    with open(lc + ".tmp", "w") as fh:
+        json.dump({"version": v, "size": n}, fh)
+    os.rename(lc + ".tmp", lc)
+    return v
 
 
 def _resolve(path: str, add_path: str) -> str:
@@ -272,10 +427,12 @@ def write_delta(
 
 def _next_version(path: str) -> tuple[int, dict]:
     versions = delta_versions(path)
-    if not versions:
+    cps = delta_checkpoints(path)
+    if not versions and not cps:
         raise ValueError(f"{path} is not a Delta table")
+    head = max(versions[-1] if versions else -1, cps[-1] if cps else -1)
     meta, adds = _snapshot_state(path)
-    return versions[-1] + 1, {"meta": meta, "adds": adds}
+    return head + 1, {"meta": meta, "adds": adds}
 
 
 def append_delta(df: DataFrame, path: str) -> int:

@@ -126,6 +126,57 @@ class TestDeltaZeroCopyExport:
         assert read_delta(spark, dest0).count() == 50
 
 
+class TestDeltaCheckpoints:
+    def test_checkpoint_survives_json_history_cleanup(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import checkpoint_delta
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(0, 5).select(F.col("id").alias("k")), path)
+        append_delta(spark.range(5, 8).select(F.col("id").alias("k")), path)
+        assert checkpoint_delta(path) == 1
+        assert os.path.exists(
+            os.path.join(path, "_delta_log", f"{1:020d}.checkpoint.parquet")
+        )
+        assert json.load(
+            open(os.path.join(path, "_delta_log", "_last_checkpoint"))
+        )["version"] == 1
+        append_delta(spark.range(100, 102).select(F.col("id").alias("k")), path)
+        # clean the pre-checkpoint JSON history
+        os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+        os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+        got = _rows(read_delta(spark, path))
+        assert got == [(i,) for i in [0, 1, 2, 3, 4, 5, 6, 7, 100, 101]]
+        # the checkpointed version itself is still time-travelable
+        assert _rows(read_delta(spark, path, version=1)) == [
+            (i,) for i in range(8)
+        ]
+        # ... but history BEFORE it is honestly gone
+        with pytest.raises(NotImplementedError, match="checkpoint"):
+            read_delta(spark, path, version=0)
+        # appends continue past the cleanup with correct numbering
+        v = append_delta(spark.range(200, 201).select(F.col("id").alias("k")), path)
+        assert v == 3
+        assert read_delta(spark, path).count() == 11
+
+    def test_checkpoint_preserves_partition_values_and_removes(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import checkpoint_delta
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "k bigint, part string"
+        )
+        path = str(tmp_path / "t")
+        write_delta(df, path, partition_by=["part"])
+        overwrite_delta(
+            spark.createDataFrame([(9, "z")], "k bigint, part string"), path
+        )
+        checkpoint_delta(path)
+        os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+        os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+        back = read_delta(spark, path)  # removes folded INTO the checkpoint
+        assert _rows(back.select("k", "part")) == [(9, "z")]
+        assert dict(back.dtypes)["part"] == "string"
+
+
 class TestDeltaGates:
     def test_reader_version_gate(self, spark, tmp_path):
         df = spark.range(3).select(F.col("id").alias("k"))
