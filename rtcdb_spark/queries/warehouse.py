@@ -161,6 +161,36 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_timestamp_travel",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 250 ORDER BY doc_id
+    """,
+    tags=("warehouse", "versioned", "time-travel", "timestamp"),
+)
+def versioned_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF (round 6 — Delta's wall-clock time travel): three
+    commits, a probe timestamp captured between the second and third;
+    `read_as_of` must resolve to exactly the first two commits' rows. The
+    manifest records each commit's wall clock (legacy manifests fall back
+    to file mtime), so the resolution is O(versions) metadata reads —
+    no data I/O until the chosen snapshot is scanned."""
+    import tempfile
+    import time
+
+    from rtcdb_spark.sources.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rtcdb_ts_travel_"))
+    vt.commit(d.filter(F.col("doc_id") < 100))
+    vt.commit(d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 250)))
+    probe = time.time()
+    time.sleep(0.01)  # commit clocks must straddle the probe
+    vt.commit(d.filter(F.col("doc_id") >= 250))
+    return vt.read_as_of(probe).orderBy("doc_id")
+
+
+@query(
     "matview_incremental_refresh",
     """
     SELECT o_orderpriority,

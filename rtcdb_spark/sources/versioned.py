@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import Any
 
@@ -193,11 +194,46 @@ class VersionedTable:
                 {
                     "version": v,
                     "op": m["op"],
+                    "ts": self._commit_ts(v, m),
                     "n_files": n_files,
                     "n_added": m["n_added"],
                 }
             )
         return out
+
+    def _commit_ts(self, version: int, raw: dict[str, Any] | None = None) -> float:
+        """A version's commit wall clock: the manifest's recorded ``ts``
+        (round 6), falling back to the manifest FILE's mtime for legacy
+        manifests — the same fallback Delta applies to its own
+        TIMESTAMP AS OF when in-commit timestamps are absent."""
+        m = raw if raw is not None else self._read_manifest_raw(version)
+        ts = m.get("ts")
+        return float(ts) if ts is not None else os.path.getmtime(
+            self._manifest_path(version)
+        )
+
+    def version_as_of(self, timestamp: float) -> int:
+        """TIMESTAMP AS OF: the newest version committed at or before
+        ``timestamp`` (epoch seconds). O(versions) metadata reads. Raises
+        if the table's first commit is later than the probe — there was no
+        table then, and silently returning version 0 would claim rows
+        existed before they did."""
+        best = None
+        for v in self.versions():
+            if self._commit_ts(v) <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp}; "
+                f"table begins at {self._commit_ts(0) if self.versions() else None}"
+            )
+        return best
+
+    def read_as_of(self, timestamp: float) -> DataFrame:
+        """The table as it was at wall-clock ``timestamp`` (Delta's
+        ``TIMESTAMP AS OF``) — resolves through :meth:`version_as_of`,
+        then an ordinary version read."""
+        return self.read(self.version_as_of(timestamp))
 
     # -- write path --------------------------------------------------------
 
@@ -293,6 +329,7 @@ class VersionedTable:
             manifest = {
                 "version": version,
                 "op": mode,
+                "ts": time.time(),  # commit wall clock: TIMESTAMP AS OF
                 "segments": segments,
                 "n_added": len(new_files),
                 "n_files": (
@@ -406,6 +443,7 @@ class VersionedTable:
             manifest = {
                 "version": version,
                 "op": op,
+                "ts": time.time(),
                 "segments": segments,
                 "n_added": len(new_files),
                 "n_files": len(new_files) + len(survivors),
@@ -1201,6 +1239,7 @@ class VersionedTable:
         manifest = {
             "version": 0,
             "op": "clone",
+            "ts": time.time(),
             "segments": [seg],
             "n_added": 0,
             "n_files": len(src["files"]),

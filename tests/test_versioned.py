@@ -1131,6 +1131,37 @@ class TestBloomIndex:
         assert "schema" not in vt._read_manifest_raw(1)
         vt.read().count()  # still readable via inference
 
+    def test_timestamp_as_of(self, spark, vt):
+        """TIMESTAMP AS OF: commit timestamps recorded in the manifest
+        resolve a wall-clock probe to the right snapshot; probes before
+        the first commit raise; legacy manifests (no ts) fall back to the
+        manifest file's mtime."""
+        import json
+        import os
+        import time
+
+        t_before = time.time() - 1e-3
+        vt.commit(self._keyed(spark, 0, 10).coalesce(1))
+        t_mid = time.time()
+        time.sleep(0.01)
+        vt.commit(self._keyed(spark, 10, 20).coalesce(1))
+        assert vt.version_as_of(t_mid) == 0
+        assert vt.version_as_of(time.time()) == 1
+        assert vt.read_as_of(t_mid).count() == 10
+        assert vt.read_as_of(time.time()).count() == 20
+        with pytest.raises(ValueError, match="no commit at or before"):
+            vt.version_as_of(t_before)
+        assert [h["version"] for h in vt.history()] == [0, 1]
+        assert all(h["ts"] > 0 for h in vt.history())
+        # legacy fallback: strip ts from manifest 0 -> file mtime is used
+        p = vt._manifest_path(0)
+        m = json.load(open(p))
+        del m["ts"]
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+        os.utime(p, (t_mid - 0.5, t_mid - 0.5))
+        assert vt.version_as_of(t_mid) == 0
+
     def test_committed_extras_absent_key_filters_new_format(self, spark, vt):
         """absent_key='txn' reads only pre-txn legacy ledger entries, so a
         new-format writer's batch ids never leak into a legacy scan."""
