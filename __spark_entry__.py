@@ -173,9 +173,10 @@ _PRIORITY = [
     "stream_dedup_near_simhash", "stream_dedup_near_simhash_unordered",
     "stream_ingest_dedup_versioned",
     # C-IX text pipeline (trained BPE now ORACLE-GATED + LM perplexity +
-    # HTML extraction front end)
+    # HTML extraction front end + round-6 winnowing fingerprints;
+    # text_contamination rotated out r5-green — bm25/bigram stay green)
     "text_bpe_tokenize", "text_bigram_perplexity", "text_html_extract",
-    "text_bm25_search", "text_contamination",
+    "text_bm25_search", "text_winnow_fingerprints",
     # C-IX dedup (exact, star CC, connectivity-only star-link mode) +
     # curation shard shuffle
     "dedup_exact", "dedup_connected_groups_star",

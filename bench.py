@@ -121,6 +121,8 @@ HEADLINE = [
     "source_delta_time_travel",
     "stream_dedup_near_simhash_unordered",
     "multimodal_apng_animate",
+    "text_winnow_fingerprints",
+    "versioned_timestamp_travel",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

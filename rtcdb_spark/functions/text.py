@@ -38,6 +38,89 @@ def sql_stable_hash_mod(expr: str, p: int = MERSENNE_P) -> str:
     return f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {p})"
 
 
+def winnow_select_expr(text_col: str, k: int = 8, w: int = 4) -> str:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS algorithm) as ONE pure column expression string:
+
+    1. every char k-gram hashes via the engine-portable md5-prefix hash;
+    2. every window of ``w`` consecutive hashes selects its MINIMUM, ties
+       broken by the RIGHTMOST position (the paper's rule — it maximizes
+       the chance adjacent windows agree, which is what bounds the
+       fingerprint density at ~2/(w+1));
+    3. identical selections from adjacent windows collapse
+       (array_distinct), leaving the fingerprint set.
+
+    Returns a struct<hs: array<bigint>, picks: array<int>> expression —
+    the k-gram hash list plus the distinct selected positions (the
+    fingerprint at position p is hs[p]). Guarantee
+    (the reason winnowing beats "every i-th hash" sampling): any match of
+    length ≥ w + k - 1 between two documents shares at least one selected
+    fingerprint, making the fingerprint sets a sound containment filter.
+    Map-only at any corpus size — no shuffle anywhere."""
+    h = (
+        f"CAST(conv(substr(md5(substr({text_col}, CAST(i AS INT), {k})), "
+        "1, 15), 16, 10) AS BIGINT)"
+    )
+    kg = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> {h})"
+    )
+    # Per-window work is UNROLLED over the fixed w and emits PLAIN INT
+    # positions (no slice()/filter()/struct allocations per window — the
+    # slice-based formulation spent its time allocating w-element arrays
+    # per window in the interpreted HOF evaluator, and struct-typed picks
+    # paid again in array_distinct; together ~6x slower at sf0.1).
+    # try_element_at past the array end is NULL; least() ignores NULLs,
+    # and a NULL comparison falls through the CASE, so the final short
+    # window degrades correctly. The one-element transform(array(m))[0]
+    # wrapper binds the window minimum once.
+    elems = [f"try_element_at(hs, CAST(i + {j} AS INT))" for j in range(w)]
+    m_expr = "least(" + ", ".join(elems) + ")"
+    # rightmost occurrence of the minimum: check offsets high → low
+    pos_cases = " ".join(
+        f"WHEN {elems[j]} = m THEN CAST(i + {j} AS INT)"
+        for j in range(w - 1, -1, -1)
+    )
+    return f"""
+    transform(array({kg}), hs ->
+      named_struct(
+        'hs', hs,
+        'picks', array_distinct(
+          transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), i ->
+            transform(array({m_expr}), m -> CASE {pos_cases} END)[0]))
+      )
+    )[0]
+    """
+
+
+def sql_winnow_kgrams(text_col: str, k: int = 8) -> str:
+    """DuckDB twin of the k-gram hash list."""
+    return (
+        f"list_transform(generate_series(1, greatest(length({text_col}) - "
+        f"{k - 1}, 1)), i -> CAST(('0x' || substr(md5(substr({text_col}, "
+        f"CAST(i AS INT), {k})), 1, 15)) AS BIGINT))"
+    )
+
+
+def sql_winnow_picks(hs_col: str, w: int = 4) -> str:
+    """DuckDB twin of the winnowing selection: distinct rightmost-argmin
+    positions over every w-window of ``hs_col``."""
+    win = (
+        f"{hs_col}[CAST(i AS INT):CAST(least(i + {w - 1}, "
+        f"len({hs_col})) AS INT)]"
+    )
+    pos = (
+        f"CAST(i AS INT) - 1 + list_max(list_filter("
+        f"generate_series(1, len({win})), "
+        f"j -> {win}[CAST(j AS INT)] = list_min({win})))"
+    )
+    return (
+        f"list_distinct(list_transform(generate_series(1, "
+        f"greatest(len({hs_col}) - {w - 1}, 1)), i -> {pos}))"
+    )
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization (fixture documents are space-separated words)."""
     c = F.col(col) if isinstance(col, str) else col

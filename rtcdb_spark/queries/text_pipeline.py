@@ -745,6 +745,75 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_with_merges(d, merges).orderBy("doc_id")
 
 
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+def _winnow_oracle() -> str:
+    from rtcdb_spark.functions.text import sql_winnow_kgrams, sql_winnow_picks
+
+    kg = sql_winnow_kgrams("text", _WINNOW_K)
+    picks = sql_winnow_picks("hs", _WINNOW_W)
+    return f"""
+    WITH kg AS (SELECT doc_id, {kg} AS hs FROM documents),
+    sel AS (SELECT doc_id, hs, {picks} AS picks FROM kg)
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_kgrams,
+           CAST(len(picks) AS BIGINT) AS n_fingerprints,
+           CAST(list_sum(list_transform(picks,
+                p -> hs[CAST(p AS INT)] % 1000000007)) AS BIGINT) AS fp_sum,
+           list_min(list_transform(picks, p -> hs[CAST(p AS INT)])) AS min_fp,
+           list_max(list_transform(picks, p -> hs[CAST(p AS INT)])) AS max_fp
+    FROM sel ORDER BY doc_id
+    """
+
+
+@query(
+    "text_winnow_fingerprints",
+    _winnow_oracle(),
+    tags=("text", "fingerprint", "winnowing", "dedup", "llm-pipeline"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken
+    SIGMOD'03 — the MOSS algorithm; round 6, the brief's 'document
+    fingerprinting (rolling hash)' as the real published operator): char
+    8-gram hashes → 4-windows each select their minimum with the paper's
+    RIGHTMOST tie-break → adjacent duplicate selections collapse. The
+    guarantee that makes it the plagiarism/near-copy filter of record:
+    any shared substring of length ≥ w + k - 1 = 11 yields a shared
+    fingerprint, at expected density 2/(w+1) of the k-grams. Everything
+    is one pure column expression (`functions.text.winnow_select_expr`) —
+    whole-stage codegen, map-only, zero shuffles at any corpus size. The
+    oracle replays the identical selection in DuckDB; per-doc fingerprint
+    count, modular hash sum, and min/max must all hash-match, so one
+    wrong tie-break or window boundary breaks the gate."""
+    from rtcdb_spark.functions.text import winnow_select_expr
+
+    sel = winnow_select_expr("text", _WINNOW_K, _WINNOW_W)
+    d = load_table(spark, sf_dir, "documents")
+    kg_size = f"greatest(length(text) - {_WINNOW_K - 1}, 1)"
+    # Materialize the selection ONCE, then derive the four outputs from
+    # the column reference: embedding {sel} in each output column
+    # re-evaluated the whole k-gram + window pass per column (4x the
+    # work — CollapseProject keeps the alias because HOFs are non-cheap).
+    picked = d.select(
+        "doc_id",
+        F.expr(kg_size).cast("bigint").alias("n_kgrams"),
+        F.expr(sel).alias("wf"),
+    )
+    fp_at = "transform(wf.picks, p -> element_at(wf.hs, p))"
+    return picked.select(
+        "doc_id",
+        "n_kgrams",
+        F.expr("size(wf.picks)").cast("bigint").alias("n_fingerprints"),
+        F.expr(
+            f"aggregate({fp_at}, CAST(0 AS BIGINT), "
+            "(a, f) -> a + f % 1000000007)"
+        ).alias("fp_sum"),
+        F.expr(f"array_min({fp_at})").alias("min_fp"),
+        F.expr(f"array_max({fp_at})").alias("max_fp"),
+    ).orderBy("doc_id")
+
+
 _HTML_WRAP_SQL = (
     "'<html><head><title>doc ' || doc_id || '</title>"
     "<style>p{color:red}</style>"

@@ -826,6 +826,75 @@ class TestBpe:
             assert seg.strip().split(" ") == apply_merges(w, merges), w
 
 
+class TestWinnowing:
+    """Winnowing fingerprints (SWA SIGMOD'03): the paper's guarantees,
+    checked on crafted strings through the actual column expression."""
+
+    def _select(self, spark, texts, k=8, w=4):
+        from rtcdb_spark.functions.text import winnow_select_expr
+        from pyspark.sql import functions as F
+
+        sel = winnow_select_expr("text", k, w)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = df.select(
+            "doc_id", F.expr(sel).alias("wf")
+        ).orderBy("doc_id").collect()
+        return [
+            [(p, r["wf"]["hs"][p - 1]) for p in r["wf"]["picks"]]
+            for r in rows
+        ]
+
+    def test_every_window_is_covered(self, spark):
+        """Correctness core: every w-window of k-gram hashes contains at
+        least one selected position (what guarantees shared substrings of
+        length >= w + k - 1 share a fingerprint)."""
+        texts = [
+            "the quick brown fox jumps over the lazy dog and runs away",
+            "aaaaaaaaaaaaaaaaaaaaaa",  # constant hashes: tie-breaks everywhere
+            "abcabcabcabcabcabcabc",   # periodic
+            "short",                   # shorter than k
+        ]
+        k, w = 8, 4
+        for text, picks in zip(texts, self._select(spark, texts, k, w)):
+            n_kg = max(len(text) - k + 1, 1)
+            pos = sorted(p for p, _fp in picks)
+            assert len(set(pos)) == len(pos)
+            for i in range(1, max(n_kg - w + 1, 1) + 1):
+                lo, hi = i, min(i + w - 1, n_kg)
+                assert any(lo <= p <= hi for p in pos), (text, i)
+
+    def test_density_bound_and_shared_substring(self, spark):
+        """Density stays near 2/(w+1) on random-ish text, and two docs
+        sharing a >= w+k-1 substring share at least one fingerprint."""
+        import random
+
+        rng = random.Random(7)
+        alpha = "abcdefghijklmnopqrstuvwxyz "
+        a = "".join(rng.choice(alpha) for _ in range(400))
+        b = "".join(rng.choice(alpha) for _ in range(400))
+        shared = "thisexactsharedrun"  # len 18 >= w + k - 1 = 11
+        texts = [a[:200] + shared + a[200:], b[:100] + shared + b[100:]]
+        picks = self._select(spark, texts)
+        fps0 = {fp for _p, fp in picks[0]}
+        fps1 = {fp for _p, fp in picks[1]}
+        assert fps0 & fps1, "shared substring must share a fingerprint"
+        density = len(picks[0]) / max(len(texts[0]) - 7, 1)
+        assert 0.25 <= density <= 0.75  # ~2/(w+1) = 0.4 with slack
+
+    def test_rightmost_tie_break(self, spark):
+        """On constant text every window's hashes tie; the paper's basic
+        rule picks each window's RIGHTMOST occurrence — so every window
+        contributes a fresh position (4, 5, 6, ...), the documented
+        degenerate density of basic (non-robust) winnowing on runs."""
+        picks = self._select(spark, ["b" * 30], k=8, w=4)[0]
+        pos = sorted(p for p, _fp in picks)
+        n_kg = 30 - 8 + 1  # 23 k-grams -> windows 1..20, rightmost = i+3
+        assert pos == list(range(4, n_kg + 1))
+        assert len({fp for _p, fp in picks}) == 1  # all the same hash
+
+
 class TestResize:
     def test_box2_exact_floor_mean(self):
         import numpy as np
