@@ -46,12 +46,17 @@ protocol/metaData gate; multi-part checkpoints and v2 checkpoints
 (sidecars) are not produced or read — the classic single-file form is
 what this writer emits and what its reader replays.
 
-Scale: log replay is O(commits + live files) driver-side metadata — the
-same shape Delta's own Spark connector uses below checkpoint scale; the
-scan itself is an ordinary pruned parquet read. Partitioned reads plan one
+Scale: log replay is O(commits-since-checkpoint + live files) driver-side
+metadata — the same shape Delta's own Spark connector uses; the scan
+itself is an ordinary pruned parquet read. Partitioned reads plan one
 scan per live partition-value tuple (fine for the hundreds-of-partitions
 case; a million-partition table wants a custom DataSource that pushes
-partitionValues into the scan, noted here rather than hidden).
+partitionValues into the scan, noted here rather than hidden). The
+WRITERS (`append_delta`/`overwrite_delta`) diff the data directory before
+and after the Spark write to find the new files — O(table files) per
+commit, fine for interchange/export jobs; a production writer would
+collect the written paths from the commit protocol instead (our own
+`VersionedTable.commit` does exactly that via its private staging dir).
 """
 
 from __future__ import annotations
