@@ -42,13 +42,19 @@ The contract is ENFORCED, not assumed (round 6): every state group
 remembers the largest doc_id it has processed, and a later micro-batch
 delivering a smaller-or-equal id to that group raises immediately — an
 out-of-order production feed fails loudly instead of silently changing
-which doc of a near-dup pair survives. For genuinely unordered feeds the
-correct construction is different: buffer arrivals behind an event-time
-watermark (`withWatermark` + a delay ≥ the feed's max disorder), sort each
-emitted window by doc_id, and run the gate on the ordered output — recall
-is unchanged, detection just waits out the disorder window. That variant
-trades latency for order; this operator implements the zero-latency
-ordered-feed form and refuses inputs that break its premise.
+which doc of a near-dup pair survives. For genuinely unordered feeds use
+:func:`stream_near_dedup_simhash_unordered` below — the watermark-
+buffered form that finalizes in (event-time, doc_id) order and reproduces
+the same oracle semantics on arbitrarily shuffled arrival, at the cost of
+the watermark delay in latency and the disorder window in state.
+
+State-schema versioning note: the round-6 enforcement added ``max_id`` to
+the ordered gate's state schema — a checkpoint written by the round-5
+schema cannot be resumed (Spark validates state schemas); restart such a
+query from a fresh checkpoint, replaying its source. The same applies to
+any future state-layout change; production systems version their state
+(Spark's state-schema-evolution support covers add-nullable-field cases,
+which this is not, since the tuple is positional).
 """
 
 from __future__ import annotations
