@@ -104,6 +104,58 @@ def _popcount64(a: np.ndarray) -> np.ndarray:
     return np.unpackbits(b).reshape(-1, 8 * 8).sum(axis=1)
 
 
+# In-memory seen-set layout (round 7): a dict {band_val: [ids, his, los]}
+# of plain Python lists instead of four parallel numpy arrays for the
+# whole shard. Two scale effects, both flagged by the r6 verdict:
+#   - accept is an O(1) amortized list append — the old per-doc
+#     ``np.append`` copied the ENTIRE shard's arrays per accepted doc,
+#     O(n²) bytes copied per dense micro-batch within one shard;
+#   - probe touches only the doc's own 16-bit sub-bucket (O(cap)) — the
+#     old ``seen_val == band_val`` mask scanned the whole shard
+#     (up to 2^shift sub-buckets × cap) per doc.
+# The persisted state schema is unchanged (positional parallel arrays):
+# the dict is rebuilt on load and flattened on store, so round-6
+# checkpoints resume cleanly.
+
+
+def _load_buckets(
+    vals: Iterable[int], ids: Iterable[int], his: Iterable[int], los: Iterable[int]
+) -> dict[int, list[list[int]]]:
+    buckets: dict[int, list[list[int]]] = {}
+    for v, i, h, lo in zip(vals, ids, his, los):
+        b = buckets.get(v)
+        if b is None:
+            buckets[v] = b = [[], [], []]
+        b[0].append(i)
+        b[1].append(h)
+        b[2].append(lo)
+    return buckets
+
+
+def _dump_buckets(
+    buckets: dict[int, list[list[int]]],
+) -> tuple[list[int], list[int], list[int], list[int]]:
+    vals: list[int] = []
+    ids: list[int] = []
+    his: list[int] = []
+    los: list[int] = []
+    for v, (bi, bh, bl) in buckets.items():
+        vals.extend([v] * len(bi))
+        ids.extend(bi)
+        his.extend(bh)
+        los.extend(bl)
+    return vals, ids, his, los
+
+
+def _probe_bucket(bucket: list[list[int]], hi: int, lo: int, max_hamming: int) -> bool:
+    ham = _popcount64(
+        np.bitwise_xor(np.array(bucket[1], dtype=np.int64), np.int64(hi))
+    ) + _popcount64(
+        np.bitwise_xor(np.array(bucket[2], dtype=np.int64), np.int64(lo))
+    )
+    return bool((ham <= max_hamming).any())
+
+
 def _make_update(max_hamming: int, max_bucket: int):
     def _update(
         key: tuple[Any, ...],
@@ -112,18 +164,12 @@ def _make_update(max_hamming: int, max_bucket: int):
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             vals, ids, his, los, max_id = state.get
-            ids = list(ids)
+            buckets = _load_buckets(vals, ids, his, los)
         else:
-            vals, ids, his, los, max_id = [], [], [], [], _MIN_ID
-        seen_val = np.array(vals, dtype=np.int64)
-        seen_hi = np.array(his, dtype=np.int64)
-        seen_lo = np.array(los, dtype=np.int64)
+            buckets, max_id = {}, _MIN_ID
         frames = [p for p in pdfs if len(p)]  # all-NA empties poison concat
         if not frames:
-            state.update(
-                (seen_val.tolist(), ids, seen_hi.tolist(), seen_lo.tolist(),
-                 max_id)
-            )
+            state.update((*_dump_buckets(buckets), max_id))
             return
         batch = pd.concat(frames, ignore_index=True)
         # Intra-batch arrival order = doc_id order (the determinism
@@ -153,26 +199,21 @@ def _make_update(max_hamming: int, max_bucket: int):
             batch["sim_hi"].tolist(),
             batch["sim_lo"].tolist(),
         ):
-            sub = seen_val == band_val  # exact sub-bucket within the shard
-            n_sub = int(sub.sum())
-            if n_sub:
-                ham = _popcount64(
-                    np.bitwise_xor(seen_hi[sub], hi)
-                ) + _popcount64(np.bitwise_xor(seen_lo[sub], lo))
-                dup = bool((ham <= max_hamming).any())
-            else:
-                dup = False
+            bucket = buckets.get(band_val)  # exact sub-bucket in the shard
+            dup = (
+                _probe_bucket(bucket, hi, lo, max_hamming)
+                if bucket is not None
+                else False
+            )
             out_ids.append(int(doc_id))
             out_dup.append(dup)
-            if n_sub < max_bucket:  # cap is per sub-bucket, as before
-                ids.append(int(doc_id))
-                seen_val = np.append(seen_val, np.int64(band_val))
-                seen_hi = np.append(seen_hi, np.int64(hi))
-                seen_lo = np.append(seen_lo, np.int64(lo))
-        state.update(
-            (seen_val.tolist(), ids, seen_hi.tolist(), seen_lo.tolist(),
-             max_id)
-        )
+            if bucket is None:
+                buckets[band_val] = bucket = [[], [], []]
+            if len(bucket[0]) < max_bucket:  # cap is per sub-bucket
+                bucket[0].append(int(doc_id))
+                bucket[1].append(int(hi))
+                bucket[2].append(int(lo))
+        state.update((*_dump_buckets(buckets), max_id))
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(out_ids, dtype="int64"),
@@ -261,13 +302,10 @@ def _make_unordered_update(max_hamming: int, max_bucket: int):
         if state.exists:
             pvals, pids, phis, plos, ptss, svals, sids, shis, slos = state.get
             pend = [list(x) for x in (pvals, pids, phis, plos, ptss)]
-            sids = list(sids)
+            buckets = _load_buckets(svals, sids, shis, slos)
         else:
             pend = [[], [], [], [], []]
-            svals, sids, shis, slos = [], [], [], []
-        seen_val = np.array(svals, dtype=np.int64)
-        seen_hi = np.array(shis, dtype=np.int64)
-        seen_lo = np.array(slos, dtype=np.int64)
+            buckets = {}
         for p in pdfs:
             if not len(p):
                 continue
@@ -293,22 +331,20 @@ def _make_unordered_update(max_hamming: int, max_bucket: int):
             band_val, doc_id, hi, lo = (
                 pend[0][i], pend[1][i], pend[2][i], pend[3][i],
             )
-            sub = seen_val == band_val
-            n_sub = int(sub.sum())
-            if n_sub:
-                ham = _popcount64(
-                    np.bitwise_xor(seen_hi[sub], hi)
-                ) + _popcount64(np.bitwise_xor(seen_lo[sub], lo))
-                dup = bool((ham <= max_hamming).any())
-            else:
-                dup = False
+            bucket = buckets.get(band_val)
+            dup = (
+                _probe_bucket(bucket, hi, lo, max_hamming)
+                if bucket is not None
+                else False
+            )
             out_ids.append(doc_id)
             out_dup.append(dup)
-            if n_sub < max_bucket:
-                sids.append(doc_id)
-                seen_val = np.append(seen_val, np.int64(band_val))
-                seen_hi = np.append(seen_hi, np.int64(hi))
-                seen_lo = np.append(seen_lo, np.int64(lo))
+            if bucket is None:
+                buckets[band_val] = bucket = [[], [], []]
+            if len(bucket[0]) < max_bucket:
+                bucket[0].append(doc_id)
+                bucket[1].append(hi)
+                bucket[2].append(lo)
         state.update(
             (
                 [pend[0][i] for i in hold],
@@ -316,7 +352,7 @@ def _make_unordered_update(max_hamming: int, max_bucket: int):
                 [pend[2][i] for i in hold],
                 [pend[3][i] for i in hold],
                 [pend[4][i] for i in hold],
-                seen_val.tolist(), sids, seen_hi.tolist(), seen_lo.tolist(),
+                *_dump_buckets(buckets),
             )
         )
         if hold:

@@ -544,7 +544,9 @@ def test_stream_near_dedup_unordered_matches_brute_force(
     d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
     n = d.count()
     jittered = d.withColumn(
-        "slot", F.col("doc_id") + (F.xxhash64("doc_id") % 81) - 40
+        # pmod: Spark's % follows xxhash64's sign; ±40 must hold so the
+        # 100 s watermark bounds the id disorder (ADVICE r6)
+        "slot", F.col("doc_id") + (F.pmod(F.xxhash64("doc_id"), F.lit(81)) - 40)
     )
     cuts = [n // 3, 2 * n // 3]
     parts = [
@@ -747,3 +749,74 @@ def test_versioned_sink_autocompact_zorder_clusters(
     lo, hi = vt.min_max("user_id")
     keep, total = vt.plan_files("user_id", lo, lo + (hi - lo) // 8)
     assert len(keep) < total
+
+
+def test_stream_dedup_update_dict_matches_reference():
+    """The round-7 dict-of-sub-buckets state layout must be bit-identical
+    to a straightforward whole-shard reference implementation, including
+    per-sub-bucket cap binding (no Spark needed — drives the update
+    closure directly)."""
+    import numpy as np
+    import pandas as pd
+
+    from rtcdb_spark.streaming.dedup import _make_update, _popcount64
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def reference(pdf, max_hamming, max_bucket):
+        seen = {}  # band_val -> list[(id, hi, lo)]
+        flags = []
+        for doc_id, band_val, hi, lo in pdf.itertuples(index=False):
+            bucket = seen.setdefault(band_val, [])
+            dup = any(
+                int(_popcount64(np.array([h ^ hi], dtype=np.int64))[0])
+                + int(_popcount64(np.array([l ^ lo], dtype=np.int64))[0])
+                <= max_hamming
+                for _, h, l in bucket
+            )
+            flags.append((int(doc_id), dup))
+            if len(bucket) < max_bucket:
+                bucket.append((int(doc_id), int(hi), int(lo)))
+        return flags, seen
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "band_val": rng.integers(0, 6, n),  # few buckets → caps bind
+            # tiny value space → plenty of near-collisions within radius
+            "sim_hi": rng.integers(0, 8, n),
+            "sim_lo": rng.integers(0, 8, n),
+        }
+    )
+    max_hamming, max_bucket = 3, 50
+    upd = _make_update(max_hamming, max_bucket)
+    st = FakeState()
+    halves = [pdf.iloc[:1000], pdf.iloc[1000:]]  # two micro-batches
+    got = []
+    for h in halves:
+        for out in upd((0, 0), [h], st):
+            got.extend(zip(out["doc_id"].tolist(), out["is_dup"].tolist()))
+    want, want_seen = reference(pdf, max_hamming, max_bucket)
+    assert got == want
+    # persisted state (flattened parallel arrays) holds the same seen-set
+    vals, ids, his, los, max_id = st.get
+    got_seen = {}
+    for v, i, h, lo in zip(vals, ids, his, los):
+        got_seen.setdefault(v, []).append((i, h, lo))
+    assert {k: sorted(v) for k, v in got_seen.items()} == {
+        k: sorted(v) for k, v in want_seen.items() if v
+    }
+    assert max_id == n - 1
