@@ -822,3 +822,106 @@ def source_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("latest").alias("snapshot"), "doc_id", F.col("n_chars").cast("bigint")
     )
     return v0.unionByName(latest).orderBy("snapshot", "doc_id")
+
+
+@query(
+    "source_delta_column_mapping",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           MIN(c_custkey) AS min_key,
+           MAX(c_custkey) AS max_key
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    tags=("source", "delta", "interchange", "column-mapping"),
+)
+def source_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column mapping, 'name' mode (round 7, `sources/delta_log.py`
+    — the most common modern-Delta feature behind the old
+    minReaderVersion>1 gate, and the interchange gap a real user hits
+    first per the r6 verdict): customer is laid out exactly as a
+    column-mapping writer would produce it — data files carry PHYSICAL
+    ``col-<n>`` names, the log's `metaData.schemaString` maps them to the
+    logical names via `delta.columnMapping.physicalName` field metadata,
+    `configuration.delta.columnMapping.mode = name`, protocol
+    minReaderVersion 2, and the partition column's `partitionColumns` /
+    `partitionValues` entries are keyed by the PHYSICAL name. `read_delta`
+    must build the physical read schema, restore logical names, and
+    re-attach the partition column under its LOGICAL name — the aggregate
+    groups by that re-attached logical column and sums a mapped value
+    column, so a wrong physical→logical mapping, a partition value
+    re-attached under the physical key, or a dropped mapped column each
+    break the hash, not just a count."""
+    import json
+    import os
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import read_delta
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("col-1"),
+        F.col("c_mktsegment").alias("col-2"),
+        F.col("c_acctbal").cast("double").alias("col-3"),
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_cm_")
+    import shutil
+
+    shutil.rmtree(path)
+    c.write.partitionBy("col-2").parquet(path)
+    fields = [
+        {"name": "cust_key", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-1"}},
+        {"name": "segment", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-2"}},
+        {"name": "balance", "type": "double", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "col-3"}},
+    ]
+    adds = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), path)
+            pvals = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if seg.startswith("col-2="):
+                    pvals["col-2"] = seg.split("=", 1)[1]
+            adds.append({"add": {
+                "path": rel.replace(os.sep, "/"), "partitionValues": pvals,
+                "size": os.path.getsize(os.path.join(root, f)),
+                "modificationTime": 0, "dataChange": True}})
+    os.makedirs(os.path.join(path, "_delta_log"))
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "cm-demo",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": ["col-2"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3"},
+                "createdTime": 0}},
+        ] + adds:
+            fh.write(json.dumps(a) + "\n")
+    t = read_delta(spark, path)
+    return (
+        t.groupBy(F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum(F.col("balance").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.min("cust_key").alias("min_key"),
+            F.max("cust_key").alias("max_key"),
+        )
+        .orderBy("segment")
+    )

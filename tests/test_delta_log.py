@@ -178,19 +178,64 @@ class TestDeltaCheckpoints:
 
 
 class TestDeltaGates:
+    def _set_protocol(self, path, proto):
+        cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        actions = [json.loads(x) for x in open(cpath).read().splitlines()]
+        actions[0] = {"protocol": proto}
+        with open(cpath, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
     def test_reader_version_gate(self, spark, tmp_path):
         df = spark.range(3).select(F.col("id").alias("k"))
         path = str(tmp_path / "t")
         write_delta(df, path)
-        # raise the protocol requirement (e.g. deletion vectors)
+        # v3 demanding a feature we can't honor (deletion vectors) refuses
+        self._set_protocol(
+            path,
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            },
+        )
+        with pytest.raises(NotImplementedError, match="deletionVectors"):
+            read_delta(spark, path)
+        # v3 whose features are all covered reads fine (round 7)
+        self._set_protocol(
+            path,
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            },
+        )
+        assert read_delta(spark, path).count() == 3
+        # and a reader version beyond the spec refuses
+        self._set_protocol(path, {"minReaderVersion": 4, "minWriterVersion": 7})
+        with pytest.raises(NotImplementedError, match="reader version"):
+            read_delta(spark, path)
+
+    def test_deletion_vector_add_gate(self, spark, tmp_path):
+        # even on a permitted protocol, an add action CARRYING a deletion
+        # vector must refuse — decoding it would return deleted rows
+        df = spark.range(3).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        write_delta(df, path)
         cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
-        lines = open(cpath).read().splitlines()
-        actions = [json.loads(x) for x in lines]
-        actions[0] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+        actions = [json.loads(x) for x in open(cpath).read().splitlines()]
+        for a in actions:
+            if a.get("add"):
+                a["add"]["deletionVector"] = {
+                    "storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+                    "sizeInBytes": 36, "cardinality": 1,
+                }
         with open(cpath, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
-        with pytest.raises(NotImplementedError, match="reader version"):
+        with pytest.raises(NotImplementedError, match="deletion vector"):
             read_delta(spark, path)
 
     def test_checkpointed_history_gate(self, spark, tmp_path):
@@ -210,3 +255,186 @@ class TestDeltaGates:
             write_delta(df, path)
         with pytest.raises(ValueError, match="no _delta_log"):
             read_delta(spark, str(tmp_path / "nope"))
+
+
+def _mapped_table(spark, tmp_path, partitioned=False):
+    """Hand-author a column-mapping 'name'-mode Delta table the way a
+    modern writer lays it out: data files carry PHYSICAL col-<n> names,
+    the log schema carries the logical names + physicalName metadata,
+    and (if partitioned) partitionColumns/partitionValues use the
+    physical name."""
+    path = str(tmp_path / "mapped")
+    phys = spark.range(6).select(
+        F.col("id").alias("col-1"),
+        (F.col("id") % 2).cast("string").alias("col-2"),
+        (F.col("id") * 10).alias("col-3"),
+    )
+    fields = [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-1"}},
+        {"name": "part", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-2"}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "col-3"}},
+    ]
+    if partitioned:
+        phys.write.partitionBy("col-2").parquet(path)
+        pcols = ["col-2"]
+    else:
+        phys.write.parquet(path)
+        pcols = []
+    adds = []
+    for root, _dirs, files in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), path)
+            pvals = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if seg.startswith("col-2="):
+                    pvals["col-2"] = seg.split("=", 1)[1]
+            adds.append({"add": {
+                "path": rel.replace(os.sep, "/"), "partitionValues": pvals,
+                "size": os.path.getsize(os.path.join(root, f)),
+                "modificationTime": 0, "dataChange": True}})
+    os.makedirs(os.path.join(path, "_delta_log"))
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "m", "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": pcols,
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3"},
+                "createdTime": 0}},
+        ] + adds:
+            fh.write(json.dumps(a) + "\n")
+    return path
+
+
+class TestColumnMapping:
+    def test_name_mode_reads_logical_names(self, spark, tmp_path):
+        path = _mapped_table(spark, tmp_path)
+        back = read_delta(spark, path)
+        assert sorted(back.columns) == ["k", "part", "v"]
+        assert _rows(back.select("k", "part", "v")) == [
+            (i, str(i % 2), i * 10) for i in range(6)
+        ]
+
+    def test_name_mode_partitioned(self, spark, tmp_path):
+        path = _mapped_table(spark, tmp_path, partitioned=True)
+        back = read_delta(spark, path)
+        assert sorted(back.columns) == ["k", "part", "v"]
+        assert _rows(back.select("k", "part", "v")) == [
+            (i, str(i % 2), i * 10) for i in range(6)
+        ]
+
+    def test_id_mode_and_mapped_writes_gated(self, spark, tmp_path):
+        path = _mapped_table(spark, tmp_path)
+        cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        # writes to a mapped table refuse (physical names needed)
+        df = spark.createDataFrame([(1, "a", 2)], "k long, part string, v long")
+        with pytest.raises(NotImplementedError, match="column-mapped"):
+            append_delta(df, path)
+        # id mode refuses with a precise message
+        actions = [json.loads(x) for x in open(cpath).read().splitlines()]
+        actions[1]["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        with open(cpath, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        with pytest.raises(NotImplementedError, match="'id' mode"):
+            read_delta(spark, path)
+
+
+class TestWriterProtocolRound7:
+    def test_append_schema_mismatch_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k bigint, s string"), path
+        )
+        bad = [
+            spark.createDataFrame([(2,)], "k bigint"),  # missing col
+            spark.createDataFrame([(2, "b", 3)], "k bigint, s string, x int"),
+            spark.createDataFrame([(2, 3)], "k bigint, s int"),  # retyped
+            spark.createDataFrame([(2, "b")], "k bigint, t string"),  # renamed
+        ]
+        for df in bad:
+            with pytest.raises(ValueError, match="does not match"):
+                append_delta(df, path)
+            with pytest.raises(ValueError, match="does not match"):
+                overwrite_delta(df, path)
+        assert delta_versions(path) == [0]  # nothing committed
+        ok = spark.createDataFrame([(2, "b")], "k bigint, s string")
+        assert append_delta(ok, path) == 1
+        assert _rows(read_delta(spark, path)) == [(1, "a"), (2, "b")]
+
+    def test_append_is_o_new_files(self, spark, tmp_path, monkeypatch):
+        """The writer must collect adds from its private staging dir only —
+        never walk the table dir (r6 verdict item 5)."""
+        import rtcdb_spark.sources.delta_log as dl
+
+        path = str(tmp_path / "t")
+        write_delta(spark.createDataFrame([(1,)], "k bigint"), path)
+        walked = []
+        real = dl._adds_for_dir
+
+        def spy(p, pcols):
+            walked.append(p)
+            return real(p, pcols)
+
+        monkeypatch.setattr(dl, "_adds_for_dir", spy)
+        append_delta(spark.createDataFrame([(2,)], "k bigint"), path)
+        assert walked, "writer no longer uses _adds_for_dir?"
+        for p in walked:
+            assert os.path.basename(p).startswith(".stage-"), p
+        assert _rows(read_delta(spark, path)) == [(1,), (2,)]
+
+    def test_add_actions_carry_num_records_stats(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        write_delta(spark.range(7).select(F.col("id").alias("k")), path)
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as fh:
+            adds = [json.loads(x)["add"] for x in fh if '"add"' in x]
+        total = sum(json.loads(a["stats"])["numRecords"] for a in adds)
+        assert total == 7
+
+
+class TestCheckpointRetention:
+    def test_checkpoint_carries_tombstones_txn_and_stats(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import checkpoint_delta
+
+        path = str(tmp_path / "t")
+        write_delta(spark.createDataFrame([(1,)], "k bigint"), path)
+        overwrite_delta(spark.createDataFrame([(2,)], "k bigint"), path)
+        # a foreign streaming writer's txn marker in a later commit
+        with open(os.path.join(path, "_delta_log", f"{2:020d}.json"), "w") as fh:
+            fh.write(json.dumps(
+                {"txn": {"appId": "app-1", "version": 9,
+                         "lastUpdated": 1234}}) + "\n")
+        v = checkpoint_delta(path)
+        assert v == 2
+        cp = pq.read_table(os.path.join(
+            path, "_delta_log", f"{v:020d}.checkpoint.parquet")).to_pylist()
+        removes = [r["remove"] for r in cp if r.get("remove") is not None]
+        txns = [r["txn"] for r in cp if r.get("txn") is not None]
+        adds = [r["add"] for r in cp if r.get("add") is not None]
+        # every file the overwrite tombstoned is retained in the checkpoint
+        assert len(removes) >= 1
+        assert all(r["deletionTimestamp"] is not None for r in removes)
+        assert txns == [{"appId": "app-1", "version": 9, "lastUpdated": 1234}]
+        assert all(
+            json.loads(a["stats"])["numRecords"] >= 0 for a in adds if a["stats"]
+        )
+        # table still reads purely from the checkpoint after history cleanup
+        for i in range(3):
+            os.remove(os.path.join(path, "_delta_log", f"{i:020d}.json"))
+        assert _rows(read_delta(spark, path)) == [(2,)]
