@@ -205,7 +205,15 @@ def kmeans_centroids(
     Empty cells keep their previous centroid (standard Lloyd's fallback).
     Cost per iteration: one corpus scan + one (cid, dim)-key aggregate —
     at 100 TB the shuffle volume is O(n_cells × dim × n_partitions), corpus
-    bytes never move."""
+    bytes never move.
+
+    The recenter sum runs in DECIMAL(38,18) (the repo's standard exact-sum
+    pattern, `queries/base.py`): a double sum's value depends on partition
+    merge order, which would make the trained centroids run-to-run
+    nondeterministic — the decimal sum makes training a bit-exact function
+    of the corpus under ANY partitioning, which is what lets the
+    sf0.01-trained PQ codebooks be PINNED as an oracle literal (round 7,
+    the BPE-merge-table treatment)."""
     base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     cents = (
         base.filter(F.col(id_col) < n_cells)
@@ -229,12 +237,15 @@ def kmeans_centroids(
         sums = (
             best.select("cid", F.posexplode("v").alias("dim", "x"))
             .groupBy("cid", "dim")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .groupBy("cid")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("dim", "sx", "n"))),
-                    lambda s: s["sx"] / s["n"],
+                    lambda s: (s["sx"] / s["n"]).cast("double"),
                 ).alias("new_cv")
             )
         )

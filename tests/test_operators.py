@@ -989,3 +989,32 @@ class TestHtmlToText:
                 f"SELECT {sql_html_to_text('v')} FROM (SELECT ? AS v)", [h]
             ).fetchone()[0]
             assert got == want, h
+
+
+def test_pq_books_match_pinned(spark, sf_correct):
+    """The pinned sf0.01 codebooks (functions/pq_pinned.py — the
+    similarity_pq_topk oracle's literal) must equal a fresh training run
+    bit-for-bit, including under a different input partitioning: the
+    DECIMAL recenter makes training partition-order-independent, which is
+    the property the pinned oracle stands on."""
+    from rtcdb_spark.functions.pq_pinned import PQ_BOOKS_SF001
+    from rtcdb_spark.functions.similarity import pq_train
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet").repartition(5)
+    books = pq_train(emb, m=8, k=32, n_iter=2)
+    got = sorted(
+        (r["sub"], r["cid"], tuple(r["cv"])) for r in books.collect()
+    )
+    assert got == [(s, c, tuple(cv)) for s, c, cv in PQ_BOOKS_SF001]
+
+
+def test_ivf_cents_match_pinned(spark, sf_correct):
+    """Same pinning contract as test_pq_books_match_pinned, for the
+    trained-IVF oracle's centroid literal."""
+    from rtcdb_spark.functions.pq_pinned import IVF_CENTS_SF001
+    from rtcdb_spark.functions.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet").repartition(9)
+    cents = kmeans_centroids(emb, n_cells=16, n_iter=3)
+    got = sorted((r["cid"], tuple(r["cv"])) for r in cents.collect())
+    assert got == [(c, tuple(cv)) for c, cv in IVF_CENTS_SF001]
