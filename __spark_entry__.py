@@ -118,11 +118,36 @@ _PRIORITY = [
     # (full_outer/near_simhash/ingest/cdc stay), multimodal_mp4_frame_sample
     # (jpeg_decode + png_layouts stay). All three incoming queries pass
     # the sf0.01 driver-sim this session.
+    # (wave 17, round 7 per VERDICT r6 item 3): rotate in the round-7
+    # capability flagships — source_delta_column_mapping (name-mode
+    # column-mapping read), similarity_pq_topk + similarity_ivf_trained_topk
+    # (newly ORACLE-GATED via pinned sf0.01-trained codebooks/centroids,
+    # closing verdict item 7), versioned_timestamp_travel (round-6
+    # capability, benched+local-green but no driver row yet) — plus the
+    # 10-component residue confirmation set the verdict listed:
+    # source_json_roundtrip, agg_rollup, join_asof_forward, window_ranking,
+    # fn_string, fn_math, window_session, stream_dedup_count,
+    # stream_join_left_outer, udf_pandas_scalar (all prior-round
+    # driver-green + local-mirror green this session).
+    # OUT (all r6-driver-green; every family keeps >=1 green rep in the
+    # window or a prior ledger): source_csv_roundtrip,
+    # source_rtcdb_index_stats (string_scan keeps the native-format slot),
+    # source_delta_time_travel (delta keeps partitioned_roundtrip +
+    # column_mapping), versioned_hilbert_skipping,
+    # versioned_bloom_point_skipping, versioned_incremental_optimize
+    # (predicate_routing + merge_upsert + timestamp_travel keep the
+    # versioned family), agg_weighted_percentiles (count_distinct +
+    # rollup stay), sort_multi_key_limit + distinct_values
+    # (set_intersect_all stays), fn_datetime + fn_conditional
+    # (array/json stay, string/math come in), window_lag_lead
+    # (running_frames + ranking stay), window_tumbling (session re-reps
+    # batch event-time, r5-green), text_html_extract (bpe/bigram/bm25/
+    # winnow stay).
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
-    "source_rtcdb_string_scan", "source_rtcdb_index_stats",
-    "source_csv_roundtrip",
-    "source_delta_partitioned_roundtrip", "source_delta_time_travel",
+    "source_rtcdb_string_scan",
+    "source_json_roundtrip",
+    "source_delta_partitioned_roundtrip", "source_delta_column_mapping",
     # (wave 10, round 4): swap four doubly-green entries for the round-4
     # capability flagships, all sf0.01 driver-sim green this session —
     # agg_collect_array -> versioned_merge_upsert (copy-on-write MERGE),
@@ -132,13 +157,12 @@ _PRIORITY = [
     # Families keep >=1 green rep: aggregates (count_distinct, percentiles),
     # similarity (cosine, ivf), multimodal (decode_meta), graph (pagerank,
     # triangle, lpa).
-    # C-I versioned clustering + index + routing (round-5/6 flagships)
-    "versioned_hilbert_skipping", "versioned_bloom_point_skipping",
-    "versioned_predicate_routing", "versioned_incremental_optimize",
-    # C-III aggregates (percentiles + count-distinct re-confirmation)
-    "agg_weighted_percentiles", "agg_count_distinct",
-    # C-IV joins (semi/anti keeps its driver slot)
-    "join_semi",
+    # C-I versioned routing + round-6 TIMESTAMP AS OF travel
+    "versioned_predicate_routing", "versioned_timestamp_travel",
+    # C-III aggregates (count-distinct + rollup/grouping-sets residue)
+    "agg_count_distinct", "agg_rollup",
+    # C-IV joins (semi/anti + as-of residue)
+    "join_semi", "join_asof_forward",
     # timeseries resampling (family's driver-window rep)
     "timeseries_resample_interp",
     # (wave 14, round 5): sort_multi_key_limit -> versioned_zorder_skipping
@@ -160,35 +184,37 @@ _PRIORITY = [
     # previously unit-only). Outgoing is r4 driver-green; the native
     # format keeps pruned_scan + string_scan as green reps.
     # C-V sort / set / limit / distinct
-    "set_intersect_all", "sort_multi_key_limit", "distinct_values",
-    # C-VI windows (frames + analytic lag/lead)
-    "window_running_frames", "window_lag_lead",
-    # C-VII scalar functions (array, json/map, datetime, conditional)
-    "fn_array", "fn_json_map", "fn_datetime", "fn_conditional",
-    # C-VIII event-time (batch tumbling)
-    "window_tumbling",
+    "set_intersect_all",
+    # C-VI windows (frames + ranking residue)
+    "window_running_frames", "window_ranking",
+    # C-VII scalar functions (array, json/map + string/math residue)
+    "fn_array", "fn_json_map", "fn_string", "fn_math",
+    # C-VIII event-time (batch session-window residue)
+    "window_session",
     # C-VIII streaming (near-dup gate, its round-6 UNORDERED-feed twin,
     # and the ingest composite; full_outer rotated out r5-green —
     # streaming keeps near_simhash/ingest/cdc as green reps)
     "stream_dedup_near_simhash", "stream_dedup_near_simhash_unordered",
     "stream_ingest_dedup_versioned",
+    # C-VIII stateful-dedup + stream-stream join residue
+    "stream_dedup_count", "stream_join_left_outer",
     # C-IX text pipeline (trained BPE now ORACLE-GATED + LM perplexity +
     # HTML extraction front end + round-6 winnowing fingerprints;
     # text_contamination rotated out r5-green — bm25/bigram stay green)
-    "text_bpe_tokenize", "text_bigram_perplexity", "text_html_extract",
+    "text_bpe_tokenize", "text_bigram_perplexity",
     "text_bm25_search", "text_winnow_fingerprints",
     # C-IX dedup (exact, star CC, connectivity-only star-link mode) +
     # curation shard shuffle
     "dedup_exact", "dedup_connected_groups_star",
     "dedup_star_connectivity_groups", "curation_shuffle_shards",
-    # C-IX similarity / ANN
-    "similarity_ivf_topk",
+    # C-IX similarity / ANN (trained PQ + IVF newly oracle-gated)
+    "similarity_ivf_topk", "similarity_pq_topk", "similarity_ivf_trained_topk",
     # C-IX multimodal (progressive+4:2:0 and APNG animation are new
     # round-6 capability; png_layouts rotated out r5-green)
     "multimodal_jpeg_decode", "multimodal_jpeg_progressive_420",
     "multimodal_apng_animate",
-    # C-X UDFs (UDAF + UDTF)
-    "udf_grouped_agg", "udf_udtf_tokenize",
+    # C-X UDFs (UDAF + UDTF + scalar residue)
+    "udf_grouped_agg", "udf_udtf_tokenize", "udf_pandas_scalar",
     # sketches / reshape / graph
     "freq_heavy_hitters", "reshape_unpivot",
     "graph_pagerank",
