@@ -55,11 +55,16 @@ version 2 tables and version-3 tables whose `readerFeatures` are covered
 field-id matching) and `deletionVectors`/`v2Checkpoint` features stay
 honestly gated with precise messages.
 
+Multi-part checkpoints (round 7): `checkpoint_delta(parts=N)` writes the
+spec's `%020d.checkpoint.%010d.%010d.parquet` part set with `parts`
+recorded in `_last_checkpoint`, and the reader folds every part —
+refusing an INCOMPLETE part set rather than silently dropping live files.
+
 Honest gates: writer features beyond plain appends/overwrites (deletion
 vectors, generated columns, CDC files, writing column-mapped tables) are
-refused at the protocol/metaData gate; multi-part checkpoints and v2
-checkpoints (sidecars) are not produced or read — the classic
-single-file form is what this writer emits and what its reader replays.
+refused at the protocol/metaData gate; v2 checkpoints (sidecars) are not
+produced or read — the classic single-file and multi-part forms are what
+this writer emits and what its reader replays.
 
 Scale: log replay is O(commits-since-checkpoint + live files) driver-side
 metadata — the same shape Delta's own Spark connector uses; the scan
@@ -114,15 +119,62 @@ def _checkpoint_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
 
 
+def _checkpoint_part_path(path: str, version: int, part: int, parts: int) -> str:
+    """Spec multi-part naming: %020d.checkpoint.%010d.%010d.parquet
+    (version, 1-based part number, total parts)."""
+    return os.path.join(
+        _log_dir(path),
+        f"{version:020d}.checkpoint.{part:010d}.{parts:010d}.parquet",
+    )
+
+
+def _checkpoint_files(path: str, version: int) -> list[str]:
+    """Every parquet file of the checkpoint at ``version`` — the single
+    classic file, or ALL parts of a multi-part checkpoint (raises if any
+    part is missing: folding a partial checkpoint would silently drop
+    live files)."""
+    single = _checkpoint_path(path, version)
+    if os.path.exists(single):
+        return [single]
+    d = _log_dir(path)
+    prefix = f"{version:020d}.checkpoint."
+    parts_found: dict[int, str] = {}
+    total = None
+    for f in os.listdir(d):
+        if not (f.startswith(prefix) and f.endswith(".parquet")):
+            continue
+        mid = f[len(prefix):-len(".parquet")].split(".")
+        if len(mid) == 2 and all(s.isdigit() for s in mid):
+            parts_found[int(mid[0])] = os.path.join(d, f)
+            total = int(mid[1])
+    if total is None:
+        raise ValueError(f"no checkpoint files for version {version}")
+    missing = sorted(set(range(1, total + 1)) - set(parts_found))
+    if missing:
+        raise ValueError(
+            f"multi-part checkpoint at version {version} is incomplete: "
+            f"missing parts {missing} of {total}"
+        )
+    return [parts_found[i] for i in range(1, total + 1)]
+
+
 def delta_checkpoints(path: str) -> list[int]:
-    """Available single-file checkpoint versions, oldest first."""
+    """Available checkpoint versions (classic single-file or complete
+    multi-part sets), oldest first."""
     d = _log_dir(path)
     if not os.path.isdir(d):
         return []
-    out = []
+    out = set()
     for f in os.listdir(d):
         if f.endswith(".checkpoint.parquet") and f[:20].isdigit():
-            out.append(int(f[:20]))
+            out.add(int(f[:20]))
+        elif ".checkpoint." in f and f.endswith(".parquet") and f[:20].isdigit():
+            v = int(f[:20])
+            try:
+                _checkpoint_files(path, v)
+            except ValueError:
+                continue  # incomplete part set: not a usable checkpoint
+            out.add(v)
     return sorted(out)
 
 
@@ -227,8 +279,9 @@ def _snapshot_state(
     if start_cp is not None:
         import pyarrow.parquet as pq
 
-        for action in pq.read_table(_checkpoint_path(path, start_cp)).to_pylist():
-            _fold_action(action, state)
+        for part in _checkpoint_files(path, start_cp):
+            for action in pq.read_table(part).to_pylist():
+                _fold_action(action, state)
     replay_from = 0 if start_cp is None else start_cp + 1
     have = set(versions)
     for v in range(replay_from, until + 1):
@@ -254,16 +307,25 @@ def _snapshot_state(
     return meta, adds, state
 
 
-def checkpoint_delta(path: str, version: int | None = None) -> int:
-    """Write the classic single-file parquet checkpoint for ``version``
-    (default: latest) plus the ``_last_checkpoint`` pointer — one row per
-    live action (protocol, metaData, every live add WITH its stats,
-    every retained remove tombstone, every txn high-water mark), spec
-    field names and types (partitionValues as map<string,string>), so
-    JSON commits at or before it can be cleaned while the table stays
+def checkpoint_delta(
+    path: str, version: int | None = None, parts: int | None = None
+) -> int:
+    """Write the classic parquet checkpoint for ``version`` (default:
+    latest) plus the ``_last_checkpoint`` pointer — one row per live
+    action (protocol, metaData, every live add WITH its stats, every
+    retained remove tombstone, every txn high-water mark), spec field
+    names and types (partitionValues as map<string,string>), so JSON
+    commits at or before it can be cleaned while the table stays
     readable — and foreign engines keep the tombstone info VACUUM and
-    writer idempotence need (ADVICE r6). Returns the checkpointed
-    version."""
+    writer idempotence need (ADVICE r6).
+
+    ``parts`` (round 7): write a MULTI-PART checkpoint — the spec's
+    ``%020d.checkpoint.%010d.%010d.parquet`` naming with action rows
+    split contiguously across the parts and ``parts`` recorded in
+    ``_last_checkpoint``. This is how engines keep checkpoint writes
+    parallel on tables whose live-file set no longer fits one comfortable
+    parquet file; the reader folds every part and refuses an incomplete
+    set. Returns the checkpointed version."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -391,12 +453,25 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
             "txn": pa.array(txn_col, type=txn_t),
         }
     )
-    tmp = _checkpoint_path(path, v) + f".tmp-{uuid.uuid4().hex[:8]}"
-    pq.write_table(table, tmp)
-    os.rename(tmp, _checkpoint_path(path, v))
+    if parts is None or parts <= 1:
+        tmp = _checkpoint_path(path, v) + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.rename(tmp, _checkpoint_path(path, v))
+        pointer = {"version": v, "size": n}
+    else:
+        # contiguous row split; every part file exists even if empty so
+        # the reader's completeness check stays a pure name-set property
+        per = (n + parts - 1) // parts
+        for i in range(parts):
+            chunk = table.slice(i * per, per)
+            dst = _checkpoint_part_path(path, v, i + 1, parts)
+            tmp = dst + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(chunk, tmp)
+            os.rename(tmp, dst)
+        pointer = {"version": v, "size": n, "parts": parts}
     lc = os.path.join(_log_dir(path), "_last_checkpoint")
     with open(lc + ".tmp", "w") as fh:
-        json.dump({"version": v, "size": n}, fh)
+        json.dump(pointer, fh)
     os.rename(lc + ".tmp", lc)
     return v
 

@@ -438,3 +438,55 @@ class TestCheckpointRetention:
         for i in range(3):
             os.remove(os.path.join(path, "_delta_log", f"{i:020d}.json"))
         assert _rows(read_delta(spark, path)) == [(2,)]
+
+
+class TestMultiPartCheckpoints:
+    def test_multipart_checkpoint_roundtrip(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import checkpoint_delta
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(0, 40).select(F.col("id").alias("k")).repartition(6),
+            path,
+        )
+        append_delta(
+            spark.range(40, 50).select(F.col("id").alias("k")).repartition(3),
+            path,
+        )
+        overwrite_delta(
+            spark.range(100, 130).select(F.col("id").alias("k")).repartition(5),
+            path,
+        )
+        v = checkpoint_delta(path, parts=4)
+        log = os.path.join(path, "_delta_log")
+        part_files = sorted(
+            f for f in os.listdir(log) if ".checkpoint." in f and f.endswith(".parquet")
+        )
+        assert len(part_files) == 4
+        assert part_files[0] == f"{v:020d}.checkpoint.{1:010d}.{4:010d}.parquet"
+        assert json.load(open(os.path.join(log, "_last_checkpoint")))["parts"] == 4
+        # clean ALL JSON history: the table reads purely from the part set
+        for c in delta_versions(path):
+            os.remove(os.path.join(log, f"{c:020d}.json"))
+        assert _rows(read_delta(spark, path)) == [(i,) for i in range(100, 130)]
+        # appends continue past the multi-part checkpoint
+        assert append_delta(
+            spark.createDataFrame([(999,)], "k bigint"), path
+        ) == v + 1
+        assert read_delta(spark, path).count() == 31
+
+    def test_incomplete_part_set_refused(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import checkpoint_delta
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(0, 20).select(F.col("id").alias("k")).repartition(4),
+            path,
+        )
+        checkpoint_delta(path, parts=3)
+        log = os.path.join(path, "_delta_log")
+        os.remove(os.path.join(log, f"{0:020d}.checkpoint.{2:010d}.{3:010d}.parquet"))
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+        # an incomplete part set must not silently read a partial table
+        with pytest.raises(ValueError, match="incomplete"):
+            read_delta(spark, path)
