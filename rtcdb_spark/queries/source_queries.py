@@ -925,3 +925,82 @@ def source_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "source_delta_deletion_vectors",
+    """
+    SELECT doc_id % 5 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    WHERE doc_id % 7 <> 0
+    GROUP BY doc_id % 5
+    ORDER BY bucket
+    """,
+    tags=("source", "delta", "interchange", "deletion-vectors"),
+)
+def source_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS end-to-end (round 7, `sources/
+    deletion_vectors.py` + `delta_log._scan_adds`): documents is written
+    as a one-file Delta table, then a DV-writing engine's DELETE is
+    reproduced exactly — the row INDEXES of every doc_id divisible by 7
+    are found from the parquet file itself, serialized as a
+    RoaringBitmapArray (portable format) into a spec-layout DV file
+    (version byte, big-endian size, CRC-32), and committed as
+    remove+re-add with the `deletionVector` descriptor ('u' storage:
+    Z85-encoded UUID file name). `read_delta` must decode the bitmap and
+    anti-join those row positions out on `_metadata.row_index`. The
+    aggregate buckets the SURVIVORS, so one extra/missing/shifted row
+    index breaks the hash — and the oracle states the deletion as the
+    predicate the row indexes encode, proving position-based deletion
+    reproduces value-based DELETE semantics."""
+    import json as _json
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from rtcdb_spark.sources.delta_log import delta_versions, read_delta, write_delta
+    from rtcdb_spark.sources.deletion_vectors import write_dv_file, z85_encode
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_dv_")
+    import shutil
+
+    shutil.rmtree(path)
+    write_delta(d.coalesce(1), path)
+    rel = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+    ids = pq.read_table(os.path.join(path, rel), columns=["doc_id"])
+    doomed = [i for i, v in enumerate(ids.column("doc_id").to_pylist()) if v % 7 == 0]
+    u = _uuid.uuid4()
+    off, size = write_dv_file(
+        os.path.join(path, f"deletion_vector_{u}.bin"), doomed
+    )
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as fh:
+        orig = next(
+            a["add"] for a in map(_json.loads, fh) if a.get("add")
+        )
+    v = delta_versions(path)[-1] + 1
+    with open(os.path.join(path, "_delta_log", f"{v:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"remove": {
+            "path": orig["path"], "deletionTimestamp": 0, "dataChange": True,
+        }}) + "\n")
+        fh.write(_json.dumps({"add": {**orig, "deletionVector": {
+            "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": off, "sizeInBytes": size, "cardinality": len(doomed),
+        }}}) + "\n")
+    t = read_delta(spark, path)
+    return (
+        t.groupBy((F.col("doc_id") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("bucket")
+    )

@@ -28,6 +28,19 @@ from rtcdb_spark.streaming import (
 )
 
 
+def _multiset_signature(df: DataFrame) -> tuple[int, int]:
+    """Order-independent multiset signature of a DataFrame: (row count,
+    SUM of per-row xxhash64 over every column). Two scalars per scan —
+    the distributed replacement for collect-and-compare replay asserts
+    (r6 verdict item 2); a changed, added, or dropped row moves the sum
+    except with ~2^-64 collision probability, ample for an assertion."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns)).alias("sig"),
+    ).first()
+    return (row["n"], row["sig"])
+
+
 @query(
     "stream_window_tumbling",
     f"""
@@ -399,17 +412,14 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="rtcdb_cdc_")
     out = f"{root}/snapshot"
     run_sink(read_events_stream(spark, sf_dir), out, f"{root}/cp1")
-    # Replay-idempotence asserted DISTRIBUTED (r6 verdict item 2): the
-    # first snapshot is copied aside executor-side, then multiset
-    # equality is count parity + an empty exceptAll — no O(table)
-    # driver materialization at any scale.
-    first_dir = f"{root}/snapshot_first"
-    spark.read.parquet(out).write.parquet(first_dir)
+    # Replay-idempotence asserted DISTRIBUTED (r6 verdict item 2): an
+    # order-independent multiset signature (row count + SUM of per-row
+    # xxhash64) reduces the snapshot to two driver scalars per run — no
+    # O(table) collect, no copy-aside write, one scan each side.
+    first = _multiset_signature(spark.read.parquet(out))
     run_sink(read_events_stream(spark, sf_dir), out, f"{root}/cp2")  # replay
-    first, second = spark.read.parquet(first_dir), spark.read.parquet(out)
-    assert (
-        first.count() == second.count() and second.exceptAll(first).isEmpty()
-    ), "CDC replay changed the snapshot"
+    second = _multiset_signature(spark.read.parquet(out))
+    assert first == second, "CDC replay changed the snapshot"
     snap = spark.read.parquet(out)
     return snap.select(
         "user_id",
@@ -655,16 +665,12 @@ def stream_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="rtcdb_cdc_tomb_")
     out = f"{root}/snapshot"
     stream_cdc_with_tombstones(read_events_stream(spark, sf_dir), out, f"{root}/cp1")
-    # Distributed replay-idempotence check (r6 verdict item 2): copy the
-    # served snapshot aside, replay, then count parity + empty exceptAll.
-    first_dir = f"{root}/served_first"
-    read_cdc_snapshot(spark, out).write.parquet(first_dir)
+    # Distributed replay-idempotence check (r6 verdict item 2): the same
+    # two-scalar multiset signature as stream_cdc_upsert.
+    first = _multiset_signature(read_cdc_snapshot(spark, out))
     stream_cdc_with_tombstones(read_events_stream(spark, sf_dir), out, f"{root}/cp2")
-    first = spark.read.parquet(first_dir)
-    second = read_cdc_snapshot(spark, out)
-    assert (
-        first.count() == second.count() and second.exceptAll(first).isEmpty()
-    ), "tombstone CDC replay changed the snapshot"
+    second = _multiset_signature(read_cdc_snapshot(spark, out))
+    assert first == second, "tombstone CDC replay changed the snapshot"
     return (
         read_cdc_snapshot(spark, out)
         .select(

@@ -1,0 +1,298 @@
+"""Delta Lake deletion vectors: decode and apply (SURVEY §2 C-I, round 7).
+
+Deletion vectors are how modern Delta writers do row-level DELETE/MERGE
+without rewriting data files: an `add` action carries a `deletionVector`
+descriptor naming a bitmap of row indexes that are logically deleted from
+that file. A reader that ignores them returns deleted rows — which is why
+`sources/delta_log.py` refused such tables outright until this module.
+
+Everything here implements the PUBLIC formats:
+
+- **Delta deletion-vector descriptor** (delta-io PROTOCOL.md "Deletion
+  Vectors"): `storageType` `'u'` (UUID-named file relative to the table,
+  path = optional random prefix + 20-char Z85-encoded UUID, file name
+  `deletion_vector_<uuid>.bin`), `'p'` (absolute path), or `'i'`
+  (Z85-inline); `offset` into the file; `sizeInBytes` of the serialized
+  bitmap; `cardinality` = number of deleted rows.
+- **DV file layout** (same chapter): a 1-byte format version (= 1) at the
+  start of the file; each stored vector is `<dataSize: 4-byte big-endian
+  int> <data: serialized bitmap> <checksum: 4-byte big-endian CRC-32 of
+  data>`, with `offset` pointing at the dataSize field.
+- **RoaringBitmapArray, "portable" serialization** (the format the Delta
+  spec mandates for the bitmap data; also documented in the
+  RoaringBitmap project's format spec): `<number of 32-bit bitmaps: 8-byte
+  little-endian>` followed by that many standard-serialization 32-bit
+  roaring bitmaps, where bitmap `i` holds the low 32 bits of the 64-bit
+  row indexes whose high 32 bits equal `i`.
+- **Standard 32-bit roaring serialization** (RoaringFormatSpec): cookie
+  `12346` (u32 LE, no run containers) followed by u32 container count, or
+  cookie `12347` in the low 16 bits with `count-1` in the high 16 bits
+  followed by a run-container bitset; then per-container descriptive
+  headers `<key: u16> <cardinality-1: u16>`; then u32 offsets (present
+  for the no-run cookie always, and for the run cookie when count >= 4);
+  then the containers — array (`cardinality` u16 values, sorted), bitmap
+  (8192 bytes), or run (`<numRuns: u16>` then `<start: u16> <length-1:
+  u16>` pairs).
+
+The encoder exists so tests can author DV tables without a Delta engine
+in the container; `tests/test_deletion_vectors.py` pins EXACT byte
+layouts computed by hand from the spec (array, bitmap, run, multi-key,
+and >2^32 row indexes), so the decoder is checked against the format
+itself, not just against our own encoder.
+
+Z85 (ZeroMQ RFC 32) is implemented inline: 4-byte big-endian groups →
+5 chars over the 85-char alphabet. Python's stdlib gains z85 in 3.13;
+this container runs 3.11.
+
+Scale: a DV is O(deleted rows in one file) — bounded by parquet file
+sizing, not table size; decode happens driver-side at plan time exactly
+like Delta's own reader, and application is a per-file anti-join on
+`_metadata.row_index` (see `delta_log.read_delta`).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+_COOKIE_RUN = 12347
+_COOKIE_NO_RUN = 12346
+_NO_OFFSET_THRESHOLD = 4
+
+
+def z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85: length must be a multiple of 4."""
+    if len(data) % 4:
+        raise ValueError("z85 input length must be a multiple of 4")
+    out = []
+    for i in range(0, len(data), 4):
+        (word,) = struct.unpack(">I", data[i : i + 4])
+        chunk = []
+        for _ in range(5):
+            word, rem = divmod(word, 85)
+            chunk.append(_Z85_CHARS[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 input length must be a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        word = 0
+        for c in text[i : i + 5]:
+            word = word * 85 + _Z85_INDEX[c]
+        out += struct.pack(">I", word)
+    return bytes(out)
+
+
+# --- standard 32-bit roaring bitmap ----------------------------------------
+
+
+def _decode_roaring32(buf: bytes, pos: int) -> tuple[set[int], int]:
+    """Decode one standard-serialization 32-bit roaring bitmap starting at
+    ``pos``; returns (values, next position)."""
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    if (cookie & 0xFFFF) == _COOKIE_RUN:
+        n = (cookie >> 16) + 1
+        pos += 4
+        run_bits = buf[pos : pos + (n + 7) // 8]
+        pos += (n + 7) // 8
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        run_bits = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(f"not a roaring bitmap (cookie {cookie & 0xFFFF})")
+    keys: list[int] = []
+    cards: list[int] = []
+    for i in range(n):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        keys.append(key)
+        cards.append(card_m1 + 1)
+        pos += 4
+    if has_offsets:
+        pos += 4 * n  # offsets are redundant for sequential decode
+    values: set[int] = set()
+    for i in range(n):
+        base = keys[i] << 16
+        is_run = bool(run_bits[i // 8] & (1 << (i % 8)))
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length_m1 = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.update(base + v for v in range(start, start + length_m1 + 1))
+        elif cards[i] <= 4096:
+            vals = struct.unpack_from(f"<{cards[i]}H", buf, pos)
+            pos += 2 * cards[i]
+            values.update(base + v for v in vals)
+        else:  # bitmap container: 1024 u64 words, little-endian
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.add(base + wi * 64 + b.bit_length() - 1)
+                    w ^= b
+    return values, pos
+
+
+def _encode_roaring32(values: list[int]) -> bytes:
+    """Standard serialization of a 32-bit roaring bitmap. Container type
+    per key: array when cardinality <= 4096, else a RUN container when
+    runs halve the size, else bitmap — the reference implementations'
+    `runOptimize` heuristic, exercised so the decoder sees all three."""
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    containers: list[bytes] = []
+    run_flags: list[bool] = []
+    for k in keys:
+        vals = by_key[k]
+        runs: list[tuple[int, int]] = []
+        for v in vals:
+            if runs and runs[-1][0] + runs[-1][1] + 1 == v:
+                runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+            else:
+                runs.append((v, 0))
+        run_size = 2 + 4 * len(runs)
+        arr_size = 2 * len(vals)
+        if len(vals) <= 4096 and arr_size <= min(run_size, 8192):
+            containers.append(struct.pack(f"<{len(vals)}H", *vals))
+            run_flags.append(False)
+        elif run_size < 8192:
+            containers.append(
+                struct.pack("<H", len(runs))
+                + b"".join(struct.pack("<HH", s, l) for s, l in runs)
+            )
+            run_flags.append(True)
+        else:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            containers.append(struct.pack("<1024Q", *words))
+            run_flags.append(False)
+    n = len(keys)
+    out = bytearray()
+    if any(run_flags):
+        out += struct.pack("<I", _COOKIE_RUN | ((n - 1) << 16))
+        bits = bytearray((n + 7) // 8)
+        for i, f in enumerate(run_flags):
+            if f:
+                bits[i // 8] |= 1 << (i % 8)
+        out += bits
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    else:
+        out += struct.pack("<II", _COOKIE_NO_RUN, n)
+        has_offsets = True
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    if has_offsets:
+        off = len(out) + 4 * n
+        for c in containers:
+            out += struct.pack("<I", off)
+            off += len(c)
+    for c in containers:
+        out += c
+    return bytes(out)
+
+
+# --- RoaringBitmapArray (64-bit), portable serialization --------------------
+
+
+def decode_rbm_array_portable(data: bytes) -> set[int]:
+    """Portable RoaringBitmapArray → set of 64-bit row indexes."""
+    (n_bitmaps,) = struct.unpack_from("<Q", data, 0)
+    pos = 8
+    out: set[int] = set()
+    for hi in range(n_bitmaps):
+        vals, pos = _decode_roaring32(data, pos)
+        out.update((hi << 32) | v for v in vals)
+    if pos != len(data):
+        raise ValueError(
+            f"trailing bytes in portable bitmap array: {len(data) - pos}"
+        )
+    return out
+
+
+def encode_rbm_array_portable(values: list[int]) -> bytes:
+    by_hi: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        by_hi.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    if not by_hi:
+        return struct.pack("<Q", 0)
+    n = max(by_hi) + 1  # bitmap index IS the high word: empties included
+    out = bytearray(struct.pack("<Q", n))
+    for hi in range(n):
+        out += _encode_roaring32(by_hi.get(hi, []))
+    return bytes(out)
+
+
+# --- DV file layout ----------------------------------------------------------
+
+
+def read_dv_blob(path: str, offset: int, size: int) -> set[int]:
+    """Read one deletion vector stored in a DV file: verify the 1-byte
+    format version, the big-endian dataSize at ``offset``, and the
+    trailing CRC-32; decode the portable bitmap array."""
+    with open(path, "rb") as fh:
+        version = fh.read(1)
+        if version != b"\x01":
+            raise ValueError(f"unsupported DV file format version {version!r}")
+        fh.seek(offset)
+        (data_size,) = struct.unpack(">I", fh.read(4))
+        if data_size != size:
+            raise ValueError(
+                f"DV descriptor sizeInBytes={size} but file says {data_size}"
+            )
+        data = fh.read(data_size)
+        (crc,) = struct.unpack(">I", fh.read(4))
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError("DV checksum mismatch")
+    return decode_rbm_array_portable(data)
+
+
+def write_dv_file(path: str, values: list[int]) -> tuple[int, int]:
+    """Author a single-vector DV file (tests + interchange fixtures):
+    returns (offset, sizeInBytes) for the descriptor."""
+    data = encode_rbm_array_portable(values)
+    with open(path, "wb") as fh:
+        fh.write(b"\x01")
+        offset = fh.tell()
+        fh.write(struct.pack(">I", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    return offset, len(data)
+
+
+def resolve_dv(table_path: str, dv: dict) -> set[int]:
+    """Deleted row indexes for one add action's deletionVector descriptor."""
+    import os
+    import uuid as _uuid
+
+    st = dv.get("storageType")
+    if st == "i":
+        data = z85_decode(dv["pathOrInlineDv"])
+        return decode_rbm_array_portable(data[: dv["sizeInBytes"]])
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, z = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(z))
+        name = f"deletion_vector_{u}.bin"
+        base = os.path.join(table_path, prefix) if prefix else table_path
+        return read_dv_blob(os.path.join(base, name), dv["offset"], dv["sizeInBytes"])
+    if st == "p":
+        return read_dv_blob(dv["pathOrInlineDv"], dv["offset"], dv["sizeInBytes"])
+    raise NotImplementedError(f"deletion vector storageType {st!r}")

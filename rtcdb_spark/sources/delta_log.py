@@ -10,8 +10,7 @@ commit files in order — each is JSON-lines of actions — folding `add`
 actions into the live file set and `remove` actions out of it (tombstones
 and `txn` high-water marks are retained for checkpointing), capturing
 `metaData` (schema, partition columns) and checking `protocol`
-(reader versions 1-3; deletion vectors refuse
-loudly rather than decode wrongly). The scan then plans with the EXPLICIT
+(reader versions 1-3 with covered features). The scan then plans with the EXPLICIT
 schema from `metaData.schemaString` (a Spark StructType JSON — zero footer
 inference, the same schema-in-the-log property our own `VersionedTable`
 records). Partition columns are NOT stored in Delta data files; they are
@@ -51,9 +50,18 @@ maps), scans under physical names, and restores logical names with a
 positional struct cast; partition values are keyed by PHYSICAL name in
 `partitionValues` and re-attached under the logical name. Reader
 version 2 tables and version-3 tables whose `readerFeatures` are covered
-(`columnMapping`, `timestampNtz`) now load; ``id`` mode (parquet
-field-id matching) and `deletionVectors`/`v2Checkpoint` features stay
+(`columnMapping`, `timestampNtz`, `deletionVectors`) now load; ``id``
+mode (parquet field-id matching) and the `v2Checkpoint` feature stay
 honestly gated with precise messages.
+
+Deletion vectors (round 7): an `add` carrying a `deletionVector`
+descriptor has its roaring bitmap decoded driver-side
+(`sources/deletion_vectors.py` — Z85 paths/inline payloads, the DV file
+layout with CRC check, RoaringBitmapArray portable serialization) and
+the deleted rows are anti-joined out of that file's scan on
+`_metadata.row_index` (`_scan_adds`). Reading such tables is sound;
+WRITING deletion vectors is not implemented — our own DELETE path is
+the versioned table's copy-on-write.
 
 Multi-part checkpoints (round 7): `checkpoint_delta(parts=N)` writes the
 spec's `%020d.checkpoint.%010d.%010d.parquet` part set with `parts`
@@ -179,10 +187,10 @@ def delta_checkpoints(path: str) -> list[int]:
 
 
 # Reader-version-3 table features this reader actually implements.
-# deletionVectors and v2Checkpoint are NOT here on purpose: decoding a
-# DV-carrying table without applying the vectors would return deleted
-# rows — refusing loudly is the only sound behavior.
-_READER_FEATURES = {"columnMapping", "timestampNtz"}
+# deletionVectors joined the list in round 7 (sources/deletion_vectors.py
+# decodes the roaring bitmaps; read_delta anti-joins them out on
+# _metadata.row_index). v2Checkpoint stays out on purpose.
+_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
 
 
 def _check_protocol(p: dict) -> None:
@@ -229,12 +237,8 @@ def _fold_action(action: dict, state: dict) -> None:
         state["meta"] = m
     elif action.get("add") is not None:
         a = dict(action["add"])
-        if a.get("deletionVector"):
-            raise NotImplementedError(
-                f"data file {a['path']!r} carries a deletion vector; "
-                "reading it without applying the vector would return "
-                "deleted rows — deletionVectors are not supported"
-            )
+        if isinstance(a.get("deletionVector"), list):
+            a["deletionVector"] = _demap(a["deletionVector"])
         a["partitionValues"] = _demap(a.get("partitionValues")) or {}
         state["adds"][a["path"]] = a
         # re-adding a path supersedes its tombstone (spec reconciliation)
@@ -520,6 +524,55 @@ def _physical_field(f):
     return StructField(_physical_name(f), _physical_type(f.dataType), f.nullable)
 
 
+def _scan_adds(
+    spark: SparkSession, read_schema, path: str, group: list[tuple[str, dict]]
+) -> DataFrame:
+    """Scan a set of add actions, applying DELETION VECTORS (round 7):
+    files without a DV scan as one plain multi-path read; files with one
+    scan with `_metadata.file_path`/`_metadata.row_index` and anti-join
+    the decoded (file, row index) pairs out. The decoded bitmaps are
+    O(deleted rows per file) driver-side metadata — the same place
+    Delta's own reader materializes them; a pushed-into-the-scan variant
+    would need a custom DataSource, noted not hidden."""
+    from pyspark.sql import functions as F
+
+    plain = [p for p, a in group if not a.get("deletionVector")]
+    dvd = [(p, a) for p, a in group if a.get("deletionVector")]
+    parts = []
+    if plain:
+        parts.append(
+            spark.read.schema(read_schema).parquet(
+                *[_resolve(path, p) for p in plain]
+            )
+        )
+    if dvd:
+        from rtcdb_spark.sources.deletion_vectors import resolve_dv
+
+        pairs = []
+        for p, a in dvd:
+            full = _resolve(path, p)
+            for ridx in sorted(resolve_dv(path, a["deletionVector"])):
+                pairs.append((full, int(ridx)))
+        deleted = spark.createDataFrame(
+            pairs, "_dv_path string, _dv_ridx long"
+        )
+        norm = F.regexp_replace(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+            "^/+",
+            "/",
+        )
+        df = (
+            spark.read.schema(read_schema)
+            .parquet(*[_resolve(path, p) for p, _ in dvd])
+            .withColumn("_dv_path", norm)
+            .withColumn("_dv_ridx", F.col("_metadata.row_index"))
+            .join(F.broadcast(deleted), ["_dv_path", "_dv_ridx"], "left_anti")
+            .drop("_dv_path", "_dv_ridx")
+        )
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -566,31 +619,23 @@ def read_delta(
     if not adds:
         return spark.createDataFrame([], schema)
     if not pcols:
-        return _restore(
-            spark.read.schema(read_schema).parquet(
-                *[_resolve(path, p) for p in adds]
-            )
-        )
+        return _restore(_scan_adds(spark, read_schema, path, list(adds.items())))
     # Partition columns live only in the log: group live files by their
     # partitionValues tuple, scan each group, re-attach the values as
     # typed literal columns (protocol: values are strings, null = null).
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
     for p, a in adds.items():
         key = tuple(sorted((a.get("partitionValues") or {}).items()))
-        groups.setdefault(key, []).append(p)
+        groups.setdefault(key, []).append((p, a))
     by_name = {f.name: f.dataType for f in schema.fields}
     logical_of = {phys_of[n]: n for n in phys_of} if mapped else None
     parts = []
     # null partition values sort via a (is-null, value) key
-    for key, files in sorted(
+    for key, group in sorted(
         groups.items(),
         key=lambda kv: [(k, v is None, v or "") for k, v in kv[0]],
     ):
-        df = _restore(
-            spark.read.schema(read_schema).parquet(
-                *[_resolve(path, p) for p in files]
-            )
-        )
+        df = _restore(_scan_adds(spark, read_schema, path, group))
         vals = dict(key)
         for col in pcols:  # physical names when mapped
             logical = logical_of[col] if mapped else col

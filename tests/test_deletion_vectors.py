@@ -1,0 +1,148 @@
+"""Deletion-vector codec (sources/deletion_vectors.py): the roaring byte
+layouts are pinned BY HAND from the RoaringFormatSpec + Delta PROTOCOL.md,
+so the decoder is checked against the published format itself — a shared
+encoder/decoder bug cannot cancel out."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from rtcdb_spark.sources.deletion_vectors import (
+    decode_rbm_array_portable,
+    encode_rbm_array_portable,
+    read_dv_blob,
+    resolve_dv,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+
+
+class TestZ85:
+    def test_rfc_reference_vector(self):
+        # ZeroMQ RFC 32's published test case
+        data = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+        assert z85_encode(data) == "HelloWorld"
+        assert z85_decode("HelloWorld") == data
+
+    def test_roundtrip_uuid_width(self):
+        raw = bytes(range(16))
+        assert z85_decode(z85_encode(raw)) == raw
+        assert len(z85_encode(raw)) == 20
+
+
+def _expected_array_two_keys() -> bytes:
+    """{1,2,3, 100000}: two keys (0 and 1), both array containers, no-run
+    cookie 12346, headers then offsets then values — spec layout by hand."""
+    out = struct.pack("<II", 12346, 2)
+    out += struct.pack("<HH", 0, 2)  # key 0, cardinality-1 = 2
+    out += struct.pack("<HH", 1, 0)  # key 1, cardinality-1 = 0
+    # offsets: header block ends at 4+4+8=16, offsets take 8 → data at 24
+    out += struct.pack("<II", 24, 24 + 6)
+    out += struct.pack("<3H", 1, 2, 3)
+    out += struct.pack("<H", 100000 & 0xFFFF)
+    return out
+
+
+def _expected_run_single() -> bytes:
+    """{5..4700}: one run container — run cookie 12347 with count-1 in the
+    high 16 bits, 1-byte run bitset, no offsets (count < 4)."""
+    out = struct.pack("<I", 12347 | (0 << 16))
+    out += b"\x01"  # container 0 is a run
+    out += struct.pack("<HH", 0, 4695)  # key 0, cardinality-1
+    out += struct.pack("<H", 1)  # numRuns
+    out += struct.pack("<HH", 5, 4695)  # start, length-1
+    return out
+
+
+class TestRoaringPortable:
+    def test_array_containers_exact_bytes(self):
+        values = [1, 2, 3, 100000]
+        blob = encode_rbm_array_portable(values)
+        assert blob == struct.pack("<Q", 1) + _expected_array_two_keys()
+        assert decode_rbm_array_portable(blob) == set(values)
+
+    def test_run_container_exact_bytes(self):
+        values = list(range(5, 4701))
+        blob = encode_rbm_array_portable(values)
+        assert blob == struct.pack("<Q", 1) + _expected_run_single()
+        assert decode_rbm_array_portable(blob) == set(values)
+
+    def test_bitmap_container(self):
+        # 5000 alternating values: too many for array, runs don't compress
+        values = list(range(0, 10000, 2))
+        blob = encode_rbm_array_portable(values)
+        # container must be the 8192-byte bitmap with the 0b01 pattern
+        n_offsets = 1
+        header_end = 8 + 8 + 4 * 1 + 4 * n_offsets
+        words = struct.unpack_from("<1024Q", blob, header_end)
+        assert words[0] == 0x5555555555555555
+        assert decode_rbm_array_portable(blob) == set(values)
+
+    def test_row_indexes_above_32_bits(self):
+        values = [7, (1 << 32) + 9, (2 << 32) + 11]
+        blob = encode_rbm_array_portable(values)
+        (n,) = struct.unpack_from("<Q", blob, 0)
+        assert n == 3  # bitmap index IS the high word; gaps are explicit
+        assert decode_rbm_array_portable(blob) == set(values)
+
+    def test_empty(self):
+        assert decode_rbm_array_portable(encode_rbm_array_portable([])) == set()
+
+    def test_trailing_garbage_rejected(self):
+        blob = encode_rbm_array_portable([1, 2]) + b"xx"
+        with pytest.raises(ValueError, match="trailing"):
+            decode_rbm_array_portable(blob)
+
+
+class TestDvFile:
+    def test_file_layout_version_size_crc(self, tmp_path):
+        p = str(tmp_path / "dv.bin")
+        offset, size = write_dv_file(p, [3, 5, 1 << 33])
+        raw = open(p, "rb").read()
+        assert raw[0:1] == b"\x01"
+        (ds,) = struct.unpack_from(">I", raw, offset)
+        assert ds == size
+        data = raw[offset + 4 : offset + 4 + size]
+        (crc,) = struct.unpack_from(">I", raw, offset + 4 + size)
+        assert crc == zlib.crc32(data) & 0xFFFFFFFF
+        assert read_dv_blob(p, offset, size) == {3, 5, 1 << 33}
+
+    def test_corrupt_crc_rejected(self, tmp_path):
+        p = str(tmp_path / "dv.bin")
+        offset, size = write_dv_file(p, [3, 5])
+        raw = bytearray(open(p, "rb").read())
+        raw[offset + 4] ^= 0xFF
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="checksum"):
+            read_dv_blob(p, offset, size)
+
+    def test_resolve_inline_and_uuid(self, tmp_path):
+        import uuid
+
+        # inline: z85 of the portable bitmap (padded to a 4-byte multiple)
+        data = encode_rbm_array_portable([2, 4])
+        padded = data + b"\x00" * (-len(data) % 4)
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(padded),
+            "sizeInBytes": len(data),
+            "cardinality": 2,
+        }
+        assert resolve_dv(str(tmp_path), dv) == {2, 4}
+        # 'u': file named deletion_vector_<uuid>.bin, path = z85(uuid bytes)
+        u = uuid.uuid4()
+        off, size = write_dv_file(
+            str(tmp_path / f"deletion_vector_{u}.bin"), [9]
+        )
+        dv = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": size,
+            "cardinality": 1,
+        }
+        assert resolve_dv(str(tmp_path), dv) == {9}

@@ -190,17 +190,17 @@ class TestDeltaGates:
         df = spark.range(3).select(F.col("id").alias("k"))
         path = str(tmp_path / "t")
         write_delta(df, path)
-        # v3 demanding a feature we can't honor (deletion vectors) refuses
+        # v3 demanding a feature we can't honor (v2 checkpoints) refuses
         self._set_protocol(
             path,
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
             },
         )
-        with pytest.raises(NotImplementedError, match="deletionVectors"):
+        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
             read_delta(spark, path)
         # v3 whose features are all covered reads fine (round 7)
         self._set_protocol(
@@ -218,9 +218,7 @@ class TestDeltaGates:
         with pytest.raises(NotImplementedError, match="reader version"):
             read_delta(spark, path)
 
-    def test_deletion_vector_add_gate(self, spark, tmp_path):
-        # even on a permitted protocol, an add action CARRYING a deletion
-        # vector must refuse — decoding it would return deleted rows
+    def test_unknown_dv_storage_type_refused(self, spark, tmp_path):
         df = spark.range(3).select(F.col("id").alias("k"))
         path = str(tmp_path / "t")
         write_delta(df, path)
@@ -229,14 +227,104 @@ class TestDeltaGates:
         for a in actions:
             if a.get("add"):
                 a["add"]["deletionVector"] = {
-                    "storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+                    "storageType": "z", "pathOrInlineDv": "x", "offset": 1,
                     "sizeInBytes": 36, "cardinality": 1,
                 }
         with open(cpath, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
-        with pytest.raises(NotImplementedError, match="deletion vector"):
-            read_delta(spark, path)
+        with pytest.raises(NotImplementedError, match="storageType"):
+            read_delta(spark, path).collect()
+
+
+def _attach_dv(path, rel_path, dv):
+    """Re-commit an add for ``rel_path`` carrying ``dv`` (what a DV-writing
+    engine's DELETE emits: new add with the vector, remove of the old)."""
+    from rtcdb_spark.sources.delta_log import delta_versions
+
+    v = delta_versions(path)[-1] + 1
+    # find the original add to copy size/partitionValues
+    orig = None
+    for c in delta_versions(path):
+        with open(os.path.join(path, "_delta_log", f"{c:020d}.json")) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if a.get("add", {}).get("path") == rel_path:
+                    orig = a["add"]
+    assert orig is not None
+    with open(os.path.join(path, "_delta_log", f"{v:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"remove": {
+            "path": rel_path, "deletionTimestamp": 0, "dataChange": True}}) + "\n")
+        fh.write(json.dumps({"add": {**orig, "deletionVector": dv}}) + "\n")
+
+
+class TestDeletionVectorReads:
+    def test_uuid_dv_file_rows_removed(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        import uuid as _uuid
+
+        from rtcdb_spark.sources.deletion_vectors import (
+            write_dv_file,
+            z85_encode,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(100).select(F.col("id").alias("k")).coalesce(1), path
+        )
+        # find the single data file and which k values sit at row idx 3,7,9
+        rel = [
+            f for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ][0]
+        col = pq.read_table(os.path.join(path, rel)).column("k").to_pylist()
+        doomed_idx = [3, 7, 9]
+        doomed_k = {col[i] for i in doomed_idx}
+        u = _uuid.uuid4()
+        off, size = write_dv_file(
+            os.path.join(path, f"deletion_vector_{u}.bin"), doomed_idx
+        )
+        _attach_dv(path, rel, {
+            "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": off, "sizeInBytes": size, "cardinality": 3,
+        })
+        got = {r["k"] for r in read_delta(spark, path).collect()}
+        assert got == set(col) - doomed_k
+        assert read_delta(spark, path).count() == 97
+        # time travel BEFORE the DV still sees every row
+        assert read_delta(spark, path, version=0).count() == 100
+
+    def test_inline_dv_partitioned(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.deletion_vectors import (
+            encode_rbm_array_portable,
+            z85_encode,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, "a" if i < 6 else "b") for i in range(10)],
+            "k bigint, part string",
+        ).coalesce(1)
+        write_delta(df, path, partition_by=["part"])
+        rel = None
+        for root, _d, files in os.walk(os.path.join(path, "part=a")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, f), path)
+        col = pq.read_table(os.path.join(path, rel)).column("k").to_pylist()
+        data = encode_rbm_array_portable([0, 2])
+        padded = data + b"\x00" * (-len(data) % 4)
+        _attach_dv(path, rel.replace(os.sep, "/"), {
+            "storageType": "i", "pathOrInlineDv": z85_encode(padded),
+            "sizeInBytes": len(data), "cardinality": 2,
+        })
+        got = sorted(r["k"] for r in read_delta(spark, path).collect())
+        survivors_a = [v for i, v in enumerate(col) if i not in (0, 2)]
+        assert got == sorted(survivors_a + list(range(6, 10)))
+        # partition column still re-attached on the DV'd scan
+        assert {r["part"] for r in read_delta(spark, path).collect()} == {"a", "b"}
 
     def test_checkpointed_history_gate(self, spark, tmp_path):
         df = spark.range(3).select(F.col("id").alias("k"))
