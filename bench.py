@@ -123,9 +123,11 @@ HEADLINE = [
     "multimodal_apng_animate",
     "text_winnow_fingerprints",
     "versioned_timestamp_travel",
-    # round 7: Delta column-mapping read, and the trained PQ/IVF ANN pair
-    # (now oracle-gated via pinned sf0.01 codebooks/centroids)
+    # round 7: Delta column-mapping read, deletion-vector read, and the
+    # trained PQ/IVF ANN pair (now oracle-gated via pinned sf0.01
+    # codebooks/centroids)
     "source_delta_column_mapping",
+    "source_delta_deletion_vectors",
     "similarity_pq_topk",
     "similarity_ivf_trained_topk",
 ]
