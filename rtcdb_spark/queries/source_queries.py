@@ -1004,3 +1004,75 @@ def source_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "source_delta_optimize_vacuum",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("source", "delta", "interchange", "optimize", "vacuum"),
+)
+def source_delta_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta maintenance end-to-end (round 7, `delta_log.optimize_delta`
+    / `vacuum_delta`): orders lands as a many-file Delta table across two
+    commits, OPTIMIZE rewrites the live set into 2 files as a
+    dataChange=false commit, and VACUUM(0) physically reclaims every
+    tombstoned pre-optimize file. The query asserts in-flight that the
+    live file count shrank, that vacuum deleted exactly the superseded
+    files, and that a second vacuum is a no-op — then aggregates the
+    post-maintenance table, so any row lost or duplicated by the
+    rewrite+reclaim cycle breaks the hash against the pristine fixture."""
+    import os
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        _snapshot_state,
+        append_delta,
+        optimize_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_opt_")
+    import shutil
+
+    shutil.rmtree(path)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0).repartition(6), path)
+    append_delta(o.filter(F.col("o_orderkey") % 2 == 1).repartition(4), path)
+    _, adds_before, _ = _snapshot_state(path)
+    optimize_delta(spark, path, target_files=2)
+    _, adds_after, _ = _snapshot_state(path)
+    assert len(adds_after) < len(adds_before), "optimize did not compact"
+    deleted = vacuum_delta(path, retain_ms=0)
+    assert len(deleted) == len(adds_before), "vacuum missed tombstoned files"
+    assert vacuum_delta(path, retain_ms=0) == [], "vacuum not idempotent"
+    live_on_disk = [
+        f
+        for root, dirs, files in os.walk(path)
+        if "_delta_log" not in root
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    assert len(live_on_disk) == len(adds_after)
+    t = read_delta(spark, path)
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -867,3 +867,93 @@ def versioned_to_delta(vt, dest: str, version: int | None = None) -> int:
         )
     _write_commit(dest, 0, [_PROTOCOL, _meta_action(df, [])] + adds)
     return 0
+
+
+def optimize_delta(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE compaction as a Delta commit: read the current snapshot
+    (deletion vectors APPLIED — compaction is how DV'd deletes get
+    physically materialized, exactly like Delta's own OPTIMIZE), rewrite
+    it as ``target_files`` files via the staged writer, and commit
+    remove+add actions with ``dataChange = false`` so downstream
+    streaming readers know no logical rows changed. Prior versions stay
+    time-travelable until vacuum. Returns the new version.
+
+    Scale: the rewrite is one distributed job over the live data; the
+    commit is O(live files) metadata. Production engines compact in
+    partition-scoped bins — the same plan here is one `optimize_delta`
+    per partition predicate, noted not hidden."""
+    v, state = _next_version(path)
+    meta = state["meta"]
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in ("none", ""):
+        raise NotImplementedError(
+            "OPTIMIZE on a column-mapped table needs physical-name writes"
+        )
+    pcols = meta.get("partitionColumns", []) or []
+    df = read_delta(spark, path).coalesce(max(1, target_files))
+    removes = [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": int(time.time() * 1000),
+                "dataChange": False,
+            }
+        }
+        for p in sorted(state["adds"])
+    ]
+    new = _stage_new_files(df, path, pcols)
+    for a in new:
+        a["add"]["dataChange"] = False
+    _write_commit(path, v, removes + new)
+    return v
+
+
+def vacuum_delta(path: str, retain_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+    """Physically delete data files no longer referenced by the CURRENT
+    snapshot, Delta's vacuum semantics: a file goes when it (a) is not a
+    live add, and (b) was tombstoned (or last modified, for untracked
+    stragglers) more than ``retain_ms`` ago. Deletion-vector files
+    referenced by live adds are protected; unreferenced ones age out the
+    same way. Time travel to versions whose files were vacuumed is gone —
+    the same contract as Delta's ``VACUUM``. Returns the deleted paths."""
+    meta, adds, state = _snapshot_state(path)
+    now = int(time.time() * 1000)
+    cutoff = now - retain_ms
+    live: set[str] = set()
+    live_dvs: set[str] = set()
+    for p, a in adds.items():
+        live.add(os.path.abspath(_resolve(path, p)))
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            import uuid as _uuid
+
+            from rtcdb_spark.sources.deletion_vectors import z85_decode
+
+            enc = dv["pathOrInlineDv"]
+            prefix, z = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=z85_decode(z))
+            base = os.path.join(path, prefix) if prefix else path
+            live_dvs.add(os.path.abspath(os.path.join(base, f"deletion_vector_{u}.bin")))
+    tomb_ts = {
+        os.path.abspath(_resolve(path, p)): r.get("deletionTimestamp") or 0
+        for p, r in state["removes"].items()
+    }
+    deleted = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != _LOG and not d.startswith(".stage-")]
+        for f in files:
+            full = os.path.abspath(os.path.join(root, f))
+            is_data = f.endswith(".parquet")
+            is_dv = f.startswith("deletion_vector_") and f.endswith(".bin")
+            if not (is_data or is_dv):
+                continue
+            if full in live or full in live_dvs:
+                continue
+            ts = tomb_ts.get(full, int(os.path.getmtime(full) * 1000))
+            if ts <= cutoff:
+                os.remove(full)
+                deleted.append(full)
+    return deleted

@@ -578,3 +578,89 @@ class TestMultiPartCheckpoints:
         # an incomplete part set must not silently read a partial table
         with pytest.raises(ValueError, match="incomplete"):
             read_delta(spark, path)
+
+
+class TestOptimizeVacuum:
+    def test_optimize_compacts_content_identical(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import optimize_delta
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(100).select(F.col("id").alias("k")).repartition(8),
+            path,
+        )
+        append_delta(
+            spark.range(100, 120).select(F.col("id").alias("k")).repartition(4),
+            path,
+        )
+        before = _rows(read_delta(spark, path))
+        v = optimize_delta(spark, path, target_files=1)
+        assert v == 2
+        assert _rows(read_delta(spark, path)) == before
+        # live file count is now 1; old versions still time-travelable
+        cpath = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        actions = [json.loads(x) for x in open(cpath).read().splitlines()]
+        adds = [a["add"] for a in actions if a.get("add")]
+        removes = [a["remove"] for a in actions if a.get("remove")]
+        assert len(adds) == 1 and len(removes) >= 8
+        assert all(a["dataChange"] is False for a in adds)
+        assert all(r["dataChange"] is False for r in removes)
+        assert read_delta(spark, path, version=0).count() == 100
+
+    def test_optimize_materializes_deletion_vectors(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        import uuid as _uuid
+
+        from rtcdb_spark.sources.delta_log import optimize_delta
+        from rtcdb_spark.sources.deletion_vectors import (
+            write_dv_file,
+            z85_encode,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(10).select(F.col("id").alias("k")).coalesce(1), path
+        )
+        rel = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+        col = pq.read_table(os.path.join(path, rel)).column("k").to_pylist()
+        u = _uuid.uuid4()
+        off, size = write_dv_file(
+            os.path.join(path, f"deletion_vector_{u}.bin"), [0, 1]
+        )
+        _attach_dv(path, rel, {
+            "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": off, "sizeInBytes": size, "cardinality": 2,
+        })
+        survivors = set(col) - {col[0], col[1]}
+        v = optimize_delta(spark, path)
+        got = {r["k"] for r in read_delta(spark, path).collect()}
+        assert got == survivors
+        # the compacted add carries NO deletion vector: deletes materialized
+        cpath = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        adds = [json.loads(x)["add"] for x in open(cpath) if '"add"' in x]
+        assert all(not a.get("deletionVector") for a in adds)
+
+    def test_vacuum_removes_tombstoned_files_protects_live(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import optimize_delta, vacuum_delta
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(50).select(F.col("id").alias("k")).repartition(5),
+            path,
+        )
+        before_files = {
+            f for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        }
+        optimize_delta(spark, path)
+        want = _rows(read_delta(spark, path))
+        # retention 0: everything tombstoned is reclaimable immediately
+        deleted = vacuum_delta(path, retain_ms=0)
+        assert {os.path.basename(p) for p in deleted} == before_files
+        assert _rows(read_delta(spark, path)) == want
+        # a second vacuum is a no-op; live files survived
+        assert vacuum_delta(path, retain_ms=0) == []
+        # default retention protects fresh tombstones
+        path2 = str(tmp_path / "t2")
+        write_delta(spark.range(5).select(F.col("id").alias("k")), path2)
+        optimize_delta(spark, path2)
+        assert vacuum_delta(path2) == []  # 7-day default: nothing old enough
