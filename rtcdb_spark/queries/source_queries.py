@@ -1076,3 +1076,61 @@ def source_delta_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "source_delta_changes",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey % 3 = 1
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("source", "delta", "interchange", "incremental", "changes"),
+)
+def source_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append-feed reads over a Delta log (round 7,
+    `delta_log.delta_changes` — the Delta twin of
+    `VersionedTable.changes`): orders lands in three append commits
+    (keys %3 = 0, 1, 2) with an OPTIMIZE compaction interleaved between
+    the second and third; `delta_changes(1, 1)` must return EXACTLY the
+    second commit's rows — reading only the data files that commit added
+    with dataChange=true, skipping the maintenance commit's
+    dataChange=false rewrite, and NOT re-reading the compacted files
+    (which now contain all three slices merged). The aggregate runs over
+    the change slice, so any leakage from neighboring commits or from
+    the compaction breaks the hash against the %3=1 fixture filter."""
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        delta_changes,
+        optimize_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_ch_")
+    import shutil
+
+    shutil.rmtree(path)
+    write_delta(o.filter(F.col("o_orderkey") % 3 == 0), path)
+    append_delta(o.filter(F.col("o_orderkey") % 3 == 1), path)
+    optimize_delta(spark, path)  # maintenance noise the feed must skip
+    append_delta(o.filter(F.col("o_orderkey") % 3 == 2), path)
+    ch = delta_changes(spark, path, 1, 1)
+    return (
+        ch.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )

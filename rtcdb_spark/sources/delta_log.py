@@ -957,3 +957,88 @@ def vacuum_delta(path: str, retain_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
                 os.remove(full)
                 deleted.append(full)
     return deleted
+
+
+def delta_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows ADDED by commits ``from_version..to_version`` (inclusive) —
+    incremental append-feed reads without Change Data Feed files, the
+    Delta twin of ``VersionedTable.changes``: scan exactly the data files
+    those commits added with ``dataChange = true``.
+
+    Sound only across append-shaped commits: a commit that REMOVES data
+    with ``dataChange = true`` (overwrite, DELETE, a DV being attached)
+    is not representable as added-rows and raises; pure-maintenance
+    commits (OPTIMIZE's dataChange=false remove+add) are skipped
+    entirely, exactly like our versioned table's change feed refusing to
+    cross a compaction unless it is maintenance-only. The metaData schema
+    in force at the END of the range plans the scan."""
+    versions = delta_versions(path)
+    head = versions[-1] if versions else -1
+    until = head if to_version is None else to_version
+    if from_version < 0 or until > head or from_version > until:
+        raise ValueError(
+            f"bad change range {from_version}..{until} (commits up to {head})"
+        )
+    meta, _adds, _state = _snapshot_state(path, until)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in ("none", ""):
+        raise NotImplementedError("change reads on column-mapped tables")
+    pcols = meta.get("partitionColumns", []) or []
+    new_adds: dict[str, dict] = {}
+    for v in range(from_version, until + 1):
+        if v not in set(versions):
+            raise NotImplementedError(
+                f"commit {v:020d}.json is missing (history cleaned); "
+                "incremental reads need the JSON commits in range"
+            )
+        with open(_commit_path(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if action.get("remove") is not None:
+                    if action["remove"].get("dataChange", True):
+                        raise ValueError(
+                            f"commit {v} removes data (overwrite/delete); "
+                            "the range is not an append feed"
+                        )
+                elif action.get("add") is not None:
+                    a = action["add"]
+                    if a.get("deletionVector"):
+                        raise ValueError(
+                            f"commit {v} attaches a deletion vector; "
+                            "the range is not an append feed"
+                        )
+                    if a.get("dataChange", True):
+                        a = dict(a)
+                        a["partitionValues"] = _demap(a.get("partitionValues")) or {}
+                        new_adds[a["path"]] = a
+    if not new_adds:
+        return spark.createDataFrame([], schema)
+    from pyspark.sql import functions as F
+
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for p, a in new_adds.items():
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append((p, a))
+    by_name = {f.name: f.dataType for f in schema.fields}
+    parts = []
+    for key, group in sorted(
+        groups.items(),
+        key=lambda kv: [(k, v is None, v or "") for k, v in kv[0]],
+    ):
+        df = _scan_adds(spark, data_schema, path, group)
+        for col in pcols:
+            v = dict(key).get(col)
+            lit = F.lit(None) if v is None else F.lit(v)
+            df = df.withColumn(col, lit.cast(by_name[col]))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    return reduce(lambda a, b: a.unionByName(b), parts)

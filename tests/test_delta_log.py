@@ -664,3 +664,48 @@ class TestOptimizeVacuum:
         write_delta(spark.range(5).select(F.col("id").alias("k")), path2)
         optimize_delta(spark, path2)
         assert vacuum_delta(path2) == []  # 7-day default: nothing old enough
+
+
+class TestDeltaChanges:
+    def test_append_feed_changes(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_changes, optimize_delta
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(0, 10).select(F.col("id").alias("k")), path)
+        append_delta(spark.range(10, 25).select(F.col("id").alias("k")), path)
+        append_delta(spark.range(25, 30).select(F.col("id").alias("k")), path)
+        got = _rows(delta_changes(spark, path, 1, 2))
+        assert got == [(i,) for i in range(10, 30)]
+        # maintenance commits are skipped, not refused
+        optimize_delta(spark, path)
+        append_delta(spark.range(30, 32).select(F.col("id").alias("k")), path)
+        assert _rows(delta_changes(spark, path, 3)) == [(30,), (31,)]
+        # empty range on a maintenance-only slice
+        assert delta_changes(spark, path, 3, 3).count() == 0
+
+    def test_overwrite_in_range_refused(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_changes
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(5).select(F.col("id").alias("k")), path)
+        overwrite_delta(spark.range(9).select(F.col("id").alias("k")), path)
+        with pytest.raises(ValueError, match="not an append feed"):
+            delta_changes(spark, path, 0, 1)
+        # ...but a range that stops before it is fine
+        assert delta_changes(spark, path, 0, 0).count() == 5
+
+    def test_partitioned_changes_reattach(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_changes
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, part string"),
+            path,
+            partition_by=["part"],
+        )
+        append_delta(
+            spark.createDataFrame([(3, "a"), (4, "c")], "k bigint, part string"),
+            path,
+        )
+        got = _rows(delta_changes(spark, path, 1).select("k", "part"))
+        assert got == [(3, "a"), (4, "c")]
