@@ -990,3 +990,60 @@ def stream_ingest_dedup_versioned(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "stream_delta_sink",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "delta", "sink", "exactly-once"),
+)
+def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion into a DELTA table (round 7,
+    `streaming.sinks.stream_to_delta`): the events stream commits one
+    Delta version per micro-batch, each carrying the protocol's
+    ``txn(appId, version)`` idempotence mark in the same atomic commit
+    as the adds. The pipeline then REPLAYS from a FRESH checkpoint —
+    every batch re-delivered, batch ids restarting at 0 — and asserts
+    the table gained ZERO commits: the ledger lives in the Delta log
+    itself, so exactly-once survives losing the Spark checkpoint
+    entirely (the property Delta's txnAppId pattern exists for).
+    The aggregate runs over the sunk table, so a duplicated or dropped
+    batch breaks the hash against the fixture."""
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import delta_versions, read_delta
+    from rtcdb_spark.streaming import read_events_stream
+    from rtcdb_spark.streaming.sinks import stream_to_delta
+    from rtcdb_spark.queries.base import dsum
+
+    root = tempfile.mkdtemp(prefix="rtcdb_delta_sink_")
+    table = f"{root}/table"
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    stream_to_delta(
+        read_events_stream(spark, sf_dir).select(*cols),
+        table, f"{root}/cp1", app_id="w1",
+    )
+    before = delta_versions(table)
+    stream_to_delta(  # fresh checkpoint: full replay, must be a no-op
+        read_events_stream(spark, sf_dir).select(*cols),
+        table, f"{root}/cp2", app_id="w1",
+    )
+    assert delta_versions(table) == before, "replay added Delta commits"
+    t = read_delta(spark, table)
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value", alias="total_value"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -723,9 +723,14 @@ def _adds_for_dir(path: str, pcols: list[str]) -> list[dict]:
 
 
 def write_delta(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    extra_actions: list[dict] | None = None,
 ) -> int:
-    """Create a new Delta table at ``path`` from ``df``; returns version 0."""
+    """Create a new Delta table at ``path`` from ``df``; returns version 0.
+    ``extra_actions`` (e.g. a ``txn`` idempotence mark) join the same
+    atomic commit."""
     if delta_versions(path):
         raise ValueError(f"{path} already is a Delta table")
     pcols = partition_by or []
@@ -734,7 +739,11 @@ def write_delta(
         writer = writer.partitionBy(*pcols)
     writer.parquet(path)
     _write_commit(
-        path, 0, [_PROTOCOL, _meta_action(df, pcols)] + _adds_for_dir(path, pcols)
+        path,
+        0,
+        [_PROTOCOL, _meta_action(df, pcols)]
+        + _adds_for_dir(path, pcols)
+        + (extra_actions or []),
     )
     return 0
 
@@ -806,12 +815,18 @@ def _stage_new_files(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
     return adds
 
 
-def append_delta(df: DataFrame, path: str) -> int:
-    """Append ``df`` as a new commit; returns the new version."""
+def append_delta(
+    df: DataFrame, path: str, extra_actions: list[dict] | None = None
+) -> int:
+    """Append ``df`` as a new commit; returns the new version.
+    ``extra_actions`` (e.g. a ``txn`` idempotence mark) join the same
+    atomic commit."""
     v, state = _next_version(path)
     _check_write_schema(df, state["meta"])
     pcols = state["meta"].get("partitionColumns", []) or []
-    _write_commit(path, v, _stage_new_files(df, path, pcols))
+    _write_commit(
+        path, v, _stage_new_files(df, path, pcols) + (extra_actions or [])
+    )
     return v
 
 

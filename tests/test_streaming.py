@@ -820,3 +820,46 @@ def test_stream_dedup_update_dict_matches_reference():
         k: sorted(v) for k, v in want_seen.items() if v
     }
     assert max_id == n - 1
+
+
+def test_stream_to_delta_exactly_once(spark, sf_smoke, stream_dir, tmp_path):
+    """The Delta sink's txn ledger lives in the table's own log: a replay
+    from a FRESH checkpoint (worst case: every batch re-delivered with
+    batch ids restarting at 0) must add zero rows and zero commits."""
+    from rtcdb_spark.sources.delta_log import delta_versions, read_delta
+    from rtcdb_spark.streaming import read_events_stream
+    from rtcdb_spark.streaming.sinks import stream_to_delta
+
+    table = str(tmp_path / "delta")
+    sdf = read_events_stream(
+        spark, sf_smoke, max_files_per_trigger=1, path=stream_dir
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    stream_to_delta(sdf, table, str(tmp_path / "cp1"), app_id="w1")
+    want = spark.read.parquet(stream_dir)
+    got = read_delta(spark, table)
+    assert got.count() == want.count()
+    versions_before = delta_versions(table)
+    assert len(versions_before) == 3  # one commit per micro-batch
+    # txn marks are in the log with this writer's high-water version
+    import json as _json
+    import os as _os
+
+    txns = []
+    for v in versions_before:
+        with open(_os.path.join(table, "_delta_log", f"{v:020d}.json")) as fh:
+            txns += [_json.loads(x)["txn"] for x in fh if '"txn"' in x]
+    assert [t["appId"] for t in txns] == ["w1"] * 3
+    assert sorted(t["version"] for t in txns) == [0, 1, 2]
+    # fresh checkpoint: all batches replay; the table must not change
+    sdf2 = read_events_stream(
+        spark, sf_smoke, max_files_per_trigger=1, path=stream_dir
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    stream_to_delta(sdf2, table, str(tmp_path / "cp2"), app_id="w1")
+    assert delta_versions(table) == versions_before
+    assert read_delta(spark, table).count() == want.count()
+    # a DIFFERENT writer id is an independent ledger: its batches commit
+    sdf3 = read_events_stream(
+        spark, sf_smoke, max_files_per_trigger=1, path=stream_dir
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    stream_to_delta(sdf3, table, str(tmp_path / "cp3"), app_id="w2")
+    assert read_delta(spark, table).count() == 2 * want.count()
