@@ -163,8 +163,14 @@ _PRIORITY = [
     "agg_count_distinct", "agg_rollup",
     # C-IV joins (semi/anti + as-of residue)
     "join_semi", "join_asof_forward",
-    # timeseries resampling (family's driver-window rep)
-    "timeseries_resample_interp",
+    # (wave 18, round 7): the late-round Delta capability flagships take
+    # driver slots — source_delta_deletion_vectors (roaring DV decode +
+    # row-index anti-join), source_delta_optimize_vacuum (compaction +
+    # retention reclaim cycle), stream_delta_sink (exactly-once txn-action
+    # sink, fresh-checkpoint replay no-op asserted in-query). OUT (all
+    # r6-driver-green; their families keep prior-ledger green reps):
+    # timeseries_resample_interp, freq_heavy_hitters, reshape_unpivot.
+    "source_delta_deletion_vectors", "source_delta_optimize_vacuum",
     # (wave 14, round 5): sort_multi_key_limit -> versioned_zorder_skipping
     # (OPTIMIZE ... ZORDER BY: multi-dimensional clustering feeding the
     # manifest's stats pruning) and dedup_span_fraction ->
@@ -215,8 +221,8 @@ _PRIORITY = [
     "multimodal_apng_animate",
     # C-X UDFs (UDAF + UDTF + scalar residue)
     "udf_grouped_agg", "udf_udtf_tokenize", "udf_pandas_scalar",
-    # sketches / reshape / graph
-    "freq_heavy_hitters", "reshape_unpivot",
+    # streaming Delta sink (wave 18) + graph
+    "stream_delta_sink",
     "graph_pagerank",
     # round-4 capability flagships
     "versioned_merge_upsert", "stream_cdc_upsert", "matview_incremental_refresh",
