@@ -146,3 +146,53 @@ class TestDvFile:
             "cardinality": 1,
         }
         assert resolve_dv(str(tmp_path), dv) == {9}
+
+
+class TestRoaringProperties:
+    def test_roundtrip_random_sets(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(
+                    st.integers(min_value=0, max_value=200_000),
+                    # straddle container/key boundaries and the 32-bit line
+                    st.sampled_from(
+                        [0, 65535, 65536, 131071, (1 << 32) - 1, 1 << 32,
+                         (1 << 32) + 65536, (1 << 33) + 5]
+                    ),
+                ),
+                max_size=300,
+            )
+        )
+        def _prop(values):
+            blob = encode_rbm_array_portable(values)
+            assert decode_rbm_array_portable(blob) == set(values)
+
+        _prop()
+
+    def test_roundtrip_dense_runs(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            st.integers(min_value=0, max_value=60000),
+            st.integers(min_value=1, max_value=9000),
+        )
+        def _prop(start, length):
+            values = list(range(start, start + length))
+            blob = encode_rbm_array_portable(values)
+            assert decode_rbm_array_portable(blob) == set(values)
+
+        _prop()
+
+    def test_z85_roundtrip_random(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+        def _prop(data):
+            assert z85_decode(z85_encode(data)) == data
+
+        _prop()
