@@ -1184,8 +1184,11 @@ def decode_jpeg(payload: bytes):
     (H, W, ncomp) or (H, W) uint8 array. 1 or 3 components. Supported
     sampling: 4:4:4 (1x1) and 4:2:0 (2x2 luma) — in BOTH frame modes,
     including (round 6) progressive+4:2:0 — plus DRI/RSTm
-    restart-interval consumption. Still honestly gated: arithmetic
-    coding, hierarchical and extended-precision modes."""
+    restart-interval consumption. Round 7: SOF9 ARITHMETIC-coded
+    sequential frames decode too (QM coder + F.1.4.4 conditioning,
+    `functions/jpeg_arith.py`, DAC-marker conditioning honored;
+    libjpeg-interop-tested both directions). Still honestly gated:
+    progressive-arithmetic, hierarchical and extended-precision modes."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1195,6 +1198,9 @@ def decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     progressive = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_kx: dict[int, int] = {}
     dri = 0
     coeffs: list | None = None
     comp_ids: list[int] = []
@@ -1221,8 +1227,9 @@ def decode_jpeg(payload: bytes):
                 nat[np.array(_ZIGZAG)] = zz_tbl  # de-zigzag into natural order
                 quant[tq] = nat.reshape(8, 8)
                 p += 65
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):  # baseline / progressive / arith
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -1248,10 +1255,20 @@ def decode_jpeg(payload: bytes):
                 np.zeros((grid_h[i] * grid_w[i], 64), dtype=np.int64)
                 for i in range(nc)
             ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode (arithmetic/hierarchical/extended)"
+                "unsupported JPEG mode (progressive-arithmetic/"
+                "hierarchical/extended)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (seg[p + 1] & 0x0F, seg[p + 1] >> 4)
+                else:
+                    ac_kx[tb] = seg[p + 1]
+                p += 2
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -1279,6 +1296,31 @@ def decode_jpeg(payload: bytes):
             s_ss, s_se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             s_ah, s_al = ahal >> 4, ahal & 0x0F
+            if arith:
+                from rtcdb_spark.functions.jpeg_arith import (
+                    DEFAULT_AC_KX,
+                    DEFAULT_DC_L,
+                    DEFAULT_DC_U,
+                    decode_scan_arith,
+                )
+
+                dc_nos = [seg[2 + 2 * i] >> 4 for i in range(ns)]
+                ac_nos = [seg[2 + 2 * i] & 0x0F for i in range(ns)]
+                cond = {
+                    t: dc_cond.get(t, (DEFAULT_DC_L, DEFAULT_DC_U))
+                    for t in dc_nos
+                }
+                kx = {t: ac_kx.get(t, DEFAULT_AC_KX) for t in ac_nos}
+                end = decode_scan_arith(
+                    payload, pos + seglen, coeffs, scan_idx,
+                    dc_nos, ac_nos, cond, kx, dri=dri,
+                    samp=[samps[ci] for ci in scan_idx],
+                    mcu_dims=(mcuy, mcux),
+                    grid_w=[grid_w[ci] for ci in scan_idx],
+                )
+                saw_scan = True
+                pos = _next_marker(payload, end)
+                continue
             reader = _BitReader(payload, pos + seglen)
             if not progressive:
                 _decode_scan_baseline(

@@ -1,0 +1,632 @@
+"""JPEG arithmetic entropy coding (T.81 Annexes D, E, F) — round 7.
+
+Closes the repo's longest-standing media gate: SOF9 (extended sequential,
+arithmetic coding) now DECODES and ENCODES. The QM-coder probability
+state machine is the published Table D.3 (`jpeg_aritab.py`, re-extracted
+from the system libjpeg and asserted identical by tests), the decision
+procedures are the spec's flowcharts (D.1 encoder, F.2.4.2 decoder
+with the conditional MPS/LPS exchange), and the statistical models are
+F.1.4.4.1: per-DC-table 64-bin contexts conditioned on the previous
+diff's classification against the (L, U) bounds from the DAC marker,
+per-AC-table 256-bin contexts keyed by coefficient index with the Kx
+threshold splitting the low/high magnitude trees, and the fixed
+non-adapting state for AC signs.
+
+Interop is tested against the REAL thing, both directions
+(tests/test_jpeg_arith.py): files produced by libjpeg(-turbo)'s
+arithmetic encoder decode here bit-exactly at the coefficient level
+(compared against `jpeg_read_coefficients` via a small C harness
+compiled at test time), and files produced here decode bit-exactly in
+libjpeg — so encoder and decoder are each checked against an
+independent implementation, not just against each other.
+
+Statistics bins are bytearrays where each byte is (MPS << 7) | state
+index — the same compact representation libjpeg uses, which the packed
+QE table rows are designed for.
+
+Honestly still gated: progressive-arithmetic (SOF10) and hierarchical/
+lossless arithmetic modes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from rtcdb_spark.functions.jpeg_aritab import QE_TABLE
+
+_FIXED = 113  # non-adapting 0.5-probability state (AC sign decisions)
+
+# DC conditioning defaults (T.81 F.1.4.4.1.2); overridden by DAC markers
+DEFAULT_DC_L = 0
+DEFAULT_DC_U = 1
+DEFAULT_AC_KX = 5
+
+DC_STAT_BINS = 64
+AC_STAT_BINS = 256
+
+
+class ArithDecoder:
+    """QM decoder over a JPEG entropy-coded segment (F.2.4.2): feeds
+    bytes from ``payload`` starting at ``pos``, treating any marker as
+    end-of-data (zeros are supplied past it, per F.2.2.5)."""
+
+    def __init__(self, payload: bytes, pos: int) -> None:
+        self.payload = payload
+        self.pos = pos
+        self.marker: int | None = None
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # forces the initial two-byte load
+
+    def _byte_in(self) -> int:
+        if self.marker is not None:
+            return 0
+        p, data = self.payload, self.pos
+        if data >= len(p):
+            self.marker = 0xD9
+            return 0
+        b = p[data]
+        if b != 0xFF:
+            self.pos = data + 1
+            return b
+        # 0xFF: stuffed zero keeps the data byte; a marker ends the data
+        q = data + 1
+        while q < len(p) and p[q] == 0xFF:
+            q += 1
+        if q < len(p) and p[q] == 0x00:
+            self.pos = q + 1
+            return 0xFF
+        self.marker = p[q] if q < len(p) else 0xD9
+        self.pos = q - 1  # leave reader before the marker's 0xFF
+        return 0
+
+    def decode(self, st: bytearray, i: int) -> int:
+        # renormalize & load (F.2.2.5)
+        while self.a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = ((self.c << 8) | self._byte_in()) & 0xFFFFFFFF
+                self.ct += 8
+                if self.ct < 0:
+                    self.ct += 1
+                    if self.ct == 0:
+                        self.a = 0x8000  # two init bytes in: A=0x10000 after <<
+            self.a <<= 1
+        sv = st[i]
+        qe, nmps, nlps, sw = QE_TABLE[sv & 0x7F]
+        self.a -= qe
+        temp = self.a << self.ct
+        if self.c >= temp:
+            self.c -= temp
+            # LPS interval chosen (value side), maybe conditional exchange
+            if self.a < qe:
+                self.a = qe
+                st[i] = (sv & 0x80) | nmps  # actually took the MPS path
+                return sv >> 7
+            self.a = qe
+            mps = sv >> 7
+            if sw:
+                mps ^= 1
+            st[i] = (mps << 7) | nlps
+            return (sv >> 7) ^ 1
+        if self.a < 0x8000:
+            # renorm needed: MPS side, maybe conditional exchange
+            if self.a < qe:
+                mps = sv >> 7
+                if sw:
+                    mps ^= 1
+                st[i] = (mps << 7) | nlps
+                return (sv >> 7) ^ 1
+            st[i] = (sv & 0x80) | nmps
+            return sv >> 7
+        return sv >> 7  # fast path: no renorm, no estimation update
+
+
+class ArithEncoder:
+    """QM encoder (D.1) with the standard byte pipeline: the pending
+    sequence is [0x00 x zc][buffer][0xFF x sc]; a carry flips the
+    stacked 0xFFs to zeros and increments the buffer; delayed zeros are
+    dropped at flush when trailing (all spec-legal — the decoder feeds
+    zeros past the data)."""
+
+    def __init__(self) -> None:
+        self.c = 0
+        self.a = 0x10000
+        self.ct = 11
+        self.buffer = -1
+        self.sc = 0
+        self.zc = 0
+        self.out = bytearray()
+
+    def _emit(self, b: int) -> None:
+        self.out.append(b)
+
+    def _emit_pending_zeros(self) -> None:
+        while self.zc:
+            self._emit(0x00)
+            self.zc -= 1
+
+    def _byteout(self) -> None:
+        temp = self.c >> 19
+        if temp > 0xFF:
+            # carry: ripples through the stacked 0xFFs into the buffer
+            if self.buffer >= 0:
+                self._emit_pending_zeros()
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc  # flipped 0xFF -> 0x00, now delayable
+            self.sc = 0
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1  # can still be altered by a future carry
+        else:
+            # finalize: zeros, buffer, stacked FFs (stuffed), then buffer
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._emit_pending_zeros()
+                self._emit(self.buffer)
+            if self.sc:
+                self._emit_pending_zeros()
+                while self.sc:
+                    self._emit(0xFF)
+                    self._emit(0x00)
+                    self.sc -= 1
+            self.buffer = temp
+        self.c &= 0x7FFFF
+
+    def encode(self, st: bytearray, i: int, val: int) -> None:
+        sv = st[i]
+        qe, nmps, nlps, sw = QE_TABLE[sv & 0x7F]
+        self.a -= qe
+        if val != (sv >> 7):
+            # LPS path (conditional exchange if MPS interval shrank under Qe)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            mps = sv >> 7
+            if sw:
+                mps ^= 1
+            st[i] = (mps << 7) | nlps
+        else:
+            # MPS path
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) | nmps
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # D.1.8: choose the codestream point with the most trailing zeros
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        if temp < self.c:
+            self.c = temp + 0x8000
+        else:
+            self.c = temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            # final carry
+            if self.buffer >= 0:
+                self._emit_pending_zeros()
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._emit_pending_zeros()
+                self._emit(self.buffer)
+            if self.sc:
+                self._emit_pending_zeros()
+                while self.sc:
+                    self._emit(0xFF)
+                    self._emit(0x00)
+                    self.sc -= 1
+        # final code bytes, trailing zeros suppressed (decoder feeds zeros)
+        if self.c & 0x7FFF800:
+            self._emit_pending_zeros()
+            b = (self.c >> 19) & 0xFF
+            self._emit(b)
+            if b == 0xFF:
+                self._emit(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self._emit(b)
+                if b == 0xFF:
+                    self._emit(0x00)
+        return bytes(self.out)
+
+
+class _Stats:
+    """Per-scan statistics areas + per-component predictors, reset on
+    restart markers (E.2.4)."""
+
+    def __init__(self, ncomp: int) -> None:
+        self.dc = {}
+        self.ac = {}
+        self.fixed = bytearray([_FIXED])  # never adapts (index 113)
+        self.last_dc = [0] * ncomp
+        self.dc_ctx = [0] * ncomp
+
+    def dc_bin(self, tbl: int) -> bytearray:
+        if tbl not in self.dc:
+            self.dc[tbl] = bytearray(DC_STAT_BINS)
+        return self.dc[tbl]
+
+    def ac_bin(self, tbl: int) -> bytearray:
+        if tbl not in self.ac:
+            self.ac[tbl] = bytearray(AC_STAT_BINS)
+        return self.ac[tbl]
+
+
+def _classify_dc(m: int, sign: int, L: int, U: int) -> int:
+    """F.1.4.4.1.2: conditioning category of a decoded/encoded diff for
+    the NEXT block's context (0 zero/small, 4/8 small +/-, 12/16 big)."""
+    if m < ((1 << L) >> 1):
+        return 0
+    if m > ((1 << U) >> 1):
+        return 12 + sign * 4
+    return 4 + sign * 4
+
+
+def decode_dc_arith(dec: ArithDecoder, stats: _Stats, ci: int, tbl: int,
+                    cond: tuple[int, int]) -> int:
+    """One block's DC diff (F.1.4.4.1); updates predictor state."""
+    L, U = cond
+    st = stats.dc_bin(tbl)
+    s0 = stats.dc_ctx[ci]
+    if dec.decode(st, s0) == 0:
+        stats.dc_ctx[ci] = 0
+        return 0
+    sign = dec.decode(st, s0 + 1)
+    m = dec.decode(st, s0 + 2 + sign)
+    v = m
+    if m:
+        idx = 20  # X1..: shared magnitude-category tree
+        while dec.decode(st, idx):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("corrupt arithmetic DC magnitude")
+            idx += 1
+        v = m
+    stats.dc_ctx[ci] = _classify_dc(v, sign, L, U)
+    if v:
+        idx += 14  # M bits follow 14 bins after the category bin
+        m >>= 1
+        while m:
+            if dec.decode(st, idx):
+                v |= m
+            m >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def decode_ac_arith(dec: ArithDecoder, stats: _Stats, tbl: int, kx: int,
+                    block, se: int = 63) -> None:
+    """One block's AC coefficients into ``block`` — ZIGZAG-ordered
+    storage, the repo's coefficient-array convention (F.1.4.4.2)."""
+    st = stats.ac_bin(tbl)
+    k = 1
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB decision
+            return
+        while dec.decode(st, base + 1) == 0:  # coefficient-zero decision
+            k += 1
+            base += 3
+            if k > se:
+                raise ValueError("corrupt arithmetic AC run")
+        sign = dec.decode(stats.fixed, 0)
+        m = dec.decode(st, base + 2)
+        v = m
+        if m:
+            if dec.decode(st, base + 2):
+                m <<= 1
+                idx = 189 if k <= kx else 217
+                while dec.decode(st, idx):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt arithmetic AC magnitude")
+                    idx += 1
+                v = m
+                idx += 14
+            else:
+                idx = base + 2 + 14
+        if v:
+            m >>= 1
+            while m:
+                if dec.decode(st, idx):
+                    v |= m
+                m >>= 1
+        v += 1
+        block[k] = -v if sign else v
+        k += 1
+
+
+def encode_dc_arith(enc: ArithEncoder, stats: _Stats, ci: int, tbl: int,
+                    cond: tuple[int, int], diff: int) -> None:
+    L, U = cond
+    st = stats.dc_bin(tbl)
+    s0 = stats.dc_ctx[ci]
+    if diff == 0:
+        enc.encode(st, s0, 0)
+        stats.dc_ctx[ci] = 0
+        return
+    enc.encode(st, s0, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, s0 + 1, sign)
+    v = -diff if sign else diff
+    v -= 1
+    if v == 0:
+        enc.encode(st, s0 + 2 + sign, 0)
+        idx = s0 + 2 + sign
+        mcat = 0
+    else:
+        enc.encode(st, s0 + 2 + sign, 1)
+        idx = 20
+        mcat = 1
+        while v >= (mcat << 1):
+            enc.encode(st, idx, 1)
+            mcat <<= 1
+            idx += 1
+        enc.encode(st, idx, 0)
+    # conditioning classifies by the CATEGORY power, like the decoder
+    stats.dc_ctx[ci] = _classify_dc(mcat, sign, L, U)
+    if v:
+        idx += 14
+        m = mcat >> 1
+        while m:
+            enc.encode(st, idx, 1 if v & m else 0)
+            m >>= 1
+
+
+def encode_ac_arith(enc: ArithEncoder, stats: _Stats, tbl: int, kx: int,
+                    coefs_zz, se: int = 63) -> None:
+    """``coefs_zz``: the block's 64 coefficients in ZIGZAG order."""
+    st = stats.ac_bin(tbl)
+    ke = se
+    while ke >= 1 and coefs_zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB
+        while coefs_zz[k] == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base += 3
+        enc.encode(st, base + 1, 1)
+        val = int(coefs_zz[k])
+        sign = 1 if val < 0 else 0
+        enc.encode(stats.fixed, 0, sign)
+        v = -val if sign else val
+        v -= 1
+        if v == 0:
+            enc.encode(st, base + 2, 0)
+            idx = base + 2 + 14
+        else:
+            enc.encode(st, base + 2, 1)
+            if v == 1:
+                enc.encode(st, base + 2, 0)
+                idx = base + 2 + 14
+            else:
+                enc.encode(st, base + 2, 1)
+                idx = 189 if k <= kx else 217
+                m = 2
+                while v >= (m << 1):
+                    enc.encode(st, idx, 1)
+                    m <<= 1
+                    idx += 1
+                enc.encode(st, idx, 0)
+                idx += 14
+        if v:
+            m = 1
+            while (m << 1) <= v:
+                m <<= 1
+            m >>= 1
+            while m:
+                enc.encode(st, idx, 1 if v & m else 0)
+                m >>= 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _find_restart(payload: bytes, pos: int) -> int:
+    """Position just past the next RSTm marker at/after ``pos``."""
+    while pos < len(payload) - 1:
+        if payload[pos] == 0xFF and 0xD0 <= payload[pos + 1] <= 0xD7:
+            return pos + 2
+        pos += 1
+    raise ValueError("expected restart marker in arithmetic scan")
+
+
+def decode_scan_arith(
+    payload: bytes,
+    pos: int,
+    coeffs,
+    scan_idx,
+    dc_tbl_nos,
+    ac_tbl_nos,
+    dc_cond,
+    ac_kx,
+    dri=0,
+    samp=None,
+    mcu_dims=None,
+    grid_w=None,
+) -> int:
+    """Sequential arithmetic scan (SOF9): DC diff + full AC band per
+    block in MCU order, mirroring `_decode_scan_baseline`'s geometry.
+    Restart markers re-initialize the coder, the statistics areas, the
+    DC predictors, AND the conditioning contexts (E.2.4). Returns the
+    position where marker scanning should resume."""
+    n_comp = len(scan_idx)
+    if samp is None:
+        samp = [(1, 1)] * n_comp
+        mcu_dims = (coeffs[scan_idx[0]].shape[0], 1)
+        grid_w = [1] * n_comp
+    n_mcux = mcu_dims[1]
+    n_mcus = mcu_dims[0] * mcu_dims[1]
+    ncomp_total = len(coeffs)
+    dec = ArithDecoder(payload, pos)
+    stats = _Stats(ncomp_total)
+    pred = [0] * n_comp
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:
+            dec = ArithDecoder(payload, _find_restart(payload, dec.pos))
+            stats = _Stats(ncomp_total)
+            pred = [0] * n_comp
+        r, c = divmod(m, n_mcux)
+        for si, ci in enumerate(scan_idx):
+            hi, vi = samp[si]
+            for v in range(vi):
+                for u in range(hi):
+                    bidx = (r * vi + v) * grid_w[si] + (c * hi + u)
+                    blk = coeffs[ci][bidx]
+                    diff = decode_dc_arith(
+                        dec, stats, si, dc_tbl_nos[si], dc_cond[dc_tbl_nos[si]]
+                    )
+                    pred[si] += diff
+                    blk[0] = pred[si]
+                    decode_ac_arith(
+                        dec, stats, ac_tbl_nos[si], ac_kx[ac_tbl_nos[si]], blk
+                    )
+    return dec.pos
+
+
+def encode_scan_arith(
+    comp_blocks,
+    scan_idx,
+    dc_tbl_nos,
+    ac_tbl_nos,
+    dc_cond,
+    ac_kx,
+    dri=0,
+    samp=None,
+    mcu_dims=None,
+    grid_w=None,
+) -> bytes:
+    """Entropy-coded segment for a sequential arithmetic scan, with RSTm
+    markers (coder flushed + everything reset) every ``dri`` MCUs.
+    ``comp_blocks[ci]`` is the component's (n_blocks, 64) ZIGZAG-ordered
+    coefficient array."""
+    n_comp = len(scan_idx)
+    if samp is None:
+        samp = [(1, 1)] * n_comp
+        mcu_dims = (len(comp_blocks[scan_idx[0]]), 1)
+        grid_w = [1] * n_comp
+    n_mcux = mcu_dims[1]
+    n_mcus = mcu_dims[0] * mcu_dims[1]
+    out = bytearray()
+    enc = ArithEncoder()
+    stats = _Stats(len(comp_blocks))
+    pred = [0] * n_comp
+    rst = 0
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            enc = ArithEncoder()
+            stats = _Stats(len(comp_blocks))
+            pred = [0] * n_comp
+        r, c = divmod(m, n_mcux)
+        for si, ci in enumerate(scan_idx):
+            hi, vi = samp[si]
+            for v in range(vi):
+                for u in range(hi):
+                    bidx = (r * vi + v) * grid_w[si] + (c * hi + u)
+                    blk = comp_blocks[ci][bidx]
+                    dc = int(blk[0])
+                    encode_dc_arith(
+                        enc, stats, si, dc_tbl_nos[si],
+                        dc_cond[dc_tbl_nos[si]], dc - pred[si],
+                    )
+                    pred[si] = dc
+                    encode_ac_arith(
+                        enc, stats, ac_tbl_nos[si], ac_kx[ac_tbl_nos[si]], blk
+                    )
+    out += enc.flush()
+    return bytes(out)
+
+
+def dac_segment(dc_cond: dict, ac_kx: dict) -> bytes:
+    """DAC marker segment: one (class<<4 | id, value) pair per
+    conditioning table (B.2.4.3)."""
+    body = bytearray()
+    for tbl, (L, U) in sorted(dc_cond.items()):
+        body += bytes([tbl, (U << 4) | L])
+    for tbl, kx in sorted(ac_kx.items()):
+        body += bytes([0x10 | tbl, kx])
+    return bytes([0xFF, 0xCC]) + struct.pack(">H", len(body) + 2) + bytes(body)
+
+
+def encode_jpeg_arith(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
+    """Encode an (H, W, 3) RGB or (H, W) grayscale uint8 array as an
+    ARITHMETIC-coded sequential JFIF (SOF9 + DAC): the exact coefficients
+    of `encode_jpeg` (shared `_compute_coefficients` front half) under the
+    QM entropy coder — so the arithmetic and huffman serializations of
+    the same image decode bit-identically, and libjpeg decodes this
+    file's coefficients bit-exactly (interop-tested). Typically ~5-10%
+    smaller than the huffman form, which is arithmetic coding's pitch."""
+    from rtcdb_spark.functions.jpeg import (
+        _ZIGZAG,
+        _compute_coefficients,
+    )
+
+    import numpy as np
+
+    gray, h, w, quants, plane_tbl, comp_coeffs = _compute_coefficients(
+        pixels, quality
+    )
+    ncomp = 1 if gray else 3
+    comp_tbl = [0] if gray else [0, 1, 1]
+    cond = {t: (DEFAULT_DC_L, DEFAULT_DC_U) for t in set(comp_tbl)}
+    kx = {t: DEFAULT_AC_KX for t in set(comp_tbl)}
+
+    zz = np.array(_ZIGZAG, dtype=np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tid, q in enumerate(quants):
+        qz = q.reshape(-1)[zz]
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in qz
+        )
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, plane_tbl[ci])
+    out += dac_segment(cond, kx)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BB", ci + 1, comp_tbl[ci] * 0x11)
+    out += b"\x00\x3f\x00"
+    out += encode_scan_arith(
+        comp_coeffs,
+        list(range(ncomp)),
+        comp_tbl,
+        comp_tbl,
+        cond,
+        kx,
+        dri=restart_interval,
+    )
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1752,3 +1752,77 @@ def _png_from_pixels(px) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(stream)))
         + chunk(b"IEND", b"")
     )
+
+
+JPEG_ARITH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("uses_sof9_dac", BooleanType()),
+        StructField("arith_equals_huffman", BooleanType()),
+        StructField("arith_smaller", BooleanType()),
+    ]
+)
+
+
+def synth_and_jpeg_arithmetic(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Round-7 ARITHMETIC-coded JPEG end-to-end (closes the oldest media
+    gate; `functions/jpeg_arith.py`, libjpeg-interop-tested in unit
+    tests): per row, encode the synthetic image as huffman baseline AND
+    as SOF9 arithmetic (QM coder, F.1.4.4 conditioning, DAC marker,
+    restart markers on every third doc), decode both, and emit whether
+    the pixel decodes are BIT-IDENTICAL — they must be, since both
+    serializations carry the same quantized coefficients through a
+    different entropy layer. `arith_smaller` pins arithmetic coding's
+    raison d'etre on every gradient-content doc (gray docs use random
+    noise where the advantage still holds at these sizes)."""
+    import numpy as np
+
+    from rtcdb_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        synth_pixels,
+    )
+    from rtcdb_spark.functions.jpeg_arith import encode_jpeg_arith
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in JPEG_ARITH_SCHEMA.fields}
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                w, h = 9 + i % 31, 9 + i % 23
+                quality = 75 + (i % 5) * 5
+                gray = i % 4 == 0
+                rst = 3 if i % 3 == 0 else 0
+                px = synth_pixels(w, h, i, gray=gray)
+                arith = encode_jpeg_arith(px, quality=quality, restart_interval=rst)
+                huff = encode_jpeg(px, quality=quality)
+                aw, ah, an, apx = decode_jpeg(arith)
+                hw, hh, hn, hpx = decode_jpeg(huff)
+                equal = (aw, ah, an) == (hw, hh, hn) and np.array_equal(apx, hpx)
+                out["doc_id"].append(i)
+                out["width"].append(aw)
+                out["height"].append(ah)
+                out["n_blocks"].append(((w + 7) // 8) * ((h + 7) // 8))
+                out["uses_sof9_dac"].append(
+                    b"\xff\xc9" in arith and b"\xff\xcc" in arith
+                    and b"\xff\xc4" not in arith
+                )
+                out["arith_equals_huffman"].append(bool(equal))
+                out["arith_smaller"].append(len(arith) < len(huff))
+            yield pd.DataFrame(
+                {
+                    k: pd.array(
+                        v,
+                        dtype="boolean"
+                        if k in ("uses_sof9_dac", "arith_equals_huffman",
+                                 "arith_smaller")
+                        else "Int64",
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return _fan_out(df, id_col).mapInPandas(process, JPEG_ARITH_SCHEMA)

@@ -688,3 +688,41 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return synth_resize_roundtrip(d).orderBy("doc_id")
+
+
+@query(
+    "multimodal_jpeg_arithmetic",
+    """
+    SELECT doc_id,
+           CAST(9 + doc_id % 31 AS BIGINT) AS width,
+           CAST(9 + doc_id % 23 AS BIGINT) AS height,
+           CAST(((9 + doc_id % 31 + 7) // 8)
+                * ((9 + doc_id % 23 + 7) // 8) AS BIGINT) AS n_blocks,
+           TRUE AS uses_sof9_dac,
+           TRUE AS arith_equals_huffman,
+           TRUE AS arith_smaller
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "jpeg", "arithmetic"),
+)
+def multimodal_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded JPEG end-to-end (round 7 — closes the repo's
+    oldest media gate): every document is encoded as huffman baseline AND
+    as SOF9 arithmetic (the QM coder of T.81 Annex D with the published
+    Table D.3 state machine, F.1.4.4 DC/AC conditioning models, DAC
+    markers, restart markers on every third doc), both streams fully
+    decoded, and the query emits whether the decodes are BIT-IDENTICAL —
+    they must be, since both carry the same quantized coefficients. The
+    oracle pins dims, block counts, the marker discipline (SOF9 + DAC
+    present, NO DHT), the equality flag, and `arith_smaller` — the
+    compression win that is arithmetic coding's reason to exist — TRUE
+    for every doc. The unit suite additionally proves INTEROP against the
+    real libjpeg in both directions (coefficient-exact decode of our
+    files; our decode of its files), so this row's pass can't be a
+    self-consistent-but-wrong codec. Scale shape: map-only after the
+    fan-out exchange, like every codec kernel."""
+    from rtcdb_spark.functions.multimodal import synth_and_jpeg_arithmetic
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_and_jpeg_arithmetic(d).orderBy("doc_id")

@@ -76,14 +76,15 @@ def test_rejects_non_jpeg_and_truncation():
         decode_jpeg(payload[: len(payload) // 3])  # truncated mid-markers
 
 
-def test_rejects_arithmetic_marker():
-    """A SOF9 (arithmetic-coded) frame header is an honest
-    NotImplementedError, not a wrong answer. (SOF2 progressive is
-    SUPPORTED as of round 5 — see TestProgressive.)"""
+def test_rejects_progressive_arithmetic_marker():
+    """SOF9 sequential-arithmetic is SUPPORTED as of round 7
+    (tests/test_jpeg_arith.py, libjpeg-interop-tested); SOF10
+    progressive-arithmetic remains an honest NotImplementedError,
+    not a wrong answer."""
     payload = bytearray(make_jpeg(8, 8, 2, gray=True))
     idx = payload.find(b"\xff\xc0")
     assert idx > 0
-    payload[idx + 1] = 0xC9  # SOF0 -> SOF9
+    payload[idx + 1] = 0xCA  # SOF0 -> SOF10
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
 
