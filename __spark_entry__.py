@@ -215,9 +215,10 @@ _PRIORITY = [
     "dedup_star_connectivity_groups", "curation_shuffle_shards",
     # C-IX similarity / ANN (trained PQ + IVF newly oracle-gated)
     "similarity_ivf_topk", "similarity_pq_topk", "similarity_ivf_trained_topk",
-    # C-IX multimodal (progressive+4:2:0 and APNG animation are new
-    # round-6 capability; png_layouts rotated out r5-green)
-    "multimodal_jpeg_decode", "multimodal_jpeg_progressive_420",
+    # C-IX multimodal (wave 18b: ARITHMETIC JPEG — the round-7 media
+    # flagship, libjpeg-interop-tested — takes multimodal_jpeg_decode's
+    # slot, which is r6-driver-green; the family keeps three reps)
+    "multimodal_jpeg_arithmetic", "multimodal_jpeg_progressive_420",
     "multimodal_apng_animate",
     # C-X UDFs (UDAF + UDTF + scalar residue)
     "udf_grouped_agg", "udf_udtf_tokenize", "udf_pandas_scalar",

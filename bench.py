@@ -130,6 +130,10 @@ HEADLINE = [
     "source_delta_deletion_vectors",
     "similarity_pq_topk",
     "similarity_ivf_trained_topk",
+    # round 7, wave 2: arithmetic-coded JPEG (SOF9 QM coder, libjpeg-
+    # interop-tested) and the exactly-once Delta streaming sink
+    "multimodal_jpeg_arithmetic",
+    "stream_delta_sink",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
