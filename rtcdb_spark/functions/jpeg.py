@@ -1227,9 +1227,9 @@ def decode_jpeg(payload: bytes):
                 nat[np.array(_ZIGZAG)] = zz_tbl  # de-zigzag into natural order
                 quant[tq] = nat.reshape(8, 8)
                 p += 65
-        elif marker in (0xC0, 0xC2, 0xC9):  # baseline / progressive / arith
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):  # sequential/progressive x huffman/arith
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -1255,10 +1255,9 @@ def decode_jpeg(payload: bytes):
                 np.zeros((grid_h[i] * grid_w[i], 64), dtype=np.int64)
                 for i in range(nc)
             ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode (progressive-arithmetic/"
-                "hierarchical/extended)"
+                "unsupported JPEG mode (hierarchical/extended/lossless)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             p = 0
@@ -1297,27 +1296,68 @@ def decode_jpeg(payload: bytes):
             ahal = seg[3 + 2 * ns]
             s_ah, s_al = ahal >> 4, ahal & 0x0F
             if arith:
-                from rtcdb_spark.functions.jpeg_arith import (
-                    DEFAULT_AC_KX,
-                    DEFAULT_DC_L,
-                    DEFAULT_DC_U,
-                    decode_scan_arith,
-                )
+                from rtcdb_spark.functions import jpeg_arith as JA
 
                 dc_nos = [seg[2 + 2 * i] >> 4 for i in range(ns)]
                 ac_nos = [seg[2 + 2 * i] & 0x0F for i in range(ns)]
                 cond = {
-                    t: dc_cond.get(t, (DEFAULT_DC_L, DEFAULT_DC_U))
+                    t: dc_cond.get(t, (JA.DEFAULT_DC_L, JA.DEFAULT_DC_U))
                     for t in dc_nos
                 }
-                kx = {t: ac_kx.get(t, DEFAULT_AC_KX) for t in ac_nos}
-                end = decode_scan_arith(
-                    payload, pos + seglen, coeffs, scan_idx,
-                    dc_nos, ac_nos, cond, kx, dri=dri,
+                kx = {t: ac_kx.get(t, JA.DEFAULT_AC_KX) for t in ac_nos}
+                geo = dict(
+                    dri=dri,
                     samp=[samps[ci] for ci in scan_idx],
                     mcu_dims=(mcuy, mcux),
                     grid_w=[grid_w[ci] for ci in scan_idx],
                 )
+                if not progressive:
+                    end = JA.decode_scan_arith(
+                        payload, pos + seglen, coeffs, scan_idx,
+                        dc_nos, ac_nos, cond, kx, **geo,
+                    )
+                elif s_ss == 0 and s_se == 0:
+                    if s_ah == 0:
+                        end = JA.decode_scan_arith_dc_first(
+                            payload, pos + seglen, coeffs, scan_idx,
+                            dc_nos, cond, s_al, **geo,
+                        )
+                    else:
+                        end = JA.decode_scan_arith_dc_refine(
+                            payload, pos + seglen, coeffs, scan_idx,
+                            s_al, **geo,
+                        )
+                else:
+                    if ns != 1:
+                        raise ValueError(
+                            "progressive AC scan must be single-component"
+                        )
+                    ci = scan_idx[0]
+                    # non-interleaved AC scans cover the TRUE block grid,
+                    # skipping MCU-padding blocks (T.81 A.2.2; same view
+                    # logic as the huffman progressive path below)
+                    hi, vi = samps[ci]
+                    cw_true = (((w * hi + hmax - 1) // hmax) + 7) // 8
+                    ch_true = (((h * vi + vmax - 1) // vmax) + 7) // 8
+                    gw = grid_w[ci]
+                    if cw_true == gw and ch_true == grid_h[ci]:
+                        ablocks = coeffs[ci]
+                    else:
+                        ablocks = [
+                            coeffs[ci][r * gw + c]
+                            for r in range(ch_true)
+                            for c in range(cw_true)
+                        ]
+                    if s_ah == 0:
+                        end = JA.decode_scan_arith_ac_first(
+                            payload, pos + seglen, ablocks, ac_nos[0],
+                            kx[ac_nos[0]], s_ss, s_se, s_al, dri=dri,
+                        )
+                    else:
+                        end = JA.decode_scan_arith_ac_refine(
+                            payload, pos + seglen, ablocks, ac_nos[0],
+                            s_ss, s_se, s_al, dri=dri,
+                        )
                 saw_scan = True
                 pos = _next_marker(payload, end)
                 continue

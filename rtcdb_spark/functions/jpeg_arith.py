@@ -630,3 +630,338 @@ def encode_jpeg_arith(pixels, quality: int = 90, restart_interval: int = 0) -> b
     )
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- progressive arithmetic (SOF10), T.81 Annex G with Annex-F models ---
+
+def decode_scan_arith_dc_first(
+    payload, pos, coeffs, scan_idx, dc_tbl_nos, dc_cond, al,
+    dri=0, samp=None, mcu_dims=None, grid_w=None,
+) -> int:
+    """Progressive DC-first scan: the sequential DC diff model with the
+    successive-approximation point transform — block[0] carries the
+    accumulated predictor shifted left by Al (G.1.3.1)."""
+    n_comp = len(scan_idx)
+    if samp is None:
+        samp = [(1, 1)] * n_comp
+        mcu_dims = (coeffs[scan_idx[0]].shape[0], 1)
+        grid_w = [1] * n_comp
+    n_mcux = mcu_dims[1]
+    n_mcus = mcu_dims[0] * mcu_dims[1]
+    dec = ArithDecoder(payload, pos)
+    stats = _Stats(len(coeffs))
+    pred = [0] * n_comp
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:
+            dec = ArithDecoder(payload, _find_restart(payload, dec.pos))
+            stats = _Stats(len(coeffs))
+            pred = [0] * n_comp
+        r, c = divmod(m, n_mcux)
+        for si, ci in enumerate(scan_idx):
+            hi, vi = samp[si]
+            for v in range(vi):
+                for u in range(hi):
+                    bidx = (r * vi + v) * grid_w[si] + (c * hi + u)
+                    diff = decode_dc_arith(
+                        dec, stats, si, dc_tbl_nos[si], dc_cond[dc_tbl_nos[si]]
+                    )
+                    pred[si] += diff
+                    coeffs[ci][bidx][0] = pred[si] << al
+    return dec.pos
+
+
+def decode_scan_arith_dc_refine(
+    payload, pos, coeffs, scan_idx, al,
+    dri=0, samp=None, mcu_dims=None, grid_w=None,
+) -> int:
+    """Progressive DC refinement: one fixed-probability bit per block
+    ORed into bit Al (G.1.3.1 — no conditioning, by spec)."""
+    n_comp = len(scan_idx)
+    if samp is None:
+        samp = [(1, 1)] * n_comp
+        mcu_dims = (coeffs[scan_idx[0]].shape[0], 1)
+        grid_w = [1] * n_comp
+    n_mcux = mcu_dims[1]
+    n_mcus = mcu_dims[0] * mcu_dims[1]
+    dec = ArithDecoder(payload, pos)
+    fixed = bytearray([_FIXED])
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:
+            dec = ArithDecoder(payload, _find_restart(payload, dec.pos))
+            fixed = bytearray([_FIXED])
+        r, c = divmod(m, n_mcux)
+        for si, ci in enumerate(scan_idx):
+            hi, vi = samp[si]
+            for v in range(vi):
+                for u in range(hi):
+                    bidx = (r * vi + v) * grid_w[si] + (c * hi + u)
+                    if dec.decode(fixed, 0):
+                        coeffs[ci][bidx][0] |= 1 << al
+    return dec.pos
+
+
+def decode_scan_arith_ac_first(
+    payload, pos, blocks, tbl, kx, ss, se, al, dri=0
+) -> int:
+    """Progressive AC-first scan (single component, TRUE block grid,
+    zigzag storage): the sequential AC model restricted to band
+    [Ss, Se], magnitudes shifted left by Al (G.1.3.2)."""
+    dec = ArithDecoder(payload, pos)
+    stats = _Stats(1)
+    st = stats.ac_bin(tbl)
+    for bi, blk in enumerate(blocks):
+        if dri and bi and bi % dri == 0:
+            dec = ArithDecoder(payload, _find_restart(payload, dec.pos))
+            stats = _Stats(1)
+            st = stats.ac_bin(tbl)
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if dec.decode(st, base):
+                break
+            while dec.decode(st, base + 1) == 0:
+                k += 1
+                base += 3
+                if k > se:
+                    raise ValueError("corrupt arithmetic AC run")
+            sign = dec.decode(stats.fixed, 0)
+            m = dec.decode(st, base + 2)
+            v = m
+            if m:
+                if dec.decode(st, base + 2):
+                    m <<= 1
+                    idx = 189 if k <= kx else 217
+                    while dec.decode(st, idx):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError("corrupt arithmetic AC magnitude")
+                        idx += 1
+                    v = m
+                    idx += 14
+                else:
+                    idx = base + 2 + 14
+            if v:
+                m >>= 1
+                while m:
+                    if dec.decode(st, idx):
+                        v |= m
+                    m >>= 1
+            v += 1
+            blk[k] = (-v if sign else v) << al
+            k += 1
+    return dec.pos
+
+
+def decode_scan_arith_ac_refine(
+    payload, pos, blocks, tbl, ss, se, al, dri=0
+) -> int:
+    """Progressive AC refinement (G.1.3.3): per coefficient — a
+    correction bit for previously-nonzero coefficients (context SC at
+    base+2), a newly-nonzero decision (base+1) whose sign uses the fixed
+    bin, and an EOB decision (base) only beyond EOBx, the index of the
+    last coefficient already nonzero from prior scans."""
+    dec = ArithDecoder(payload, pos)
+    stats = _Stats(1)
+    st = stats.ac_bin(tbl)
+    p1 = 1 << al
+    m1 = -(1 << al)
+    for bi, blk in enumerate(blocks):
+        if dri and bi and bi % dri == 0:
+            dec = ArithDecoder(payload, _find_restart(payload, dec.pos))
+            stats = _Stats(1)
+            st = stats.ac_bin(tbl)
+        kex = se
+        while kex >= 1 and blk[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex and dec.decode(st, base):
+                break  # EOB
+            while True:
+                cur = int(blk[k])
+                if cur:
+                    if dec.decode(st, base + 2):
+                        blk[k] = cur + (m1 if cur < 0 else p1)
+                    break
+                if dec.decode(st, base + 1):
+                    blk[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                    break
+                base += 3
+                k += 1
+                if k > se:
+                    raise ValueError("corrupt arithmetic AC refinement")
+            k += 1
+    return dec.pos
+
+
+def _encode_ac_first_band(enc, stats, tbl, kx, blk, ss, se, al):
+    """One block's AC-first band: the sequential AC model over [Ss, Se]
+    with the G.1.2.2 point transform (truncate magnitude by Al)."""
+    st = stats.ac_bin(tbl)
+    ke = se
+    while ke >= ss and (abs(int(blk[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)
+        while (abs(int(blk[k])) >> al) == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base += 3
+        enc.encode(st, base + 1, 1)
+        raw = int(blk[k])
+        t = abs(raw) >> al
+        enc.encode(stats.fixed, 0, 1 if raw < 0 else 0)
+        v = t - 1
+        if v == 0:
+            enc.encode(st, base + 2, 0)
+            idx = base + 2 + 14
+        else:
+            enc.encode(st, base + 2, 1)
+            if v == 1:
+                enc.encode(st, base + 2, 0)
+                idx = base + 2 + 14
+            else:
+                enc.encode(st, base + 2, 1)
+                idx = 189 if k <= kx else 217
+                m = 2
+                while v >= (m << 1):
+                    enc.encode(st, idx, 1)
+                    m <<= 1
+                    idx += 1
+                enc.encode(st, idx, 0)
+                idx += 14
+        if v:
+            m = 1
+            while (m << 1) <= v:
+                m <<= 1
+            m >>= 1
+            while m:
+                enc.encode(st, idx, 1 if v & m else 0)
+                m >>= 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)
+
+
+def _encode_ac_refine_band(enc, stats, tbl, blk, ss, se, ah, al):
+    """One block's AC refinement (mirror of `decode_scan_arith_ac_refine`'s
+    per-block logic; validity proven by libjpeg decoding the result)."""
+    st = stats.ac_bin(tbl)
+    kex = se
+    while kex >= ss and (abs(int(blk[kex])) >> ah) == 0:
+        kex -= 1
+    ke = se
+    while ke >= ss and (abs(int(blk[ke])) >> al) == 0:
+        ke -= 1
+    bound = max(kex, ke)
+    k = ss
+    while k <= bound:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)  # not EOB yet
+        while True:
+            raw = int(blk[k])
+            if (abs(raw) >> ah) != 0:  # previously nonzero: correction bit
+                enc.encode(st, base + 2, (abs(raw) >> al) & 1)
+                break
+            if (abs(raw) >> al) != 0:  # newly nonzero (magnitude 1)
+                enc.encode(st, base + 1, 1)
+                enc.encode(stats.fixed, 0, 1 if raw < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB (k > kex by construction)
+
+
+def encode_jpeg_progressive_arith(pixels, quality: int = 90) -> bytes:
+    """PROGRESSIVE + ARITHMETIC JPEG (SOF10): the huffman progressive
+    serializer's exact scan script (DC first Al=1 interleaved; AC first
+    1..63 Al=1 per component; DC refinement; AC refinement per component)
+    under the QM coder — same quantized coefficients as every other
+    serialization of the image, so decodes stay bit-comparable. Each scan
+    gets a fresh coder and statistics (T.81 G.1.1). 4:4:4 sampling, like
+    `encode_jpeg_progressive`."""
+    import numpy as np
+
+    from rtcdb_spark.functions.jpeg import (
+        _ZIGZAG,
+        _compute_coefficients,
+        _sos_header,
+    )
+
+    gray, h, w, quants, plane_tbl, comp_coeffs = _compute_coefficients(
+        pixels, quality
+    )
+    ncomp = 1 if gray else 3
+    comp_tbl = [0] if gray else [0, 1, 1]
+    cond = {t: (DEFAULT_DC_L, DEFAULT_DC_U) for t in set(comp_tbl)}
+    kx = {t: DEFAULT_AC_KX for t in set(comp_tbl)}
+    n_blocks = comp_coeffs[0].shape[0]
+
+    zz = np.array(_ZIGZAG, dtype=np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tid, q in enumerate(quants):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in q.reshape(-1)[zz]
+        )
+    out += b"\xff\xca" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, plane_tbl[ci])
+    out += dac_segment(cond, kx)
+
+    al = 1
+    # scan 1: DC first, interleaved, Al=1
+    out += _sos_header(
+        [(ci + 1, comp_tbl[ci] << 4) for ci in range(ncomp)], 0, 0, 0, al
+    )
+    enc = ArithEncoder()
+    stats = _Stats(ncomp)
+    pred = [0] * ncomp
+    for b in range(n_blocks):
+        for ci in range(ncomp):
+            v = int(comp_coeffs[ci][b][0]) >> al  # arithmetic shift (G.1.2.1)
+            encode_dc_arith(
+                enc, stats, ci, comp_tbl[ci], cond[comp_tbl[ci]], v - pred[ci]
+            )
+            pred[ci] = v
+    out += enc.flush()
+    # scan 2: AC first per component, band 1..63, Al=1
+    for ci in range(ncomp):
+        out += _sos_header([(ci + 1, comp_tbl[ci])], 1, 63, 0, al)
+        enc = ArithEncoder()
+        stats = _Stats(1)
+        for blk in comp_coeffs[ci]:
+            _encode_ac_first_band(
+                enc, stats, comp_tbl[ci], kx[comp_tbl[ci]], blk, 1, 63, al
+            )
+        out += enc.flush()
+    # scan 3: DC refinement, interleaved, Ah=1 Al=0
+    out += _sos_header(
+        [(ci + 1, comp_tbl[ci] << 4) for ci in range(ncomp)], 0, 0, 1, 0
+    )
+    enc = ArithEncoder()
+    fixed = bytearray([_FIXED])
+    for b in range(n_blocks):
+        for ci in range(ncomp):
+            enc.encode(fixed, 0, int(comp_coeffs[ci][b][0]) & 1)
+    out += enc.flush()
+    # scan 4: AC refinement per component, Ah=1 Al=0
+    for ci in range(ncomp):
+        out += _sos_header([(ci + 1, comp_tbl[ci])], 1, 63, 1, 0)
+        enc = ArithEncoder()
+        stats = _Stats(1)
+        for blk in comp_coeffs[ci]:
+            _encode_ac_refine_band(enc, stats, comp_tbl[ci], blk, 1, 63, 1, 0)
+        out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -76,17 +76,18 @@ def test_rejects_non_jpeg_and_truncation():
         decode_jpeg(payload[: len(payload) // 3])  # truncated mid-markers
 
 
-def test_rejects_progressive_arithmetic_marker():
-    """SOF9 sequential-arithmetic is SUPPORTED as of round 7
-    (tests/test_jpeg_arith.py, libjpeg-interop-tested); SOF10
-    progressive-arithmetic remains an honest NotImplementedError,
-    not a wrong answer."""
-    payload = bytearray(make_jpeg(8, 8, 2, gray=True))
-    idx = payload.find(b"\xff\xc0")
-    assert idx > 0
-    payload[idx + 1] = 0xCA  # SOF0 -> SOF10
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(payload))
+def test_rejects_lossless_hierarchical_markers():
+    """SOF9 sequential-arithmetic AND SOF10 progressive-arithmetic are
+    SUPPORTED as of round 7 (tests/test_jpeg_arith.py,
+    libjpeg-interop-tested); lossless/hierarchical modes remain honest
+    NotImplementedErrors, not wrong answers."""
+    for sof in (0xC3, 0xCB, 0xC5, 0xCE):
+        payload = bytearray(make_jpeg(8, 8, 2, gray=True))
+        idx = payload.find(b"\xff\xc0")
+        assert idx > 0
+        payload[idx + 1] = sof
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))
 
 
 class TestProgressive:

@@ -35,7 +35,8 @@ static int do_encode(int argc, char **argv) {
   const char *rawp = argv[2];
   int w = atoi(argv[3]), h = atoi(argv[4]), nc = atoi(argv[5]);
   int q = atoi(argv[6]), arith = atoi(argv[7]), rst = atoi(argv[8]);
-  const char *outp = argv[9];
+  int prog = atoi(argv[9]);
+  const char *outp = argv[10];
   FILE *fr = fopen(rawp, "rb");
   FILE *fo = fopen(outp, "wb");
   if (!fr || !fo) return 2;
@@ -53,6 +54,7 @@ static int do_encode(int argc, char **argv) {
   jpeg_set_quality(&c, q, TRUE);
   c.arith_code = arith ? TRUE : FALSE;
   c.restart_interval = rst;
+  if (prog) jpeg_simple_progression(&c);
   jpeg_start_compress(&c, TRUE);
   while (c.next_scanline < c.image_height) {
     JSAMPROW row = buf + (size_t)c.next_scanline * w * nc;
@@ -94,7 +96,7 @@ static int do_coef(int argc, char **argv) {
   return 0;
 }
 int main(int argc, char **argv) {
-  if (argc >= 10 && argv[1][0] == 'e') return do_encode(argc, argv);
+  if (argc >= 11 && argv[1][0] == 'e') return do_encode(argc, argv);
   if (argc >= 3 && argv[1][0] == 'c') return do_coef(argc, argv);
   return 1;
 }
@@ -130,7 +132,7 @@ def _lib_encode(exe, img, q=85, arith=1, rst=0):
     open(raw, "wb").write(np.ascontiguousarray(img).tobytes())
     subprocess.run(
         [exe, "encode", raw, str(w), str(h), str(nc), str(q), str(arith),
-         str(rst), out],
+         str(rst), "0", out],
         check=True,
     )
     return open(out, "rb").read()
@@ -255,3 +257,58 @@ class TestLibjpegInterop:
         # the coefficient-level assert lives in the encoder-side test.
         assert pa.shape == (24, 24)
         assert lib.shape[1] == 64
+
+
+class TestProgressiveArithmetic:
+    def test_roundtrip_equals_baseline(self):
+        from rtcdb_spark.functions.jpeg_arith import encode_jpeg_progressive_arith
+
+        for shape, seed, q in [((16, 16), 2, 85), ((24, 40, 3), 3, 80),
+                               ((9, 13), 4, 92), ((33, 17, 3), 5, 70)]:
+            img = _img(shape, seed)
+            pa = encode_jpeg_progressive_arith(img, quality=q)
+            assert b"\xff\xca" in pa and pa.count(b"\xff\xda") in (4, 8)
+            d1 = decode_jpeg(pa)
+            d2 = decode_jpeg(encode_jpeg(img, quality=q))
+            assert d1[:3] == d2[:3]
+            assert np.array_equal(d1[3], d2[3]), (shape, q)
+
+    @needs_libjpeg
+    def test_libjpeg_decodes_our_progressive_arith(self):
+        from rtcdb_spark.functions.jpeg import _ZIGZAG, _compute_coefficients
+        from rtcdb_spark.functions.jpeg_arith import encode_jpeg_progressive_arith
+
+        zz = np.array(_ZIGZAG)
+        for shape, seed, q in [((16, 16), 6, 85), ((24, 40, 3), 7, 80)]:
+            img = _img(shape, seed)
+            data = encode_jpeg_progressive_arith(img, quality=q)
+            lib = _lib_coefs(_HARNESS, data)
+            _g, _h, _w, _q, _t, cc = _compute_coefficients(img, q)
+            for ci in range(len(cc)):
+                nat = np.zeros_like(cc[ci])
+                nat[:, zz] = cc[ci]
+                assert np.array_equal(nat, lib[ci]), (shape, q, ci)
+
+    @needs_libjpeg
+    def test_we_decode_libjpeg_progressive_arith(self):
+        # libjpeg's own scan script, incl. 4:2:0 color defaults
+        for shape, seed, q in [((16, 16), 2, 85), ((40, 56, 3), 4, 85),
+                               ((23, 31, 3), 5, 75)]:
+            img = _img(shape, seed)
+            pa = _lib_encode_prog(_HARNESS, img, q=q)
+            huff = _lib_encode(_HARNESS, img, q=q, arith=0, rst=0)
+            assert b"\xff\xca" in pa  # really SOF10
+            assert np.array_equal(decode_jpeg(pa)[3], decode_jpeg(huff)[3])
+
+
+def _lib_encode_prog(exe, img, q=85):
+    d = os.path.dirname(exe)
+    raw, out = os.path.join(d, "raw.bin"), os.path.join(d, "outp.jpg")
+    h, w = img.shape[:2]
+    nc = 1 if img.ndim == 2 else img.shape[2]
+    open(raw, "wb").write(np.ascontiguousarray(img).tobytes())
+    subprocess.run(
+        [exe, "encode", raw, str(w), str(h), str(nc), str(q), "1", "0", "1", out],
+        check=True,
+    )
+    return open(out, "rb").read()
