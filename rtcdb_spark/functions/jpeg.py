@@ -1238,10 +1238,21 @@ def decode_jpeg(payload: bytes):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, tq, samp >> 4, samp & 0x0F))
             samps = [(hi, vi) for _cid, _tq, hi, vi in comps]
-            if samps not in ([(1, 1)] * nc, [(2, 2), (1, 1), (1, 1)]):
+            # Any layout where every component's factors divide the max
+            # factors decodes with integer pixel-replication upsampling
+            # (round 7: generalized from the 4:4:4/4:2:0 allowlist —
+            # 4:2:2, 4:4:0, 4:1:1 etc. now decode; libjpeg-interop
+            # tested). Non-divisor ratios would need fractional
+            # upsampling and stay gated.
+            _hmax = max(hi for hi, _ in samps)
+            _vmax = max(vi for _, vi in samps)
+            if any(
+                hi < 1 or vi < 1 or _hmax % hi or _vmax % vi
+                for hi, vi in samps
+            ):
                 raise NotImplementedError(
-                    f"unsupported sampling layout {samps}: only 4:4:4 and "
-                    "4:2:0 (2x2 luma) are implemented"
+                    f"unsupported sampling layout {samps}: component "
+                    "factors must divide the frame's max factors"
                 )
             frame = (h, w, comps)
             comp_ids = [cid for cid, _tq, _hi, _vi in comps]

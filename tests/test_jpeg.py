@@ -379,7 +379,10 @@ class TestChromaSubsampling:
             encode_jpeg_420(np.zeros((8, 8), dtype=np.uint8))  # not RGB
         p = bytearray(encode_jpeg_420(synth_pixels(16, 16, 2), quality=90))
         i = p.find(b"\xff\xc0")
-        p[i + 2 + 8 + 1] = 0x21  # 2x1 sampling: valid JPEG, not implemented
+        # round 7 generalized the gate to "factors must divide the max":
+        # a 3x1 chroma under 2x2 luma (3 does not divide... hmax becomes
+        # 3, which luma's 2 does not divide) is still honestly rejected
+        p[i + 11 + 3 * 1] = 0x31  # comp 1 sampling -> 3x1
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(p))
 

@@ -312,3 +312,103 @@ def _lib_encode_prog(exe, img, q=85):
         check=True,
     )
     return open(out, "rb").read()
+
+
+def _lib_encode_samp(exe_dir, img, h1, v1, q=85, arith=0, prog=0):
+    """libjpeg encode with custom luma sampling factors (component 0)."""
+    src = os.path.join(exe_dir, "samp.c")
+    exe = os.path.join(exe_dir, "samp")
+    if not os.path.exists(exe):
+        open(src, "w").write(_SAMP_SRC)
+        r = subprocess.run(
+            ["gcc", "-O2", "-o", exe, src, "-ljpeg"], capture_output=True
+        )
+        if r.returncode != 0:
+            pytest.skip("samp harness build failed")
+    raw, out = os.path.join(exe_dir, "raw.bin"), os.path.join(exe_dir, "s.jpg")
+    h, w = img.shape[:2]
+    nc = 1 if img.ndim == 2 else img.shape[2]
+    open(raw, "wb").write(np.ascontiguousarray(img).tobytes())
+    subprocess.run(
+        [exe, raw, str(w), str(h), str(nc), str(q), str(arith), str(prog),
+         str(h1), str(v1), out],
+        check=True,
+    )
+    return open(out, "rb").read()
+
+
+_SAMP_SRC = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <jpeglib.h>
+int main(int argc, char **argv) {
+  const char *rawp = argv[1];
+  int w = atoi(argv[2]), h = atoi(argv[3]), nc = atoi(argv[4]);
+  int q = atoi(argv[5]), arith = atoi(argv[6]), prog = atoi(argv[7]);
+  int h1 = atoi(argv[8]), v1 = atoi(argv[9]);
+  FILE *fr = fopen(rawp, "rb");
+  FILE *fo = fopen(argv[10], "wb");
+  unsigned char *buf = malloc((size_t)w * h * nc);
+  if (fread(buf, 1, (size_t)w * h * nc, fr) != (size_t)w * h * nc) return 2;
+  struct jpeg_compress_struct c;
+  struct jpeg_error_mgr err;
+  c.err = jpeg_std_error(&err);
+  jpeg_create_compress(&c);
+  jpeg_stdio_dest(&c, fo);
+  c.image_width = w; c.image_height = h;
+  c.input_components = nc;
+  c.in_color_space = nc == 3 ? JCS_RGB : JCS_GRAYSCALE;
+  jpeg_set_defaults(&c);
+  jpeg_set_quality(&c, q, TRUE);
+  c.arith_code = arith ? TRUE : FALSE;
+  if (prog) jpeg_simple_progression(&c);
+  c.comp_info[0].h_samp_factor = h1;
+  c.comp_info[0].v_samp_factor = v1;
+  jpeg_start_compress(&c, TRUE);
+  while (c.next_scanline < c.image_height) {
+    JSAMPROW row = buf + (size_t)c.next_scanline * w * nc;
+    jpeg_write_scanlines(&c, &row, 1);
+  }
+  jpeg_finish_compress(&c);
+  jpeg_destroy_compress(&c);
+  return 0;
+}
+"""
+
+
+@needs_libjpeg
+class TestGeneralSampling:
+    """Round 7: the sampling gate generalized from the 4:4:4/4:2:0
+    allowlist to any divisor layout. For each layout, libjpeg encodes the
+    SAME image three ways (huffman sequential, arithmetic sequential,
+    progressive huffman) — identical coefficients through three different
+    entropy/scan machineries — and our decodes of all three must agree
+    BIT-EXACTLY, which pins the per-layout MCU geometry, the true-grid
+    AC-scan handling, and every entropy layer at once."""
+
+    @pytest.mark.parametrize("h1,v1", [(2, 1), (1, 2), (4, 1), (2, 2), (1, 1)])
+    def test_three_serializations_agree(self, h1, v1):
+        d = os.path.dirname(_HARNESS)
+        img = _img((24, 40, 3), 7)
+        base = decode_jpeg(_lib_encode_samp(d, img, h1, v1, arith=0, prog=0))
+        arith = decode_jpeg(_lib_encode_samp(d, img, h1, v1, arith=1, prog=0))
+        prog = decode_jpeg(_lib_encode_samp(d, img, h1, v1, arith=0, prog=1))
+        assert base[:3] == arith[:3] == prog[:3]
+        assert np.array_equal(base[3], arith[3])
+        assert np.array_equal(base[3], prog[3])
+
+    def test_non_divisor_layout_still_gated(self):
+        # a 3x1 luma with 2x1 chroma would need fractional upsampling
+        import struct as _s
+
+        d = os.path.dirname(_HARNESS)
+        img = _img((16, 24, 3), 8)
+        data = bytearray(_lib_encode_samp(d, img, 2, 1, arith=0, prog=0))
+        i = data.find(b"\xff\xc0")
+        assert i > 0
+        # comp c's sampling byte sits at i + 11 + 3*c (marker 2, len 2,
+        # prec 1, h 2, w 2, nc 1, then id/samp/tq triples). Set chroma 2
+        # to 3x1: hmax becomes 3 and luma's 2 does not divide it.
+        data[i + 11 + 3 * 2] = 0x31
+        with pytest.raises(NotImplementedError, match="sampling layout"):
+            decode_jpeg(bytes(data))
