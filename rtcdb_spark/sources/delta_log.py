@@ -50,9 +50,12 @@ maps), scans under physical names, and restores logical names with a
 positional struct cast; partition values are keyed by PHYSICAL name in
 `partitionValues` and re-attached under the logical name. Reader
 version 2 tables and version-3 tables whose `readerFeatures` are covered
-(`columnMapping`, `timestampNtz`, `deletionVectors`) now load; ``id``
-mode (parquet field-id matching) and the `v2Checkpoint` feature stay
-honestly gated with precise messages.
+(`columnMapping`, `timestampNtz`, `deletionVectors`) now load. ``id``
+mode (round 7, second wave) reads too: the scan schema keeps the LOGICAL
+names and carries each field's `delta.columnMapping.id` as Spark's
+`parquet.field.id` metadata, so the parquet reader matches columns by
+FIELD ID (SPARK-38094) regardless of what the files call them. Only the
+`v2Checkpoint` feature stays honestly gated.
 
 Deletion vectors (round 7): an `add` carrying a `deletionVector`
 descriptor has its roaring bitmap decoded driver-side
@@ -524,6 +527,42 @@ def _physical_field(f):
     return StructField(_physical_name(f), _physical_type(f.dataType), f.nullable)
 
 
+def _fieldid_type(dt):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, StructType):
+        return StructType([_fieldid_field(f) for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_fieldid_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _fieldid_type(dt.keyType),
+            _fieldid_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _fieldid_field(f):
+    """Logical-named field carrying its delta.columnMapping.id as Spark's
+    parquet.field.id read-matching metadata (id mode)."""
+    from pyspark.sql.types import StructField
+
+    try:
+        fid = int(f.metadata["delta.columnMapping.id"])
+    except (KeyError, TypeError, ValueError):
+        raise NotImplementedError(
+            f"column {f.name!r} lacks delta.columnMapping.id metadata in "
+            "an id-mode table"
+        ) from None
+    return StructField(
+        f.name,
+        _fieldid_type(f.dataType),
+        f.nullable,
+        metadata={"parquet.field.id": fid},
+    )
+
+
 def _scan_adds(
     spark: SparkSession, read_schema, path: str, group: list[tuple[str, dict]]
 ) -> DataFrame:
@@ -585,28 +624,35 @@ def read_delta(
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode not in ("none", "", "name"):
+    if mode not in ("none", "", "name", "id"):
         raise NotImplementedError(
-            f"delta.columnMapping.mode={mode!r}: only 'name' mode "
-            "(physicalName matching) is supported; 'id' mode needs "
-            "parquet field-id matching"
+            f"delta.columnMapping.mode={mode!r} is not a Delta column "
+            "mapping mode"
         )
-    mapped = mode == "name"
+    mapped = mode in ("name", "id")
     pcols = meta.get("partitionColumns", []) or []
-    # Under column mapping the log's partitionColumns and the add
-    # actions' partitionValues are keyed by PHYSICAL name.
+    # Under column mapping (both modes) the log's partitionColumns and
+    # the add actions' partitionValues are keyed by PHYSICAL name.
     phys_of = {f.name: _physical_name(f) for f in schema.fields}
     pcols_logical = (
         [n for n in phys_of if phys_of[n] in pcols] if mapped else pcols
     )
     data_fields = [f for f in schema.fields if f.name not in pcols_logical]
-    if mapped:
+    if mode == "id":
+        # 'id' mode (round 7): data columns match by PARQUET FIELD ID, not
+        # name — the read schema keeps the LOGICAL names and carries each
+        # field's delta.columnMapping.id as parquet.field.id metadata;
+        # Spark's fieldId matching (SPARK-38094) resolves the scan. No
+        # rename pass needed afterwards.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        read_schema = StructType([_fieldid_field(f) for f in data_fields])
+    elif mode == "name":
         read_schema = StructType([_physical_field(f) for f in data_fields])
     else:
         read_schema = StructType(data_fields)
 
     def _restore(df: DataFrame) -> DataFrame:
-        if not mapped:
+        if not mapped or mode == "id":  # id-mode scan already logical-named
             return df
         # positional struct cast restores logical names at every level
         return df.select(

@@ -425,20 +425,74 @@ class TestColumnMapping:
             (i, str(i % 2), i * 10) for i in range(6)
         ]
 
-    def test_id_mode_and_mapped_writes_gated(self, spark, tmp_path):
+    def test_mapped_writes_gated(self, spark, tmp_path):
         path = _mapped_table(spark, tmp_path)
-        cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
         # writes to a mapped table refuse (physical names needed)
         df = spark.createDataFrame([(1, "a", 2)], "k long, part string, v long")
         with pytest.raises(NotImplementedError, match="column-mapped"):
             append_delta(df, path)
-        # id mode refuses with a precise message
+
+    def test_id_mode_reads_by_parquet_field_id(self, spark, tmp_path):
+        """'id' mode (round 7): data columns match by parquet field id —
+        the file's column NAMES are deliberately unrelated to both the
+        logical and the declared physical names, and the field order is
+        swapped, so only genuine field-id matching can resolve them."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "idmode")
+        os.makedirs(path)
+        sch = pa.schema(
+            [
+                pa.field("zz_2", pa.string(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+                pa.field("zz_1", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+            ]
+        )
+        t = pa.table(
+            {"zz_2": ["a", "b", "c"], "zz_1": [10, 20, 30]}, schema=sch
+        )
+        pq.write_table(t, os.path.join(path, "part-0.parquet"))
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-1"}},
+            {"name": "s", "type": "string", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-2"}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "m", "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id",
+                                      "delta.columnMapping.maxColumnId": "2"},
+                    "createdTime": 0}},
+                {"add": {"path": "part-0.parquet", "partitionValues": {},
+                         "size": os.path.getsize(
+                             os.path.join(path, "part-0.parquet")),
+                         "modificationTime": 0, "dataChange": True}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        back = read_delta(spark, path)
+        assert sorted(back.columns) == ["k", "s"]
+        assert _rows(back.select("k", "s")) == [(10, "a"), (20, "b"), (30, "c")]
+        # a schema field without a columnMapping.id refuses precisely
+        cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
         actions = [json.loads(x) for x in open(cpath).read().splitlines()]
-        actions[1]["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        meta = json.loads(actions[1]["metaData"]["schemaString"])
+        del meta["fields"][0]["metadata"]["delta.columnMapping.id"]
+        actions[1]["metaData"]["schemaString"] = json.dumps(meta)
         with open(cpath, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
-        with pytest.raises(NotImplementedError, match="'id' mode"):
+        with pytest.raises(NotImplementedError, match="columnMapping.id"):
             read_delta(spark, path)
 
 
