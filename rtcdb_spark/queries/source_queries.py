@@ -1134,3 +1134,67 @@ def source_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "source_delta_delete_dv",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 0 OR o_orderpriority = '1-URGENT')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("source", "delta", "interchange", "deletion-vectors", "delete"),
+)
+def source_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via deletion-vector WRITES (round 7 wave 2,
+    `delta_log.delete_delta`): orders lands as a partitioned Delta table,
+    then TWO predicate deletes run — one by a data column (key%10=0,
+    marking rows inside files) and one by the PARTITION column
+    ('1-URGENT', killing whole files, which per spec drop outright
+    instead of carrying full bitmaps) — without rewriting a single
+    surviving data file (asserted in-query by file-set identity). The
+    second delete must MERGE with the first's vectors. The aggregate runs
+    over the survivors, so one wrong row index, an unmerged bitmap, or a
+    resurrected dropped file breaks the hash against the fixture's
+    NOT-predicate twin."""
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        _snapshot_state,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_del_")
+    import shutil
+
+    shutil.rmtree(path)
+    write_delta(o, path, partition_by=["o_orderpriority"])
+    _m, adds0, _s = _snapshot_state(path)
+    delete_delta(spark, path, "o_orderkey % 10 = 0")
+    delete_delta(spark, path, "o_orderpriority = '1-URGENT'")
+    _m, adds2, _s = _snapshot_state(path)
+    # surviving files are a subset of the original writes: nothing rewritten
+    assert set(adds2) <= set(adds0), "DELETE rewrote data files"
+    assert all(
+        a.get("deletionVector") or True for a in adds2.values()
+    )
+    t = read_delta(spark, path)
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -296,3 +296,21 @@ def resolve_dv(table_path: str, dv: dict) -> set[int]:
     if st == "p":
         return read_dv_blob(dv["pathOrInlineDv"], dv["offset"], dv["sizeInBytes"])
     raise NotImplementedError(f"deletion vector storageType {st!r}")
+
+
+def write_dv_blobs(path: str, value_lists) -> list[tuple[int, int]]:
+    """Author a DV file holding MULTIPLE vectors (one per list), each in
+    the spec blob layout — how real writers pack one commit's deletion
+    vectors into a single file. Returns [(offset, sizeInBytes), ...] in
+    input order for the add actions' descriptors."""
+    out = []
+    with open(path, "wb") as fh:
+        fh.write(b"\x01")
+        for values in value_lists:
+            data = encode_rbm_array_portable(list(values))
+            offset = fh.tell()
+            fh.write(struct.pack(">I", len(data)))
+            fh.write(data)
+            fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            out.append((offset, len(data)))
+    return out

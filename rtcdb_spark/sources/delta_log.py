@@ -587,26 +587,42 @@ def _scan_adds(
     if dvd:
         from rtcdb_spark.sources.deletion_vectors import resolve_dv
 
+        # Join key: (part-file BASENAME, row index). _metadata.file_path
+        # is a URI whose percent-encoding need not match the filesystem
+        # form for special-char partition dirs; basenames are plain
+        # (Spark part names embed task UUIDs) and unique per table —
+        # enforced here so a pathological foreign table with colliding
+        # DV'd basenames refuses instead of cross-deleting.
+        # unquote_plus == java URLDecoder semantics (the F.url_decode
+        # applied to the Spark side below), so both join sides decode
+        # identically even for exotic basenames
+        from urllib.parse import unquote_plus
+
+        names = [os.path.basename(unquote_plus(p)) for p, _ in dvd]
+        if len(set(names)) != len(names):
+            raise NotImplementedError(
+                "deletion-vector files with colliding base names"
+            )
         pairs = []
         for p, a in dvd:
-            full = _resolve(path, p)
+            base = os.path.basename(unquote_plus(p))
             for ridx in sorted(resolve_dv(path, a["deletionVector"])):
-                pairs.append((full, int(ridx)))
+                pairs.append((base, int(ridx)))
         deleted = spark.createDataFrame(
-            pairs, "_dv_path string, _dv_ridx long"
-        )
-        norm = F.regexp_replace(
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
-            "^/+",
-            "/",
+            pairs, "_dv_name string, _dv_ridx long"
         )
         df = (
             spark.read.schema(read_schema)
             .parquet(*[_resolve(path, p) for p, _ in dvd])
-            .withColumn("_dv_path", norm)
+            .withColumn(
+                "_dv_name",
+                F.url_decode(
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                ),
+            )
             .withColumn("_dv_ridx", F.col("_metadata.row_index"))
-            .join(F.broadcast(deleted), ["_dv_path", "_dv_ridx"], "left_anti")
-            .drop("_dv_path", "_dv_ridx")
+            .join(F.broadcast(deleted), ["_dv_name", "_dv_ridx"], "left_anti")
+            .drop("_dv_name", "_dv_ridx")
         )
         parts.append(df)
     return reduce(lambda a, b: a.unionByName(b), parts)
@@ -1103,3 +1119,143 @@ def delta_changes(
             df = df.withColumn(col, lit.cast(by_name[col]))
         parts.append(df.select(*[f.name for f in schema.fields]))
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def delete_delta(spark: SparkSession, path: str, where: str) -> int:
+    """Row-level DELETE via DELETION VECTORS (round 7, second wave): mark
+    the matching rows deleted WITHOUT rewriting any data file — the
+    modern Delta DELETE. One scan finds each live file's matching row
+    indexes (partition columns re-attached so the predicate can use
+    them); the indexes merge with any EXISTING deletion vector and are
+    packed into ONE spec-layout DV file for the whole commit; each
+    touched file re-commits as remove + add-with-descriptor. A file whose
+    every row is deleted is removed outright instead of carrying a full
+    bitmap (the spec's guidance). The same commit upgrades the protocol
+    to reader 3 / writer 7 with the deletionVectors feature and stamps
+    `delta.enableDeletionVectors` into the table configuration, the way
+    real writers do.
+
+    Returns the new version. Scale: the scan is one distributed pass
+    with the predicate pushed down; matched (file, row index) pairs come
+    to the driver — O(deleted rows this commit), the same cost Delta's
+    own writer pays to build the bitmaps. OPTIMIZE later materializes
+    the deletes physically (`optimize_delta`); VACUUM protects referenced
+    DV files (`vacuum_delta`)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from rtcdb_spark.sources.deletion_vectors import (
+        resolve_dv,
+        write_dv_blobs,
+        z85_encode,
+    )
+
+    versions = delta_versions(path)
+    cps = delta_checkpoints(path)
+    if not versions and not cps:
+        raise ValueError(f"{path} is not a Delta table")
+    head = max(versions[-1] if versions else -1, cps[-1] if cps else -1)
+    meta, adds, state = _snapshot_state(path)
+    v = head + 1
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in ("none", ""):
+        raise NotImplementedError("DELETE on a column-mapped table")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns", []) or []
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    by_name = {f.name: f.dataType for f in schema.fields}
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""), "^/+", "/"
+    )
+    # (paths come back URI-encoded; decoded at collect time below)
+    # one scan per partition tuple (predicates may use partition columns)
+    groups: dict[tuple, list[str]] = {}
+    for p, a in adds.items():
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(p)
+    matched: dict[str, set] = {}
+    for key, files in groups.items():
+        df = (
+            spark.read.schema(data_schema)
+            .parquet(*[_resolve(path, p) for p in files])
+            .withColumn("_dv_path", norm)
+            .withColumn("_dv_ridx", F.col("_metadata.row_index"))
+        )
+        for col in pcols:
+            val = dict(key).get(col)
+            lit = F.lit(None) if val is None else F.lit(val)
+            df = df.withColumn(col, lit.cast(by_name[col]))
+        hits = df.filter(where).select("_dv_path", "_dv_ridx").collect()
+        for r in hits:
+            # _metadata.file_path is a URI: percent-decode so special
+            # chars in Hive partition dirs (spaces etc.) match the
+            # filesystem paths _resolve produces
+            matched.setdefault(unquote(r["_dv_path"]), set()).add(
+                int(r["_dv_ridx"])
+            )
+    if not matched:
+        return v - 1  # nothing to delete: no commit, like a no-op DELETE
+    abs_to_rel = {
+        os.path.abspath(_resolve(path, p)): p for p in adds
+    }
+    actions: list[dict] = []
+    now = int(time.time() * 1000)
+    # one DV file carries every touched file's bitmap for this commit
+    import pyarrow.parquet as pq
+    import uuid as _uuid
+
+    plan: list[tuple[str, dict, set, int]] = []
+    for full, ridxs in sorted(matched.items()):
+        rel = abs_to_rel[full]
+        a = adds[rel]
+        if a.get("deletionVector"):
+            ridxs = ridxs | resolve_dv(path, a["deletionVector"])
+        if a.get("stats"):
+            total = json.loads(a["stats"]).get("numRecords")
+        else:
+            total = pq.ParquetFile(full).metadata.num_rows
+        plan.append((rel, a, ridxs, total))
+    u = _uuid.uuid4()
+    dv_name = f"deletion_vector_{u}.bin"
+    blobs = write_dv_blobs(
+        os.path.join(path, dv_name),
+        [sorted(ridxs) for _rel, _a, ridxs, total in plan
+         if len(ridxs) < (total or float("inf"))],
+    )
+    bi = 0
+    for rel, a, ridxs, total in plan:
+        actions.append({"remove": {
+            "path": rel, "deletionTimestamp": now, "dataChange": True,
+        }})
+        if total is not None and len(ridxs) >= total:
+            continue  # fully deleted: drop the file, no DV (spec guidance)
+        offset, size = blobs[bi]
+        bi += 1
+        actions.append({"add": {
+            **{k: val for k, val in a.items() if k != "deletionVector"},
+            "dataChange": True,
+            "deletionVector": {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": offset,
+                "sizeInBytes": size,
+                "cardinality": len(ridxs),
+            },
+        }})
+    if not blobs:
+        os.remove(os.path.join(path, dv_name))  # every match was a full file
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rf = sorted(set(proto.get("readerFeatures") or []) | {"deletionVectors"})
+    wf = sorted(set(proto.get("writerFeatures") or []) | {"deletionVectors"})
+    upgraded = {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": rf, "writerFeatures": wf,
+    }}
+    new_meta = dict(meta)
+    new_meta["configuration"] = {
+        **(meta.get("configuration") or {}),
+        "delta.enableDeletionVectors": "true",
+    }
+    _write_commit(path, v, [upgraded, {"metaData": new_meta}] + actions)
+    return v

@@ -763,3 +763,127 @@ class TestDeltaChanges:
         )
         got = _rows(delta_changes(spark, path, 1).select("k", "part"))
         assert got == [(3, "a"), (4, "c")]
+
+
+class TestDeleteViaDeletionVectors:
+    def test_delete_marks_rows_without_rewriting(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(100).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("m")
+            ).repartition(4),
+            path,
+        )
+        data_files_before = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        v = delete_delta(spark, path, "m = 3")
+        assert v == 1
+        got = sorted(r["k"] for r in read_delta(spark, path).collect())
+        assert got == [i for i in range(100) if i % 7 != 3]
+        # no data file rewritten; DV file appeared; protocol upgraded
+        data_files_after = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        assert data_files_after == data_files_before
+        assert any(f.startswith("deletion_vector_") for f in os.listdir(path))
+        cpath = os.path.join(path, "_delta_log", f"{1:020d}.json")
+        actions = [json.loads(x) for x in open(cpath).read().splitlines()]
+        proto = actions[0]["protocol"]
+        assert proto["minReaderVersion"] == 3
+        assert "deletionVectors" in proto["readerFeatures"]
+        meta = actions[1]["metaData"]
+        assert meta["configuration"]["delta.enableDeletionVectors"] == "true"
+        adds = [a["add"] for a in actions if a.get("add")]
+        assert adds and all(a["deletionVector"]["cardinality"] > 0 for a in adds)
+        # time travel to before the delete still sees everything
+        assert read_delta(spark, path, version=0).count() == 100
+
+    def test_second_delete_merges_with_existing_dv(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(60).select(
+                F.col("id").alias("k"), (F.col("id") % 5).alias("m")
+            ).coalesce(1),
+            path,
+        )
+        delete_delta(spark, path, "m = 0")
+        delete_delta(spark, path, "m = 2")
+        got = sorted(r["k"] for r in read_delta(spark, path).collect())
+        assert got == [i for i in range(60) if i % 5 not in (0, 2)]
+        # the second commit's DV carries the UNION (cardinality check)
+        cpath = os.path.join(path, "_delta_log", f"{2:020d}.json")
+        adds = [json.loads(x)["add"] for x in open(cpath) if '"add"' in x]
+        assert sum(a["deletionVector"]["cardinality"] for a in adds) == 24
+
+    def test_full_file_delete_drops_the_file(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            delete_delta,
+            vacuum_delta,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(i, "a" if i < 5 else "b") for i in range(10)],
+                "k bigint, part string",
+            ),
+            path,
+            partition_by=["part"],
+        )
+        delete_delta(spark, path, "part = 'a'")  # whole partition dies
+        _m, adds, _s = _snapshot_state(path)
+        assert all(not a.get("deletionVector") for a in adds.values())
+        got = sorted(r["k"] for r in read_delta(spark, path).collect())
+        assert got == list(range(5, 10))
+        # vacuum reclaims the dropped partition's files
+        deleted = vacuum_delta(path, retain_ms=0)
+        assert deleted and all("part=a" in p for p in deleted)
+        assert sorted(r["k"] for r in read_delta(spark, path).collect()) == list(range(5, 10))
+
+    def test_predicate_on_partition_column(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(i, "x" if i % 2 else "y") for i in range(20)],
+                "k bigint, part string",
+            ),
+            path,
+            partition_by=["part"],
+        )
+        delete_delta(spark, path, "part = 'x' AND k < 10")
+        got = sorted(r["k"] for r in read_delta(spark, path).collect())
+        assert got == [i for i in range(20) if not (i % 2 and i < 10)]
+
+    def test_optimize_then_vacuum_materializes_and_reclaims(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            optimize_delta,
+            vacuum_delta,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(40).select(F.col("id").alias("k")).coalesce(1), path)
+        delete_delta(spark, path, "k % 4 = 0")
+        want = sorted(r["k"] for r in read_delta(spark, path).collect())
+        optimize_delta(spark, path)
+        deleted = vacuum_delta(path, retain_ms=0)
+        # the old data file AND its DV file are both reclaimed
+        assert any(p.endswith(".parquet") for p in deleted)
+        assert any("deletion_vector_" in p for p in deleted)
+        assert sorted(r["k"] for r in read_delta(spark, path).collect()) == want
+
+    def test_noop_delete_commits_nothing(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(5).select(F.col("id").alias("k")), path)
+        assert delete_delta(spark, path, "k > 100") == 0
+        assert delta_versions(path) == [0]
