@@ -828,13 +828,6 @@ def _check_write_schema(df: DataFrame, meta: dict) -> None:
     compared (Spark writers routinely tighten it)."""
     from pyspark.sql.types import StructType
 
-    if (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    ) not in ("none", ""):
-        raise NotImplementedError(
-            "writing to a column-mapped Delta table is not supported "
-            "(data files need physical column names); read-only interop"
-        )
     want = StructType.fromJson(json.loads(meta["schemaString"]))
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     exp = {f.name: f.dataType.simpleString() for f in want.fields}
@@ -849,6 +842,65 @@ def _check_write_schema(df: DataFrame, meta: dict) -> None:
             + ", ".join(f"{n}:{t}" for n, t in sorted(exp.items()))
             + ")"
         )
+
+
+def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
+    """Mapped-table writes (round 7 wave 2): after logical-schema
+    validation, rename the DataFrame to the table's PHYSICAL column
+    names — positional struct casts rename nested fields too — so the
+    staged parquet files look exactly like a real mapped-table writer's.
+    In 'id' mode the files must also carry parquet field ids: attached
+    per top-level column via withMetadata (Spark writes them out —
+    `spark.sql.parquet.fieldId.write.enabled` is set explicitly); tables
+    whose NESTED fields are id-mapped are refused rather than silently
+    written without nested ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", ""):
+        return df
+    want = StructType.fromJson(json.loads(meta["schemaString"]))
+    out = df.select(
+        *[
+            F.col(f.name).cast(_physical_type(f.dataType)).alias(_physical_name(f))
+            for f in want.fields
+        ]
+    )
+    if mode == "id":
+        from pyspark.sql.types import ArrayType, MapType
+
+        def _has_nested_mapping(dt):
+            if isinstance(dt, StructType):
+                return any(
+                    "delta.columnMapping.id" in (f.metadata or {})
+                    or _has_nested_mapping(f.dataType)
+                    for f in dt.fields
+                )
+            if isinstance(dt, ArrayType):
+                return _has_nested_mapping(dt.elementType)
+            if isinstance(dt, MapType):
+                return _has_nested_mapping(dt.keyType) or _has_nested_mapping(
+                    dt.valueType
+                )
+            return False
+
+        if any(_has_nested_mapping(f.dataType) for f in want.fields):
+            raise NotImplementedError(
+                "writing id-mode tables with NESTED mapped fields (nested "
+                "parquet field ids not attachable via withMetadata)"
+            )
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        for f in want.fields:
+            out = out.withMetadata(
+                _physical_name(f),
+                {"parquet.field.id": int(f.metadata["delta.columnMapping.id"])},
+            )
+    return out
 
 
 def _stage_new_files(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
@@ -885,6 +937,7 @@ def append_delta(
     atomic commit."""
     v, state = _next_version(path)
     _check_write_schema(df, state["meta"])
+    df = _to_physical(df, state["meta"])
     pcols = state["meta"].get("partitionColumns", []) or []
     _write_commit(
         path, v, _stage_new_files(df, path, pcols) + (extra_actions or [])
@@ -898,6 +951,7 @@ def overwrite_delta(df: DataFrame, path: str) -> int:
     ``mode("overwrite")`` semantics."""
     v, state = _next_version(path)
     _check_write_schema(df, state["meta"])
+    df = _to_physical(df, state["meta"])
     pcols = state["meta"].get("partitionColumns", []) or []
     removes = [
         {
@@ -963,14 +1017,10 @@ def optimize_delta(
     per partition predicate, noted not hidden."""
     v, state = _next_version(path)
     meta = state["meta"]
-    if (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    ) not in ("none", ""):
-        raise NotImplementedError(
-            "OPTIMIZE on a column-mapped table needs physical-name writes"
-        )
     pcols = meta.get("partitionColumns", []) or []
-    df = read_delta(spark, path).coalesce(max(1, target_files))
+    df = _to_physical(
+        read_delta(spark, path).coalesce(max(1, target_files)), meta
+    )
     removes = [
         {
             "remove": {

@@ -425,12 +425,45 @@ class TestColumnMapping:
             (i, str(i % 2), i * 10) for i in range(6)
         ]
 
-    def test_mapped_writes_gated(self, spark, tmp_path):
+    def test_mapped_writes_roundtrip(self, spark, tmp_path):
+        """Round-7 wave 2: APPENDS to mapped tables write PHYSICAL column
+        names (and physical partition dirs), so a mapped-table reader —
+        ours or a real engine — keeps working."""
+        import pyarrow.parquet as pq
+
+        path = _mapped_table(spark, tmp_path, partitioned=True)
+        df = spark.createDataFrame(
+            [(100, "9", 1000), (101, "9", 1010)], "k long, part string, v long"
+        )
+        v = append_delta(df, path)
+        assert v == 1
+        back = read_delta(spark, path)
+        assert back.count() == 8
+        assert sorted(
+            tuple(r) for r in back.filter("k >= 100").select("k", "part", "v").collect()
+        ) == [(100, "9", 1000), (101, "9", 1010)]
+        # the staged files carry PHYSICAL names and live in physical dirs
+        cpath = os.path.join(path, "_delta_log", f"{1:020d}.json")
+        adds = [json.loads(x)["add"] for x in open(cpath) if '"add"' in x]
+        assert adds and all(a["path"].startswith("col-2=9/") for a in adds)
+        assert all("col-2" in a["partitionValues"] for a in adds)
+        for a in adds:
+            cols = pq.read_schema(
+                os.path.join(path, a["path"].replace("/", os.sep))
+            ).names
+            assert set(cols) == {"col-1", "col-3"}  # physical, no partition
+        # schema validation still speaks LOGICAL names
+        bad = spark.createDataFrame([(1, "a")], "k long, part string")
+        with pytest.raises(ValueError, match="does not match"):
+            append_delta(bad, path)
+
+    def test_mapped_optimize_roundtrip(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import optimize_delta
+
         path = _mapped_table(spark, tmp_path)
-        # writes to a mapped table refuse (physical names needed)
-        df = spark.createDataFrame([(1, "a", 2)], "k long, part string, v long")
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            append_delta(df, path)
+        before = _rows(read_delta(spark, path).select("k", "part", "v"))
+        optimize_delta(spark, path)
+        assert _rows(read_delta(spark, path).select("k", "part", "v")) == before
 
     def test_id_mode_reads_by_parquet_field_id(self, spark, tmp_path):
         """'id' mode (round 7): data columns match by parquet field id —
@@ -887,3 +920,65 @@ class TestDeleteViaDeletionVectors:
         write_delta(spark.range(5).select(F.col("id").alias("k")), path)
         assert delete_delta(spark, path, "k > 100") == 0
         assert delta_versions(path) == [0]
+
+
+class TestIdModeWrites:
+    def test_id_mode_append_carries_field_ids(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        # reuse the id-mode read fixture shape: author, then APPEND
+        from rtcdb_spark.sources.delta_log import append_delta as _append
+
+        path = str(tmp_path / "idmode")
+        os.makedirs(path)
+        import pyarrow as pa
+
+        sch = pa.schema(
+            [
+                pa.field("zz_1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+                pa.field("zz_2", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+            ]
+        )
+        pq.write_table(
+            pa.table({"zz_1": [1], "zz_2": ["a"]}, schema=sch),
+            os.path.join(path, "part-0.parquet"),
+        )
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-1"}},
+            {"name": "s", "type": "string", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-2"}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "m", "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id",
+                                      "delta.columnMapping.maxColumnId": "2"},
+                    "createdTime": 0}},
+                {"add": {"path": "part-0.parquet", "partitionValues": {},
+                         "size": os.path.getsize(os.path.join(path, "part-0.parquet")),
+                         "modificationTime": 0, "dataChange": True}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        _append(spark.createDataFrame([(7, "x")], "k long, s string"), path)
+        back = read_delta(spark, path)
+        assert _rows(back.select("k", "s")) == [(1, "a"), (7, "x")]
+        # the appended files carry REAL parquet field ids
+        cpath = os.path.join(path, "_delta_log", f"{1:020d}.json")
+        adds = [json.loads(x)["add"] for x in open(cpath) if '"add"' in x]
+        for a in adds:
+            pf = pq.ParquetFile(os.path.join(path, a["path"]))
+            ids = {}
+            s = pf.schema
+            for i in range(len(s)):
+                col = s.column(i)
+                ids[col.name] = str(s)
+            rep = str(pf.schema)
+            assert "field_id=1" in rep and "field_id=2" in rep, rep
