@@ -71,11 +71,16 @@ spec's `%020d.checkpoint.%010d.%010d.parquet` part set with `parts`
 recorded in `_last_checkpoint`, and the reader folds every part —
 refusing an INCOMPLETE part set rather than silently dropping live files.
 
-Honest gates: writer features beyond plain appends/overwrites (deletion
-vectors, generated columns, CDC files, writing column-mapped tables) are
-refused at the protocol/metaData gate; v2 checkpoints (sidecars) are not
-produced or read — the classic single-file and multi-part forms are what
-this writer emits and what its reader replays.
+Round-7 second wave: row-level DELETE via deletion-vector WRITES
+(`delete_delta`), writes to column-mapped tables (`_to_physical`
+translation, id-mode field-id stamping), and V2 (sidecar) CHECKPOINTS
+both directions (`checkpoint_delta_v2`: checkpointMetadata + sidecar
+actions, `_delta_log/_sidecars/`, DV descriptors carried — the classic
+writer still refuses feature tables; the reader resolves sidecar actions
+at fold time and validates checkpointMetadata.version).
+
+Honest gates: generated columns, CDC files, nested-id-mapped writes,
+and fractional sampling remain refused with precise messages.
 
 Scale: log replay is O(commits-since-checkpoint + live files) driver-side
 metadata — the same shape Delta's own Spark connector uses; the scan
@@ -140,10 +145,12 @@ def _checkpoint_part_path(path: str, version: int, part: int, parts: int) -> str
 
 
 def _checkpoint_files(path: str, version: int) -> list[str]:
-    """Every parquet file of the checkpoint at ``version`` — the single
-    classic file, or ALL parts of a multi-part checkpoint (raises if any
-    part is missing: folding a partial checkpoint would silently drop
-    live files)."""
+    """Every TOP-LEVEL parquet file of the checkpoint at ``version`` —
+    the single classic file, ALL parts of a multi-part checkpoint
+    (raises if any part is missing: folding a partial checkpoint would
+    silently drop live files), or the V2 checkpoint file (one
+    ``<v>.checkpoint.<unique>.parquet``; its sidecars are resolved at
+    fold time from the `sidecar` actions inside it)."""
     single = _checkpoint_path(path, version)
     if os.path.exists(single):
         return [single]
@@ -151,6 +158,7 @@ def _checkpoint_files(path: str, version: int) -> list[str]:
     prefix = f"{version:020d}.checkpoint."
     parts_found: dict[int, str] = {}
     total = None
+    v2: list[str] = []
     for f in os.listdir(d):
         if not (f.startswith(prefix) and f.endswith(".parquet")):
             continue
@@ -158,7 +166,13 @@ def _checkpoint_files(path: str, version: int) -> list[str]:
         if len(mid) == 2 and all(s.isdigit() for s in mid):
             parts_found[int(mid[0])] = os.path.join(d, f)
             total = int(mid[1])
+        elif len(mid) == 1 and mid[0]:
+            v2.append(os.path.join(d, f))
     if total is None:
+        if v2:
+            # racing writers may leave several v2 checkpoints for one
+            # version; any is complete — pick deterministically
+            return [sorted(v2)[0]]
         raise ValueError(f"no checkpoint files for version {version}")
     missing = sorted(set(range(1, total + 1)) - set(parts_found))
     if missing:
@@ -185,7 +199,7 @@ def delta_checkpoints(path: str) -> list[int]:
                 _checkpoint_files(path, v)
             except ValueError:
                 continue  # incomplete part set: not a usable checkpoint
-            out.add(v)
+            out.add(v)  # multi-part classic or v2
     return sorted(out)
 
 
@@ -193,7 +207,9 @@ def delta_checkpoints(path: str) -> list[int]:
 # deletionVectors joined the list in round 7 (sources/deletion_vectors.py
 # decodes the roaring bitmaps; read_delta anti-joins them out on
 # _metadata.row_index). v2Checkpoint stays out on purpose.
-_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
+_READER_FEATURES = {
+    "columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint",
+}
 
 
 def _check_protocol(p: dict) -> None:
@@ -288,7 +304,25 @@ def _snapshot_state(
 
         for part in _checkpoint_files(path, start_cp):
             for action in pq.read_table(part).to_pylist():
-                _fold_action(action, state)
+                if action.get("sidecar") is not None:
+                    sc = action["sidecar"]
+                    scp = sc["path"]
+                    full = (
+                        scp
+                        if os.path.isabs(scp)
+                        else os.path.join(_log_dir(path), "_sidecars", scp)
+                    )
+                    for sub in pq.read_table(full).to_pylist():
+                        _fold_action(sub, state)
+                elif action.get("checkpointMetadata") is not None:
+                    got_v = action["checkpointMetadata"].get("version")
+                    if got_v != start_cp:
+                        raise ValueError(
+                            f"v2 checkpoint metadata says version {got_v} "
+                            f"but the file is named for {start_cp}"
+                        )
+                else:
+                    _fold_action(action, state)
     replay_from = 0 if start_cp is None else start_cp + 1
     have = set(versions)
     for v in range(replay_from, until + 1):
@@ -1308,4 +1342,198 @@ def delete_delta(spark: SparkSession, path: str, where: str) -> int:
         "delta.enableDeletionVectors": "true",
     }
     _write_commit(path, v, [upgraded, {"metaData": new_meta}] + actions)
+    return v
+
+
+def checkpoint_delta_v2(
+    path: str, version: int | None = None, sidecars: int = 2
+) -> int:
+    """Write a V2 (sidecar) checkpoint: the top-level
+    ``<v>.checkpoint.<uuid>.parquet`` holds `checkpointMetadata`, the
+    protocol (upgraded to carry the `v2Checkpoint` feature, per spec —
+    only feature tables may carry v2 checkpoints), `metaData`, the txn
+    high-water marks, and one `sidecar` action per
+    ``_delta_log/_sidecars/<uuid>-<i>.parquet`` file; the sidecars carry
+    the add/remove actions (including deletion-vector descriptors, which
+    the classic single-file writer refuses). Returns the checkpointed
+    version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    versions = delta_versions(path)
+    if not versions and not delta_checkpoints(path):
+        raise ValueError(f"{path} is not a Delta table")
+    v = (
+        version
+        if version is not None
+        else max(versions[-1] if versions else -1, *(delta_checkpoints(path) or [-1]))
+    )
+    meta, adds, state = _snapshot_state(path, v)
+    removes, txns = state["removes"], state["txns"]
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rf = sorted(set(proto.get("readerFeatures") or []) | {"v2Checkpoint"})
+    wf = sorted(set(proto.get("writerFeatures") or []) | {"v2Checkpoint"})
+
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int64()),
+            ("sizeInBytes", pa.int64()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", dv_t),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+
+    def add_row(a: dict) -> dict:
+        dv = a.get("deletionVector")
+        return {
+            "path": a["path"],
+            "partitionValues": list((a.get("partitionValues") or {}).items()),
+            "size": a.get("size", 0),
+            "modificationTime": a.get("modificationTime", 0),
+            "dataChange": bool(a.get("dataChange", True)),
+            "stats": a.get("stats"),
+            "deletionVector": (
+                {
+                    "storageType": dv.get("storageType"),
+                    "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv.get("sizeInBytes"),
+                    "cardinality": dv.get("cardinality"),
+                }
+                if dv
+                else None
+            ),
+        }
+
+    file_actions: list[tuple] = [("add", add_row(adds[p])) for p in sorted(adds)]
+    file_actions += [
+        ("remove", {
+            "path": removes[p]["path"],
+            "deletionTimestamp": removes[p].get("deletionTimestamp"),
+            "dataChange": bool(removes[p].get("dataChange", True)),
+        })
+        for p in sorted(removes)
+    ]
+    import uuid as _uuid
+
+    u = _uuid.uuid4().hex
+    sc_dir = os.path.join(_log_dir(path), "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    n_sc = max(1, min(sidecars, len(file_actions) or 1))
+    per = (len(file_actions) + n_sc - 1) // n_sc
+    sidecar_rows = []
+    for i in range(n_sc):
+        chunk = file_actions[i * per : (i + 1) * per]
+        add_col = [r if kind == "add" else None for kind, r in chunk]
+        rem_col = [r if kind == "remove" else None for kind, r in chunk]
+        table = pa.table(
+            {
+                "add": pa.array(add_col, type=add_t),
+                "remove": pa.array(rem_col, type=remove_t),
+            }
+        )
+        name = f"{u}-{i:03d}.parquet"
+        dst = os.path.join(sc_dir, name)
+        pq.write_table(table, dst + ".tmp")
+        os.rename(dst + ".tmp", dst)
+        sidecar_rows.append(
+            {
+                "path": name,
+                "sizeInBytes": os.path.getsize(dst),
+                "modificationTime": int(os.path.getmtime(dst) * 1000),
+            }
+        )
+
+    cpmeta_t = pa.struct([("version", pa.int64())])
+    protocol_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct(
+                [("provider", pa.string()),
+                 ("options", pa.map_(pa.string(), pa.string()))]
+            )),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    txn_t = pa.struct(
+        [("appId", pa.string()), ("version", pa.int64()),
+         ("lastUpdated", pa.int64())]
+    )
+    sidecar_t = pa.struct(
+        [("path", pa.string()), ("sizeInBytes", pa.int64()),
+         ("modificationTime", pa.int64())]
+    )
+    rows_n = 2 + 1 + len(txns) + len(sidecar_rows)
+    col = {
+        "checkpointMetadata": [{"version": v}] + [None] * (rows_n - 1),
+        "protocol": [None, {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": rf, "writerFeatures": wf,
+        }] + [None] * (rows_n - 2),
+        "metaData": [None, None, {
+            "id": meta["id"],
+            "format": {
+                "provider": meta.get("format", {}).get("provider", "parquet"),
+                "options": list((meta.get("format", {}).get("options") or {}).items()),
+            },
+            "schemaString": meta["schemaString"],
+            "partitionColumns": meta.get("partitionColumns", []) or [],
+            "configuration": list((meta.get("configuration") or {}).items()),
+            "createdTime": meta.get("createdTime"),
+        }] + [None] * (rows_n - 3),
+    }
+    txn_col: list = [None] * 3
+    for app in sorted(txns):
+        t = txns[app]
+        txn_col.append({"appId": t["appId"], "version": t.get("version", 0),
+                        "lastUpdated": t.get("lastUpdated")})
+    txn_col += [None] * len(sidecar_rows)
+    sc_col: list = [None] * (3 + len(txns))
+    sc_col += sidecar_rows
+    table = pa.table(
+        {
+            "checkpointMetadata": pa.array(col["checkpointMetadata"], type=cpmeta_t),
+            "protocol": pa.array(col["protocol"], type=protocol_t),
+            "metaData": pa.array(col["metaData"], type=meta_t),
+            "txn": pa.array(txn_col, type=txn_t),
+            "sidecar": pa.array(sc_col, type=sidecar_t),
+        }
+    )
+    top = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.{u}.parquet")
+    pq.write_table(table, top + ".tmp")
+    os.rename(top + ".tmp", top)
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    with open(lc + ".tmp", "w") as fh:
+        json.dump({"version": v, "size": rows_n}, fh)
+    os.rename(lc + ".tmp", lc)
     return v

@@ -190,17 +190,17 @@ class TestDeltaGates:
         df = spark.range(3).select(F.col("id").alias("k"))
         path = str(tmp_path / "t")
         write_delta(df, path)
-        # v3 demanding a feature we can't honor (v2 checkpoints) refuses
+        # v3 demanding a feature we can't honor (type widening) refuses
         self._set_protocol(
             path,
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["v2Checkpoint"],
-                "writerFeatures": ["v2Checkpoint"],
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
             },
         )
-        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        with pytest.raises(NotImplementedError, match="typeWidening"):
             read_delta(spark, path)
         # v3 whose features are all covered reads fine (round 7)
         self._set_protocol(
@@ -982,3 +982,80 @@ class TestIdModeWrites:
                 ids[col.name] = str(s)
             rep = str(pf.schema)
             assert "field_id=1" in rep and "field_id=2" in rep, rep
+
+
+class TestV2Checkpoints:
+    def test_v2_sidecar_checkpoint_roundtrip(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import checkpoint_delta_v2
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(0, 30).select(F.col("id").alias("k")).repartition(3),
+            path,
+        )
+        append_delta(
+            spark.range(30, 40).select(F.col("id").alias("k")).repartition(2),
+            path,
+        )
+        overwrite_delta(
+            spark.range(100, 120).select(F.col("id").alias("k")).repartition(2),
+            path,
+        )
+        v = checkpoint_delta_v2(path, sidecars=2)
+        assert v == 2
+        log = os.path.join(path, "_delta_log")
+        tops = [f for f in os.listdir(log)
+                if ".checkpoint." in f and f.endswith(".parquet")]
+        assert len(tops) == 1 and not tops[0].endswith(".checkpoint.parquet")
+        sidecars = os.listdir(os.path.join(log, "_sidecars"))
+        assert len(sidecars) == 2
+        # read PURELY from the v2 checkpoint after all JSON history dies
+        for c in delta_versions(path):
+            os.remove(os.path.join(log, f"{c:020d}.json"))
+        assert _rows(read_delta(spark, path)) == [(i,) for i in range(100, 120)]
+        # appends continue; protocol in the checkpoint carries v2Checkpoint
+        assert append_delta(
+            spark.createDataFrame([(999,)], "k bigint"), path
+        ) == 3
+        assert read_delta(spark, path).count() == 21
+
+    def test_v2_checkpoint_preserves_deletion_vectors(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            checkpoint_delta,
+            checkpoint_delta_v2,
+            delete_delta,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(50).select(
+                F.col("id").alias("k"), (F.col("id") % 5).alias("m")
+            ).coalesce(1),
+            path,
+        )
+        delete_delta(spark, path, "m = 1")
+        want = sorted(r["k"] for r in read_delta(spark, path).collect())
+        # the classic writer refuses feature tables; the v2 writer is the path
+        with pytest.raises(NotImplementedError, match="feature"):
+            checkpoint_delta(path)
+        checkpoint_delta_v2(path, sidecars=1)
+        log = os.path.join(path, "_delta_log")
+        for c in delta_versions(path):
+            os.remove(os.path.join(log, f"{c:020d}.json"))
+        got = sorted(r["k"] for r in read_delta(spark, path).collect())
+        assert got == want  # DV descriptor survived checkpointing
+
+    def test_v2_metadata_version_mismatch_rejected(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import checkpoint_delta_v2
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(5).select(F.col("id").alias("k")), path)
+        checkpoint_delta_v2(path)
+        log = os.path.join(path, "_delta_log")
+        top = [f for f in os.listdir(log) if ".checkpoint." in f][0]
+        # rename the checkpoint to claim a different version
+        bad = f"{1:020d}." + top.split(".", 1)[1]
+        os.rename(os.path.join(log, top), os.path.join(log, bad))
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+        with pytest.raises(ValueError, match="version"):
+            read_delta(spark, path)
