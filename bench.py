@@ -134,6 +134,11 @@ HEADLINE = [
     # interop-tested) and the exactly-once Delta streaming sink
     "multimodal_jpeg_arithmetic",
     "stream_delta_sink",
+    # round 7, wave 3: DV-write DELETE, OPTIMIZE+VACUUM cycle, and
+    # incremental change reads over the Delta log
+    "source_delta_delete_dv",
+    "source_delta_optimize_vacuum",
+    "source_delta_changes",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
