@@ -1826,3 +1826,69 @@ def synth_and_jpeg_arithmetic(df: DataFrame, id_col: str = "doc_id") -> DataFram
             )
 
     return _fan_out(df, id_col).mapInPandas(process, JPEG_ARITH_SCHEMA)
+
+
+JPEG_LOSSLESS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("predictor", LongType()),
+        StructField("uses_sof3", BooleanType()),
+        StructField("roundtrip_exact", BooleanType()),
+    ]
+)
+
+
+def synth_and_jpeg_lossless(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Round-7 LOSSLESS JPEG end-to-end (T.81 Annex H / SOF3,
+    `functions/jpeg_lossless.py` — the DICOM coding): per row, a
+    deterministic 16-bit image (the depth/medical-sensor shape lossless
+    mode exists for) encodes with the doc's predictor (1..7 by id),
+    restart markers on every fourth doc, decodes, and must equal the
+    input BIT-EXACTLY — lossless means zero tolerance, so any predictor,
+    boundary-rule, or modulo-difference slip fails the row."""
+    import numpy as np
+
+    from rtcdb_spark.functions.jpeg_lossless import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in JPEG_LOSSLESS_SCHEMA.fields
+            }
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                w, h = 5 + i % 23, 5 + i % 17
+                pred = 1 + i % 7
+                rng = np.random.default_rng(i)
+                px = rng.integers(0, 1 << 16, (h, w)).astype(np.int64)
+                data = encode_jpeg_lossless(
+                    px, predictor=pred,
+                    restart_interval=5 if i % 4 == 0 else 0,
+                )
+                dw, dh, dn, back = decode_jpeg_lossless(data)
+                out["doc_id"].append(i)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["predictor"].append(pred)
+                out["uses_sof3"].append(data[2:4] == b"\xff\xc3")
+                out["roundtrip_exact"].append(
+                    (dw, dh, dn) == (w, h, 1) and bool(np.array_equal(back, px))
+                )
+            yield pd.DataFrame(
+                {
+                    k: pd.array(
+                        v,
+                        dtype="boolean"
+                        if k in ("uses_sof3", "roundtrip_exact")
+                        else "Int64",
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return _fan_out(df, id_col).mapInPandas(process, JPEG_LOSSLESS_SCHEMA)

@@ -726,3 +726,35 @@ def multimodal_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return synth_and_jpeg_arithmetic(d).orderBy("doc_id")
+
+
+@query(
+    "multimodal_jpeg_lossless",
+    """
+    SELECT doc_id,
+           CAST(5 + doc_id % 23 AS BIGINT) AS width,
+           CAST(5 + doc_id % 17 AS BIGINT) AS height,
+           CAST(1 + doc_id % 7 AS BIGINT) AS predictor,
+           TRUE AS uses_sof3,
+           TRUE AS roundtrip_exact
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "jpeg", "lossless", "dicom"),
+)
+def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG end-to-end (round 7 — T.81 Annex H / SOF3, the DPCM
+    mode DICOM medical images still ship in): every document encodes a
+    deterministic 16-bit image with its own Annex-H predictor (1..7 by
+    doc id, restart markers on every fourth doc) and must decode back
+    BIT-EXACTLY — the mode's entire contract, with zero tolerance for a
+    predictor formula, boundary rule, SSSS=16 difference, or
+    modulo-2^16 reconstruction slip. The oracle pins dims, the predictor
+    rotation, the SOF3 marker, and the exactness flag for every doc;
+    the unit suite additionally pins each predictor's arithmetic BY
+    HAND from the spec formulas. Scale shape: map-only after the
+    fan-out exchange."""
+    from rtcdb_spark.functions.multimodal import synth_and_jpeg_lossless
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_and_jpeg_lossless(d).orderBy("doc_id")
