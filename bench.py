@@ -139,6 +139,8 @@ HEADLINE = [
     "source_delta_delete_dv",
     "source_delta_optimize_vacuum",
     "source_delta_changes",
+    # round 7, wave 3: lossless (SOF3) JPEG, the DICOM coding
+    "multimodal_jpeg_lossless",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
