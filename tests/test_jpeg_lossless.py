@@ -102,3 +102,27 @@ class TestRoundtrip:
 
         with pytest.raises(ValueError, match="not a lossless"):
             decode_jpeg_lossless(make_jpeg(8, 8, 1, gray=True))
+
+
+class TestRoundtripProperties:
+    def test_random_dims_predictors_precisions(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.integers(min_value=1, max_value=24),
+            st.integers(min_value=1, max_value=24),
+            st.integers(min_value=1, max_value=7),
+            st.sampled_from([8, 16]),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=2**32 - 1),
+        )
+        def _prop(w, h, pred, bits, pt, seed):
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 1 << bits, (h, w)).astype(np.int64)
+            data = encode_jpeg_lossless(px, predictor=pred, point_transform=pt)
+            dw, dh, nc, back = decode_jpeg_lossless(data)
+            assert (dw, dh, nc) == (w, h, 1)
+            assert np.array_equal(back, (px >> pt) << pt)
+
+        _prop()
