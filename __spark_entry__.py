@@ -143,11 +143,49 @@ _PRIORITY = [
     # (running_frames + ranking stay), window_tumbling (session re-reps
     # batch event-time, r5-green), text_html_extract (bpe/bigram/bm25/
     # winnow stay).
+    # (wave 19, round 8 per VERDICT r7 items 1+5): the big
+    # never-driver-confirmed rotation. CENSUS at the start of round 8:
+    # registry 317 entries, 150 driver-confirmed across rounds 1-7 (every
+    # one green in its latest appearance), 167 never driver-run; weakest
+    # families by confirmed/total: sampling 0/4, analytics 2/12,
+    # timeseries 1/8, events 3/14, text 9/30, dedup 7/23, warehouse
+    # 10/29, window 4/10. This window keeps a 25-entry green-rep core
+    # (>=1 r7-green representative per SURVEY §2 family that has one) and
+    # fills the other 25 slots with: the three benched round-7
+    # capabilities that never got a driver row (source_delta_delete_dv,
+    # source_delta_changes, multimodal_jpeg_lossless), the new round-8
+    # CDF flagship (source_delta_cdf), the five residue components the
+    # verdict listed (agg_weighted_percentiles, window_lag_lead,
+    # fn_datetime, fn_conditional, window_tumbling — all prior-round
+    # driver-green), and SIXTEEN never-driver-run entries biased toward
+    # the weak families above (all local-mirror green this session):
+    # versioned_changes_feed, agg_bitmap_distinct, join_asof_nearest,
+    # set_except_all, window_ntile_distribution, window_first_last,
+    # fn_regexp, stream_join_click_purchase, stream_window_session,
+    # text_quality_filter, text_lang_audit, dedup_minhash_signatures,
+    # dedup_ngram_jaccard, sample_hash_deterministic,
+    # timeseries_gapfill_ffill, multimodal_image_phash_dedup.
+    # That puts 20 never-run entries in the window -> cross-round union
+    # 150 + 20 = 170 if all green (VERDICT r7 item 5's target).
+    # OUT (ALL r7-driver-green; each family keeps >=1 green rep in this
+    # window or the r7 ledger): source_json_roundtrip,
+    # versioned_predicate_routing, versioned_timestamp_travel,
+    # agg_count_distinct, join_asof_forward,
+    # source_delta_deletion_vectors, source_delta_optimize_vacuum,
+    # set_intersect_all, window_ranking, fn_string, fn_math,
+    # window_session, stream_ingest_dedup_versioned, stream_dedup_count,
+    # stream_join_left_outer, text_bm25_search, text_winnow_fingerprints,
+    # dedup_connected_groups_star, similarity_ivf_topk,
+    # multimodal_jpeg_progressive_420, multimodal_apng_animate,
+    # udf_udtf_tokenize, udf_pandas_scalar, graph_pagerank,
+    # matview_incremental_refresh.
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
     "source_rtcdb_string_scan",
-    "source_json_roundtrip",
     "source_delta_partitioned_roundtrip", "source_delta_column_mapping",
+    # round-7 wave-2/3 capabilities, driver-unconfirmed until now, plus
+    # the round-8 Change Data Feed flagship
+    "source_delta_delete_dv", "source_delta_changes", "source_delta_cdf",
     # (wave 10, round 4): swap four doubly-green entries for the round-4
     # capability flagships, all sf0.01 driver-sim green this session —
     # agg_collect_array -> versioned_merge_upsert (copy-on-write MERGE),
@@ -157,12 +195,13 @@ _PRIORITY = [
     # Families keep >=1 green rep: aggregates (count_distinct, percentiles),
     # similarity (cosine, ivf), multimodal (decode_meta), graph (pagerank,
     # triangle, lpa).
-    # C-I versioned routing + round-6 TIMESTAMP AS OF travel
-    "versioned_predicate_routing", "versioned_timestamp_travel",
-    # C-III aggregates (count-distinct + rollup/grouping-sets residue)
-    "agg_count_distinct", "agg_rollup",
-    # C-IV joins (semi/anti + as-of residue)
-    "join_semi", "join_asof_forward",
+    # C-I versioned: the never-run change feed + the r4-green MERGE rep
+    "versioned_changes_feed",
+    # C-III aggregates (rollup green rep + percentile residue + never-run
+    # roaring-bitmap distinct)
+    "agg_rollup", "agg_weighted_percentiles", "agg_bitmap_distinct",
+    # C-IV joins (semi/anti green rep + never-run nearest as-of)
+    "join_semi", "join_asof_nearest",
     # (wave 18, round 7): the late-round Delta capability flagships take
     # driver slots — source_delta_deletion_vectors (roaring DV decode +
     # row-index anti-join), source_delta_optimize_vacuum (compaction +
@@ -170,7 +209,6 @@ _PRIORITY = [
     # sink, fresh-checkpoint replay no-op asserted in-query). OUT (all
     # r6-driver-green; their families keep prior-ledger green reps):
     # timeseries_resample_interp, freq_heavy_hitters, reshape_unpivot.
-    "source_delta_deletion_vectors", "source_delta_optimize_vacuum",
     # (wave 14, round 5): sort_multi_key_limit -> versioned_zorder_skipping
     # (OPTIMIZE ... ZORDER BY: multi-dimensional clustering feeding the
     # manifest's stats pruning) and dedup_span_fraction ->
@@ -189,44 +227,46 @@ _PRIORITY = [
     # Database.open cold catalog re-read, SQL over the reopened table;
     # previously unit-only). Outgoing is r4 driver-green; the native
     # format keeps pruned_scan + string_scan as green reps.
-    # C-V sort / set / limit / distinct
-    "set_intersect_all",
-    # C-VI windows (frames + ranking residue)
-    "window_running_frames", "window_ranking",
-    # C-VII scalar functions (array, json/map + string/math residue)
-    "fn_array", "fn_json_map", "fn_string", "fn_math",
-    # C-VIII event-time (batch session-window residue)
-    "window_session",
-    # C-VIII streaming (near-dup gate, its round-6 UNORDERED-feed twin,
-    # and the ingest composite; full_outer rotated out r5-green —
-    # streaming keeps near_simhash/ingest/cdc as green reps)
+    # C-V sort / set (never-run EXCEPT ALL rep)
+    "set_except_all",
+    # C-VI windows (frames green rep + lag/lead residue + never-run
+    # ntile ranking and first/last analytic reps)
+    "window_running_frames", "window_lag_lead",
+    "window_ntile_distribution", "window_first_last",
+    # C-VII scalar functions (array/json green reps + datetime/conditional
+    # residue + never-run regex rep)
+    "fn_array", "fn_json_map", "fn_regexp", "fn_datetime", "fn_conditional",
+    # C-VIII event-time (tumbling residue; never-run STREAMING session
+    # windows replace the batch-session rep)
+    "window_tumbling", "stream_window_session",
+    # C-VIII streaming (near-dup gate + its UNORDERED-feed twin stay as
+    # the arbitrary-state/watermark green reps; never-run stream-stream
+    # join rep replaces the r7-green left-outer)
     "stream_dedup_near_simhash", "stream_dedup_near_simhash_unordered",
-    "stream_ingest_dedup_versioned",
-    # C-VIII stateful-dedup + stream-stream join residue
-    "stream_dedup_count", "stream_join_left_outer",
-    # C-IX text pipeline (trained BPE now ORACLE-GATED + LM perplexity +
-    # HTML extraction front end + round-6 winnowing fingerprints;
-    # text_contamination rotated out r5-green — bm25/bigram stay green)
+    "stream_join_click_purchase",
+    # C-IX text pipeline (oracle-gated trained BPE + LM perplexity stay;
+    # never-run quality-score and language-ID reps — the LLM-curation
+    # brief's operators — replace r7-green bm25/winnow)
     "text_bpe_tokenize", "text_bigram_perplexity",
-    "text_bm25_search", "text_winnow_fingerprints",
-    # C-IX dedup (exact, star CC, connectivity-only star-link mode) +
-    # curation shard shuffle
-    "dedup_exact", "dedup_connected_groups_star",
-    "dedup_star_connectivity_groups", "curation_shuffle_shards",
-    # C-IX similarity / ANN (trained PQ + IVF newly oracle-gated)
-    "similarity_ivf_topk", "similarity_pq_topk", "similarity_ivf_trained_topk",
-    # C-IX multimodal (wave 18b: ARITHMETIC JPEG — the round-7 media
-    # flagship, libjpeg-interop-tested — takes multimodal_jpeg_decode's
-    # slot, which is r6-driver-green; the family keeps three reps)
-    "multimodal_jpeg_arithmetic", "multimodal_jpeg_progressive_420",
-    "multimodal_apng_animate",
-    # C-X UDFs (UDAF + UDTF + scalar residue)
-    "udf_grouped_agg", "udf_udtf_tokenize", "udf_pandas_scalar",
-    # streaming Delta sink (wave 18) + graph
+    "text_quality_filter", "text_lang_audit",
+    # C-IX dedup (exact + oracle-gated star-connectivity stay; never-run
+    # MinHash signatures + n-gram Jaccard reps) + curation shard shuffle
+    "dedup_exact", "dedup_star_connectivity_groups",
+    "dedup_minhash_signatures", "dedup_ngram_jaccard",
+    "curation_shuffle_shards",
+    # sampling (0/4 family — first driver slot) + timeseries (1/8)
+    "sample_hash_deterministic", "timeseries_gapfill_ffill",
+    # C-IX similarity / ANN (the oracle-gated trained pair stays green)
+    "similarity_pq_topk", "similarity_ivf_trained_topk",
+    # C-IX multimodal (arithmetic JPEG green rep + the round-7 lossless
+    # SOF3 + never-run image pHash dedup)
+    "multimodal_jpeg_arithmetic", "multimodal_jpeg_lossless",
+    "multimodal_image_phash_dedup",
+    # C-X UDFs (UDAF green rep)
+    "udf_grouped_agg",
+    # streaming Delta sink (exactly-once) + round-4 capability flagships
     "stream_delta_sink",
-    "graph_pagerank",
-    # round-4 capability flagships
-    "versioned_merge_upsert", "stream_cdc_upsert", "matview_incremental_refresh",
+    "versioned_merge_upsert", "stream_cdc_upsert",
 ]
 
 

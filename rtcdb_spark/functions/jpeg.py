@@ -1185,10 +1185,10 @@ def decode_jpeg(payload: bytes):
     sampling: 4:4:4 (1x1) and 4:2:0 (2x2 luma) — in BOTH frame modes,
     including (round 6) progressive+4:2:0 — plus DRI/RSTm
     restart-interval consumption. Round 7: SOF9 ARITHMETIC-coded
-    sequential frames decode too (QM coder + F.1.4.4 conditioning,
-    `functions/jpeg_arith.py`, DAC-marker conditioning honored;
-    libjpeg-interop-tested both directions). Still honestly gated:
-    progressive-arithmetic, hierarchical and extended-precision modes."""
+    sequential AND SOF10 progressive-arithmetic frames decode too (QM
+    coder + F.1.4.4 conditioning, `functions/jpeg_arith.py`, DAC-marker
+    conditioning honored; libjpeg-interop-tested both directions).
+    Still honestly gated: hierarchical and extended-precision modes."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":

@@ -24,8 +24,9 @@ Statistics bins are bytearrays where each byte is (MPS << 7) | state
 index — the same compact representation libjpeg uses, which the packed
 QE table rows are designed for.
 
-Honestly still gated: progressive-arithmetic (SOF10) and hierarchical/
-lossless arithmetic modes.
+Progressive-arithmetic (SOF10) encode/decode landed in the same round
+(`encode_jpeg_progressive_arith` below). Honestly still gated:
+hierarchical and arithmetic-lossless modes.
 """
 
 from __future__ import annotations

@@ -11,13 +11,20 @@ bits). Reconstruction is modulo 2^16, per H.1.2.1.
 Supported: 1- or 3-component scans, 1x1 sampling (the layout DICOM and
 every common lossless producer uses), sample precision 2..16, point
 transform Pt (the decoder reconstructs ``sample << Pt``, H.1.2.3), and
-DRI/RSTm restart intervals (prediction resets to the default at each
-marker). Subsampled lossless scans remain honestly gated.
+DRI/RSTm restart intervals. Subsampled lossless scans remain honestly
+gated.
 
-Boundary rules (H.1.2.2): the very first sample of the image (and the
-first after a restart) is predicted by ``1 << (P - Pt - 1)``; the rest
-of the first line uses predictor Ra regardless of the scan's predictor;
-the first sample of every other line uses Rb.
+Boundary rules (H.1.2.2): the very first sample of the scan AND the
+first sample after each RSTm is predicted by ``1 << (P - Pt - 1)``; the
+rest of that sample line uses the one-dimensional Ra predictor
+regardless of the scan's selected predictor ('the horizontal predictor
+is used for the first line of samples at the start of the scan and at
+the beginning of each restart interval'); the selected predictor
+resumes on later lines, with Rb at the start of each line. I.e. a
+restart re-enters full scan-start state — fixed per ADVICE r7 (the
+earlier code default-predicted only the single restart sample, which
+roundtripped internally but was non-conformant for
+``restart_interval > 0 and predictor != 1``).
 
 There is no external arbiter in this container (the system
 libjpeg-turbo predates its 3.x lossless support), so the tests pin the
@@ -48,11 +55,22 @@ _LL_BITS = [0, 0, 1, 4, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
 _LL_VALS = [4, 0, 1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
 
 
-def _predict(px, row: int, col: int, pred: int, p: int, pt: int) -> int:
-    if row == 0 and col == 0:
+def _predict(
+    px, row: int, col: int, pred: int, p: int, pt: int,
+    rrow: int = 0, rcol: int = 0,
+) -> int:
+    """Annex-H prediction with restart-aware boundaries: ``(rrow, rcol)``
+    is where the current restart interval began (scan start = (0, 0)).
+    H.1.2.2: the interval's first sample is predicted by
+    ``1 << (P - Pt - 1)``; the REST of that sample line uses the
+    one-dimensional Ra predictor ('the horizontal predictor is used for
+    the first line of samples at the start of the scan and at the
+    beginning of each restart interval'); the selected predictor resumes
+    on later lines, with Rb at each line start."""
+    if row == rrow and col == rcol:
         return 1 << (p - pt - 1)
-    if row == 0:
-        return int(px[row][col - 1])  # first line: Ra
+    if row == rrow:
+        return int(px[row][col - 1])  # interval's first line: Ra
     if col == 0:
         return int(px[row - 1][col])  # first column: Rb
     a = int(px[row][col - 1])
@@ -115,16 +133,16 @@ def encode_jpeg_lossless(
         bw = _BitWriter()
         rst = 0
         n = 0
+        rrow = rcol = 0  # where the current restart interval began
         for row in range(h):
             for col in range(w):
                 if restart_interval and n and n % restart_interval == 0:
                     bw.flush()
                     bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
                     rst += 1
-                    # prediction restarts as if at the image start
-                    pred_val = 1 << (p - pt - 1)
-                else:
-                    pred_val = _predict(plane, row, col, predictor, p, pt)
+                    # the coder re-enters scan-start state (H.1.2.2)
+                    rrow, rcol = row, col
+                pred_val = _predict(plane, row, col, predictor, p, pt, rrow, rcol)
                 diff = (plane[row][col] - pred_val) & 0xFFFF
                 if diff >= 0x8000:
                     diff -= 0x10000  # modulo-2^16 difference, H.1.2.1
@@ -206,21 +224,18 @@ def decode_jpeg_lossless(payload: bytes):
             reader = _BitReader(payload, pos + seglen)
             plane = [[0] * w for _ in range(h)]
             n = 0
-            restart_at = None
+            rrow = rcol = 0  # where the current restart interval began
             for row in range(h):
                 for col in range(w):
                     if dri and n and n % dri == 0:
                         reader.sync_restart(n // dri - 1)
-                        restart_at = (row, col)
+                        rrow, rcol = row, col  # scan-start state (H.1.2.2)
                     ssss = _decode_huffman(reader, tbl)
                     if ssss == 16:
                         diff = 32768
                     else:
                         diff = _extend(reader.receive(ssss), ssss)
-                    if restart_at == (row, col):
-                        pred_val = 1 << (p - pt - 1)
-                    else:
-                        pred_val = _predict(plane, row, col, predictor, p, pt)
+                    pred_val = _predict(plane, row, col, predictor, p, pt, rrow, rcol)
                     plane[row][col] = (pred_val + diff) & 0xFFFF
                     n += 1
             planes[comp] = np.array(plane, dtype=np.int64) << pt

@@ -944,7 +944,7 @@ def source_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta DELETION VECTORS end-to-end (round 7, `sources/
-    deletion_vectors.py` + `delta_log._scan_adds`): documents is written
+    deletion_vectors.py` + `delta_log._scan_snapshot`): documents is written
     as a one-file Delta table, then a DV-writing engine's DELETE is
     reproduced exactly — the row INDEXES of every doc_id divisible by 7
     are found from the parquet file itself, serialized as a
@@ -1185,9 +1185,14 @@ def source_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     _m, adds2, _s = _snapshot_state(path)
     # surviving files are a subset of the original writes: nothing rewritten
     assert set(adds2) <= set(adds0), "DELETE rewrote data files"
+    # every survivor carries a DV (key%10=0 touches every remaining file),
+    # and the partition delete dropped the URGENT files outright
     assert all(
-        a.get("deletionVector") or True for a in adds2.values()
-    )
+        a.get("deletionVector") for a in adds2.values()
+    ), "a surviving file lost its deletion vector"
+    assert not any(
+        "1-URGENT" in p for p in adds2
+    ), "a fully-deleted partition file was resurrected"
     t = read_delta(spark, path)
     return (
         t.groupBy("o_orderpriority")
@@ -1197,4 +1202,85 @@ def source_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "source_delta_cdf",
+    """
+    SELECT _change_type, _commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM (
+        SELECT 'insert' AS _change_type,
+               CAST(CASE WHEN o_orderkey % 3 <> 2 THEN 0 ELSE 1 END AS BIGINT)
+                   AS _commit_version,
+               o_orderkey
+        FROM orders
+        UNION ALL
+        SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 10 < 3
+    )
+    GROUP BY _change_type, _commit_version
+    ORDER BY _change_type, _commit_version
+    """,
+    tags=("source", "delta", "interchange", "cdf", "changes", "delete"),
+)
+def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED end-to-end (round 8,
+    `delta_log.delta_changes_cdf` + the CDC writer inside
+    `delete_delta`): orders lands with `delta.enableChangeDataFeed=true`
+    in two append commits (keys %3 != 2, then %3 = 2), then a DV DELETE
+    (%10 < 3) whose commit must carry spec-layout `_change_data/` files
+    + `cdc` actions (asserted in-query). Reading the feed across ALL
+    commits must yield each append's rows as `_change_type='insert'` at
+    its own `_commit_version` (derived from the file actions — the
+    protocol's rule for commits without CDC files) and exactly the
+    deleted rows as `_change_type='delete'` from the CDC files. The
+    aggregate keys on (change type, commit version), so a row leaked
+    between commits, a missed CDC file, or a double-derived change
+    breaks the hash against the fixture's UNION ALL twin."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        delete_delta,
+        delta_changes_cdf,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_cdf_")
+    shutil.rmtree(path)
+    write_delta(
+        o.filter(F.col("o_orderkey") % 3 != 2),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    append_delta(o.filter(F.col("o_orderkey") % 3 == 2), path)
+    v = delete_delta(spark, path, "o_orderkey % 10 < 3")
+    commit = _os.path.join(path, "_delta_log", f"{v:020d}.json")
+    acts = [_json.loads(x) for x in open(commit).read().splitlines()]
+    cdcs = [a["cdc"] for a in acts if a.get("cdc")]
+    assert cdcs, "CDF-enabled DELETE must write cdc actions"
+    assert all(
+        c["path"].startswith("_change_data/") and c["dataChange"] is False
+        for c in cdcs
+    ), "cdc actions must point under _change_data/ with dataChange=false"
+    feed = delta_changes_cdf(spark, path, 0)
+    return (
+        feed.groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("_change_type", "_commit_version")
     )

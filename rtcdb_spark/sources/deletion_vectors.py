@@ -19,11 +19,12 @@ Everything here implements the PUBLIC formats:
   int> <data: serialized bitmap> <checksum: 4-byte big-endian CRC-32 of
   data>`, with `offset` pointing at the dataSize field.
 - **RoaringBitmapArray, "portable" serialization** (the format the Delta
-  spec mandates for the bitmap data; also documented in the
-  RoaringBitmap project's format spec): `<number of 32-bit bitmaps: 8-byte
-  little-endian>` followed by that many standard-serialization 32-bit
-  roaring bitmaps, where bitmap `i` holds the low 32 bits of the 64-bit
-  row indexes whose high 32 bits equal `i`.
+  spec mandates for the bitmap data; the RoaringFormatSpec 64-bit
+  extension used by delta-spark/delta-rs/delta-kernel): `<magic: 4-byte
+  little-endian = 1681511377> <number of 32-bit bitmaps: 8-byte
+  little-endian>`, then per bitmap `<key: 4-byte little-endian>` (the
+  high 32 bits; keys sparse, strictly increasing) followed by the
+  standard-serialization 32-bit roaring bitmap of the low 32 bits.
 - **Standard 32-bit roaring serialization** (RoaringFormatSpec): cookie
   `12346` (u32 LE, no run containers) followed by u32 container count, or
   cookie `12347` in the low 16 bits with `count-1` in the high 16 bits
@@ -96,9 +97,15 @@ def z85_decode(text: str) -> bytes:
 # --- standard 32-bit roaring bitmap ----------------------------------------
 
 
-def _decode_roaring32(buf: bytes, pos: int) -> tuple[set[int], int]:
+def _decode_roaring32(buf: bytes, pos: int):
     """Decode one standard-serialization 32-bit roaring bitmap starting at
-    ``pos``; returns (values, next position)."""
+    ``pos``; returns (values as a sorted numpy int64 array, next
+    position). Container decode is VECTORIZED — array containers via
+    ``np.frombuffer``, run containers via a cumulative-offset expansion,
+    bitmap containers via ``np.unpackbits`` — so a million-row deletion
+    vector decodes in milliseconds, not seconds of Python loop."""
+    import numpy as np
+
     (cookie,) = struct.unpack_from("<I", buf, pos)
     if (cookie & 0xFFFF) == _COOKIE_RUN:
         n = (cookie >> 16) + 1
@@ -122,29 +129,41 @@ def _decode_roaring32(buf: bytes, pos: int) -> tuple[set[int], int]:
         pos += 4
     if has_offsets:
         pos += 4 * n  # offsets are redundant for sequential decode
-    values: set[int] = set()
+    parts: list = []
     for i in range(n):
         base = keys[i] << 16
         is_run = bool(run_bits[i // 8] & (1 << (i % 8)))
         if is_run:
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
-            for _ in range(n_runs):
-                start, length_m1 = struct.unpack_from("<HH", buf, pos)
-                pos += 4
-                values.update(base + v for v in range(start, start + length_m1 + 1))
+            runs = np.frombuffer(
+                buf, dtype="<u2", count=2 * n_runs, offset=pos
+            ).astype(np.int64).reshape(-1, 2)
+            pos += 4 * n_runs
+            starts, lens = runs[:, 0], runs[:, 1] + 1
+            # expand [start, start+len) runs: arange minus per-run rebase
+            total = int(lens.sum())
+            idx = np.arange(total, dtype=np.int64)
+            ends = np.cumsum(lens)
+            rebase = np.repeat(starts - (ends - lens), lens)
+            parts.append(base + idx + rebase)
         elif cards[i] <= 4096:
-            vals = struct.unpack_from(f"<{cards[i]}H", buf, pos)
+            vals = np.frombuffer(
+                buf, dtype="<u2", count=cards[i], offset=pos
+            ).astype(np.int64)
             pos += 2 * cards[i]
-            values.update(base + v for v in vals)
-        else:  # bitmap container: 1024 u64 words, little-endian
-            words = struct.unpack_from("<1024Q", buf, pos)
+            parts.append(base + vals)
+        else:  # bitmap container: 8192 bytes, LSB-first within each byte
+            bits = np.unpackbits(
+                np.frombuffer(buf, dtype=np.uint8, count=8192, offset=pos),
+                bitorder="little",
+            )
             pos += 8192
-            for wi, w in enumerate(words):
-                while w:
-                    b = w & -w
-                    values.add(base + wi * 64 + b.bit_length() - 1)
-                    w ^= b
+            parts.append(base + np.nonzero(bits)[0].astype(np.int64))
+    if parts:
+        values = np.concatenate(parts)
+    else:
+        values = np.array([], dtype=np.int64)
     return values, pos
 
 
@@ -212,41 +231,79 @@ def _encode_roaring32(values: list[int]) -> bytes:
 # --- RoaringBitmapArray (64-bit), portable serialization --------------------
 
 
-def decode_rbm_array_portable(data: bytes) -> set[int]:
-    """Portable RoaringBitmapArray → set of 64-bit row indexes."""
-    (n_bitmaps,) = struct.unpack_from("<Q", data, 0)
-    pos = 8
-    out: set[int] = set()
-    for hi in range(n_bitmaps):
+# Magic number of the "portable" RoaringBitmapArray serialization, per the
+# Delta protocol (delta-io PROTOCOL.md "Deletion Vector Format") and the
+# RoaringBitmapArray implementations in delta-spark / delta-rs / delta-kernel.
+_PORTABLE_MAGIC = 1681511377
+
+
+def decode_rbm_array_portable_np(data: bytes):
+    """Portable RoaringBitmapArray → sorted numpy int64 array of 64-bit
+    row indexes (the vectorized fast path `_scan_snapshot` feeds straight
+    into its Arrow-shipped anti-join frame).
+
+    Layout (all integers little-endian): ``<magic: 4 bytes = 1681511377>
+    <number of bitmaps: 8 bytes>``, then for each bitmap ``<key: 4 bytes>``
+    (the high 32 bits of the row indexes it holds; keys are sparse and
+    strictly increasing) followed by the standard-serialization 32-bit
+    roaring bitmap of the low 32 bits.
+    """
+    import numpy as np
+
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _PORTABLE_MAGIC:
+        raise ValueError(
+            f"not a portable RoaringBitmapArray (magic {magic}, "
+            f"expected {_PORTABLE_MAGIC})"
+        )
+    (n_bitmaps,) = struct.unpack_from("<Q", data, 4)
+    pos = 12
+    parts = []
+    last_key = -1
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        if key < 0 or key <= last_key:
+            raise ValueError(
+                f"portable bitmap keys must be non-negative and increasing; "
+                f"got {key} after {last_key}"
+            )
+        last_key = key
         vals, pos = _decode_roaring32(data, pos)
-        out.update((hi << 32) | v for v in vals)
+        parts.append((key << 32) | vals)
     if pos != len(data):
         raise ValueError(
             f"trailing bytes in portable bitmap array: {len(data) - pos}"
         )
-    return out
+    if not parts:
+        return np.array([], dtype=np.int64)
+    return np.concatenate(parts)
+
+
+def decode_rbm_array_portable(data: bytes) -> set[int]:
+    """Set-returning convenience wrapper over the numpy decoder."""
+    return set(decode_rbm_array_portable_np(data).tolist())
 
 
 def encode_rbm_array_portable(values: list[int]) -> bytes:
     by_hi: dict[int, list[int]] = {}
     for v in sorted(set(values)):
         by_hi.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
-    if not by_hi:
-        return struct.pack("<Q", 0)
-    n = max(by_hi) + 1  # bitmap index IS the high word: empties included
-    out = bytearray(struct.pack("<Q", n))
-    for hi in range(n):
-        out += _encode_roaring32(by_hi.get(hi, []))
+    out = bytearray(struct.pack("<iQ", _PORTABLE_MAGIC, len(by_hi)))
+    for hi in sorted(by_hi):  # sparse keys, increasing order — no empties
+        out += struct.pack("<i", hi)
+        out += _encode_roaring32(by_hi[hi])
     return bytes(out)
 
 
 # --- DV file layout ----------------------------------------------------------
 
 
-def read_dv_blob(path: str, offset: int, size: int) -> set[int]:
+def read_dv_blob_np(path: str, offset: int, size: int):
     """Read one deletion vector stored in a DV file: verify the 1-byte
     format version, the big-endian dataSize at ``offset``, and the
-    trailing CRC-32; decode the portable bitmap array."""
+    trailing CRC-32; decode the portable bitmap array to a sorted numpy
+    int64 array."""
     with open(path, "rb") as fh:
         version = fh.read(1)
         if version != b"\x01":
@@ -261,7 +318,12 @@ def read_dv_blob(path: str, offset: int, size: int) -> set[int]:
         (crc,) = struct.unpack(">I", fh.read(4))
     if zlib.crc32(data) & 0xFFFFFFFF != crc:
         raise ValueError("DV checksum mismatch")
-    return decode_rbm_array_portable(data)
+    return decode_rbm_array_portable_np(data)
+
+
+def read_dv_blob(path: str, offset: int, size: int) -> set[int]:
+    """Set-returning convenience wrapper over `read_dv_blob_np`."""
+    return set(read_dv_blob_np(path, offset, size).tolist())
 
 
 def write_dv_file(path: str, values: list[int]) -> tuple[int, int]:
@@ -277,25 +339,35 @@ def write_dv_file(path: str, values: list[int]) -> tuple[int, int]:
     return offset, len(data)
 
 
-def resolve_dv(table_path: str, dv: dict) -> set[int]:
-    """Deleted row indexes for one add action's deletionVector descriptor."""
+def resolve_dv_np(table_path: str, dv: dict):
+    """Deleted row indexes for one add action's deletionVector descriptor,
+    as a sorted numpy int64 array."""
     import os
     import uuid as _uuid
 
     st = dv.get("storageType")
     if st == "i":
         data = z85_decode(dv["pathOrInlineDv"])
-        return decode_rbm_array_portable(data[: dv["sizeInBytes"]])
+        return decode_rbm_array_portable_np(data[: dv["sizeInBytes"]])
     if st == "u":
         enc = dv["pathOrInlineDv"]
         prefix, z = enc[:-20], enc[-20:]
         u = _uuid.UUID(bytes=z85_decode(z))
         name = f"deletion_vector_{u}.bin"
         base = os.path.join(table_path, prefix) if prefix else table_path
-        return read_dv_blob(os.path.join(base, name), dv["offset"], dv["sizeInBytes"])
+        return read_dv_blob_np(
+            os.path.join(base, name), dv["offset"], dv["sizeInBytes"]
+        )
     if st == "p":
-        return read_dv_blob(dv["pathOrInlineDv"], dv["offset"], dv["sizeInBytes"])
+        return read_dv_blob_np(
+            dv["pathOrInlineDv"], dv["offset"], dv["sizeInBytes"]
+        )
     raise NotImplementedError(f"deletion vector storageType {st!r}")
+
+
+def resolve_dv(table_path: str, dv: dict) -> set[int]:
+    """Set-returning convenience wrapper over `resolve_dv_np`."""
+    return set(resolve_dv_np(table_path, dv).tolist())
 
 
 def write_dv_blobs(path: str, value_lists) -> list[tuple[int, int]]:

@@ -58,39 +58,70 @@ def _expected_run_single() -> bytes:
     return out
 
 
+_MAGIC = 1681511377  # Delta protocol / RoaringBitmapArray portable magic
+
+
+def _portable_header(n_bitmaps: int) -> bytes:
+    return struct.pack("<iQ", _MAGIC, n_bitmaps)
+
+
 class TestRoaringPortable:
     def test_array_containers_exact_bytes(self):
         values = [1, 2, 3, 100000]
         blob = encode_rbm_array_portable(values)
-        assert blob == struct.pack("<Q", 1) + _expected_array_two_keys()
+        # magic, 1 bitmap, key 0 (high 32 bits), then the 32-bit bitmap
+        assert blob == (
+            _portable_header(1) + struct.pack("<i", 0) + _expected_array_two_keys()
+        )
         assert decode_rbm_array_portable(blob) == set(values)
 
     def test_run_container_exact_bytes(self):
         values = list(range(5, 4701))
         blob = encode_rbm_array_portable(values)
-        assert blob == struct.pack("<Q", 1) + _expected_run_single()
+        assert blob == (
+            _portable_header(1) + struct.pack("<i", 0) + _expected_run_single()
+        )
         assert decode_rbm_array_portable(blob) == set(values)
 
     def test_bitmap_container(self):
         # 5000 alternating values: too many for array, runs don't compress
         values = list(range(0, 10000, 2))
         blob = encode_rbm_array_portable(values)
-        # container must be the 8192-byte bitmap with the 0b01 pattern
+        # container must be the 8192-byte bitmap with the 0b01 pattern;
+        # layout: magic(4) count(8) key(4) cookie+count(8) header(4) offset(4)
         n_offsets = 1
-        header_end = 8 + 8 + 4 * 1 + 4 * n_offsets
+        header_end = 12 + 4 + 8 + 4 * 1 + 4 * n_offsets
         words = struct.unpack_from("<1024Q", blob, header_end)
         assert words[0] == 0x5555555555555555
         assert decode_rbm_array_portable(blob) == set(values)
 
     def test_row_indexes_above_32_bits(self):
-        values = [7, (1 << 32) + 9, (2 << 32) + 11]
+        # high words 0, 1, 3 — key 2 is ABSENT: keys are sparse, not dense
+        values = [7, (1 << 32) + 9, (3 << 32) + 11]
         blob = encode_rbm_array_portable(values)
-        (n,) = struct.unpack_from("<Q", blob, 0)
-        assert n == 3  # bitmap index IS the high word; gaps are explicit
+        (magic,) = struct.unpack_from("<i", blob, 0)
+        (n,) = struct.unpack_from("<Q", blob, 4)
+        assert magic == _MAGIC
+        assert n == 3  # three non-empty bitmaps, NOT max(high)+1
+        (first_key,) = struct.unpack_from("<i", blob, 12)
+        assert first_key == 0
         assert decode_rbm_array_portable(blob) == set(values)
 
     def test_empty(self):
-        assert decode_rbm_array_portable(encode_rbm_array_portable([])) == set()
+        blob = encode_rbm_array_portable([])
+        assert blob == _portable_header(0)
+        assert decode_rbm_array_portable(blob) == set()
+
+    def test_bad_magic_rejected(self):
+        blob = struct.pack("<iQ", 12345, 0)
+        with pytest.raises(ValueError, match="magic"):
+            decode_rbm_array_portable(blob)
+
+    def test_missing_magic_rejected(self):
+        # the pre-fix layout (count first, no magic) must NOT decode
+        legacy = struct.pack("<Q", 1) + _expected_array_two_keys()
+        with pytest.raises(ValueError):
+            decode_rbm_array_portable(legacy)
 
     def test_trailing_garbage_rejected(self):
         blob = encode_rbm_array_portable([1, 2]) + b"xx"

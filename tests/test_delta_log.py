@@ -1059,3 +1059,184 @@ class TestV2Checkpoints:
         os.remove(os.path.join(log, f"{0:020d}.json"))
         with pytest.raises(ValueError, match="version"):
             read_delta(spark, path)
+
+
+class TestChangeDataFeed:
+    def _table(self, spark, tmp_path, partitioned=False, cdf=True):
+        from rtcdb_spark.sources.delta_log import write_delta as _wd
+
+        path = str(tmp_path / "t")
+        df = spark.range(40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("part"),
+            (F.col("id") * 2).alias("v"),
+        ).coalesce(1)
+        _wd(
+            df,
+            path,
+            partition_by=["part"] if partitioned else None,
+            configuration=(
+                {"delta.enableChangeDataFeed": "true"} if cdf else None
+            ),
+        )
+        return path
+
+    def test_delete_writes_cdc_files_and_actions(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta
+
+        path = self._table(spark, tmp_path)
+        v = delete_delta(spark, path, "k % 5 = 0")
+        actions = [
+            json.loads(x)
+            for x in open(
+                os.path.join(path, "_delta_log", f"{v:020d}.json")
+            ).read().splitlines()
+        ]
+        cdcs = [a["cdc"] for a in actions if a.get("cdc")]
+        assert cdcs, "CDF-enabled delete must write cdc actions"
+        for c in cdcs:
+            assert c["path"].startswith("_change_data/")
+            assert c["dataChange"] is False
+            full = os.path.join(path, c["path"])
+            assert os.path.exists(full)
+            assert c["size"] == os.path.getsize(full)
+        # the cdc files carry exactly the deleted rows with _change_type
+        import pyarrow.parquet as pq
+
+        rows = []
+        for c in cdcs:
+            t = pq.read_table(os.path.join(path, c["path"])).to_pylist()
+            rows.extend(t)
+        assert sorted(r["k"] for r in rows) == [0, 5, 10, 15, 20, 25, 30, 35]
+        assert {r["_change_type"] for r in rows} == {"delete"}
+        # snapshot reads are unaffected by cdc actions
+        assert read_delta(spark, path).count() == 32
+
+    def test_cdf_read_inserts_and_deletes(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            append_delta as _ad,
+            delete_delta,
+            delta_changes_cdf,
+        )
+
+        path = self._table(spark, tmp_path)
+        _ad(
+            spark.createDataFrame(
+                [(100, "0", 200), (101, "1", 202)], "k long, part string, v long"
+            ),
+            path,
+        )  # v1: pure append -> derived inserts
+        delete_delta(spark, path, "k >= 100")  # v2: cdc files
+        feed = delta_changes_cdf(spark, path, 1, 2)
+        got = sorted(
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in feed.collect()
+        )
+        assert got == [
+            (100, "delete", 2), (100, "insert", 1),
+            (101, "delete", 2), (101, "insert", 1),
+        ]
+        # v0 (initial write) derives as inserts
+        feed0 = delta_changes_cdf(spark, path, 0, 0)
+        assert feed0.count() == 40
+        assert {r["_change_type"] for r in feed0.collect()} == {"insert"}
+
+    def test_cdf_read_partitioned_delete(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta, delta_changes_cdf
+
+        path = self._table(spark, tmp_path, partitioned=True)
+        v = delete_delta(spark, path, "part = '2'")
+        feed = delta_changes_cdf(spark, path, v, v)
+        rows = feed.collect()
+        assert sorted(r["k"] for r in rows) == [i for i in range(40) if i % 4 == 2]
+        assert {r["part"] for r in rows} == {"2"}
+        assert {r["_change_type"] for r in rows} == {"delete"}
+
+    def test_derived_delete_from_remove_actions(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_changes_cdf
+
+        # CDF off: an overwrite-style remove commit derives as deletes by
+        # re-reading the removed files (pre-commit add actions)
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(10).select(F.col("id").alias("k")).coalesce(1), path
+        )
+        # hand-write a pure-remove commit for the only live file
+        from rtcdb_spark.sources.delta_log import _snapshot_state
+
+        _m, adds, _s = _snapshot_state(path)
+        (rel,) = adds
+        with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"remove": {
+                "path": rel, "deletionTimestamp": 1, "dataChange": True,
+            }}) + "\n")
+        feed = delta_changes_cdf(spark, path, 1, 1)
+        assert sorted(r["k"] for r in feed.collect()) == list(range(10))
+        assert {r["_change_type"] for r in feed.collect()} == {"delete"}
+
+    def test_mixed_commit_without_cdc_refused(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta, delta_changes_cdf
+
+        path = self._table(spark, tmp_path, cdf=False)
+        v = delete_delta(spark, path, "k = 3")  # DV delete, no CDF
+        with pytest.raises(NotImplementedError, match="not derivable"):
+            delta_changes_cdf(spark, path, v, v)
+
+    def test_update_delta_config_enables_feed(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            delta_changes_cdf,
+            update_delta_config,
+        )
+
+        path = self._table(spark, tmp_path, cdf=False)
+        vc = update_delta_config(path, {"delta.enableChangeDataFeed": "true"})
+        vd = delete_delta(spark, path, "k < 4")
+        feed = delta_changes_cdf(spark, path, vd, vd)
+        assert sorted(r["k"] for r in feed.collect()) == [0, 1, 2, 3]
+        assert vd == vc + 1
+
+
+class TestMappedDeleteAndChanges:
+    def test_delete_on_name_mapped_table(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta
+
+        path = _mapped_table(spark, tmp_path)
+        v = delete_delta(spark, path, "k % 2 = 1")  # LOGICAL column name
+        assert v == 1
+        back = read_delta(spark, path)
+        assert sorted(r["k"] for r in back.collect()) == [0, 2, 4]
+        # no data file rewritten
+        assert not any(
+            f.endswith(".parquet") and f.startswith("part-")
+            and os.path.getmtime(os.path.join(path, f)) == 0
+            for f in os.listdir(path)
+        )
+
+    def test_delete_on_mapped_partition_column(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta
+
+        path = _mapped_table(spark, tmp_path, partitioned=True)
+        delete_delta(spark, path, "part = '1'")
+        back = read_delta(spark, path)
+        assert sorted(r["k"] for r in back.collect()) == [0, 2, 4]
+        assert {r["part"] for r in back.collect()} == {"0"}
+
+    def test_append_feed_changes_on_mapped_table(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import append_delta as _ad, delta_changes
+
+        path = _mapped_table(spark, tmp_path)
+        _ad(
+            spark.createDataFrame([(9, "x", 90)], "k long, part string, v long"),
+            path,
+        )
+        got = delta_changes(spark, path, 1, 1)
+        assert sorted(got.columns) == ["k", "part", "v"]
+        assert [tuple(r) for r in got.collect()] == [(9, "x", 90)]
+
+    def test_cdf_on_mapped_table_still_gated(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_changes_cdf
+
+        path = _mapped_table(spark, tmp_path)
+        with pytest.raises(NotImplementedError, match="column-mapped"):
+            delta_changes_cdf(spark, path, 0, 0)

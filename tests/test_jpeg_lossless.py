@@ -48,6 +48,24 @@ class TestPredictorsByHand:
         px = [[13, 10], [20, 0]]
         assert _predict(px, 1, 1, 5, 8, 0) == 20 + ((10 - 13) >> 1) == 18
 
+    def test_restart_reenters_scan_start_state(self):
+        # H.1.2.2: a restart interval beginning at (rrow, rcol) behaves
+        # exactly like the start of the scan — default prediction for its
+        # first sample, Ra for the REST of that sample line (whatever the
+        # selected predictor), Rb at the start of later lines, selected
+        # predictor elsewhere. Values pinned by hand from the spec text.
+        px = [[3, 5, 8], [11, 13, 17], [19, 23, 29]]
+        # interval starts mid-image at (1, 1), selected predictor = 2 (Rb)
+        assert _predict(px, 1, 1, 2, 8, 0, rrow=1, rcol=1) == 128
+        # (1, 2) is on the interval's first line -> Ra = 13, NOT Rb = 8
+        assert _predict(px, 1, 2, 2, 8, 0, rrow=1, rcol=1) == 13
+        # (2, 0) is a later line's start -> Rb = 11
+        assert _predict(px, 2, 0, 2, 8, 0, rrow=1, rcol=1) == 11
+        # (2, 1) is interior -> the selected predictor resumes (Rb = 13)
+        assert _predict(px, 2, 1, 2, 8, 0, rrow=1, rcol=1) == 13
+        # and with predictor 7: (a + b) >> 1 = (19 + 13) >> 1 = 16
+        assert _predict(px, 2, 1, 7, 8, 0, rrow=1, rcol=1) == 16
+
 
 class TestRoundtrip:
     @pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
@@ -115,12 +133,15 @@ class TestRoundtripProperties:
             st.integers(min_value=1, max_value=7),
             st.sampled_from([8, 16]),
             st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=13),
             st.integers(min_value=0, max_value=2**32 - 1),
         )
-        def _prop(w, h, pred, bits, pt, seed):
+        def _prop(w, h, pred, bits, pt, dri, seed):
             rng = np.random.default_rng(seed)
             px = rng.integers(0, 1 << bits, (h, w)).astype(np.int64)
-            data = encode_jpeg_lossless(px, predictor=pred, point_transform=pt)
+            data = encode_jpeg_lossless(
+                px, predictor=pred, point_transform=pt, restart_interval=dri
+            )
             dw, dh, nc, back = decode_jpeg_lossless(data)
             assert (dw, dh, nc) == (w, h, 1)
             assert np.array_equal(back, (px >> pt) << pt)
