@@ -141,6 +141,8 @@ HEADLINE = [
     "source_delta_changes",
     # round 7, wave 3: lossless (SOF3) JPEG, the DICOM coding
     "multimodal_jpeg_lossless",
+    # round 8: Delta Change Data Feed end-to-end (CDC writes + feed read)
+    "source_delta_cdf",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
