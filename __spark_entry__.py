@@ -184,8 +184,12 @@ _PRIORITY = [
     "source_rtcdb_string_scan",
     "source_delta_partitioned_roundtrip", "source_delta_column_mapping",
     # round-7 wave-2/3 capabilities, driver-unconfirmed until now, plus
-    # the round-8 Change Data Feed flagship
+    # the round-8 Change Data Feed + MERGE INTO flagships (wave-2 swap:
+    # source_delta_merge_cdf takes stream_cdc_upsert's slot — r4..r7
+    # green, streaming keeps delta_sink + both near-simhash reps — so
+    # the window carries 21 never-driver-run entries)
     "source_delta_delete_dv", "source_delta_changes", "source_delta_cdf",
+    "source_delta_merge_cdf",
     # (wave 10, round 4): swap four doubly-green entries for the round-4
     # capability flagships, all sf0.01 driver-sim green this session —
     # agg_collect_array -> versioned_merge_upsert (copy-on-write MERGE),
@@ -264,9 +268,9 @@ _PRIORITY = [
     "multimodal_image_phash_dedup",
     # C-X UDFs (UDAF green rep)
     "udf_grouped_agg",
-    # streaming Delta sink (exactly-once) + round-4 capability flagships
+    # streaming Delta sink (exactly-once) + the round-4 MERGE flagship
     "stream_delta_sink",
-    "versioned_merge_upsert", "stream_cdc_upsert",
+    "versioned_merge_upsert",
 ]
 
 

@@ -143,6 +143,8 @@ HEADLINE = [
     "multimodal_jpeg_lossless",
     # round 8: Delta Change Data Feed end-to-end (CDC writes + feed read)
     "source_delta_cdf",
+    # round 8, wave 2: MERGE INTO with full CDF vocabulary
+    "source_delta_merge_cdf",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

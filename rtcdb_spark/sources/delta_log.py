@@ -83,9 +83,15 @@ Round 8: CHANGE DATA FEED both directions (`delete_delta` emits
 deriving insert/delete rows from file actions for commits without CDC
 files per the protocol), DELETE and append-feed change reads on
 COLUMN-MAPPED tables (both route through the shared `_ScanPlan`
-translation), and the one-scan snapshot reader below.
+translation), and the one-scan snapshot reader below. Round-8 wave 2:
+MERGE INTO (`merge_delta` — file-level-pruned copy-on-write upsert or
+matched-delete, duplicate-source fail-fast, full CDF vocabulary incl.
+update_preimage/update_postimage) and writer-side enforcement of the
+table's declarative contracts (`_apply_write_constraints`: GENERATED
+COLUMNS computed-when-missing / validated-when-present, column
+INVARIANTS, CHECK constraints, `delta.appendOnly`).
 
-Honest gates: generated columns, nested-id-mapped writes, CDC files on
+Honest gates: identity columns, nested-id-mapped writes, CDC files on
 column-mapped tables, and fractional sampling remain refused with
 precise messages.
 
@@ -1064,13 +1070,110 @@ def _stage_new_files(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
     return adds
 
 
+def _apply_write_constraints(df: DataFrame, meta: dict) -> DataFrame:
+    """Writer-side enforcement of the table's declarative contracts
+    (round 8 — these were documented gates before; real Delta writers
+    enforce all three during the write):
+
+    - **Generated columns** (field metadata `delta.generationExpression`):
+      a MISSING generated column is computed from its expression over the
+      incoming rows, the protocol's writer rule; a PRESENT one is
+      validated value-by-value against the expression (null-safe) and a
+      mismatch fails the commit.
+    - **Column invariants** (writer v2, field metadata `delta.invariants`:
+      ``{"expression": {"expression": "..."}}``): every row must satisfy
+      the expression.
+    - **CHECK constraints** (writer v3, configuration keys
+      ``delta.constraints.<name>``): every row must satisfy; NULL counts
+      as a violation (the constraint must evaluate TRUE).
+
+    Identity columns (`delta.identity.*` metadata, writer v6) are refused
+    — allocating identity ranges needs writer coordination this module
+    does not implement. Validation is one extra job over the incoming
+    frame, only when the table declares any contract."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    want = StructType.fromJson(_json.loads(meta["schemaString"]))
+    have = set(df.columns)
+    checks: list[tuple[str, object]] = []
+    for f in want.fields:
+        md = f.metadata or {}
+        if any(k.startswith("delta.identity.") for k in md):
+            raise NotImplementedError(
+                f"identity column {f.name!r} (writer coordination for "
+                "identity ranges is not implemented)"
+            )
+        gen = md.get("delta.generationExpression")
+        if gen is not None:
+            expr = F.expr(gen).cast(f.dataType)
+            if f.name not in have:
+                df = df.withColumn(f.name, expr)
+            else:
+                checks.append(
+                    (
+                        f"generated column {f.name!r} does not match its "
+                        f"generation expression {gen!r}",
+                        F.col(f.name).eqNullSafe(expr),
+                    )
+                )
+        inv = md.get("delta.invariants")
+        if inv is not None:
+            expr_sql = _json.loads(inv)["expression"]["expression"]
+            checks.append(
+                (
+                    f"column invariant on {f.name!r} violated: {expr_sql}",
+                    F.expr(expr_sql),
+                )
+            )
+    for key, expr_sql in sorted(
+        ((meta.get("configuration") or {}).items())
+    ):
+        if key.startswith("delta.constraints."):
+            checks.append(
+                (
+                    f"CHECK constraint {key.split('.', 2)[2]!r} violated: "
+                    f"{expr_sql}",
+                    F.expr(expr_sql),
+                )
+            )
+    if checks:
+        conds = [cond for _msg, cond in checks]
+        counts = df.select(
+            *[
+                F.count(F.when(~c.eqNullSafe(F.lit(True)), 1)).alias(f"_v{i}")
+                for i, c in enumerate(conds)
+            ]
+        ).collect()[0]
+        for i, (msg, _c) in enumerate(checks):
+            if counts[f"_v{i}"]:
+                raise ValueError(
+                    f"{msg} ({counts[f'_v{i}']} violating rows); "
+                    "commit refused"
+                )
+    return df
+
+
+def _check_append_only(meta: dict, op: str) -> None:
+    """`delta.appendOnly=true` tables refuse any operation that removes
+    data (the protocol's appendOnly writer feature)."""
+    if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
+        raise ValueError(
+            f"{op} on an appendOnly table (delta.appendOnly=true)"
+        )
+
+
 def append_delta(
     df: DataFrame, path: str, extra_actions: list[dict] | None = None
 ) -> int:
     """Append ``df`` as a new commit; returns the new version.
     ``extra_actions`` (e.g. a ``txn`` idempotence mark) join the same
-    atomic commit."""
+    atomic commit. Generated columns are computed when missing;
+    invariants/CHECK constraints are enforced (``_apply_write_constraints``)."""
     v, state = _next_version(path)
+    df = _apply_write_constraints(df, state["meta"])
     _check_write_schema(df, state["meta"])
     df = _to_physical(df, state["meta"])
     pcols = state["meta"].get("partitionColumns", []) or []
@@ -1083,8 +1186,10 @@ def append_delta(
 def overwrite_delta(df: DataFrame, path: str) -> int:
     """Replace the table contents: remove every live file, add the new
     ones — prior versions stay time-travelable, exactly Delta's
-    ``mode("overwrite")`` semantics."""
+    ``mode("overwrite")`` semantics. Refused on appendOnly tables."""
     v, state = _next_version(path)
+    _check_append_only(state["meta"], "overwrite")
+    df = _apply_write_constraints(df, state["meta"])
     _check_write_schema(df, state["meta"])
     df = _to_physical(df, state["meta"])
     pcols = state["meta"].get("partitionColumns", []) or []
@@ -1461,13 +1566,19 @@ def delta_changes_cdf(
 
 
 def _scan_with_keys(
-    spark: SparkSession, path: str, plan: _ScanPlan, adds: dict[str, dict]
+    spark: SparkSession,
+    path: str,
+    plan: _ScanPlan,
+    adds: dict[str, dict],
+    apply_dvs: bool = False,
 ) -> DataFrame:
-    """One scan over live files carrying `_dv_name` (decoded basename) +
+    """One scan over live files carrying `_dv_name` (decoded path key) +
     `_dv_ridx` (row index) plus the LOGICAL data and partition columns —
-    the shared front end of DELETE and the CDF writer. Existing deletion
-    vectors are NOT applied (DELETE merges with them instead, making
-    re-deletes idempotent)."""
+    the shared front end of DELETE, MERGE, and the CDF writer. Existing
+    deletion vectors are NOT applied by default (DELETE merges with them
+    instead, making re-deletes idempotent); MERGE passes
+    ``apply_dvs=True`` so already-deleted rows cannot be resurrected by
+    a rewrite."""
     from pyspark.sql import functions as F
 
     items = list(adds.items())
@@ -1479,6 +1590,33 @@ def _scan_with_keys(
         .withColumn(_NAME_COL, _key_col(k))
         .withColumn("_dv_ridx", F.col("_metadata.row_index"))
     )
+    if apply_dvs:
+        dvd = [(p, a) for p, a in items if a.get("deletionVector")]
+        if dvd:
+            import numpy as np
+            import pandas as pd
+
+            from rtcdb_spark.sources.deletion_vectors import resolve_dv_np
+
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+            keys, chunks = [], []
+            for p, a in dvd:
+                keys.append(_path_key(p, k))
+                chunks.append(resolve_dv_np(path, a["deletionVector"]))
+            deleted = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        _NAME_COL: np.repeat(
+                            np.array(keys, dtype=object),
+                            [len(c) for c in chunks],
+                        ),
+                        "_dv_ridx": np.concatenate(chunks),
+                    }
+                )
+            )
+            df = df.join(
+                F.broadcast(deleted), [_NAME_COL, "_dv_ridx"], "left_anti"
+            )
     cols = [F.col(_NAME_COL), F.col("_dv_ridx")] + plan.logical_data_cols()
     if plan.pcols:
         by_name = {f.name: f.dataType for f in plan.schema.fields}
@@ -1535,6 +1673,7 @@ def delete_delta(spark: SparkSession, path: str, where: str) -> int:
         raise ValueError(f"{path} is not a Delta table")
     head = max(versions[-1] if versions else -1, cps[-1] if cps else -1)
     meta, adds, state = _snapshot_state(path)
+    _check_append_only(meta, "DELETE")
     v = head + 1
     plan = _ScanPlan(spark, meta)
     k = _key_tail(len(plan.pcols))
@@ -1672,6 +1811,152 @@ def delete_delta(spark: SparkSession, path: str, where: str) -> int:
     _write_commit(
         path, v, [upgraded, {"metaData": new_meta}] + actions + cdc_actions
     )
+    return v
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str | None = "insert",
+) -> int:
+    """MERGE INTO on a Delta table (round 8): copy-on-write with
+    FILE-LEVEL PRUNING — only files that contain a matched row are
+    rewritten; untouched files are carried as-is in the log (never
+    re-read, never re-written). ``on`` is the equi-join key list;
+    ``when_matched`` is ``"update"`` (source wins every column — SCD1)
+    or ``"delete"``; ``when_not_matched`` is ``"insert"`` or None.
+    ``source`` must carry the full table schema (validated against the
+    log). Duplicate keys in ``source`` fail fast, the same contract as
+    Delta's own MERGE (a target row may match at most one source row).
+
+    If `delta.enableChangeDataFeed` is set, the commit also writes CDC
+    files carrying the full Delta CDF change-type vocabulary:
+    ``update_preimage`` + ``update_postimage`` pairs for updates,
+    ``delete`` for matched deletes, ``insert`` for not-matched inserts —
+    read back with `delta_changes_cdf`.
+
+    Scale: touched-file discovery is one distributed semi-join
+    collecting only the DISTINCT FILE KEYS (O(files touched) driver
+    rows); the rewrite scans only those files plus the source. Existing
+    deletion vectors on touched files are applied during the rewrite
+    (deleted rows cannot be resurrected) and materialize physically,
+    exactly like OPTIMIZE. Returns the new version; matching nothing
+    (and inserting nothing) commits nothing."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    if when_not_matched not in ("insert", None):
+        raise ValueError("when_not_matched must be 'insert' or None")
+    v, state = _next_version(path)
+    meta = state["meta"]
+    adds = state["adds"]
+    _check_write_schema(source, meta)
+    plan = _ScanPlan(spark, meta)
+    k = _key_tail(len(plan.pcols))
+    key_to_rel = {_path_key(p, k): p for p in adds}
+    out_cols = [f.name for f in plan.schema.fields]
+    if any(c not in out_cols for c in on):
+        raise ValueError(f"merge keys {on} not all in table columns")
+
+    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+    if dup.count():
+        raise ValueError(
+            "source has duplicate merge keys; a target row may match at "
+            "most one source row (Delta MERGE contract)"
+        )
+
+    tgt = _scan_with_keys(spark, path, plan, adds, apply_dvs=True)
+    src = source.select(*out_cols)
+    # touched files: one semi-join, collecting only distinct file keys
+    touched = [
+        r[_NAME_COL]
+        for r in tgt.join(src.select(*on), on, "left_semi")
+        .select(_NAME_COL)
+        .distinct()
+        .collect()
+    ]
+    inserts = None
+    if when_not_matched == "insert":
+        inserts = src.join(tgt.select(*on), on, "left_anti")
+    if not touched:
+        if inserts is None:
+            return v - 1  # nothing matched, nothing to insert: no-op
+        n_ins = inserts.limit(1).count()
+        if not n_ins:
+            return v - 1
+
+    cdf_on = (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+    rewritten = None
+    cdc_frames = []
+    if touched:
+        t2 = tgt.filter(F.col(_NAME_COL).isin(touched))
+        flagged = src.select(
+            *[F.col(c).alias(f"_src_{c}") for c in out_cols]
+        ).withColumn("_src_hit", F.lit(True))
+        joined = t2.join(
+            flagged,
+            [t2[c] == flagged[f"_src_{c}"] for c in on],
+            "left",
+        )
+        hit = F.col("_src_hit").isNotNull()
+        if when_matched == "update":
+            rewritten = joined.select(
+                *[
+                    F.when(hit, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
+                    for c in out_cols
+                ]
+            )
+            if cdf_on:
+                matched = joined.filter(hit)
+                cdc_frames.append(matched.select(
+                    *out_cols, F.lit("update_preimage").alias("_change_type")
+                ))
+                cdc_frames.append(matched.select(
+                    *[F.col(f"_src_{c}").alias(c) for c in out_cols],
+                    F.lit("update_postimage").alias("_change_type"),
+                ))
+        else:  # delete
+            rewritten = joined.filter(~hit).select(*out_cols)
+            if cdf_on:
+                cdc_frames.append(joined.filter(hit).select(
+                    *out_cols, F.lit("delete").alias("_change_type")
+                ))
+    if inserts is not None and cdf_on:
+        cdc_frames.append(
+            inserts.select(*out_cols, F.lit("insert").alias("_change_type"))
+        )
+
+    if touched:
+        _check_append_only(meta, "MERGE with matched rows")
+    new_df = rewritten
+    if inserts is not None:
+        new_df = inserts if new_df is None else new_df.unionByName(inserts)
+    new_df = _apply_write_constraints(new_df.select(*out_cols), meta)
+    # _to_physical renames mapped tables to physical column names, so the
+    # staged write partitions by the log's (physical) partitionColumns
+    staged = _stage_new_files(_to_physical(new_df, meta), path, plan.pcols)
+    now = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": key_to_rel[key],
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+        }
+        for key in sorted(touched)
+    ]
+    cdc_actions: list[dict] = []
+    if cdf_on and cdc_frames:
+        feed = reduce(lambda a, b: a.unionByName(b), cdc_frames)
+        cdc_actions = _write_cdc_files(feed, path, plan)
+    _write_commit(path, v, removes + staged + cdc_actions)
     return v
 
 

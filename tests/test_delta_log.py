@@ -1240,3 +1240,259 @@ class TestMappedDeleteAndChanges:
         path = _mapped_table(spark, tmp_path)
         with pytest.raises(NotImplementedError, match="column-mapped"):
             delta_changes_cdf(spark, path, 0, 0)
+
+
+class TestMergeDelta:
+    def _table(self, spark, tmp_path, cdf=False, files=4):
+        from rtcdb_spark.sources.delta_log import write_delta as _wd
+
+        path = str(tmp_path / "t")
+        df = spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).repartition(files)
+        _wd(
+            df, path,
+            configuration=(
+                {"delta.enableChangeDataFeed": "true"} if cdf else None
+            ),
+        )
+        return path
+
+    def test_upsert_rewrites_only_touched_files(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import _snapshot_state, merge_delta
+
+        path = self._table(spark, tmp_path)
+        _m, adds0, _s = _snapshot_state(path)
+        src = spark.createDataFrame(
+            [(3, 999), (100, 1000), (101, 1010)], "k long, v long"
+        )
+        v = merge_delta(spark, path, src, on=["k"])
+        assert v == 1
+        back = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert back[3] == 999 and back[100] == 1000 and back[101] == 1010
+        assert len(back) == 42
+        assert back[7] == 70  # untouched rows intact
+        # file-level pruning: untouched files carried (still live), only
+        # the file holding k=3 was removed
+        _m, adds1, _s = _snapshot_state(path)
+        carried = set(adds0) & set(adds1)
+        assert len(carried) == len(adds0) - 1
+
+    def test_matched_delete(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import merge_delta
+
+        path = self._table(spark, tmp_path)
+        src = spark.createDataFrame([(k,) for k in range(0, 40, 4)], "k long")
+        src = src.withColumn("v", F.lit(0).cast("long"))
+        v = merge_delta(
+            spark, path, src, on=["k"],
+            when_matched="delete", when_not_matched=None,
+        )
+        got = sorted(r["k"] for r in read_delta(spark, path).collect())
+        assert got == [i for i in range(40) if i % 4 != 0]
+        assert v == 1
+
+    def test_duplicate_source_keys_fail_fast(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import merge_delta
+
+        path = self._table(spark, tmp_path)
+        src = spark.createDataFrame([(1, 5), (1, 6)], "k long, v long")
+        with pytest.raises(ValueError, match="duplicate merge keys"):
+            merge_delta(spark, path, src, on=["k"])
+
+    def test_noop_merge_commits_nothing(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import merge_delta
+
+        path = self._table(spark, tmp_path)
+        src = spark.createDataFrame([(999, 1)], "k long, v long")
+        v = merge_delta(
+            spark, path, src, on=["k"],
+            when_matched="update", when_not_matched=None,
+        )
+        assert v == 0  # no new commit
+        assert delta_versions(path) == [0]
+
+    def test_merge_applies_existing_deletion_vectors(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta, merge_delta
+
+        path = self._table(spark, tmp_path, files=1)
+        delete_delta(spark, path, "k < 5")  # DV on the single file
+        src = spark.createDataFrame([(7, 777)], "k long, v long")
+        merge_delta(spark, path, src, on=["k"])
+        got = sorted(r["k"] for r in read_delta(spark, path).collect())
+        # rewrite must NOT resurrect the DV-deleted rows 0..4
+        assert got == list(range(5, 40))
+        back = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert back[7] == 777
+
+    def test_merge_cdf_full_vocabulary(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_changes_cdf, merge_delta
+
+        path = self._table(spark, tmp_path, cdf=True)
+        src = spark.createDataFrame(
+            [(3, 999), (100, 1000)], "k long, v long"
+        )
+        v = merge_delta(spark, path, src, on=["k"])
+        feed = delta_changes_cdf(spark, path, v, v)
+        got = sorted(
+            (r["_change_type"], r["k"], r["v"]) for r in feed.collect()
+        )
+        assert got == [
+            ("insert", 100, 1000),
+            ("update_postimage", 3, 999),
+            ("update_preimage", 3, 30),
+        ]
+
+    def test_merge_delete_cdf(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_changes_cdf, merge_delta
+
+        path = self._table(spark, tmp_path, cdf=True)
+        src = spark.createDataFrame([(5, 0), (6, 0)], "k long, v long")
+        v = merge_delta(
+            spark, path, src, on=["k"],
+            when_matched="delete", when_not_matched=None,
+        )
+        feed = delta_changes_cdf(spark, path, v, v)
+        got = sorted((r["_change_type"], r["k"]) for r in feed.collect())
+        assert got == [("delete", 5), ("delete", 6)]
+
+    def test_merge_on_mapped_table(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import merge_delta
+
+        path = _mapped_table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, "x", 111), (99, "y", 990)], "k long, part string, v long"
+        )
+        merge_delta(spark, path, src, on=["k"])
+        back = {r["k"]: (r["part"], r["v"]) for r in read_delta(spark, path).collect()}
+        assert back[1] == ("x", 111) and back[99] == ("y", 990)
+        assert len(back) == 7
+
+    def test_merge_schema_mismatch_rejected(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import merge_delta
+
+        path = self._table(spark, tmp_path)
+        src = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="schema"):
+            merge_delta(spark, path, src, on=["k"])
+
+
+class TestWriteConstraints:
+    def _table_with(self, spark, tmp_path, fields, configuration=None):
+        """Hand-author a table whose log declares constraint metadata the
+        plain writer cannot produce (the same technique _mapped_table
+        uses) — data starts empty; appends exercise enforcement."""
+        path = str(tmp_path / "ct")
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+                {"metaData": {
+                    "id": "c", "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [],
+                    "configuration": configuration or {},
+                    "createdTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        return path
+
+    _GEN_FIELDS = [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "k2", "type": "long", "nullable": True, "metadata": {
+            "delta.generationExpression": "k * 2"}},
+    ]
+
+    def test_generated_column_computed_when_missing(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import append_delta as _ad
+
+        path = self._table_with(spark, tmp_path, self._GEN_FIELDS)
+        _ad(spark.range(5).select(F.col("id").alias("k")), path)
+        back = {r["k"]: r["k2"] for r in read_delta(spark, path).collect()}
+        assert back == {i: i * 2 for i in range(5)}
+
+    def test_generated_column_validated_when_present(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import append_delta as _ad
+
+        path = self._table_with(spark, tmp_path, self._GEN_FIELDS)
+        ok = spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("k2")
+        )
+        _ad(ok, path)  # matching values pass
+        bad = spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("k2")
+        )
+        with pytest.raises(ValueError, match="generation expression"):
+            _ad(bad, path)
+        assert read_delta(spark, path).count() == 3  # bad commit refused
+
+    def test_check_constraint_enforced(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import append_delta as _ad
+
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        ]
+        path = self._table_with(
+            spark, tmp_path, fields,
+            configuration={"delta.constraints.positive": "k > 0"},
+        )
+        _ad(spark.createDataFrame([(1,), (2,)], "k long"), path)
+        with pytest.raises(ValueError, match="CHECK constraint 'positive'"):
+            _ad(spark.createDataFrame([(3,), (-1,)], "k long"), path)
+        # NULL violates (constraint must evaluate TRUE)
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            _ad(spark.createDataFrame([(None,)], "k long"), path)
+
+    def test_column_invariant_enforced(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import append_delta as _ad
+
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.invariants": json.dumps(
+                    {"expression": {"expression": "k < 100"}})}},
+        ]
+        path = self._table_with(spark, tmp_path, fields)
+        _ad(spark.createDataFrame([(5,)], "k long"), path)
+        with pytest.raises(ValueError, match="invariant"):
+            _ad(spark.createDataFrame([(100,)], "k long"), path)
+
+    def test_identity_columns_refused(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import append_delta as _ad
+
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.identity.start": 1, "delta.identity.step": 1,
+                "delta.identity.allowExplicitInsert": False}},
+        ]
+        path = self._table_with(spark, tmp_path, fields)
+        with pytest.raises(NotImplementedError, match="identity"):
+            _ad(spark.createDataFrame([(5,)], "k long"), path)
+
+    def test_append_only_blocks_removals(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            append_delta as _ad,
+            delete_delta,
+            merge_delta,
+            overwrite_delta as _ow,
+        )
+
+        path = str(tmp_path / "ao")
+        df = spark.range(10).select(F.col("id").alias("k"))
+        write_delta(df, path, configuration={"delta.appendOnly": "true"})
+        _ad(df, path)  # appends still fine
+        with pytest.raises(ValueError, match="appendOnly"):
+            _ow(df, path)
+        with pytest.raises(ValueError, match="appendOnly"):
+            delete_delta(spark, path, "k = 1")
+        with pytest.raises(ValueError, match="appendOnly"):
+            merge_delta(
+                spark, path,
+                spark.createDataFrame([(1,)], "k long"), on=["k"],
+                when_matched="update", when_not_matched=None,
+            )
+        # insert-only merge (nothing matched) is an append: allowed
+        v = merge_delta(
+            spark, path, spark.createDataFrame([(77,)], "k long"), on=["k"]
+        )
+        assert v > 0
