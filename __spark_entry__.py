@@ -262,9 +262,11 @@ _PRIORITY = [
     "sample_hash_deterministic", "timeseries_gapfill_ffill",
     # C-IX similarity / ANN (the oracle-gated trained pair stays green)
     "similarity_pq_topk", "similarity_ivf_trained_topk",
-    # C-IX multimodal (arithmetic JPEG green rep + the round-7 lossless
-    # SOF3 + never-run image pHash dedup)
-    "multimodal_jpeg_arithmetic", "multimodal_jpeg_lossless",
+    # C-IX multimodal (the round-8 hierarchical Annex-J flagship takes
+    # the r7-green arithmetic rep's slot; round-7 lossless SOF3 +
+    # never-run image pHash dedup — the family keeps arithmetic/
+    # progressive_420/apng green in the r7 ledger)
+    "multimodal_jpeg_hierarchical", "multimodal_jpeg_lossless",
     "multimodal_image_phash_dedup",
     # C-X UDFs (UDAF green rep)
     "udf_grouped_agg",

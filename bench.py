@@ -145,6 +145,8 @@ HEADLINE = [
     "source_delta_cdf",
     # round 8, wave 2: MERGE INTO with full CDF vocabulary
     "source_delta_merge_cdf",
+    # round 8, wave 3: hierarchical (Annex J) JPEG pyramids
+    "multimodal_jpeg_hierarchical",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

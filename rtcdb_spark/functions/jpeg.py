@@ -36,9 +36,11 @@ Round 6 closes the progressive+subsampling gate:
 the Annex-G scan script (interleaved MCU-order DC scans; per-component
 non-interleaved AC scans over the TRUE block grid, skipping MCU padding
 — T.81 A.2.2 vs A.2.3), and the decoder reassembles it bit-identically
-to the baseline 4:2:0 decode. Arithmetic coding, hierarchical mode, and
-sampling layouts other than 4:4:4 / 4:2:0 stay honestly gated with
-``NotImplementedError``.
+to the baseline 4:2:0 decode. Arithmetic coding lives in
+`functions/jpeg_arith.py` (round 7), lossless SOF3 in
+`functions/jpeg_lossless.py` (round 7), hierarchical Annex-J pyramids in
+`functions/jpeg_hierarchical.py` (round 8); sampling layouts other than
+4:4:4 / 4:2:0 stay honestly gated with ``NotImplementedError``.
 
 Scale: the codec runs inside Arrow-batched ``mapInPandas``
 (`functions/multimodal.py`), embarrassingly parallel per payload —
@@ -1188,7 +1190,9 @@ def decode_jpeg(payload: bytes):
     sequential AND SOF10 progressive-arithmetic frames decode too (QM
     coder + F.1.4.4 conditioning, `functions/jpeg_arith.py`, DAC-marker
     conditioning honored; libjpeg-interop-tested both directions).
-    Still honestly gated: hierarchical and extended-precision modes."""
+    Hierarchical (Annex J) streams decode via
+    `functions/jpeg_hierarchical.py`; still honestly gated here:
+    extended-precision modes."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1266,9 +1270,14 @@ def decode_jpeg(payload: bytes):
                 np.zeros((grid_h[i] * grid_w[i], 64), dtype=np.int64)
                 for i in range(nc)
             ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF) or marker == 0xDE:
             raise NotImplementedError(
-                "unsupported JPEG mode (hierarchical/extended/lossless)"
+                "hierarchical JPEG (use decode_jpeg_hierarchical)"
+            )
+        elif marker in (0xC1, 0xC3, 0xCB):
+            raise NotImplementedError(
+                "unsupported JPEG mode (extended/lossless — use "
+                "decode_jpeg_lossless for SOF3)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             p = 0

@@ -1892,3 +1892,77 @@ def synth_and_jpeg_lossless(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return _fan_out(df, id_col).mapInPandas(process, JPEG_LOSSLESS_SCHEMA)
+
+
+JPEG_HIERARCHICAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("levels", LongType()),
+        StructField("n_differential_frames", LongType()),
+        StructField("uses_dhp", BooleanType()),
+        StructField("within_tolerance", BooleanType()),
+    ]
+)
+
+
+def synth_and_jpeg_hierarchical(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Round-8 HIERARCHICAL JPEG end-to-end (T.81 Annex J,
+    `functions/jpeg_hierarchical.py` — the pyramid/progressive-resolution
+    mode): per row, a deterministic smooth image encodes with the doc's
+    pyramid depth (1..4 by id), decodes through the DHP / EXP / SOF5
+    machinery, and must (a) land back at the full DHP dimensions, (b)
+    carry exactly levels-1 differential frames, and (c) reconstruct
+    within the DCT-quality tolerance — a broken J.1.1.2 expansion
+    filter, a level-shifted differential frame, or a DC-predicted
+    differential block blows the error bound immediately."""
+    import numpy as np
+
+    from rtcdb_spark.functions.jpeg_hierarchical import (
+        decode_jpeg_hierarchical,
+        encode_jpeg_hierarchical,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in JPEG_HIERARCHICAL_SCHEMA.fields
+            }
+            for doc_id in pdf[id_col].astype("int64"):
+                i = int(doc_id)
+                w, h = 24 + i % 29, 24 + i % 23
+                levels = 1 + i % 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = (
+                    128.0
+                    + 80.0 * np.sin(yy / (5 + i % 7))
+                    + 60.0 * np.cos(xx / (6 + i % 5))
+                ).clip(0, 255).astype(np.uint8)
+                data = encode_jpeg_hierarchical(px, levels=levels, quality=92)
+                dw, dh, dn, back = decode_jpeg_hierarchical(data)
+                err = int(np.abs(back.astype(np.int64) - px.astype(np.int64)).max())
+                out["doc_id"].append(i)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["levels"].append(levels)
+                out["n_differential_frames"].append(
+                    data.count(b"\xff\xc5")
+                )
+                out["uses_dhp"].append(data.count(b"\xff\xde") == 1)
+                out["within_tolerance"].append(
+                    (dw, dh, dn) == (w, h, 1) and err <= 12
+                )
+            yield pd.DataFrame(
+                {
+                    k: pd.array(
+                        v,
+                        dtype="boolean"
+                        if k in ("uses_dhp", "within_tolerance")
+                        else "Int64",
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return _fan_out(df, id_col).mapInPandas(process, JPEG_HIERARCHICAL_SCHEMA)

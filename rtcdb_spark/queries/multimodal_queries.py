@@ -758,3 +758,34 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return synth_and_jpeg_lossless(d).orderBy("doc_id")
+
+
+@query(
+    "multimodal_jpeg_hierarchical",
+    """
+    SELECT doc_id,
+           CAST(24 + doc_id % 29 AS BIGINT) AS width,
+           CAST(24 + doc_id % 23 AS BIGINT) AS height,
+           CAST(1 + doc_id % 4 AS BIGINT) AS levels,
+           CAST(doc_id % 4 AS BIGINT) AS n_differential_frames,
+           TRUE AS uses_dhp,
+           TRUE AS within_tolerance
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "jpeg", "hierarchical", "pyramid"),
+)
+def multimodal_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL JPEG end-to-end (round 8 — T.81 Annex J pyramid
+    coding, the progressive-RESOLUTION mode): every document encodes a
+    deterministic smooth image at its own pyramid depth (1..4 by doc
+    id) and decodes through the full DHP / EXP / differential-SOF5
+    machinery back to the DHP dimensions within the DCT tolerance. The
+    oracle pins dims, depth, the differential-frame COUNT (levels-1 —
+    the marker structure itself), the DHP flag, and the tolerance flag
+    per doc; the unit suite pins the J.1.1.2 expansion filter by hand.
+    Scale shape: map-only after the fan-out exchange."""
+    from rtcdb_spark.functions.multimodal import synth_and_jpeg_hierarchical
+
+    d = load_table(spark, sf_dir, "documents")
+    return synth_and_jpeg_hierarchical(d).orderBy("doc_id")
