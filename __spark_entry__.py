@@ -270,9 +270,11 @@ _PRIORITY = [
     "multimodal_image_phash_dedup",
     # C-X UDFs (UDAF green rep)
     "udf_grouped_agg",
-    # streaming Delta sink (exactly-once) + the round-4 MERGE flagship
-    "stream_delta_sink",
-    "versioned_merge_upsert",
+    # streaming Delta: exactly-once sink (r7 flagship) + the round-8
+    # STREAMING SOURCE (Spark-4 Python streaming data source over the
+    # commit log; versioned_merge_upsert rotates out r4/r7-green — the
+    # warehouse family keeps versioned_changes_feed in-window)
+    "stream_delta_sink", "stream_delta_source",
 ]
 
 

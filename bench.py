@@ -147,6 +147,8 @@ HEADLINE = [
     "source_delta_merge_cdf",
     # round 8, wave 3: hierarchical (Annex J) JPEG pyramids
     "multimodal_jpeg_hierarchical",
+    # round 8, wave 4: Delta as a structured-streaming SOURCE
+    "stream_delta_source",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

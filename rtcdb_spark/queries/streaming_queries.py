@@ -1047,3 +1047,91 @@ def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_delta_source",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("streaming", "delta", "source", "datasource", "exactly-once"),
+)
+def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta table as a STREAMING SOURCE (round 8,
+    `sources/delta_stream.py` — a Spark-4 Python streaming data source
+    whose offsets are Delta commit versions): orders lands in two append
+    commits with an OPTIMIZE compaction after them (dataChange=false —
+    the stream must NOT re-emit the rewritten rows); a checkpointed
+    availableNow run drains the log into a parquet sink; a THIRD commit
+    lands and a second run from the SAME checkpoint must deliver exactly
+    the new commit's rows (exactly-once across restarts, asserted
+    in-query via sink counts). Each added file becomes its own input
+    partition and ships Arrow RecordBatches with the partition column
+    attached — zero per-row Python, zero shuffle. The aggregate runs
+    over the sunk rows, so a dropped commit, a re-emitted file, or a
+    compaction leak breaks the hash against the plain-orders fixture."""
+    import os
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        optimize_delta,
+        write_delta,
+    )
+    from rtcdb_spark.sources.delta_stream import register_delta_stream
+
+    from rtcdb_spark.sources import load_table
+
+    register_delta_stream(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="rtcdb_delta_src_")
+    path = os.path.join(root, "t")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 3 == 0), path)
+    append_delta(o.filter(F.col("o_orderkey") % 3 == 1), path)
+    optimize_delta(spark, path)  # maintenance: the stream must skip it
+
+    def _drain() -> None:
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drain()
+    n_first = spark.read.parquet(sink).count()
+    n_slice12 = o.filter(F.col("o_orderkey") % 3 != 2).count()
+    assert n_first == n_slice12, (
+        f"first drain delivered {n_first} rows, expected {n_slice12} "
+        "(compaction leak or dropped commit)"
+    )
+    append_delta(o.filter(F.col("o_orderkey") % 3 == 2), path)
+    _drain()  # same checkpoint: must deliver ONLY the new commit
+    sunk = spark.read.parquet(sink)
+    return (
+        sunk.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
