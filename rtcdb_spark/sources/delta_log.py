@@ -89,11 +89,17 @@ matched-delete, duplicate-source fail-fast, full CDF vocabulary incl.
 update_preimage/update_postimage) and writer-side enforcement of the
 table's declarative contracts (`_apply_write_constraints`: GENERATED
 COLUMNS computed-when-missing / validated-when-present, column
-INVARIANTS, CHECK constraints, `delta.appendOnly`).
+INVARIANTS, CHECK constraints, `delta.appendOnly`). Round-8 wave 5:
+IDENTITY COLUMNS (writer v6 — `_assign_identity` generates missing
+values in one shuffle-free pass via interleaved per-task strides, all
+on the declared start/step arithmetic and beyond the high-water mark,
+which advances in the same commit from the staged parquet footers'
+column stats; GENERATED ALWAYS refuses explicit values) and CHANGE DATA
+FEED on 'name'-mode column-mapped tables (CDC files carry physical
+column names + a verbatim `_change_type`).
 
-Honest gates: identity columns, nested-id-mapped writes, CDC files on
-column-mapped tables, and fractional sampling remain refused with
-precise messages.
+Honest gates: nested-id-mapped writes, CDF on id-mode mapped tables,
+and fractional sampling remain refused with precise messages.
 
 Scale: log replay is O(commits-since-checkpoint + live files) driver-side
 metadata — the same shape Delta's own Spark connector uses; the scan
@@ -1101,11 +1107,6 @@ def _apply_write_constraints(df: DataFrame, meta: dict) -> DataFrame:
     checks: list[tuple[str, object]] = []
     for f in want.fields:
         md = f.metadata or {}
-        if any(k.startswith("delta.identity.") for k in md):
-            raise NotImplementedError(
-                f"identity column {f.name!r} (writer coordination for "
-                "identity ranges is not implemented)"
-            )
         gen = md.get("delta.generationExpression")
         if gen is not None:
             expr = F.expr(gen).cast(f.dataType)
@@ -1156,6 +1157,143 @@ def _apply_write_constraints(df: DataFrame, meta: dict) -> DataFrame:
     return df
 
 
+def _identity_fields(meta: dict) -> list:
+    """Schema fields carrying `delta.identity.*` metadata (writer v6)."""
+    from pyspark.sql.types import StructType
+
+    want = StructType.fromJson(json.loads(meta["schemaString"]))
+    return [
+        f
+        for f in want.fields
+        if any(k.startswith("delta.identity.") for k in (f.metadata or {}))
+    ]
+
+
+def _assign_identity(df: DataFrame, meta: dict) -> DataFrame:
+    """IDENTITY COLUMNS (round 8, Delta writer v6 / identityColumns
+    feature): a MISSING identity column is generated in one distributed
+    pass — task *p* assigns ``base + step * (p + i * nparts)`` to its
+    *i*-th row (interleaved strides: every value lies on the declared
+    ``start + k * step`` arithmetic, all values are unique and beyond
+    the recorded high-water mark, and GAPS are allowed, exactly the
+    spec's contract — no cross-task coordination needed, the same
+    reason Delta's own writer hands each task a disjoint range). A
+    PRESENT identity column is accepted only when
+    ``delta.identity.allowExplicitInsert`` is true (GENERATED BY
+    DEFAULT); GENERATED ALWAYS tables refuse explicit values. The new
+    high-water mark is recovered AFTER the write from the staged
+    parquet footers' column statistics (`_identity_high_water`) and
+    committed in an updated metaData action."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_fields = _identity_fields(meta)
+    if not id_fields:
+        return df
+    missing: list[tuple[str, int, int]] = []
+    for f in id_fields:
+        md = f.metadata
+        step = int(md.get("delta.identity.step", 1))
+        start = int(md.get("delta.identity.start", 1))
+        if step == 0:
+            raise ValueError(f"identity column {f.name!r} has step 0")
+        if f.name in df.columns:
+            if not md.get("delta.identity.allowExplicitInsert", False):
+                raise ValueError(
+                    f"identity column {f.name!r} is GENERATED ALWAYS; "
+                    "explicit values are refused"
+                )
+            continue
+        hw = md.get("delta.identity.highWaterMark")
+        base = int(hw) + step if hw is not None else start
+        missing.append((f.name, base, step))
+    if not missing:
+        return df
+    nparts = max(1, df.rdd.getNumPartitions())
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(name, next(f.dataType for f in id_fields if f.name == name), True)
+            for name, _b, _s in missing
+        ]
+    )
+    order = [f.name for f in out_schema.fields]
+
+    def _gen(batches):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            n = len(pdf)
+            idx = pid + (seen + np.arange(n, dtype=np.int64)) * nparts
+            for name, base, step in missing:
+                pdf[name] = base + step * idx
+            seen += n
+            yield pdf[order]
+
+    return df.mapInPandas(_gen, out_schema)
+
+
+def _identity_high_water(adds: list[dict], path: str, meta: dict) -> dict | None:
+    """Post-write high-water recovery: the max (min for negative step)
+    of each identity column over the NEW files, read from parquet
+    footer statistics — O(new files) metadata, no data scan. Returns
+    the updated metaData action dict, or None if nothing moved."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    id_fields = _identity_fields(meta)
+    if not id_fields or not adds:
+        return None
+    extremes: dict[str, int] = {}
+    for a in adds:
+        full = _resolve(path, a["add"]["path"])
+        pf = pq.ParquetFile(full)
+        names = pf.schema_arrow.names
+        for f in id_fields:
+            if f.name not in names:
+                continue
+            ci = names.index(f.name)
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"identity column {f.name!r}: staged file lacks "
+                        "min/max statistics; cannot advance the high-water "
+                        "mark"
+                    )
+                step = int(
+                    (f.metadata or {}).get("delta.identity.step", 1)
+                )
+                cand = int(st.max if step > 0 else st.min)
+                cur = extremes.get(f.name)
+                if cur is None or (cand > cur if step > 0 else cand < cur):
+                    extremes[f.name] = cand
+    if not extremes:
+        return None
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    changed = False
+    new_fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if f.name in extremes:
+            step = int(md.get("delta.identity.step", 1))
+            hw = md.get("delta.identity.highWaterMark")
+            cand = extremes[f.name]
+            if hw is None or (cand > int(hw) if step > 0 else cand < int(hw)):
+                md["delta.identity.highWaterMark"] = cand
+                changed = True
+        from pyspark.sql.types import StructField
+
+        new_fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    if not changed:
+        return None
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(new_fields).json()
+    return {"metaData": new_meta}
+
+
 def _check_append_only(meta: dict, op: str) -> None:
     """`delta.appendOnly=true` tables refuse any operation that removes
     data (the protocol's appendOnly writer feature)."""
@@ -1171,14 +1309,19 @@ def append_delta(
     """Append ``df`` as a new commit; returns the new version.
     ``extra_actions`` (e.g. a ``txn`` idempotence mark) join the same
     atomic commit. Generated columns are computed when missing;
-    invariants/CHECK constraints are enforced (``_apply_write_constraints``)."""
+    invariants/CHECK constraints are enforced (``_apply_write_constraints``);
+    identity columns are generated when missing and the high-water mark
+    advances in the same commit (``_assign_identity``)."""
     v, state = _next_version(path)
+    df = _assign_identity(df, state["meta"])
     df = _apply_write_constraints(df, state["meta"])
     _check_write_schema(df, state["meta"])
     df = _to_physical(df, state["meta"])
     pcols = state["meta"].get("partitionColumns", []) or []
+    adds = _stage_new_files(df, path, pcols)
+    hw = _identity_high_water(adds, path, state["meta"])
     _write_commit(
-        path, v, _stage_new_files(df, path, pcols) + (extra_actions or [])
+        path, v, adds + ([hw] if hw else []) + (extra_actions or [])
     )
     return v
 
@@ -1189,6 +1332,7 @@ def overwrite_delta(df: DataFrame, path: str) -> int:
     ``mode("overwrite")`` semantics. Refused on appendOnly tables."""
     v, state = _next_version(path)
     _check_append_only(state["meta"], "overwrite")
+    df = _assign_identity(df, state["meta"])
     df = _apply_write_constraints(df, state["meta"])
     _check_write_schema(df, state["meta"])
     df = _to_physical(df, state["meta"])
@@ -1204,7 +1348,8 @@ def overwrite_delta(df: DataFrame, path: str) -> int:
         for p in sorted(state["adds"])
     ]
     new = _stage_new_files(df, path, pcols)
-    _write_commit(path, v, removes + new)
+    hw = _identity_high_water(new, path, state["meta"])
+    _write_commit(path, v, removes + new + ([hw] if hw else []))
     return v
 
 
@@ -1413,13 +1558,29 @@ def _write_cdc_files(df: DataFrame, path: str, plan: _ScanPlan) -> list[dict]:
     to the table root, partitionValues, size, ``dataChange = false``
     (CDC files never participate in snapshot reconciliation — readers of
     the table proper skip them; `delta_changes_cdf` reads them). Staged
-    write + move, O(new files)."""
+    write + move, O(new files).
+
+    Column-mapped 'name'-mode tables (round 8 wave 5): the CDC files use
+    the PHYSICAL column names, like the data files, with `_change_type`
+    stored verbatim (it is a CDC-file column, not a mapped schema
+    field); 'id' mode stays gated (nested field-id stamping)."""
     import shutil
 
-    if plan.mapped:
+    from pyspark.sql import functions as F
+
+    if plan.mode == "id":
         raise NotImplementedError(
-            "Change Data Feed files on column-mapped tables (physical-name "
-            "CDC layout not implemented)"
+            "Change Data Feed files on id-mode column-mapped tables"
+        )
+    if plan.mode == "name":
+        df = df.select(
+            *[
+                F.col(f.name).cast(_physical_type(f.dataType)).alias(
+                    _physical_name(f)
+                )
+                for f in plan.schema.fields
+            ],
+            F.col("_change_type"),
         )
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("error")
@@ -1465,7 +1626,10 @@ def delta_changes_cdf(
     removes without CDC files (a DV DELETE on a table where the feed was
     off) are not derivable and raise; maintenance commits
     (dataChange=false) contribute nothing. The schema in force at the
-    END of the range plans every scan."""
+    END of the range plans every scan. Column-mapped 'name'-mode tables
+    read too (round 8 wave 5): CDC files carry physical column names
+    plus a verbatim `_change_type`, and the derived insert/delete paths
+    route through the shared mapped scan."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -1478,8 +1642,8 @@ def delta_changes_cdf(
         )
     meta, _adds, _state = _snapshot_state(path, until)
     plan = _ScanPlan(spark, meta)
-    if plan.mapped:
-        raise NotImplementedError("CDF reads on column-mapped tables")
+    if plan.mode == "id":
+        raise NotImplementedError("CDF reads on id-mode column-mapped tables")
     # cdc files carry the data columns + _change_type; partition values
     # come from the action. Reuse the one-scan snapshot reader by handing
     # it a metaData whose schema has the extra column.
@@ -1934,6 +2098,13 @@ def merge_delta(
 
     if touched:
         _check_append_only(meta, "MERGE with matched rows")
+    for f in _identity_fields(meta):
+        if not (f.metadata or {}).get("delta.identity.allowExplicitInsert", False):
+            raise NotImplementedError(
+                f"MERGE into a table whose identity column {f.name!r} is "
+                "GENERATED ALWAYS (the full-schema merge source carries "
+                "explicit values)"
+            )
     new_df = rewritten
     if inserts is not None:
         new_df = inserts if new_df is None else new_df.unionByName(inserts)
@@ -1941,6 +2112,7 @@ def merge_delta(
     # _to_physical renames mapped tables to physical column names, so the
     # staged write partitions by the log's (physical) partitionColumns
     staged = _stage_new_files(_to_physical(new_df, meta), path, plan.pcols)
+    hw_action = _identity_high_water(staged, path, meta)
     now = int(time.time() * 1000)
     removes = [
         {
@@ -1956,7 +2128,11 @@ def merge_delta(
     if cdf_on and cdc_frames:
         feed = reduce(lambda a, b: a.unionByName(b), cdc_frames)
         cdc_actions = _write_cdc_files(feed, path, plan)
-    _write_commit(path, v, removes + staged + cdc_actions)
+    _write_commit(
+        path,
+        v,
+        removes + staged + ([hw_action] if hw_action else []) + cdc_actions,
+    )
     return v
 
 

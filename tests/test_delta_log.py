@@ -1234,12 +1234,39 @@ class TestMappedDeleteAndChanges:
         assert sorted(got.columns) == ["k", "part", "v"]
         assert [tuple(r) for r in got.collect()] == [(9, "x", 90)]
 
-    def test_cdf_on_mapped_table_still_gated(self, spark, tmp_path):
-        from rtcdb_spark.sources.delta_log import delta_changes_cdf
+    def test_cdf_on_name_mapped_table(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            delta_changes_cdf,
+            update_delta_config,
+        )
 
         path = _mapped_table(spark, tmp_path)
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            delta_changes_cdf(spark, path, 0, 0)
+        # version 0 derives as inserts through the mapped scan
+        feed0 = delta_changes_cdf(spark, path, 0, 0)
+        assert sorted(feed0.columns) == sorted(
+            ["k", "part", "v", "_change_type", "_commit_version"]
+        )
+        assert feed0.count() == 6
+        update_delta_config(path, {"delta.enableChangeDataFeed": "true"})
+        vd = delete_delta(spark, path, "k % 2 = 0")
+        feed = delta_changes_cdf(spark, path, vd, vd)
+        got = sorted((r["k"], r["part"], r["_change_type"]) for r in feed.collect())
+        assert got == [(0, "0", "delete"), (2, "0", "delete"), (4, "0", "delete")]
+        # the CDC files on disk carry PHYSICAL column names
+        import pyarrow.parquet as pq
+
+        cd = os.path.join(path, "_change_data")
+        files = [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(cd)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert files
+        names = set(pq.read_table(files[0]).schema.names)
+        assert "col-1" in names and "_change_type" in names
+        assert "k" not in names
 
 
 class TestMergeDelta:
@@ -1457,7 +1484,7 @@ class TestWriteConstraints:
         with pytest.raises(ValueError, match="invariant"):
             _ad(spark.createDataFrame([(100,)], "k long"), path)
 
-    def test_identity_columns_refused(self, spark, tmp_path):
+    def test_generated_always_identity_refuses_explicit(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import append_delta as _ad
 
         fields = [
@@ -1466,7 +1493,7 @@ class TestWriteConstraints:
                 "delta.identity.allowExplicitInsert": False}},
         ]
         path = self._table_with(spark, tmp_path, fields)
-        with pytest.raises(NotImplementedError, match="identity"):
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
             _ad(spark.createDataFrame([(5,)], "k long"), path)
 
     def test_append_only_blocks_removals(self, spark, tmp_path):
@@ -1496,3 +1523,91 @@ class TestWriteConstraints:
             spark, path, spark.createDataFrame([(77,)], "k long"), on=["k"]
         )
         assert v > 0
+
+
+class TestIdentityColumns:
+    def _table(self, spark, tmp_path, hw=None, step=1, start=1, allow=False):
+        path = str(tmp_path / "idt")
+        md = {
+            "delta.identity.start": start,
+            "delta.identity.step": step,
+            "delta.identity.allowExplicitInsert": allow,
+        }
+        if hw is not None:
+            md["delta.identity.highWaterMark"] = hw
+        fields = [
+            {"name": "id", "type": "long", "nullable": True, "metadata": md},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+                {"metaData": {
+                    "id": "i", "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [], "configuration": {},
+                    "createdTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        return path
+
+    def test_generated_values_unique_on_step_and_beyond_start(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import append_delta as _ad
+
+        path = self._table(spark, tmp_path, start=100, step=5)
+        df = spark.createDataFrame(
+            [(f"r{i}",) for i in range(40)], "v string"
+        ).repartition(4)
+        _ad(df, path)
+        got = [r["id"] for r in read_delta(spark, path).collect()]
+        assert len(set(got)) == 40  # unique
+        assert all(v >= 100 and (v - 100) % 5 == 0 for v in got)  # arithmetic
+
+    def test_high_water_mark_advances_across_commits(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            append_delta as _ad,
+        )
+
+        path = self._table(spark, tmp_path, start=1, step=1)
+        _ad(spark.createDataFrame([("a",), ("b",)], "v string"), path)
+        meta1, _a, _s = _snapshot_state(path)
+        f = json.loads(meta1["schemaString"])["fields"][0]
+        hw1 = f["metadata"]["delta.identity.highWaterMark"]
+        ids1 = {r["id"] for r in read_delta(spark, path).collect()}
+        assert hw1 == max(ids1)
+        _ad(spark.createDataFrame([("c",), ("d",), ("e",)], "v string"), path)
+        ids2 = {r["id"] for r in read_delta(spark, path).collect()}
+        assert len(ids2) == 5  # no collisions across commits
+        assert min(ids2 - ids1) > hw1  # second commit starts past the mark
+
+    def test_explicit_insert_allowed_updates_mark(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            append_delta as _ad,
+        )
+
+        path = self._table(spark, tmp_path, allow=True)
+        _ad(spark.createDataFrame([(500, "x")], "id long, v string"), path)
+        meta1, _a, _s = _snapshot_state(path)
+        f = json.loads(meta1["schemaString"])["fields"][0]
+        assert f["metadata"]["delta.identity.highWaterMark"] == 500
+        # the next GENERATED value clears the explicit one
+        _ad(spark.createDataFrame([("y",)], "v string"), path)
+        ids = sorted(r["id"] for r in read_delta(spark, path).collect())
+        assert ids[0] == 500 and ids[1] > 500
+
+    def test_negative_step(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import append_delta as _ad
+
+        path = self._table(spark, tmp_path, start=0, step=-2)
+        _ad(spark.createDataFrame([("a",), ("b",), ("c",)], "v string"), path)
+        ids = sorted(r["id"] for r in read_delta(spark, path).collect())
+        assert all(v <= 0 and v % 2 == 0 for v in ids)
+        assert len(set(ids)) == 3
+        _ad(spark.createDataFrame([("d",)], "v string"), path)
+        ids2 = sorted(r["id"] for r in read_delta(spark, path).collect())
+        assert len(set(ids2)) == 4
+        assert min(ids2) < min(ids)  # descending past the mark
