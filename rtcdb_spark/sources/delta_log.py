@@ -98,8 +98,12 @@ column stats; GENERATED ALWAYS refuses explicit values) and CHANGE DATA
 FEED on 'name'-mode column-mapped tables (CDC files carry physical
 column names + a verbatim `_change_type`).
 
-Honest gates: nested-id-mapped writes, CDF on id-mode mapped tables,
-and fractional sampling remain refused with precise messages.
+Round-8 wave 6: NESTED-id-mapped writes (`_stage_new_files_arrow` —
+executor-side pyarrow staging that stamps parquet field ids at every
+nesting level, which Spark's own writer cannot; nested id READS attach
+the ids recursively on the read schema). Honest gates: partitioned
+writes to nested-id-mapped tables, CDF on id-mode mapped tables, and
+fractional sampling remain refused with precise messages.
 
 Scale: log replay is O(commits-since-checkpoint + live files) driver-side
 metadata — the same shape Delta's own Spark connector uses; the scan
@@ -597,7 +601,7 @@ def _fieldid_type(dt):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     if isinstance(dt, StructType):
-        return StructType([_fieldid_field(f) for f in dt.fields])
+        return StructType([_fieldid_field(f, required=False) for f in dt.fields])
     if isinstance(dt, ArrayType):
         return ArrayType(_fieldid_type(dt.elementType), dt.containsNull)
     if isinstance(dt, MapType):
@@ -609,18 +613,26 @@ def _fieldid_type(dt):
     return dt
 
 
-def _fieldid_field(f):
+def _fieldid_field(f, required: bool = True):
     """Logical-named field carrying its delta.columnMapping.id as Spark's
-    parquet.field.id read-matching metadata (id mode)."""
+    parquet.field.id read-matching metadata (id mode) — attached
+    RECURSIVELY on nested struct fields too (round 8 wave 6: Spark's
+    field-id matching, SPARK-38094, resolves nested fields from the read
+    schema's nested metadata). Top-level fields must carry an id in an
+    id-mode table; a NESTED field without one simply matches by name
+    (its physical name equals its logical name)."""
     from pyspark.sql.types import StructField
 
+    md = f.metadata or {}
     try:
-        fid = int(f.metadata["delta.columnMapping.id"])
+        fid = int(md["delta.columnMapping.id"])
     except (KeyError, TypeError, ValueError):
-        raise NotImplementedError(
-            f"column {f.name!r} lacks delta.columnMapping.id metadata in "
-            "an id-mode table"
-        ) from None
+        if required:
+            raise NotImplementedError(
+                f"column {f.name!r} lacks delta.columnMapping.id metadata "
+                "in an id-mode table"
+            ) from None
+        return StructField(f.name, _fieldid_type(f.dataType), f.nullable)
     return StructField(
         f.name,
         _fieldid_type(f.dataType),
@@ -1017,28 +1029,11 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
         ]
     )
     if mode == "id":
-        from pyspark.sql.types import ArrayType, MapType
-
-        def _has_nested_mapping(dt):
-            if isinstance(dt, StructType):
-                return any(
-                    "delta.columnMapping.id" in (f.metadata or {})
-                    or _has_nested_mapping(f.dataType)
-                    for f in dt.fields
-                )
-            if isinstance(dt, ArrayType):
-                return _has_nested_mapping(dt.elementType)
-            if isinstance(dt, MapType):
-                return _has_nested_mapping(dt.keyType) or _has_nested_mapping(
-                    dt.valueType
-                )
-            return False
-
-        if any(_has_nested_mapping(f.dataType) for f in want.fields):
-            raise NotImplementedError(
-                "writing id-mode tables with NESTED mapped fields (nested "
-                "parquet field ids not attachable via withMetadata)"
-            )
+        if _nested_id_mapped(meta):
+            # nested field ids are not attachable via withMetadata; the
+            # ARROW stage writer (`_stage_new_files`, round 8 wave 6)
+            # stamps ids at every level instead — nothing to do here
+            return out
         df.sparkSession.conf.set(
             "spark.sql.parquet.fieldId.write.enabled", "true"
         )
@@ -1050,15 +1045,52 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     return out
 
 
-def _stage_new_files(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
+def _nested_id_mapped(meta: dict) -> bool:
+    """True when an id-mode table maps NESTED fields (struct members,
+    array elements, map values) — those need parquet field ids below the
+    top level, which Spark's withMetadata cannot attach."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "id":
+        return False
+
+    def _nested(dt):
+        if isinstance(dt, StructType):
+            return any(
+                "delta.columnMapping.id" in (f.metadata or {})
+                or _nested(f.dataType)
+                for f in dt.fields
+            )
+        if isinstance(dt, ArrayType):
+            return _nested(dt.elementType)
+        if isinstance(dt, MapType):
+            return _nested(dt.keyType) or _nested(dt.valueType)
+        return False
+
+    from pyspark.sql.types import StructType as _ST
+
+    want = _ST.fromJson(json.loads(meta["schemaString"]))
+    return any(_nested(f.dataType) for f in want.fields)
+
+
+def _stage_new_files(
+    df: DataFrame, path: str, pcols: list[str], meta: dict | None = None
+) -> list[dict]:
     """Write ``df`` to a private staging dir inside the table, move the
     parquet files into place, and return their add actions — O(new
     files), never a listing of the table dir (the same commit protocol
     ``VersionedTable.commit`` uses; r6 verdict item 5). Spark part-file
     names embed a job UUID, so moves cannot collide; a collision raises
-    rather than clobbers."""
+    rather than clobbers.
+
+    Nested-id-mapped tables (round 8 wave 6) route to the ARROW stage
+    writer, which stamps parquet field ids at every nesting level."""
     import shutil
 
+    if meta is not None and _nested_id_mapped(meta):
+        return _stage_new_files_arrow(df, path, pcols, meta)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("error")
     if pcols:
@@ -1072,6 +1104,131 @@ def _stage_new_files(df: DataFrame, path: str, pcols: list[str]) -> list[dict]:
             raise FileExistsError(f"staged file collides with {dst}")
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(os.path.join(stage, rel), dst)
+    shutil.rmtree(stage)
+    return adds
+
+
+def _decorate_arrow_field(af, sf):
+    """An Arrow field (from a Spark batch, already PHYSICAL-named) with
+    `PARQUET:field_id` metadata attached at every level from the logical
+    schema's `delta.columnMapping.id` annotations — positional
+    alignment, since `_to_physical` selects in schema order."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    dt = sf.dataType
+    at = af.type
+    if pa.types.is_struct(at) and isinstance(dt, StructType):
+        at = pa.struct(
+            [
+                _decorate_arrow_field(at.field(i), dt.fields[i])
+                for i in range(at.num_fields)
+            ]
+        )
+    elif (pa.types.is_list(at) or pa.types.is_large_list(at)) and isinstance(
+        dt, ArrayType
+    ):
+        elem = _decorate_arrow_field(
+            at.value_field, StructField("element", dt.elementType, True)
+        )
+        at = pa.list_(elem)
+    elif pa.types.is_map(at) and isinstance(dt, MapType):
+        at = pa.map_(
+            _decorate_arrow_field(
+                at.key_field, StructField("key", dt.keyType, False)
+            ),
+            _decorate_arrow_field(
+                at.item_field, StructField("value", dt.valueType, True)
+            ),
+        )
+    fid = (sf.metadata or {}).get("delta.columnMapping.id")
+    md = (
+        {b"PARQUET:field_id": str(int(fid)).encode()}
+        if fid is not None
+        else None
+    )
+    return pa.field(af.name, at, af.nullable, metadata=md)
+
+
+def _stage_new_files_arrow(
+    df_phys: DataFrame, path: str, pcols: list[str], meta: dict
+) -> list[dict]:
+    """EXECUTOR-side pyarrow stage writer for nested-id-mapped tables
+    (round 8 wave 6 — the last id-mode writer gate): each task receives
+    its rows as Arrow batches (`mapInArrow`, zero row-wise Python),
+    decorates the physical-named schema with `PARQUET:field_id`
+    metadata at EVERY nesting level (struct members, list elements, map
+    entries — what Spark's own writer cannot stamp below the top
+    level), and writes one parquet file into the staging dir. The
+    driver moves O(new files) and builds the add actions from the
+    returned (name, rows) descriptors — no footer re-reads."""
+    import shutil
+
+    if pcols:
+        raise NotImplementedError(
+            "partitioned writes to nested-id-mapped tables"
+        )
+    from pyspark.sql.types import StructType
+
+    want = StructType.fromJson(json.loads(meta["schemaString"]))
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex[:12]}")
+    os.makedirs(stage)
+    fields = want.fields
+
+    def _task(batches):
+        import uuid as _u
+
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        writer = None
+        target = None
+        name = None
+        rows = 0
+        for b in batches:
+            if writer is None:
+                target = pa.schema(
+                    [
+                        _decorate_arrow_field(b.schema.field(i), fields[i])
+                        for i in range(len(fields))
+                    ]
+                )
+                name = f"part-{_u.uuid4().hex}.c000.snappy.parquet"
+                writer = _pq.ParquetWriter(
+                    os.path.join(stage, name), target, compression="snappy"
+                )
+            writer.write_table(pa.Table.from_batches([b]).cast(target))
+            rows += b.num_rows
+        if writer is not None:
+            writer.close()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "name": pa.array([name], pa.string()),
+                    "rows": pa.array([rows], pa.int64()),
+                }
+            )
+
+    res = df_phys.mapInArrow(_task, "name string, rows long").collect()
+    adds = []
+    for r in sorted(res, key=lambda r: r["name"]):
+        src = os.path.join(stage, r["name"])
+        dst = os.path.join(path, r["name"])
+        if os.path.exists(dst):
+            raise FileExistsError(f"staged file collides with {dst}")
+        os.rename(src, dst)
+        adds.append(
+            {
+                "add": {
+                    "path": quote(r["name"], safe="/="),
+                    "partitionValues": {},
+                    "size": os.path.getsize(dst),
+                    "modificationTime": int(os.path.getmtime(dst) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": int(r["rows"])}),
+                }
+            }
+        )
     shutil.rmtree(stage)
     return adds
 
@@ -1318,7 +1475,7 @@ def append_delta(
     _check_write_schema(df, state["meta"])
     df = _to_physical(df, state["meta"])
     pcols = state["meta"].get("partitionColumns", []) or []
-    adds = _stage_new_files(df, path, pcols)
+    adds = _stage_new_files(df, path, pcols, state["meta"])
     hw = _identity_high_water(adds, path, state["meta"])
     _write_commit(
         path, v, adds + ([hw] if hw else []) + (extra_actions or [])
@@ -1347,7 +1504,7 @@ def overwrite_delta(df: DataFrame, path: str) -> int:
         }
         for p in sorted(state["adds"])
     ]
-    new = _stage_new_files(df, path, pcols)
+    new = _stage_new_files(df, path, pcols, state["meta"])
     hw = _identity_high_water(new, path, state["meta"])
     _write_commit(path, v, removes + new + ([hw] if hw else []))
     return v
@@ -1416,7 +1573,7 @@ def optimize_delta(
         }
         for p in sorted(state["adds"])
     ]
-    new = _stage_new_files(df, path, pcols)
+    new = _stage_new_files(df, path, pcols, meta)
     for a in new:
         a["add"]["dataChange"] = False
     _write_commit(path, v, removes + new)
@@ -2111,7 +2268,7 @@ def merge_delta(
     new_df = _apply_write_constraints(new_df.select(*out_cols), meta)
     # _to_physical renames mapped tables to physical column names, so the
     # staged write partitions by the log's (physical) partitionColumns
-    staged = _stage_new_files(_to_physical(new_df, meta), path, plan.pcols)
+    staged = _stage_new_files(_to_physical(new_df, meta), path, plan.pcols, meta)
     hw_action = _identity_high_water(staged, path, meta)
     now = int(time.time() * 1000)
     removes = [

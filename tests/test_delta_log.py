@@ -1611,3 +1611,108 @@ class TestIdentityColumns:
         ids2 = sorted(r["id"] for r in read_delta(spark, path).collect())
         assert len(set(ids2)) == 4
         assert min(ids2) < min(ids)  # descending past the mark
+
+
+class TestNestedIdMappedWrites:
+    def _nested_table(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "nid")
+        os.makedirs(path)
+        inner = pa.struct([
+            pa.field("col-3", pa.int64(), metadata={b"PARQUET:field_id": b"3"}),
+            pa.field("col-4", pa.string(), metadata={b"PARQUET:field_id": b"4"}),
+        ])
+        sch = pa.schema([
+            pa.field("col-1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("col-2", inner, metadata={b"PARQUET:field_id": b"2"}),
+        ])
+        pq.write_table(
+            pa.table(
+                {"col-1": [1], "col-2": [{"col-3": 10, "col-4": "a"}]},
+                schema=sch,
+            ),
+            os.path.join(path, "part-0.parquet"),
+        )
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-1"}},
+            {"name": "s", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-2"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "a", "type": "long", "nullable": True, "metadata": {
+                     "delta.columnMapping.id": 3,
+                     "delta.columnMapping.physicalName": "col-3"}},
+                 {"name": "b", "type": "string", "nullable": True, "metadata": {
+                     "delta.columnMapping.id": 4,
+                     "delta.columnMapping.physicalName": "col-4"}},
+             ]}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "m", "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id",
+                                      "delta.columnMapping.maxColumnId": "4"},
+                    "createdTime": 0}},
+                {"add": {"path": "part-0.parquet", "partitionValues": {},
+                         "size": os.path.getsize(os.path.join(path, "part-0.parquet")),
+                         "modificationTime": 0, "dataChange": True}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        return path
+
+    def test_nested_id_read(self, spark, tmp_path):
+        path = self._nested_table(spark, tmp_path)
+        back = read_delta(spark, path)
+        assert back.columns == ["k", "s"]
+        r = back.collect()[0]
+        assert (r["k"], r["s"]["a"], r["s"]["b"]) == (1, 10, "a")
+
+    def test_nested_id_append_roundtrip(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import append_delta as _ad
+
+        path = self._nested_table(spark, tmp_path)
+        df = spark.createDataFrame(
+            [(7, (70, "x")), (8, (80, "y"))],
+            "k long, s struct<a: long, b: string>",
+        )
+        v = _ad(df, path)
+        assert v == 1
+        back = read_delta(spark, path)
+        got = sorted(
+            (r["k"], r["s"]["a"], r["s"]["b"]) for r in back.collect()
+        )
+        assert got == [(1, 10, "a"), (7, 70, "x"), (8, 80, "y")]
+        # the appended file carries PHYSICAL names + field ids at EVERY level
+        cpath = os.path.join(path, "_delta_log", f"{1:020d}.json")
+        adds = [json.loads(x)["add"] for x in open(cpath) if '"add"' in x]
+        assert adds
+        for a in adds:
+            rep = str(pq.ParquetFile(os.path.join(path, a["path"])).schema)
+            for needle in (
+                "field_id=1 col-1", "field_id=2 col-2",
+                "field_id=3 col-3", "field_id=4 col-4",
+            ):
+                assert needle in rep, (needle, rep)
+            assert json.loads(a["stats"])["numRecords"] >= 1
+
+    def test_nested_id_partitioned_still_gated(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import _stage_new_files
+
+        path = self._nested_table(spark, tmp_path)
+        from rtcdb_spark.sources.delta_log import _snapshot_state
+
+        meta, _a, _s = _snapshot_state(path)
+        df = spark.createDataFrame([(1, (2, "z"))], "k long, s struct<a: long, b: string>")
+        with pytest.raises(NotImplementedError, match="partitioned"):
+            _stage_new_files(df, path, ["k"], meta)
