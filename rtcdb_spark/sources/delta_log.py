@@ -732,17 +732,48 @@ def _key_col(k: int):
     )
 
 
-def _path_key(p: str, k: int) -> str:
+def _path_key(p: str, k: int, table: str | None = None) -> str:
     """`_key_col`'s twin for an add action's (URL-encoded) path: split
-    the ENCODED path on '/', decode each segment, keep the last ``k``."""
+    the ENCODED path on '/', decode each segment, keep the last ``k``.
+
+    A partitioned table's add path may legally have FEWER than ``k``
+    segments — `partitionValues` in the log are authoritative, so a
+    data file at the table root is valid Delta (ADVICE r8 high: the
+    fixed-depth key mismatched such files and the inner broadcast join
+    silently dropped every row). When ``table`` is given, a short
+    RELATIVE path is padded on the left with the table directory's own
+    (absolute) path segments, which is exactly what `_key_col`'s
+    ``k``-segment slice of the scanned absolute file path sees. The
+    padded segments come from the filesystem, not the URL-encoded log,
+    so a '%' or '+' in a table-directory name would make the URI
+    round-trip ambiguous — refuse loudly rather than mis-key."""
     from urllib.parse import unquote_plus
 
     segs = p.replace(os.sep, "/").split("/")
-    return "/".join(unquote_plus(s) for s in segs[-k:])
+    out = [unquote_plus(s) for s in segs]
+    if (
+        table is not None
+        and len(out) < k
+        and not p.startswith(("file:", "/"))
+    ):
+        pre = (
+            os.path.abspath(table).replace(os.sep, "/").rstrip("/").split("/")
+        )
+        need = k - len(out)
+        pad = pre[max(0, len(pre) - need):]
+        for s in pad:
+            if "%" in s or "+" in s:
+                raise NotImplementedError(
+                    f"table directory segment {s!r} would pad a short add "
+                    "path's join key, but '%'/'+' make its URI round-trip "
+                    "ambiguous"
+                )
+        out = pad + out
+    return "/".join(out[-k:])
 
 
 def _unique_keys(
-    items: list[tuple[str, dict]], k: int
+    items: list[tuple[str, dict]], k: int, table: str | None = None
 ) -> dict[str, dict]:
     """Map join key -> add action, refusing collisions: with the
     partition dirs in the key, Spark/Delta writer naming (task+job UUIDs
@@ -751,7 +782,7 @@ def _unique_keys(
     cross-deleting DV rows."""
     out: dict[str, dict] = {}
     for p, a in items:
-        key = _path_key(p, k)
+        key = _path_key(p, k, table)
         if key in out:
             raise NotImplementedError(
                 f"live data files with colliding path keys ({key!r})"
@@ -791,7 +822,7 @@ def _scan_snapshot(
             df = df.select(*plan.logical_data_cols())
         return df
     k = _key_tail(len(plan.pcols))
-    _unique_keys(items, k)
+    _unique_keys(items, k, path)
     df = (
         spark.read.schema(plan.read_schema)
         .parquet(*paths)
@@ -811,7 +842,7 @@ def _scan_snapshot(
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         keys, chunks = [], []
         for p, a in dvd:
-            keys.append(_path_key(p, k))
+            keys.append(_path_key(p, k, path))
             chunks.append(resolve_dv_np(path, a["deletionVector"]))
         deleted = spark.createDataFrame(
             pd.DataFrame(
@@ -841,7 +872,7 @@ def _scan_snapshot(
         for p, a in items:
             vals = a.get("partitionValues") or {}
             rows.append(
-                tuple([_path_key(p, k)] + [vals.get(c) for c in plan.pcols])
+                tuple([_path_key(p, k, path)] + [vals.get(c) for c in plan.pcols])
             )
         pf = spark.createDataFrame(
             rows,
@@ -1250,10 +1281,13 @@ def _apply_write_constraints(df: DataFrame, meta: dict) -> DataFrame:
       ``delta.constraints.<name>``): every row must satisfy; NULL counts
       as a violation (the constraint must evaluate TRUE).
 
-    Identity columns (`delta.identity.*` metadata, writer v6) are refused
-    — allocating identity ranges needs writer coordination this module
-    does not implement. Validation is one extra job over the incoming
-    frame, only when the table declares any contract."""
+    Identity columns (`delta.identity.*` metadata, writer v6) are
+    handled separately by `_assign_identity` (shuffle-free interleaved
+    strides above the stored high-water mark) and
+    `_identity_high_water` (post-write footer-stats recovery), which
+    the writers call around this validation. Validation is one extra
+    job over the incoming frame, only when the table declares any
+    contract."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1409,9 +1443,18 @@ def _identity_high_water(adds: list[dict], path: str, meta: dict) -> dict | None
         pf = pq.ParquetFile(full)
         names = pf.schema_arrow.names
         for f in id_fields:
-            if f.name not in names:
-                continue
-            ci = names.index(f.name)
+            # column-mapped tables stage files under PHYSICAL names; the
+            # logical name is absent from the footer (ADVICE r8 high: the
+            # logical lookup silently skipped, the highWaterMark never
+            # advanced, and the next append re-issued the same ids)
+            phys = _physical_name(f)
+            if phys not in names:
+                raise ValueError(
+                    f"identity column {f.name!r} (physical {phys!r}) is "
+                    "absent from a staged file's footer; cannot advance "
+                    "the high-water mark"
+                )
+            ci = names.index(phys)
             for rg in range(pf.metadata.num_row_groups):
                 st = pf.metadata.row_group(rg).column(ci).statistics
                 if st is None or not st.has_min_max:
@@ -1895,16 +1938,17 @@ def _scan_with_keys(
 ) -> DataFrame:
     """One scan over live files carrying `_dv_name` (decoded path key) +
     `_dv_ridx` (row index) plus the LOGICAL data and partition columns —
-    the shared front end of DELETE, MERGE, and the CDF writer. Existing
-    deletion vectors are NOT applied by default (DELETE merges with them
-    instead, making re-deletes idempotent); MERGE passes
-    ``apply_dvs=True`` so already-deleted rows cannot be resurrected by
-    a rewrite."""
+    the shared front end of DELETE, MERGE, and the CDF writer. DELETE
+    and MERGE both pass ``apply_dvs=True``: already-deleted rows must
+    neither be resurrected by a MERGE rewrite nor re-reported as fresh
+    'delete' changes by an overlapping DELETE (a repeated DELETE then
+    matches nothing and commits nothing — still idempotent; the DV
+    build merges with the existing bitmap regardless)."""
     from pyspark.sql import functions as F
 
     items = list(adds.items())
     k = _key_tail(len(plan.pcols))
-    _unique_keys(items, k)
+    _unique_keys(items, k, path)
     df = (
         spark.read.schema(plan.read_schema)
         .parquet(*[_resolve(path, p) for p, _ in items])
@@ -1922,7 +1966,7 @@ def _scan_with_keys(
             spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
             keys, chunks = [], []
             for p, a in dvd:
-                keys.append(_path_key(p, k))
+                keys.append(_path_key(p, k, path))
                 chunks.append(resolve_dv_np(path, a["deletionVector"]))
             deleted = spark.createDataFrame(
                 pd.DataFrame(
@@ -1946,7 +1990,7 @@ def _scan_with_keys(
         for p, a in items:
             vals = a.get("partitionValues") or {}
             rows.append(
-                tuple([_path_key(p, k)] + [vals.get(c) for c in plan.pcols])
+                tuple([_path_key(p, k, path)] + [vals.get(c) for c in plan.pcols])
             )
         pf = spark.createDataFrame(
             rows,
@@ -1998,8 +2042,8 @@ def delete_delta(spark: SparkSession, path: str, where: str) -> int:
     v = head + 1
     plan = _ScanPlan(spark, meta)
     k = _key_tail(len(plan.pcols))
-    _unique_keys(list(adds.items()), k)
-    base_to_rel = {_path_key(p, k): p for p in adds}
+    _unique_keys(list(adds.items()), k, path)
+    base_to_rel = {_path_key(p, k, path): p for p in adds}
     # per-file facts the executors need: absolute path (footer fallback
     # for the row count), stats numRecords, existing DV descriptor
     file_info = {}
@@ -2017,7 +2061,13 @@ def delete_delta(spark: SparkSession, path: str, where: str) -> int:
             "dv": a.get("deletionVector"),
         }
 
-    scan = _scan_with_keys(spark, path, plan, adds)
+    # apply_dvs=True: rows already deleted by existing deletion vectors
+    # must NOT re-match (ADVICE r8 medium — with a raw scan, overlapping
+    # DELETEs re-reported previously-deleted rows in the change feed and
+    # re-committed no-op DVs; real Delta's CDC reports each row's delete
+    # exactly once). The per-file bitmap build below still unions with
+    # the existing DV, so the committed vector stays cumulative.
+    scan = _scan_with_keys(spark, path, plan, adds, apply_dvs=True)
     matches = scan.filter(where)
     table_path = path  # closure capture, no Spark objects
 
@@ -2178,7 +2228,7 @@ def merge_delta(
     _check_write_schema(source, meta)
     plan = _ScanPlan(spark, meta)
     k = _key_tail(len(plan.pcols))
-    key_to_rel = {_path_key(p, k): p for p in adds}
+    key_to_rel = {_path_key(p, k, path): p for p in adds}
     out_cols = [f.name for f in plan.schema.fields]
     if any(c not in out_cols for c in on):
         raise ValueError(f"merge keys {on} not all in table columns")

@@ -1716,3 +1716,151 @@ class TestNestedIdMappedWrites:
         df = spark.createDataFrame([(1, (2, "z"))], "k long, s struct<a: long, b: string>")
         with pytest.raises(NotImplementedError, match="partitioned"):
             _stage_new_files(df, path, ["k"], meta)
+
+
+class TestAdviceR8Regressions:
+    """The three ADVICE r8 defects, reproduced and pinned fixed."""
+
+    def _root_file_table(self, spark, tmp_path):
+        # partitionValues in the log are AUTHORITATIVE (delta-io
+        # PROTOCOL.md "Add File"): a data file at the table root of a
+        # partitioned table is legal even though it has fewer path
+        # segments than hive layout.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "t")
+        os.makedirs(os.path.join(path, "p=2"))
+        pq.write_table(
+            pa.table({"k": [1, 2, 3, 4, 5]}),
+            os.path.join(path, "root-file.parquet"),
+        )
+        pq.write_table(
+            pa.table({"k": [6, 7]}),
+            os.path.join(path, "p=2", "hive-file.parquet"),
+        )
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        adds = [
+            {"add": {
+                "path": "root-file.parquet",
+                "partitionValues": {"p": "1"},
+                "size": os.path.getsize(
+                    os.path.join(path, "root-file.parquet")),
+                "modificationTime": 0, "dataChange": True}},
+            {"add": {
+                "path": "p=2/hive-file.parquet",
+                "partitionValues": {"p": "2"},
+                "size": os.path.getsize(
+                    os.path.join(path, "p=2", "hive-file.parquet")),
+                "modificationTime": 0, "dataChange": True}},
+        ]
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {
+                    "id": "rt",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": ["p"], "configuration": {},
+                    "createdTime": 0}},
+            ] + adds:
+                fh.write(json.dumps(a) + "\n")
+        return path
+
+    def test_partitioned_add_at_table_root_reads_all_rows(
+        self, spark, tmp_path
+    ):
+        path = self._root_file_table(spark, tmp_path)
+        back = read_delta(spark, path)
+        assert _rows(back) == [
+            (1, "1"), (2, "1"), (3, "1"), (4, "1"), (5, "1"),
+            (6, "2"), (7, "2"),
+        ]
+
+    def test_partitioned_add_at_table_root_delete(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta
+
+        path = self._root_file_table(spark, tmp_path)
+        delete_delta(spark, path, "k = 2 or p = '2'")
+        assert _rows(read_delta(spark, path)) == [
+            (1, "1"), (3, "1"), (4, "1"), (5, "1"),
+        ]
+
+    def test_identity_on_name_mapped_table_unique_ids(self, spark, tmp_path):
+        # staged files of a mapped table carry PHYSICAL column names; the
+        # high-water recovery must look those up, not the logical names,
+        # or the mark never advances and appends re-issue the same ids.
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            append_delta as _ad,
+        )
+
+        path = str(tmp_path / "idm")
+        fields = [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-1",
+                "delta.identity.start": 1, "delta.identity.step": 1}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-2"}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 6}},
+                {"metaData": {
+                    "id": "im",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "2"},
+                    "createdTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        _ad(spark.createDataFrame([("a",), ("b",), ("c",)], "v string"), path)
+        _ad(spark.createDataFrame([("d",), ("e",), ("f",)], "v string"), path)
+        ids = [r["id"] for r in read_delta(spark, path).collect()]
+        assert len(set(ids)) == 6, ids  # no duplicates across appends
+        meta, _a, _s = _snapshot_state(path)
+        f0 = json.loads(meta["schemaString"])["fields"][0]
+        assert f0["metadata"]["delta.identity.highWaterMark"] == max(ids)
+
+    def test_overlapping_deletes_report_each_row_once(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            delta_changes_cdf,
+        )
+
+        path = str(tmp_path / "ov")
+        write_delta(
+            spark.range(10).select(F.col("id").alias("x")).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        v1 = delete_delta(spark, path, "x > 5")
+        v2 = delete_delta(spark, path, "x > 3")
+        assert v2 == v1 + 1
+        feed1 = delta_changes_cdf(spark, path, v1, v1)
+        assert sorted(r["x"] for r in feed1.collect()) == [6, 7, 8, 9]
+        feed2 = delta_changes_cdf(spark, path, v2, v2)
+        rows2 = feed2.collect()
+        assert sorted(r["x"] for r in rows2) == [4, 5]  # NOT 4..9
+        assert {r["_change_type"] for r in rows2} == {"delete"}
+        # a fully-overlapped re-delete matches nothing and commits nothing
+        assert delete_delta(spark, path, "x > 3") == v2
+        assert sorted(r["x"] for r in read_delta(spark, path).collect()) == [
+            0, 1, 2, 3,
+        ]
