@@ -179,10 +179,101 @@ _PRIORITY = [
     # multimodal_jpeg_progressive_420, multimodal_apng_animate,
     # udf_udtf_tokenize, udf_pandas_scalar, graph_pagerank,
     # matview_incremental_refresh.
+    # (wave 20, round 9 per VERDICT r8 item 1): the second census
+    # rotation. CENSUS at the start of round 9: registry 320 entries,
+    # 170 driver-confirmed across rounds 1-8 (every one green in its
+    # latest appearance; the r8 window went 50/50), 150 never
+    # driver-run; ZERO-confirmed families: events 0/10, sessionize,
+    # pivot, cohort, histogram 0/2, lineitem-analytics 0/2,
+    # attribution, scd2, pack, search, split 0/2, mixture, cdc, basket,
+    # customer-analytics 0/2, supplier, profile; weakest nonzero:
+    # orders-analytics 1/10, embedding 1/7, timeseries 2/7. This window
+    # keeps a 21-entry green-rep core (>=1 r8-green representative per
+    # SURVEY §2 family), adds the TWO round-9 capability rows
+    # (source_delta_cdf_id_mapped — CDF on id-mapped tables via the
+    # field-id-stamping Arrow stage writer; _nested_id_partitioned —
+    # partitioned writes to nested-id-mapped tables, the last two
+    # writer-matrix cells), and fills the remaining 27 slots with
+    # never-driver-run entries biased to the zero/weak families above
+    # (all pass the sf0.01 driver-sim locally this session): 3 events
+    # reps, sessionize_islands, pivot_events, cohort_retention,
+    # histogram_equidepth, lineitem_abc_pareto, attribution_multi_touch,
+    # scd2_order_status, cdc_snapshot_diff, split_train_val_test,
+    # mixture_balance_sources, basket_brand_affinity,
+    # customer_order_gap_stats, supplier_concentration_hhi,
+    # profile_columns, search_rrf_fusion, pack_sequences,
+    # orders_rfm_segmentation, embedding_quantize_int8, timeseries_ewma,
+    # stream_window_sliding, source_orc_roundtrip,
+    # curation_pipeline_funnel, sample_stratified_fixed,
+    # udf_cogrouped_map. That puts 29 never-run entries in the window
+    # -> cross-round union 170 + 29 = 199 if all green (VERDICT r8
+    # item 1 target: >=193).
+    # OUT (ALL r8-driver-green; each family keeps >=1 green rep in this
+    # window or the r8 ledger): source_delta_column_mapping,
+    # source_delta_delete_dv, source_delta_changes,
+    # source_delta_merge_cdf, agg_rollup, agg_weighted_percentiles,
+    # join_semi, window_lag_lead, window_ntile_distribution,
+    # window_first_last, fn_array, fn_regexp, fn_datetime,
+    # fn_conditional, window_tumbling, stream_dedup_near_simhash,
+    # stream_join_click_purchase, text_quality_filter, text_lang_audit,
+    # dedup_minhash_signatures, dedup_ngram_jaccard,
+    # curation_shuffle_shards, sample_hash_deterministic,
+    # timeseries_gapfill_ffill, similarity_ivf_trained_topk,
+    # multimodal_jpeg_lossless, multimodal_image_phash_dedup,
+    # udf_grouped_agg, stream_delta_sink.
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
     "source_rtcdb_string_scan",
-    "source_delta_partitioned_roundtrip", "source_delta_column_mapping",
+    "source_delta_partitioned_roundtrip", "source_delta_cdf",
+    # round-9 capability flagships: the last two Delta writer-matrix
+    # cells, both oracle-gated
+    "source_delta_cdf_id_mapped", "source_delta_nested_id_partitioned",
+    # C-I warehouse green rep
+    "versioned_changes_feed",
+    # C-III aggregates green rep
+    "agg_bitmap_distinct",
+    # C-IV joins green rep
+    "join_asof_nearest",
+    # C-V sort/set green rep
+    "set_except_all",
+    # C-VI windows green rep
+    "window_running_frames",
+    # C-VII scalar functions green rep
+    "fn_json_map",
+    # C-VIII event-time + streaming green reps
+    "stream_window_session", "stream_dedup_near_simhash_unordered",
+    # C-IX text green reps (oracle-gated trained BPE + LM perplexity)
+    "text_bpe_tokenize", "text_bigram_perplexity",
+    # C-IX dedup green reps
+    "dedup_exact", "dedup_star_connectivity_groups",
+    # C-IX similarity green rep (pinned-codebook PQ)
+    "similarity_pq_topk",
+    # C-IX multimodal green rep (Annex-J hierarchical JPEG)
+    "multimodal_jpeg_hierarchical",
+    # streaming Delta source green rep (round-9: now with column-mapped
+    # tables + ignoreDeletes/ignoreChanges)
+    "stream_delta_source",
+    # --- 27 never-driver-run entries, census-biased (wave 20) ---
+    # events family (0/10 confirmed before this window)
+    "events_peak_concurrency", "events_user_paths", "events_ab_test_ztest",
+    # zero-confirmed one-off analytics families
+    "sessionize_islands", "pivot_events", "cohort_retention",
+    "histogram_equidepth", "lineitem_abc_pareto", "attribution_multi_touch",
+    "scd2_order_status", "cdc_snapshot_diff", "split_train_val_test",
+    "mixture_balance_sources", "basket_brand_affinity",
+    "customer_order_gap_stats", "supplier_concentration_hhi",
+    "profile_columns", "search_rrf_fusion", "pack_sequences",
+    # weakest nonzero families
+    "orders_rfm_segmentation", "embedding_quantize_int8", "timeseries_ewma",
+    "stream_window_sliding", "source_orc_roundtrip",
+    "curation_pipeline_funnel", "sample_stratified_fixed",
+    "udf_cogrouped_map",
+]
+
+_WAVE19 = [
+    # the wave-19 (round 8) window body is retained below for the
+    # ledger trail; _PRIORITY above supersedes it.
+    "source_delta_column_mapping",
     # round-7 wave-2/3 capabilities, driver-unconfirmed until now, plus
     # the round-8 Change Data Feed + MERGE INTO flagships (wave-2 swap:
     # source_delta_merge_cdf takes stream_cdc_upsert's slot — r4..r7

@@ -1371,3 +1371,227 @@ def source_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type")
     )
+
+
+def _mk_mapped_log(path: str, fields: list, pcols: list, config: dict):
+    """Version-0 commit of an EMPTY column-mapped Delta table (the log
+    is the table; data arrives via append_delta) — the shape foreign
+    writers like delta-rs produce when creating mapped tables."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(_os.path.join(path, "_delta_log"))
+    with open(
+        _os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 6}},
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": pcols,
+                    "configuration": config,
+                    "createdTime": 0,
+                }
+            },
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+
+
+@query(
+    "source_delta_cdf_id_mapped",
+    """
+    SELECT _change_type, _commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM (
+        SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+               o_orderkey
+        FROM orders
+        UNION ALL
+        SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 10 < 3
+    )
+    GROUP BY _change_type, _commit_version
+    ORDER BY _change_type, _commit_version
+    """,
+    tags=("source", "delta", "interchange", "cdf", "column-mapping", "id"),
+)
+def source_delta_cdf_id_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed on an ID-MODE column-mapped table (round 9 —
+    the last CDF writer-matrix cell, `delta_log._write_cdc_files` id
+    branch via the `_arrow_stage` executor writer): an empty id-mapped
+    table is created the way delta-rs does (physical names col-N +
+    field ids in the log), orders appends as v1 (files carry
+    `PARQUET:field_id`, asserted in-query), a DV DELETE (%10 < 3)
+    writes CDC files that must ALSO carry physical names + field ids
+    with `_change_type` stored verbatim and id-less (the protocol's
+    change-data-file rule, asserted on a CDC footer). Reading the feed
+    across all commits resolves data columns BY FIELD ID; one missing
+    id, a logical name leaking into a footer, or a mis-keyed partition
+    join breaks the hash against the fixture's UNION ALL twin."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        delete_delta,
+        delta_changes_cdf,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_cdf_id_")
+    shutil.rmtree(path)
+    _mk_mapped_log(
+        path,
+        [
+            {"name": "o_orderkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-1"}},
+            {"name": "o_orderpriority", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-2"}},
+        ],
+        [],
+        {
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "2",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    append_delta(o, path)
+    v = delete_delta(spark, path, "o_orderkey % 10 < 3")
+    commit = _os.path.join(path, "_delta_log", f"{v:020d}.json")
+    acts = [_json.loads(x) for x in open(commit).read().splitlines()]
+    cdcs = [a["cdc"] for a in acts if a.get("cdc")]
+    assert cdcs, "CDF-enabled DELETE must write cdc actions"
+    rep = str(
+        _pq.ParquetFile(_os.path.join(path, cdcs[0]["path"])).schema
+    )
+    assert "field_id=1 col-1" in rep and "field_id=2 col-2" in rep, rep
+    assert "_change_type" in rep, rep
+    feed = delta_changes_cdf(spark, path, 0)
+    return (
+        feed.groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("_change_type", "_commit_version")
+    )
+
+
+@query(
+    "source_delta_nested_id_partitioned",
+    """
+    SELECT o_orderstatus AS p,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_a,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM (
+        SELECT * FROM orders
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey % 5 = 0
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "delta", "interchange", "column-mapping", "id",
+          "nested", "partitioned"),
+)
+def source_delta_nested_id_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED writes to a NESTED-id-mapped Delta table (round 9 —
+    the last writer-matrix cell, `delta_log._arrow_stage`): the table
+    maps a struct column's MEMBERS to field ids (what Spark's own
+    writer cannot stamp below the top level), partitioned by a mapped
+    string column. Two appends land via the executor-side Arrow stage
+    writer — hive dirs + partitionValues from descriptors, field ids at
+    every nesting level and NO partition column inside the files (both
+    asserted in-query on a staged footer). The aggregate reads the
+    snapshot back through the field-id scan and keys on the partition
+    column, so a mis-routed row, a dropped hive dir, or a partition
+    value that leaked into the file breaks the hash against the
+    fixture's UNION ALL twin."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from rtcdb_spark.sources.delta_log import append_delta, read_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.struct(
+            F.col("o_custkey").alias("a"),
+            F.col("o_orderpriority").alias("b"),
+        ).alias("s"),
+        F.col("o_orderstatus").alias("p"),
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_nidp_")
+    shutil.rmtree(path)
+    _mk_mapped_log(
+        path,
+        [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-1"}},
+            {"name": "s", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-2"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "a", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-3"}},
+                 {"name": "b", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-4"}},
+             ]}},
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 5,
+                          "delta.columnMapping.physicalName": "col-5"}},
+        ],
+        ["col-5"],
+        {
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "5",
+        },
+    )
+    append_delta(o, path)
+    append_delta(o.filter(F.col("k") % 5 == 0), path)
+    cpath = _os.path.join(path, "_delta_log", f"{1:020d}.json")
+    adds = [
+        _json.loads(x)["add"] for x in open(cpath) if '"add"' in x
+    ]
+    assert adds and all(a["path"].startswith("col-5=") for a in adds)
+    rep = str(_pq.ParquetFile(_os.path.join(path, adds[0]["path"])).schema)
+    assert "field_id=3 col-3" in rep and "field_id=4 col-4" in rep, rep
+    assert "col-5" not in rep, "partition column leaked into a data file"
+    t = read_delta(spark, path)
+    return (
+        t.groupBy(F.col("p"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("s.a")).cast("bigint").alias("sum_a"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("p")
+    )

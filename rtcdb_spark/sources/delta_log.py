@@ -680,8 +680,30 @@ class _ScanPlan:
             # parquet.field.id metadata; Spark's fieldId matching
             # (SPARK-38094) resolves the scan.
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            if _nested_id_mapped(meta):
+                # Spark 4.1 defect (pinned in tests/test_delta_log.py::
+                # test_spark_nested_fieldid_pruning_repro): when
+                # nestedSchemaPruning partially prunes a fieldId-matched
+                # struct, the scan silently returns NULLs for the kept
+                # members — and ZERO rows when the output is pruned to
+                # metadata-only columns. The conf binds at ACTION time,
+                # after any scoped guard would have exited and the
+                # returned DataFrame escaped, so nested-id tables turn
+                # the rule off for the session: correctness over the
+                # pruning optimization (flat/name/none tables keep it).
+                spark.conf.set(
+                    "spark.sql.optimizer.nestedSchemaPruning.enabled",
+                    "false",
+                )
+            # CDC-file internal columns (`_change_type`) are stored
+            # verbatim with no field id and match by name (protocol:
+            # change data files follow the data files' mapping rules,
+            # but _change_type is not a schema field)
             self.read_schema = StructType(
-                [_fieldid_field(f) for f in self.data_fields]
+                [
+                    _fieldid_field(f, required=f.name != "_change_type")
+                    for f in self.data_fields
+                ]
             )
         elif mode == "name":
             self.read_schema = StructType(
@@ -1182,86 +1204,213 @@ def _decorate_arrow_field(af, sf):
     return pa.field(af.name, at, af.nullable, metadata=md)
 
 
-def _stage_new_files_arrow(
-    df_phys: DataFrame, path: str, pcols: list[str], meta: dict
+def _pv_str(v) -> str | None:
+    """A partition value in the protocol's STRING serialization (null =
+    null, booleans lowercase, dates/timestamps ISO — the same rendering
+    Spark's hive-layout writer produces for the log)."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _arrow_stage(
+    df_phys: DataFrame,
+    path: str,
+    dest_root: str,
+    pcols: list[str],
+    meta: dict,
+    n_extra: int = 0,
 ) -> list[dict]:
-    """EXECUTOR-side pyarrow stage writer for nested-id-mapped tables
-    (round 8 wave 6 — the last id-mode writer gate): each task receives
-    its rows as Arrow batches (`mapInArrow`, zero row-wise Python),
+    """EXECUTOR-side pyarrow stage writer for id-mapped tables (round 8
+    wave 6, generalized round 9 to partitioned layouts and CDC files):
+    each task receives its rows as Arrow batches (`mapInArrow`),
     decorates the physical-named schema with `PARQUET:field_id`
     metadata at EVERY nesting level (struct members, list elements, map
     entries — what Spark's own writer cannot stamp below the top
-    level), and writes one parquet file into the staging dir. The
-    driver moves O(new files) and builds the add actions from the
-    returned (name, rows) descriptors — no footer re-reads."""
+    level), routes rows to hive-style partition directories, and
+    appends to one parquet file per partition tuple per task. The last
+    ``n_extra`` batch columns (e.g. a CDC ``_change_type``) are written
+    verbatim with no field id, per the protocol's change-data-file
+    rules. Partition-tuple routing is vectorized (Arrow dictionary
+    encode + one `np.unique` per batch — no per-row Python); rows
+    should be repartitioned by the partition columns upstream when the
+    per-task tuple fan-out matters.
+
+    The driver moves O(new files) into ``dest_root`` and returns one
+    descriptor dict per file: {"path": rel, "partitionValues": {...},
+    "size": bytes, "modificationTime": ms, "numRecords": n}."""
     import shutil
 
-    if pcols:
-        raise NotImplementedError(
-            "partitioned writes to nested-id-mapped tables"
-        )
     from pyspark.sql.types import StructType
 
     want = StructType.fromJson(json.loads(meta["schemaString"]))
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex[:12]}")
     os.makedirs(stage)
     fields = want.fields
+    phys_names = [_physical_name(f) for f in fields]
+    pset = set(pcols)
+    part_idx = [i for i, n in enumerate(phys_names) if n in pset]
+    data_pairs = [
+        (i, f) for i, (n, f) in enumerate(zip(phys_names, fields))
+        if n not in pset
+    ]
+    n_fields = len(fields)
 
     def _task(batches):
         import uuid as _u
 
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as _pq
 
-        writer = None
+        writers: dict[tuple, list] = {}  # key -> [writer, relpath, rows]
         target = None
-        name = None
-        rows = 0
+
+        def _target(b):
+            decorated = [
+                _decorate_arrow_field(b.schema.field(i), f)
+                for i, f in data_pairs
+            ]
+            extra = [
+                b.schema.field(n_fields + j) for j in range(n_extra)
+            ]
+            return pa.schema(decorated + extra)
+
+        def _writer_for(key, pvals):
+            w = writers.get(key)
+            if w is None:
+                segs = []
+                for c, v in zip(pcols, pvals):
+                    sv = _pv_str(v)
+                    segs.append(
+                        f"{quote(c, safe='')}="
+                        + (
+                            "__HIVE_DEFAULT_PARTITION__"
+                            if sv is None
+                            else quote(sv, safe="")
+                        )
+                    )
+                rel = "/".join(
+                    segs + [f"part-{_u.uuid4().hex}.c000.snappy.parquet"]
+                )
+                full = os.path.join(stage, rel.replace("/", os.sep))
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                w = [
+                    _pq.ParquetWriter(full, target, compression="snappy"),
+                    rel,
+                    0,
+                    [_pv_str(v) for v in pvals],
+                ]
+                writers[key] = w
+            return w
+
         for b in batches:
-            if writer is None:
-                target = pa.schema(
-                    [
-                        _decorate_arrow_field(b.schema.field(i), fields[i])
-                        for i in range(len(fields))
-                    ]
+            if b.num_rows == 0:
+                continue
+            if target is None:
+                target = _target(b)
+            tbl = pa.Table.from_batches([b])
+            data = tbl.select(
+                [i for i, _f in data_pairs]
+                + [n_fields + j for j in range(n_extra)]
+            ).cast(target)
+            if not part_idx:
+                w = _writer_for((), ())
+                w[0].write_table(data)
+                w[2] += b.num_rows
+                continue
+            codes, dicts = [], []
+            for i in part_idx:
+                col = b.column(i)  # single batch: plain Array
+                d = pc.dictionary_encode(col)
+                arr = np.asarray(
+                    d.indices.to_numpy(zero_copy_only=False),
+                    dtype="float64",
                 )
-                name = f"part-{_u.uuid4().hex}.c000.snappy.parquet"
-                writer = _pq.ParquetWriter(
-                    os.path.join(stage, name), target, compression="snappy"
+                arr = np.where(np.isnan(arr), -1.0, arr)
+                codes.append(arr.astype(np.int64))
+                dicts.append(d.dictionary.to_pylist())
+            stack = np.stack(codes, axis=1)
+            uniq, inverse = np.unique(stack, axis=0, return_inverse=True)
+            for gi in range(len(uniq)):
+                sel = np.nonzero(inverse == gi)[0]
+                pvals = tuple(
+                    dicts[j][uniq[gi][j]] if uniq[gi][j] >= 0 else None
+                    for j in range(len(part_idx))
                 )
-            writer.write_table(pa.Table.from_batches([b]).cast(target))
-            rows += b.num_rows
-        if writer is not None:
-            writer.close()
+                # writer key = the SERIALIZED value tuple — dictionary
+                # codes are batch-local and must not leak across batches
+                w = _writer_for(tuple(_pv_str(v) for v in pvals), pvals)
+                w[0].write_table(data.take(pa.array(sel)))
+                w[2] += len(sel)
+        out_rel, out_rows, out_pv = [], [], []
+        for w in writers.values():
+            w[0].close()
+            out_rel.append(w[1])
+            out_rows.append(w[2])
+            out_pv.append(json.dumps(dict(zip(pcols, w[3]))))
+        if out_rel:
             yield pa.RecordBatch.from_pydict(
                 {
-                    "name": pa.array([name], pa.string()),
-                    "rows": pa.array([rows], pa.int64()),
+                    "name": pa.array(out_rel, pa.string()),
+                    "rows": pa.array(out_rows, pa.int64()),
+                    "pvals": pa.array(out_pv, pa.string()),
                 }
             )
 
-    res = df_phys.mapInArrow(_task, "name string, rows long").collect()
-    adds = []
+    res = df_phys.mapInArrow(
+        _task, "name string, rows long, pvals string"
+    ).collect()
+    descriptors = []
     for r in sorted(res, key=lambda r: r["name"]):
-        src = os.path.join(stage, r["name"])
-        dst = os.path.join(path, r["name"])
+        src = os.path.join(stage, r["name"].replace("/", os.sep))
+        dst = os.path.join(dest_root, r["name"].replace("/", os.sep))
         if os.path.exists(dst):
             raise FileExistsError(f"staged file collides with {dst}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
-        adds.append(
+        descriptors.append(
             {
-                "add": {
-                    "path": quote(r["name"], safe="/="),
-                    "partitionValues": {},
-                    "size": os.path.getsize(dst),
-                    "modificationTime": int(os.path.getmtime(dst) * 1000),
-                    "dataChange": True,
-                    "stats": json.dumps({"numRecords": int(r["rows"])}),
-                }
+                "path": r["name"],
+                "partitionValues": json.loads(r["pvals"]),
+                "size": os.path.getsize(dst),
+                "modificationTime": int(os.path.getmtime(dst) * 1000),
+                "numRecords": int(r["rows"]),
             }
         )
     shutil.rmtree(stage)
-    return adds
+    return descriptors
+
+
+def _stage_new_files_arrow(
+    df_phys: DataFrame, path: str, pcols: list[str], meta: dict
+) -> list[dict]:
+    """Add actions for an id-mapped write, via the `_arrow_stage`
+    executor-side writer (field ids stamped at every nesting level;
+    partitioned layouts route to hive dirs with partitionValues taken
+    from the descriptors, not parsed back from dir names)."""
+    return [
+        {
+            "add": {
+                "path": quote(d["path"], safe="/="),
+                "partitionValues": d["partitionValues"],
+                "size": d["size"],
+                "modificationTime": d["modificationTime"],
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": d["numRecords"]}),
+            }
+        }
+        for d in _arrow_stage(df_phys, path, path, pcols, meta)
+    ]
 
 
 def _apply_write_constraints(df: DataFrame, meta: dict) -> DataFrame:
@@ -1760,18 +1909,42 @@ def _write_cdc_files(df: DataFrame, path: str, plan: _ScanPlan) -> list[dict]:
     the table proper skip them; `delta_changes_cdf` reads them). Staged
     write + move, O(new files).
 
-    Column-mapped 'name'-mode tables (round 8 wave 5): the CDC files use
-    the PHYSICAL column names, like the data files, with `_change_type`
-    stored verbatim (it is a CDC-file column, not a mapped schema
-    field); 'id' mode stays gated (nested field-id stamping)."""
+    Column-mapped tables (round 8 wave 5 name mode, round 9 id mode):
+    the CDC files use the PHYSICAL column names, like the data files,
+    with `_change_type` stored verbatim (it is a CDC-file column, not a
+    mapped schema field — the protocol's change-data-file rule). 'id'
+    mode routes through the `_arrow_stage` executor writer so field ids
+    are stamped at every nesting level, with `_change_type` as the
+    id-less extra column."""
     import shutil
 
     from pyspark.sql import functions as F
 
     if plan.mode == "id":
-        raise NotImplementedError(
-            "Change Data Feed files on id-mode column-mapped tables"
+        phys = df.select(
+            *[
+                F.col(f.name).cast(_physical_type(f.dataType)).alias(
+                    _physical_name(f)
+                )
+                for f in plan.schema.fields
+            ],
+            F.col("_change_type"),
         )
+        cdc_root = os.path.join(path, "_change_data")
+        meta = {"schemaString": plan.schema.json()}
+        return [
+            {
+                "cdc": {
+                    "path": quote("_change_data/" + d["path"], safe="/="),
+                    "partitionValues": d["partitionValues"],
+                    "size": d["size"],
+                    "dataChange": False,
+                }
+            }
+            for d in _arrow_stage(
+                phys, path, cdc_root, plan.pcols, meta, n_extra=1
+            )
+        ]
     if plan.mode == "name":
         df = df.select(
             *[
@@ -1842,8 +2015,6 @@ def delta_changes_cdf(
         )
     meta, _adds, _state = _snapshot_state(path, until)
     plan = _ScanPlan(spark, meta)
-    if plan.mode == "id":
-        raise NotImplementedError("CDF reads on id-mode column-mapped tables")
     # cdc files carry the data columns + _change_type; partition values
     # come from the action. Reuse the one-scan snapshot reader by handing
     # it a metaData whose schema has the extra column.
@@ -2243,6 +2414,8 @@ def merge_delta(
     tgt = _scan_with_keys(spark, path, plan, adds, apply_dvs=True)
     src = source.select(*out_cols)
     # touched files: one semi-join, collecting only distinct file keys
+    # (metadata-only output — safe on nested-id-mapped tables because
+    # _ScanPlan turned nestedSchemaPruning off for the session)
     touched = [
         r[_NAME_COL]
         for r in tgt.join(src.select(*on), on, "left_semi")

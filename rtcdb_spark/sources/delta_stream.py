@@ -1,4 +1,5 @@
-"""Delta tables as a STRUCTURED STREAMING SOURCE (round 8).
+"""Delta tables as a STRUCTURED STREAMING SOURCE (round 8; round 9:
+column-mapped tables + the ignoreDeletes/ignoreChanges opt-ins).
 
 Registers a Spark-4 Python streaming data source (`delta_stream`) that
 turns a Delta table's commit log into micro-batches, the way
@@ -11,16 +12,35 @@ version, never re-emitting a file.
 
     spark.readStream.format("delta_stream").option("path", p).load()
 
-Options: ``path`` (required), ``startingVersion`` (default 0 — emit the
-full history as the first batch; pass a later version to subscribe from
-there).
+Options:
 
-Semantics mirror `delta_changes` (the batch append-feed): commits that
-REMOVE data with ``dataChange = true`` (overwrite, DELETE, DV attach)
-are not representable as an append stream and fail the query with the
-same message delta-spark gives without ``ignoreChanges``;
-maintenance-only commits (OPTIMIZE's dataChange=false rewrites) are
-skipped. Column-mapped tables and deletion-vector adds are refused.
+- ``path`` (required).
+- ``startingVersion`` (default 0 — emit the full history as the first
+  batch; pass a later version to subscribe from there).
+- ``ignoreDeletes`` (default false): skip commits whose data-changing
+  actions are REMOVES ONLY (partition-boundary deletes), delta-spark's
+  option of the same name.
+- ``ignoreChanges`` (default false, implies ignoreDeletes): never fail
+  on non-append commits — removes are skipped, adds that carry a
+  deletion vector (a DV DELETE's re-add of the SAME rows) are skipped,
+  and rewrite adds (overwrite/update file rewrites) are re-emitted,
+  so downstream may see re-delivered rows, exactly delta-spark's
+  documented ignoreChanges contract.
+
+Without either option, commits that REMOVE data with
+``dataChange = true`` (overwrite, DELETE, DV attach) fail the query
+with the same message delta-spark gives; maintenance-only commits
+(OPTIMIZE's dataChange=false rewrites) are always skipped.
+
+Column mapping (round 9): 'name' and 'id' mode tables stream too. The
+mapping facts come from the SNAPSHOT metaData (not just in-range
+metaData actions — a stream started past the mapping commit previously
+bypassed the gate and died in the Arrow read; ADVICE r8). Each file
+task resolves the logical schema to physical parquet columns — by
+physical name in 'name' mode, by `PARQUET:field_id` footer metadata in
+'id' mode — and partition values ride along keyed by physical name,
+re-attached under logical names. Tables whose NESTED fields are mapped
+are refused (the flat resolution cannot rename struct members).
 
 Scale: `partitions()` returns ONE InputPartition per added file, so a
 micro-batch covering N files fans out across the cluster; each task
@@ -50,6 +70,7 @@ from pyspark.sql.types import StructType
 from rtcdb_spark.sources.delta_log import (
     _commit_actions,
     _demap,
+    _physical_name,
     _resolve,
     _snapshot_state,
     delta_versions,
@@ -57,11 +78,23 @@ from rtcdb_spark.sources.delta_log import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, pvals: dict, schema_json: str, pcols: list):
+    def __init__(
+        self,
+        path: str,
+        pvals: dict,
+        schema_json: str,
+        pcols: list,
+        mode: str = "none",
+        phys_of: dict | None = None,
+        fid_of: dict | None = None,
+    ):
         self.path = path
-        self.pvals = pvals
+        self.pvals = pvals  # keyed by PHYSICAL partition column name
         self.schema_json = schema_json
-        self.pcols = pcols
+        self.pcols = pcols  # PHYSICAL partition column names
+        self.mode = mode
+        self.phys_of = phys_of or {}  # logical -> physical name
+        self.fid_of = fid_of or {}  # logical -> parquet field id (id mode)
 
 
 def _spark_to_arrow_type(dt):
@@ -99,6 +132,43 @@ def _spark_to_arrow_type(dt):
     )
 
 
+def _mapping_facts(meta: dict, schema: StructType):
+    """(mode, pcols_physical, phys_of, fid_of) from a snapshot metaData;
+    refuses nested-mapped tables (flat per-file column resolution)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("", None):
+        mode = "none"
+    if mode not in ("none", "name", "id"):
+        raise NotImplementedError(
+            f"delta_stream: columnMapping.mode={mode!r}"
+        )
+    pcols = meta.get("partitionColumns", []) or []
+    phys_of, fid_of = {}, {}
+    if mode != "none":
+        for f in schema.fields:
+            if isinstance(f.dataType, (_ST, ArrayType, MapType)):
+                raise NotImplementedError(
+                    "delta_stream on column-mapped tables with NESTED "
+                    f"columns ({f.name!r}); read the snapshot with "
+                    "read_delta instead"
+                )
+            phys_of[f.name] = _physical_name(f)
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if fid is not None:
+                fid_of[f.name] = int(fid)
+        if mode == "id" and len(fid_of) < len(schema.fields):
+            missing = [f.name for f in schema.fields if f.name not in fid_of]
+            raise NotImplementedError(
+                f"id-mode table with unmapped columns {missing}"
+            )
+    return mode, pcols, phys_of, fid_of
+
+
 class DeltaStreamReader(DataSourceStreamReader):
     """Commit-version offsets over a Delta log."""
 
@@ -110,6 +180,25 @@ class DeltaStreamReader(DataSourceStreamReader):
         # Spark lower-cases data source option keys
         self.starting = int(
             options.get("startingversion", options.get("startingVersion", 0))
+        )
+        truthy = ("true", "1", "yes")
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() in truthy
+        )
+        self.ignore_deletes = self.ignore_changes or (
+            str(options.get("ignoredeletes", "false")).lower() in truthy
+        )
+        # mapping facts from the SNAPSHOT metaData, not only in-range
+        # metaData actions (ADVICE r8: startingVersion past the mapping
+        # commit bypassed the gate and died in the Arrow read). The
+        # ``schema`` Spark passes back is reconstructed from
+        # `DataSource.schema()`'s simpleString and has NO field metadata
+        # — the columnMapping annotations must be re-read from the log's
+        # own schemaString.
+        meta, _adds, _state = _snapshot_state(self.table_path)
+        log_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        self.mode, self.pcols, self.phys_of, self.fid_of = _mapping_facts(
+            meta, log_schema
         )
 
     def initialOffset(self) -> dict:
@@ -125,54 +214,56 @@ class DeltaStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return []
         versions = delta_versions(self.table_path)
-        pcols: list = []
         schema_json = self.schema.json()
         parts: list[_FilePartition] = []
-        meta = None
         for v in range(lo + 1, hi + 1):
-            for action in _commit_actions(self.table_path, v, versions):
-                if action.get("metaData") is not None:
-                    meta = action["metaData"]
-                    mode = (_demap(meta.get("configuration")) or {}).get(
-                        "delta.columnMapping.mode", "none"
+            acts = _commit_actions(self.table_path, v, versions)
+            adds = [
+                a["add"]
+                for a in acts
+                if a.get("add") is not None
+                and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in acts
+                if a.get("remove") is not None
+                and a["remove"].get("dataChange", True)
+            ]
+            if removes and not (
+                self.ignore_changes or (self.ignore_deletes and not adds)
+            ):
+                raise ValueError(
+                    f"commit {v} removes data (overwrite/delete); a Delta "
+                    "stream requires append-shaped commits — set option "
+                    "ignoreDeletes (remove-only commits) or ignoreChanges "
+                    "(rewrites; rows may be re-delivered) to proceed"
+                )
+            for a in adds:
+                if a.get("deletionVector"):
+                    if self.ignore_changes:
+                        # a DV re-add carries NO new rows (the same file,
+                        # more rows marked deleted) — skip it rather than
+                        # re-deliver the whole file
+                        continue
+                    raise ValueError(
+                        f"commit {v} attaches a deletion vector; the "
+                        "stream is not an append feed — set option "
+                        "ignoreChanges to skip such commits"
                     )
-                    if mode not in ("none", ""):
-                        raise NotImplementedError(
-                            "delta_stream on column-mapped tables"
-                        )
-                    pcols = meta.get("partitionColumns", []) or []
-                elif action.get("remove") is not None:
-                    if action["remove"].get("dataChange", True):
-                        raise ValueError(
-                            f"commit {v} removes data (overwrite/delete); "
-                            "a Delta stream requires append-shaped commits"
-                        )
-                elif action.get("add") is not None:
-                    a = action["add"]
-                    if not a.get("dataChange", True):
-                        continue  # maintenance rewrite: not new rows
-                    if a.get("deletionVector"):
-                        raise ValueError(
-                            f"commit {v} attaches a deletion vector; "
-                            "the stream is not an append feed"
-                        )
-                    parts.append(
-                        _FilePartition(
-                            os.path.abspath(
-                                _resolve(self.table_path, a["path"])
-                            ),
-                            _demap(a.get("partitionValues")) or {},
-                            schema_json,
-                            pcols,
-                        )
+                parts.append(
+                    _FilePartition(
+                        os.path.abspath(
+                            _resolve(self.table_path, a["path"])
+                        ),
+                        _demap(a.get("partitionValues")) or {},
+                        schema_json,
+                        self.pcols,
+                        self.mode,
+                        self.phys_of,
+                        self.fid_of,
                     )
-        if pcols == [] and parts:
-            # partition columns may be declared by version-0 metaData only:
-            # fall back to the snapshot's metaData for the column list
-            meta0, _adds, _state = _snapshot_state(self.table_path, hi)
-            pcols = meta0.get("partitionColumns", []) or []
-            for p in parts:
-                p.pcols = pcols
+                )
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -180,21 +271,51 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         schema = StructType.fromJson(json.loads(partition.schema_json))
-        pcols = partition.pcols
-        data_fields = [f for f in schema.fields if f.name not in pcols]
-        tbl = pq.read_table(
-            partition.path, columns=[f.name for f in data_fields]
-        )
+        mode = partition.mode
+        phys_of = partition.phys_of
+        pcols = set(partition.pcols)
+
+        def _phys(name: str) -> str:
+            return phys_of.get(name, name) if mode != "none" else name
+
+        data_fields = [f for f in schema.fields if _phys(f.name) not in pcols]
+        pf = pq.ParquetFile(partition.path)
+        file_names = pf.schema_arrow.names
+        col_of = {}
+        if mode == "id":
+            by_fid = {}
+            for af in pf.schema_arrow:
+                fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_fid[int(fid)] = af.name
+            for f in data_fields:
+                want = partition.fid_of[f.name]
+                if want not in by_fid:
+                    raise ValueError(
+                        f"{partition.path}: no parquet column carries "
+                        f"field id {want} (logical column {f.name!r})"
+                    )
+                col_of[f.name] = by_fid[want]
+        else:
+            for f in data_fields:
+                p = _phys(f.name)
+                if p not in file_names:
+                    raise ValueError(
+                        f"{partition.path}: missing column {p!r} "
+                        f"(logical {f.name!r})"
+                    )
+                col_of[f.name] = p
+        tbl = pf.read(columns=[col_of[f.name] for f in data_fields])
         n = tbl.num_rows
         cols, names = [], []
         for f in schema.fields:
             at = _spark_to_arrow_type(f.dataType)
-            if f.name in pcols:
-                raw = partition.pvals.get(f.name)
+            if _phys(f.name) in pcols:
+                raw = partition.pvals.get(_phys(f.name))
                 # protocol: partition values are strings, null = null
                 arr = pa.array([raw] * n, type=pa.string()).cast(at)
             else:
-                arr = tbl.column(f.name).combine_chunks().cast(at)
+                arr = tbl.column(col_of[f.name]).combine_chunks().cast(at)
             cols.append(arr)
             names.append(f.name)
         out = pa.table(dict(zip(names, cols)))

@@ -1706,16 +1706,91 @@ class TestNestedIdMappedWrites:
                 assert needle in rep, (needle, rep)
             assert json.loads(a["stats"])["numRecords"] >= 1
 
-    def test_nested_id_partitioned_still_gated(self, spark, tmp_path):
-        from rtcdb_spark.sources.delta_log import _stage_new_files
+    def _nested_partitioned_table(self, spark, tmp_path):
+        """Empty PARTITIONED nested-id-mapped table (round 9: the last
+        writer-matrix cell — hive layout from the Arrow stage writer)."""
+        path = str(tmp_path / "nidp")
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-1"}},
+            {"name": "s", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-2"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "a", "type": "long", "nullable": True, "metadata": {
+                     "delta.columnMapping.id": 3,
+                     "delta.columnMapping.physicalName": "col-3"}},
+                 {"name": "b", "type": "string", "nullable": True, "metadata": {
+                     "delta.columnMapping.id": 4,
+                     "delta.columnMapping.physicalName": "col-4"}},
+             ]}},
+            {"name": "p", "type": "string", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 5,
+                "delta.columnMapping.physicalName": "col-5"}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "m", "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": ["col-5"],
+                    "configuration": {"delta.columnMapping.mode": "id",
+                                      "delta.columnMapping.maxColumnId": "5"},
+                    "createdTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        return path
 
-        path = self._nested_table(spark, tmp_path)
-        from rtcdb_spark.sources.delta_log import _snapshot_state
+    def test_nested_id_partitioned_write_roundtrip(self, spark, tmp_path):
+        import pyarrow.parquet as pq
 
-        meta, _a, _s = _snapshot_state(path)
-        df = spark.createDataFrame([(1, (2, "z"))], "k long, s struct<a: long, b: string>")
-        with pytest.raises(NotImplementedError, match="partitioned"):
-            _stage_new_files(df, path, ["k"], meta)
+        from rtcdb_spark.sources.delta_log import append_delta as _ad
+
+        path = self._nested_partitioned_table(spark, tmp_path)
+        df = spark.createDataFrame(
+            [(i, (i * 10, f"s{i}"), str(i % 3)) for i in range(12)],
+            "k long, s struct<a: long, b: string>, p string",
+        ).repartition(3)
+        assert _ad(df, path) == 1
+        back = read_delta(spark, path)
+        got = sorted(
+            (r["k"], r["s"]["a"], r["s"]["b"], r["p"]) for r in back.collect()
+        )
+        assert got == [(i, i * 10, f"s{i}", str(i % 3)) for i in range(12)]
+        # files live under hive dirs, carry NO partition column, and have
+        # field ids at every level; partitionValues ride in the log
+        cpath = os.path.join(path, "_delta_log", f"{1:020d}.json")
+        adds = [json.loads(x)["add"] for x in open(cpath) if '"add"' in x]
+        assert adds
+        seen_pv = set()
+        for a in adds:
+            assert a["path"].startswith("col-5=")
+            assert a["partitionValues"].keys() == {"col-5"}
+            seen_pv.add(a["partitionValues"]["col-5"])
+            pf = pq.ParquetFile(os.path.join(path, a["path"]))
+            rep = str(pf.schema)
+            assert "col-5" not in rep  # partition col not in the file
+            for needle in (
+                "field_id=1 col-1", "field_id=2 col-2",
+                "field_id=3 col-3", "field_id=4 col-4",
+            ):
+                assert needle in rep, (needle, rep)
+        assert seen_pv == {"0", "1", "2"}
+        # second append merges into the same dirs without collisions
+        _ad(
+            spark.createDataFrame(
+                [(100, (1000, "z"), "1")],
+                "k long, s struct<a: long, b: string>, p string",
+            ),
+            path,
+        )
+        assert read_delta(spark, path).count() == 13
 
 
 class TestAdviceR8Regressions:
@@ -1864,3 +1939,212 @@ class TestAdviceR8Regressions:
         assert sorted(r["x"] for r in read_delta(spark, path).collect()) == [
             0, 1, 2, 3,
         ]
+
+
+class TestIdModeCDF:
+    """Change Data Feed on id-mode column-mapped tables (round 9: the
+    last writer-matrix cell besides partitioned nested-id writes)."""
+
+    def _id_table(self, spark, tmp_path, partitioned=False, nested=False):
+        path = str(tmp_path / "idcdf")
+        if nested:
+            s_field = {
+                "name": "s", "nullable": True, "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-2"},
+                "type": {"type": "struct", "fields": [
+                    {"name": "a", "type": "long", "nullable": True,
+                     "metadata": {
+                         "delta.columnMapping.id": 4,
+                         "delta.columnMapping.physicalName": "col-4"}},
+                ]}}
+        else:
+            s_field = {
+                "name": "s", "type": "string", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-2"}}
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-1"}},
+            s_field,
+            {"name": "p", "type": "string", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 3,
+                "delta.columnMapping.physicalName": "col-3"}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "m", "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": ["col-3"] if partitioned else [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "4",
+                        "delta.enableChangeDataFeed": "true"},
+                    "createdTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        return path
+
+    def test_id_mode_cdf_delete_roundtrip(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            append_delta as _ad,
+            delete_delta,
+            delta_changes_cdf,
+        )
+
+        path = self._id_table(spark, tmp_path)
+        _ad(
+            spark.createDataFrame(
+                [(i, f"s{i}", str(i % 2)) for i in range(8)],
+                "k long, s string, p string",
+            ),
+            path,
+        )
+        v = delete_delta(spark, path, "k >= 6")
+        feed = delta_changes_cdf(spark, path, v, v)
+        got = sorted(
+            (r["k"], r["s"], r["p"], r["_change_type"]) for r in feed.collect()
+        )
+        assert got == [(6, "s6", "0", "delete"), (7, "s7", "1", "delete")]
+        # the CDC files live under _change_data/ with PHYSICAL names +
+        # field ids; _change_type is verbatim with NO field id
+        import pyarrow.parquet as pq
+
+        cpath = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        cdcs = [json.loads(x)["cdc"] for x in open(cpath) if '"cdc"' in x]
+        assert cdcs
+        for c in cdcs:
+            rep = str(pq.ParquetFile(os.path.join(path, c["path"])).schema)
+            assert "field_id=1 col-1" in rep and "field_id=2 col-2" in rep
+            assert "_change_type" in rep
+        # derived inserts (v1) also read in id mode
+        feed1 = delta_changes_cdf(spark, path, 1, 1)
+        assert feed1.count() == 8
+        assert {r["_change_type"] for r in feed1.collect()} == {"insert"}
+
+    def test_id_mode_cdf_partitioned(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            append_delta as _ad,
+            delete_delta,
+            delta_changes_cdf,
+        )
+
+        path = self._id_table(spark, tmp_path, partitioned=True)
+        _ad(
+            spark.createDataFrame(
+                [(i, f"s{i}", str(i % 2)) for i in range(8)],
+                "k long, s string, p string",
+            ),
+            path,
+        )
+        v = delete_delta(spark, path, "p = '1'")
+        feed = delta_changes_cdf(spark, path, v, v)
+        rows = feed.collect()
+        assert sorted(r["k"] for r in rows) == [1, 3, 5, 7]
+        assert {r["p"] for r in rows} == {"1"}
+        # cdc files sit in hive dirs under _change_data with partitionValues
+        cpath = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        cdcs = [json.loads(x)["cdc"] for x in open(cpath) if '"cdc"' in x]
+        assert cdcs
+        for c in cdcs:
+            assert c["path"].startswith("_change_data/col-3=")
+            assert c["partitionValues"] == {"col-3": "1"}
+
+    def test_id_mode_cdf_nested(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            append_delta as _ad,
+            delete_delta,
+            delta_changes_cdf,
+        )
+
+        path = self._id_table(spark, tmp_path, nested=True)
+        _ad(
+            spark.createDataFrame(
+                [(i, (i * 10,), str(i)) for i in range(4)],
+                "k long, s struct<a: long>, p string",
+            ),
+            path,
+        )
+        v = delete_delta(spark, path, "s.a >= 20")
+        feed = delta_changes_cdf(spark, path, v, v)
+        got = sorted((r["k"], r["s"]["a"]) for r in feed.collect())
+        assert got == [(2, 20), (3, 30)]
+
+
+def test_spark_nested_fieldid_pruning_repro(spark, tmp_path):
+    """Minimal repro of the Spark 4.1 defect `_ScanPlan` works around
+    for nested-id-mapped tables (session-wide nestedSchemaPruning off):
+    with parquet fieldId read matching, a scan whose OUTPUT is pruned
+    to metadata-only columns returns ZERO rows when filtered on a
+    nested id-mapped field, and a PARTIALLY pruned struct returns
+    silent NULLs for its kept members. Disabling nestedSchemaPruning
+    restores both. If the asserts marked `broken` start failing
+    (upstream fixed), the workaround can be retired."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    inner = pa.struct(
+        [pa.field("col-4", pa.int64(), metadata={b"PARQUET:field_id": b"4"})]
+    )
+    sch = pa.schema([
+        pa.field("col-1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col-2", inner, metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    f = str(tmp_path / "f.parquet")
+    pq.write_table(
+        pa.table(
+            {"col-1": [0, 1, 2, 3],
+             "col-2": [{"col-4": v} for v in (0, 10, 20, 30)]},
+            schema=sch,
+        ),
+        f,
+    )
+    read_schema = StructType([
+        StructField("k", LongType(), True, metadata={"parquet.field.id": 1}),
+        StructField(
+            "s",
+            StructType([
+                StructField(
+                    "a", LongType(), True, metadata={"parquet.field.id": 4}
+                )
+            ]),
+            True,
+            metadata={"parquet.field.id": 2},
+        ),
+    ])
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    key = "spark.sql.optimizer.nestedSchemaPruning.enabled"
+    before = spark.conf.get(key)  # _ScanPlan may have turned it off
+
+    def run():
+        return (
+            spark.read.schema(read_schema)
+            .parquet(f)
+            .withColumn("ridx", F.col("_metadata.row_index"))
+            .filter("s.a >= 20")
+            .select("ridx")
+            .collect()
+        )
+
+    try:
+        spark.conf.set(key, "true")
+        broken = run()
+        spark.conf.set(key, "false")
+        fixed = sorted(r["ridx"] for r in run())
+    finally:
+        spark.conf.set(key, before)
+    assert fixed == [2, 3]
+    assert broken == [], (
+        "Spark's nested fieldId pruning defect appears fixed upstream — "
+        "retire _ScanPlan's nestedSchemaPruning workaround"
+    )

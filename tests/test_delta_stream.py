@@ -112,3 +112,171 @@ class TestDeltaStreamSource:
         write_delta(_mk(spark, 0, 3), path, partition_by=["p"])
         s = spark.readStream.format("delta_stream").option("path", path).load()
         assert dict(s.dtypes) == {"k": "bigint", "p": "string", "v": "double"}
+
+
+def _mapped_table(tmp_path, mode, partitioned=False):
+    """Empty flat column-mapped Delta table (hand-written log)."""
+    import json
+
+    path = str(tmp_path / f"m_{mode}")
+    fields = [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-1"}},
+        {"name": "s", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-2"}},
+        {"name": "p", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "col-3"}},
+    ]
+    os.makedirs(os.path.join(path, "_delta_log"))
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "m", "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": ["col-3"] if partitioned else [],
+                "configuration": {
+                    "delta.columnMapping.mode": mode,
+                    "delta.columnMapping.maxColumnId": "3"},
+                "createdTime": 0}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    return path
+
+
+def _mrows(spark, a, b):
+    return spark.createDataFrame(
+        [(i, f"s{i}", str(i % 2)) for i in range(a, b)],
+        "k long, s string, p string",
+    )
+
+
+class TestDeltaStreamMapped:
+    def test_name_mapped_stream(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = _mapped_table(tmp_path, "name", partitioned=True)
+        append_delta(_mrows(spark, 0, 6), path)
+        append_delta(_mrows(spark, 6, 9), path)
+        got = _drain(
+            spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        )
+        assert sorted(
+            (r["k"], r["s"], r["p"]) for r in got.collect()
+        ) == [(i, f"s{i}", str(i % 2)) for i in range(9)]
+
+    def test_id_mapped_stream(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = _mapped_table(tmp_path, "id")
+        append_delta(_mrows(spark, 0, 5), path)
+        got = _drain(
+            spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        )
+        assert sorted(
+            (r["k"], r["s"], r["p"]) for r in got.collect()
+        ) == [(i, f"s{i}", str(i % 2)) for i in range(5)]
+
+    def test_mapped_starting_version_past_meta(self, spark, tmp_path):
+        # ADVICE r8: startingVersion PAST the metaData commit must still
+        # resolve physical columns (the gate/mapping now comes from the
+        # snapshot, not only in-range metaData actions)
+        register_delta_stream(spark)
+        path = _mapped_table(tmp_path, "name")
+        append_delta(_mrows(spark, 0, 4), path)  # v1
+        append_delta(_mrows(spark, 4, 7), path)  # v2
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("startingVersion", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "sink"))
+        assert sorted(r["k"] for r in got.collect()) == [4, 5, 6]
+
+
+class TestDeltaStreamIgnoreOptions:
+    def test_ignore_deletes_skips_remove_only_commit(self, spark, tmp_path):
+        import json
+
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 6).coalesce(1), path)
+        append_delta(_mk(spark, 6, 9).coalesce(1), path)  # v1
+        # hand-write a remove-only commit (a partition-boundary delete):
+        # drop the v1 file outright
+        from rtcdb_spark.sources.delta_log import _snapshot_state
+
+        cpath = os.path.join(path, "_delta_log", f"{1:020d}.json")
+        rel = [
+            json.loads(x)["add"]["path"]
+            for x in open(cpath)
+            if '"add"' in x
+        ][0]
+        with open(os.path.join(path, "_delta_log", f"{2:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"remove": {
+                "path": rel, "deletionTimestamp": 0, "dataChange": True,
+            }}) + "\n")
+        # without the option: fails
+        with pytest.raises(Exception, match="ignoreDeletes|append"):
+            _drain(spark, path, str(tmp_path / "s1"), str(tmp_path / "c1"))
+        # with it: the remove-only commit is skipped, both appends emitted
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("ignoreDeletes", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "s2"))
+            .option("checkpointLocation", str(tmp_path / "c2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "s2"))
+        assert sorted(r["k"] for r in got.collect()) == list(range(9))
+
+    def test_ignore_changes_skips_dv_delete(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 10).coalesce(1), path)
+        delete_delta(spark, path, "k < 3")  # remove + DV re-add
+        # ignoreDeletes alone is NOT enough (the commit mixes add+remove)
+        with pytest.raises(Exception, match="ignoreChanges|append"):
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", path)
+                .option("ignoreDeletes", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "s1"))
+                .option("checkpointLocation", str(tmp_path / "c1"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("ignoreChanges", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "s2"))
+            .option("checkpointLocation", str(tmp_path / "c2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "s2"))
+        # the DV re-add is skipped: the original 10 rows arrive once,
+        # no duplicates (the deleted rows DID stream before the delete
+        # committed — standard delta-spark ignoreChanges semantics)
+        assert sorted(r["k"] for r in got.collect()) == list(range(10))
