@@ -248,8 +248,11 @@ _PRIORITY = [
     "dedup_exact", "dedup_star_connectivity_groups",
     # C-IX similarity green rep (pinned-codebook PQ)
     "similarity_pq_topk",
-    # C-IX multimodal green rep (Annex-J hierarchical JPEG)
-    "multimodal_jpeg_hierarchical",
+    # C-IX multimodal: the round-9 MP3 bitstream-decode flagship takes
+    # the r8-green hierarchical-JPEG rep's slot (jpeg_hierarchical stays
+    # green in the r8 ledger; the family keeps arithmetic/progressive/
+    # lossless/pHash there too)
+    "multimodal_mp3_bitstream_decode",
     # streaming Delta source green rep (round-9: now with column-mapped
     # tables + ignoreDeletes/ignoreChanges)
     "stream_delta_source",

@@ -149,6 +149,11 @@ HEADLINE = [
     "multimodal_jpeg_hierarchical",
     # round 8, wave 4: Delta as a structured-streaming SOURCE
     "stream_delta_source",
+    # round 9: MPEG-1 Layer III bitstream decode (verified-core tables),
+    # id-mode CDF, partitioned nested-id-mapped writes
+    "multimodal_mp3_bitstream_decode",
+    "source_delta_cdf_id_mapped",
+    "source_delta_nested_id_partitioned",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

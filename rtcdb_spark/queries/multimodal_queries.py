@@ -789,3 +789,83 @@ def multimodal_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return synth_and_jpeg_hierarchical(d).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mp3_bitstream_decode",
+    """
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_granules,
+           CAST((doc_id % 13) + 1 AS BIGINT) AS n_nonzero,
+           CAST(((doc_id % 13) + 1)
+                * CAST(POWER(4, doc_id % 8) AS BIGINT) AS BIGINT)
+               AS energy,
+           CAST(1 AS BIGINT) AS budget_exact
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "mp3", "audio", "codec"),
+)
+def multimodal_mp3_bitstream_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 Layer III bitstream decode end-to-end (round 9,
+    `functions/mp3.py`): each document becomes one LEGAL 417-byte MP3
+    frame — header, mono side information, and a count1-table-B coded
+    ±1 spectrum ((doc_id % 13) + 1 lines, alternating signs, global
+    gain 210 + 4*(doc_id % 8)) — built with the VERIFIED table core
+    (table B is DEFINED by the spec as the 4-bit one's-complement
+    code; no recalled Huffman table is involved, see the ARBITRATION
+    STATUS note in functions/mp3.py). The decoder then re-parses the
+    bytes from scratch: frame sync, side info, scalefactor slots,
+    count1 quads + signs, requantization x^(4/3) * 2^((gain-210)/4).
+    Emitted per doc: granule count, nonzero-line count, the spectrum's
+    total energy (exactly n * 4^k — integral, so the hash is
+    float-safe), and whether every granule consumed EXACTLY its
+    part2_3_length bits. The oracle restates the closed forms; a
+    mis-parsed side-info field, a sign flip, a wrong quad complement,
+    or an off-by-one in the bit budget breaks the hash. Scale: the
+    codec runs inside `mapInPandas` over Arrow batches — embarrassingly
+    parallel, no shuffle before the final sort."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _work(batches):
+        from rtcdb_spark.functions import mp3
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                n = (doc_id % 13) + 1
+                gain = 210 + 4 * (doc_id % 8)
+                vals = [1 if i % 2 == 0 else -1 for i in range(n)]
+                data = mp3.build_count1_frames([(gain, vals)])
+                rs = mp3.decode_stream(data)
+                energy = sum(
+                    float((r.spectrum ** 2).sum()) for r in rs
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_granules": len(rs),
+                        "n_nonzero": sum(r.n_nonzero for r in rs),
+                        "energy": int(round(energy)),
+                        "budget_exact": int(
+                            all(
+                                r.bits_consumed == r.part2_3_length
+                                for r in rs
+                            )
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _work,
+        (
+            "doc_id long, n_granules long, n_nonzero long, "
+            "energy long, budget_exact long"
+        ),
+    ).orderBy("doc_id")
