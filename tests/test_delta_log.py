@@ -2148,3 +2148,71 @@ def test_spark_nested_fieldid_pruning_repro(spark, tmp_path):
         "Spark's nested fieldId pruning defect appears fixed upstream — "
         "retire _ScanPlan's nestedSchemaPruning workaround"
     )
+
+
+class TestArrowStageTypedPartitions:
+    """_arrow_stage partition-value serialization: non-string and NULL
+    partition values must land in the log as the protocol's strings
+    (ints verbatim, null as null with the __HIVE_DEFAULT_PARTITION__
+    dir) and read back typed."""
+
+    def test_int_and_null_partition_values(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import append_delta
+
+        path = str(tmp_path / "typed")
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-1"}},
+            {"name": "s", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-2"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "a", "type": "long", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-3"}},
+             ]}},
+            {"name": "p", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 4,
+                "delta.columnMapping.physicalName": "col-4"}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "tp",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": ["col-4"],
+                    "configuration": {"delta.columnMapping.mode": "id",
+                                      "delta.columnMapping.maxColumnId": "4"},
+                    "createdTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        df = spark.createDataFrame(
+            [(1, (10,), 7), (2, (20,), 7), (3, (30,), None), (4, (40,), 8)],
+            "k long, s struct<a: long>, p long",
+        ).coalesce(1)  # one task -> exactly one file per partition tuple
+        append_delta(df, path)
+        cpath = os.path.join(path, "_delta_log", f"{1:020d}.json")
+        adds = [json.loads(x)["add"] for x in open(cpath) if '"add"' in x]
+        pvs = sorted(
+            (a["partitionValues"]["col-4"] is None,
+             a["partitionValues"]["col-4"] or "")
+            for a in adds
+        )
+        assert [p for _n, p in pvs if not _n] == ["7", "8"]  # ints verbatim
+        assert any(n for n, _p in pvs)  # the null partition exists
+        assert any(
+            "__HIVE_DEFAULT_PARTITION__" in a["path"] for a in adds
+        )
+        back = read_delta(spark, path)
+        got = sorted(
+            (r["k"], r["s"]["a"], r["p"]) for r in back.collect()
+        )
+        assert got == [(1, 10, 7), (2, 20, 7), (3, 30, None), (4, 40, 8)]
