@@ -224,7 +224,9 @@ _PRIORITY = [
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
     "source_rtcdb_string_scan",
-    "source_delta_partitioned_roundtrip", "source_delta_cdf",
+    # (the r8-green partitioned-roundtrip rep rotates to the ledger;
+    # delta keeps cdf + three round-9 capability rows in-window)
+    "source_delta_restore", "source_delta_cdf",
     # round-9 capability flagships: the last two Delta writer-matrix
     # cells, both oracle-gated
     "source_delta_cdf_id_mapped", "source_delta_nested_id_partitioned",

@@ -154,6 +154,7 @@ HEADLINE = [
     "multimodal_mp3_bitstream_decode",
     "source_delta_cdf_id_mapped",
     "source_delta_nested_id_partitioned",
+    "source_delta_restore",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -1595,3 +1595,78 @@ def source_delta_nested_id_partitioned(
         )
         .orderBy("p")
     )
+
+
+@query(
+    "source_delta_restore",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("source", "delta", "interchange", "restore", "history"),
+)
+def source_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF + DESCRIBE HISTORY (round 9,
+    `delta_log.restore_delta`/`delta_history`): orders lands as v0, a
+    DV DELETE kills every third row (v1), an append injects shifted
+    junk keys (v2), then RESTORE to v0 makes the live set — and only
+    the live set — the original snapshot in ONE metadata commit:
+    nothing is rewritten, the deleted rows come back by re-adding the
+    target's DV-free add actions (protocol reconciliation), the junk
+    file is removed, and time travel to v2 still sees the junk
+    (asserted in-query). The history must read WRITE/DELETE/WRITE/
+    RESTORE from the commitInfo trail. The aggregate runs over the
+    restored snapshot; the oracle aggregates the original table — a
+    resurrected junk row, a still-applied deletion vector, or a
+    clobbered history breaks the hash."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        delete_delta,
+        delta_history,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_restore_")
+    shutil.rmtree(path)
+    write_delta(o, path)
+    delete_delta(spark, path, "o_orderkey % 3 = 0")
+    append_delta(
+        o.limit(100).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(90_000_000)
+        ),
+        path,
+    )
+    v = restore_delta(spark, path, 0)
+    assert v == 3, v
+    # pre-restore head still time-travels, junk included
+    assert (
+        read_delta(spark, path, version=2)
+        .filter(F.col("o_orderkey") >= 90_000_000)
+        .count()
+        == 100
+    )
+    ops = [h["operation"] for h in delta_history(path)]
+    assert ops == ["RESTORE", "WRITE", "DELETE", "WRITE"], ops
+    t = read_delta(spark, path)
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -916,7 +916,33 @@ def read_delta(
     return _scan_snapshot(spark, path, meta, adds)
 
 
-def _write_commit(path: str, version: int, actions: list[dict]) -> None:
+def _commit_info(op: str, params: dict | None = None) -> dict:
+    """A `commitInfo` action (round 9): free-form per the protocol —
+    readers MUST ignore it (our `_fold_action` falls through) — but the
+    conventional fields real writers stamp power DESCRIBE HISTORY
+    (`delta_history`)."""
+    return {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": op,
+            "operationParameters": params or {},
+            "engineInfo": "rtcdb-spark",
+        }
+    }
+
+
+def _write_commit(
+    path: str,
+    version: int,
+    actions: list[dict],
+    op: str | None = None,
+    params: dict | None = None,
+) -> None:
+    if op is not None:
+        # commitInfo LAST: the protocol does not constrain its position
+        # and appending keeps hand-written fixture logs and positional
+        # test asserts stable
+        actions = list(actions) + [_commit_info(op, params)]
     os.makedirs(_log_dir(path), exist_ok=True)
     target = _commit_path(path, version)
     if os.path.exists(target):
@@ -1018,6 +1044,8 @@ def write_delta(
         [_PROTOCOL, _meta_action(df, pcols, configuration)]
         + _adds_for_dir(path, pcols)
         + (extra_actions or []),
+        op="WRITE",
+        params={"mode": "ErrorIfExists", "partitionBy": json.dumps(pcols)},
     )
     return 0
 
@@ -1670,7 +1698,8 @@ def append_delta(
     adds = _stage_new_files(df, path, pcols, state["meta"])
     hw = _identity_high_water(adds, path, state["meta"])
     _write_commit(
-        path, v, adds + ([hw] if hw else []) + (extra_actions or [])
+        path, v, adds + ([hw] if hw else []) + (extra_actions or []),
+        op="WRITE", params={"mode": "Append"},
     )
     return v
 
@@ -1698,7 +1727,10 @@ def overwrite_delta(df: DataFrame, path: str) -> int:
     ]
     new = _stage_new_files(df, path, pcols, state["meta"])
     hw = _identity_high_water(new, path, state["meta"])
-    _write_commit(path, v, removes + new + ([hw] if hw else []))
+    _write_commit(
+        path, v, removes + new + ([hw] if hw else []),
+        op="WRITE", params={"mode": "Overwrite"},
+    )
     return v
 
 
@@ -1768,7 +1800,7 @@ def optimize_delta(
     new = _stage_new_files(df, path, pcols, meta)
     for a in new:
         a["add"]["dataChange"] = False
-    _write_commit(path, v, removes + new)
+    _write_commit(path, v, removes + new, op="OPTIMIZE")
     return v
 
 
@@ -1896,7 +1928,10 @@ def update_delta_config(path: str, config: dict[str, str]) -> int:
         **(new_meta.get("configuration") or {}),
         **config,
     }
-    _write_commit(path, v, [{"metaData": new_meta}])
+    _write_commit(
+        path, v, [{"metaData": new_meta}],
+        op="SET TBLPROPERTIES", params={k: str(v2) for k, v2 in config.items()},
+    )
     return v
 
 
@@ -2351,7 +2386,8 @@ def delete_delta(spark: SparkSession, path: str, where: str) -> int:
         "delta.enableDeletionVectors": "true",
     }
     _write_commit(
-        path, v, [upgraded, {"metaData": new_meta}] + actions + cdc_actions
+        path, v, [upgraded, {"metaData": new_meta}] + actions + cdc_actions,
+        op="DELETE", params={"predicate": where},
     )
     return v
 
@@ -2512,6 +2548,7 @@ def merge_delta(
         path,
         v,
         removes + staged + ([hw_action] if hw_action else []) + cdc_actions,
+        op="MERGE", params={"predicate": json.dumps(on)},
     )
     return v
 
@@ -2708,3 +2745,135 @@ def checkpoint_delta_v2(
         json.dump({"version": v, "size": rows_n}, fh)
     os.rename(lc + ".tmp", lc)
     return v
+
+
+def delta_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY (round 9): one dict per commit, newest first —
+    {version, timestamp, operation, operationParameters} from the
+    commit's `commitInfo` action. Commits without one (hand-written
+    logs, older versions of this writer, foreign minimal writers) are
+    reported with operation None — absence is the protocol's stated
+    default (commitInfo is free-form and optional), not an error.
+    O(commits) driver-side JSON reads; history cleaned by checkpointing
+    is honestly absent (versions before the checkpoint raise in
+    `_commit_actions`, so they are simply not listed)."""
+    versions = delta_versions(path)
+    cps = delta_checkpoints(path)
+    if not versions and not cps:
+        raise ValueError(f"{path} is not a Delta table")
+    out = []
+    for v in sorted(versions, reverse=True):
+        ci = None
+        for a in _commit_actions(path, v, versions):
+            if a.get("commitInfo") is not None:
+                ci = a["commitInfo"]
+                break
+        out.append(
+            {
+                "version": v,
+                "timestamp": (ci or {}).get("timestamp"),
+                "operation": (ci or {}).get("operation"),
+                "operationParameters": _demap(
+                    (ci or {}).get("operationParameters")
+                ) or {},
+            }
+        )
+    return out
+
+
+def restore_delta(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF (round 9, Delta's RESTORE):
+    ONE new commit that makes the live set (and the metaData, if it
+    changed) equal the target version's snapshot. Data files are
+    SHARED — nothing is rewritten or copied; history is preserved, so
+    time travel to the pre-restore head still works and the restore
+    itself is just another commit (restorable again). Files whose add
+    action changed (e.g. gained a deletion vector since the target
+    version) are re-added with the target's action, which supersedes
+    the newer state under the protocol's reconciliation rule. Refused
+    on appendOnly tables when it would remove data. O(live files)
+    driver-side metadata, no Spark job."""
+    v, state = _next_version(path)
+    meta_now, adds_now = state["meta"], state["adds"]
+    meta_old, adds_old, _s = _snapshot_state(path, version)
+    now = int(time.time() * 1000)
+    removes = [
+        {"remove": {"path": p, "deletionTimestamp": now,
+                    "dataChange": True}}
+        for p in sorted(adds_now)
+        if p not in adds_old
+    ]
+    readds = [
+        {"add": {**adds_old[p], "dataChange": True}}
+        for p in sorted(adds_old)
+        if adds_now.get(p) != adds_old[p]
+    ]
+    actions: list[dict] = []
+    if json.dumps(meta_old, sort_keys=True) != json.dumps(
+        meta_now, sort_keys=True
+    ):
+        actions.append({"metaData": meta_old})
+    if removes:
+        _check_append_only(meta_now, "RESTORE")
+    actions += removes + readds
+    if not actions:
+        return v - 1  # already at the target state: no-op, no commit
+    _write_commit(
+        path, v, actions,
+        op="RESTORE", params={"version": str(version)},
+    )
+    return v
+
+
+def clone_delta(src: str, dest: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (round 9, Delta's CLONE): a NEW table whose
+    version-0 commit references the source snapshot's data files by
+    ABSOLUTE path — zero bytes of data move (the same zero-copy export
+    `versioned_to_delta` does). Deletion-vector descriptors are
+    rewritten from table-relative ('u') to absolute-path ('p') storage
+    so the clone resolves the source's DV files in place. The clone's
+    metaData gets a fresh table id; subsequent commits to the clone
+    never touch the source (copy-on-write divergence), and vacuuming
+    the SOURCE breaks the clone exactly as real shallow clones break —
+    the documented contract, not a defect."""
+    if delta_versions(dest) or delta_checkpoints(dest):
+        raise ValueError(f"{dest} already is a Delta table")
+    meta, adds, state = _snapshot_state(src, version)
+    os.makedirs(dest, exist_ok=True)
+    new_meta = dict(meta)
+    new_meta["id"] = str(uuid.uuid4())
+    out_adds = []
+    for p in sorted(adds):
+        a = dict(adds[p])
+        a["path"] = quote(
+            os.path.abspath(_resolve(src, p)).replace(os.sep, "/"),
+            safe="/=",
+        )
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, z = enc[:-20], enc[-20:]
+            from rtcdb_spark.sources.deletion_vectors import z85_decode
+
+            u = uuid.UUID(bytes=z85_decode(z))
+            base = os.path.join(src, prefix) if prefix else src
+            a["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.abspath(
+                    os.path.join(base, f"deletion_vector_{u}.bin")
+                ),
+            }
+        out_adds.append({"add": a})
+    proto = state.get("protocol") or {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    _write_commit(
+        dest, 0,
+        [{"protocol": proto}, {"metaData": new_meta}] + out_adds,
+        op="CLONE",
+        params={"source": os.path.abspath(src),
+                "sourceVersion": str(version) if version is not None
+                else "latest"},
+    )
+    return 0

@@ -2216,3 +2216,166 @@ class TestArrowStageTypedPartitions:
             (r["k"], r["s"]["a"], r["p"]) for r in back.collect()
         )
         assert got == [(1, 10, 7), (2, 20, 7), (3, 30, None), (4, 40, 8)]
+
+
+class TestHistoryRestoreClone:
+    def _table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(10).select(F.col("id").alias("k")).coalesce(1),
+            path,
+        )
+        return path
+
+    def test_history_operations(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            delta_history,
+            merge_delta,
+            optimize_delta,
+            update_delta_config,
+        )
+
+        path = self._table(spark, tmp_path)
+        append_delta(spark.createDataFrame([(100,)], "k bigint"), path)
+        overwrite_delta(spark.range(20).select(F.col("id").alias("k")), path)
+        optimize_delta(spark, path)
+        update_delta_config(path, {"delta.enableChangeDataFeed": "true"})
+        delete_delta(spark, path, "k = 3")
+        merge_delta(
+            spark, path,
+            spark.createDataFrame([(1000,)], "k bigint"), on=["k"],
+        )
+        h = delta_history(path)
+        assert [x["version"] for x in h] == [6, 5, 4, 3, 2, 1, 0]
+        assert [x["operation"] for x in h] == [
+            "MERGE", "DELETE", "SET TBLPROPERTIES", "OPTIMIZE",
+            "WRITE", "WRITE", "WRITE",
+        ]
+        assert h[1]["operationParameters"]["predicate"] == "k = 3"
+        assert h[4]["operationParameters"]["mode"] == "Overwrite"
+        assert h[5]["operationParameters"]["mode"] == "Append"
+        assert all(isinstance(x["timestamp"], int) for x in h)
+
+    def test_history_tolerates_foreign_minimal_logs(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_history
+
+        # hand-written log without commitInfo: operation is None
+        path = str(tmp_path / "m")
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            fh.write(json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            ) + "\n")
+            fh.write(json.dumps({"metaData": {
+                "id": "x", "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct", "fields": [
+                    {"name": "k", "type": "long", "nullable": True,
+                     "metadata": {}}]}),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0}}) + "\n")
+        h = delta_history(path)
+        assert h == [{"version": 0, "timestamp": None, "operation": None,
+                      "operationParameters": {}}]
+
+    def test_restore_after_delete_and_append(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta, restore_delta
+
+        path = self._table(spark, tmp_path)                       # v0: 0..9
+        delete_delta(spark, path, "k < 3")                        # v1: DV
+        append_delta(spark.createDataFrame([(77,)], "k bigint"), path)  # v2
+        assert sorted(
+            r["k"] for r in read_delta(spark, path).collect()
+        ) == [3, 4, 5, 6, 7, 8, 9, 77]
+        v = restore_delta(spark, path, 0)
+        assert v == 3
+        assert sorted(
+            r["k"] for r in read_delta(spark, path).collect()
+        ) == list(range(10))  # deleted rows back, appended file gone
+        # history preserved: the pre-restore head still time-travels
+        assert sorted(
+            r["k"] for r in read_delta(spark, path, version=2).collect()
+        ) == [3, 4, 5, 6, 7, 8, 9, 77]
+        # restoring forward to the pre-restore head also works
+        restore_delta(spark, path, 2)
+        assert sorted(
+            r["k"] for r in read_delta(spark, path).collect()
+        ) == [3, 4, 5, 6, 7, 8, 9, 77]
+
+    def test_restore_noop_commits_nothing(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delta_versions,
+            restore_delta,
+        )
+
+        path = self._table(spark, tmp_path)
+        head = delta_versions(path)[-1]
+        assert restore_delta(spark, path, 0) == head  # no-op
+        assert delta_versions(path)[-1] == head
+
+    def test_restore_restores_metadata(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            restore_delta,
+            update_delta_config,
+        )
+
+        path = self._table(spark, tmp_path)
+        update_delta_config(path, {"delta.appendOnly": "false",
+                                   "x.note": "later"})
+        restore_delta(spark, path, 0)
+        meta, _a, _s = _snapshot_state(path)
+        assert "x.note" not in (meta.get("configuration") or {})
+
+    def test_restore_refused_on_append_only(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import restore_delta
+
+        path = str(tmp_path / "ao")
+        write_delta(
+            spark.range(3).select(F.col("id").alias("k")).coalesce(1),
+            path,
+            configuration={"delta.appendOnly": "true"},
+        )
+        append_delta(spark.createDataFrame([(9,)], "k bigint"), path)
+        with pytest.raises(ValueError, match="appendOnly"):
+            restore_delta(spark, path, 0)
+
+    def test_shallow_clone_zero_copy(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            clone_delta,
+            delete_delta,
+            delta_history,
+        )
+
+        src = str(tmp_path / "src")
+        write_delta(
+            spark.range(10).select(F.col("id").alias("k")).coalesce(2), src
+        )
+        delete_delta(spark, src, "k = 0")  # clone must resolve src's DV
+        dst = str(tmp_path / "dst")
+        clone_delta(src, dst)
+        assert sorted(
+            r["k"] for r in read_delta(spark, dst).collect()
+        ) == list(range(1, 10))
+        # zero copy: no parquet landed under the clone
+        files = [
+            f for _r, _d, fs in os.walk(dst) for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert files == []
+        assert delta_history(dst)[0]["operation"] == "CLONE"
+        # divergence: writes to the clone never touch the source
+        append_delta(spark.createDataFrame([(50,)], "k bigint"), dst)
+        assert read_delta(spark, dst).count() == 10
+        assert sorted(
+            r["k"] for r in read_delta(spark, src).collect()
+        ) == list(range(1, 10))
+
+    def test_clone_refuses_existing_dest(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import clone_delta
+
+        src = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="already"):
+            clone_delta(src, src)
