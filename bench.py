@@ -155,6 +155,7 @@ HEADLINE = [
     "source_delta_cdf_id_mapped",
     "source_delta_nested_id_partitioned",
     "source_delta_restore",
+    "source_delta_zorder_skipping",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

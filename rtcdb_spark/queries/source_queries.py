@@ -1670,3 +1670,72 @@ def source_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "source_delta_zorder_skipping",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 400
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "delta", "interchange", "zorder", "data-skipping",
+          "optimize"),
+)
+def source_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY + log-stats data skipping on Delta tables
+    (round 9, `delta_log.optimize_delta(zorder_by=...)` +
+    `delta_plan_files`/`read_delta_pruned`): orders lands range-
+    clustered by o_orderkey (8 files), so a o_custkey range predicate
+    prunes NOTHING from the log's per-file minValues/maxValues
+    (asserted in-query). One ZORDER rewrite along the Morton curve of
+    (o_orderkey, o_custkey) — a dataChange=false commit — makes the
+    SECOND dimension prunable: the same predicate now skips files
+    (asserted), and the pruned read (which routes through the shared
+    one-scan snapshot reader, so DVs/partitions/mapping would still
+    apply) must produce exactly the plain filter's rows. The aggregate
+    hashes against the fixture's WHERE twin — an unsound skip (a
+    dropped boundary file) or stale stats breaks it. At 100 TB this is
+    the second-query-dimension lever: prunable without a second copy
+    of the data."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        delta_plan_files,
+        optimize_delta,
+        read_delta_pruned,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_z_")
+    shutil.rmtree(path)
+    write_delta(o.repartitionByRange(8, "o_orderkey"), path)
+    keep0, total0 = delta_plan_files(path, "o_custkey", 200, 400)
+    assert total0 == 8 and len(keep0) == 8, (len(keep0), total0)
+    optimize_delta(
+        spark, path, target_files=8,
+        zorder_by=["o_orderkey", "o_custkey"],
+    )
+    keep1, total1 = delta_plan_files(path, "o_custkey", 200, 400)
+    assert total1 == 8 and len(keep1) < 8, (len(keep1), total1)
+    t = read_delta_pruned(spark, path, "o_custkey", 200, 400)
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

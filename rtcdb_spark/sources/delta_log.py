@@ -974,16 +974,80 @@ def _meta_action(
 _PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
+def _file_stats(full: str) -> dict:
+    """Delta per-file ``stats`` JSON from one parquet footer read:
+    numRecords plus minValues/maxValues/nullCount for top-level
+    primitive columns (the fields real writers record and data skipping
+    plans from). Columns whose footer lacks usable min/max (or whose
+    values don't JSON-serialize, e.g. raw binary) are simply omitted —
+    absence means "never prune on this column", the sound default."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(full)
+    md = pf.metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+
+    def _json_ok(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ") if isinstance(
+                v, datetime.datetime
+            ) else v.isoformat()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    if md.num_row_groups == 0:
+        return {"numRecords": md.num_rows}
+    # row-group .column(i) indexes LEAF columns (flattened), NOT the
+    # top-level arrow fields — name each leaf by its dotted schema path
+    # and keep only top-level primitives (no '.' in the path)
+    leaf_names = [
+        md.row_group(0).column(ci).path_in_schema
+        for ci in range(md.row_group(0).num_columns)
+    ]
+    for ci, name in enumerate(leaf_names):
+        if "." in name:
+            continue  # nested leaf: top-level stats only
+        lo = hi = None
+        nn = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+            nn += st.null_count if st.null_count is not None else 0
+        if not ok:
+            continue
+        jlo, jhi = _json_ok(lo), _json_ok(hi)
+        if jlo is None or jhi is None:
+            continue
+        mins[name] = jlo
+        maxs[name] = jhi
+        nulls[name] = int(nn)
+    out: dict[str, Any] = {"numRecords": md.num_rows}
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+        out["nullCount"] = nulls
+    return out
+
+
 def _adds_for_dir(path: str, pcols: list[str]) -> list[dict]:
     """One add action per parquet file under ``path``, with
     partitionValues parsed from Hive-style ``col=value`` directory names
     (Spark's partitioned layout; values URL-decoded, the protocol's
     ``__HIVE_DEFAULT_PARTITION__`` sentinel mapped to null). Each add
-    carries minimal ``stats`` (numRecords from the parquet footer — one
-    metadata read per NEW file) so foreign readers get skipping/count
+    carries ``stats`` (numRecords + per-column minValues/maxValues/
+    nullCount from the parquet footer — one metadata read per NEW file)
+    so foreign readers and `delta_plan_files` get skipping/count
     metadata from our commits."""
-    import pyarrow.parquet as pq
-
     adds = []
     for root, _dirs, files in os.walk(path):
         if _LOG in root.split(os.sep):
@@ -1011,9 +1075,7 @@ def _adds_for_dir(path: str, pcols: list[str]) -> list[dict]:
                         "size": os.path.getsize(full),
                         "modificationTime": int(os.path.getmtime(full) * 1000),
                         "dataChange": True,
-                        "stats": json.dumps(
-                            {"numRecords": pq.ParquetFile(full).metadata.num_rows}
-                        ),
+                        "stats": json.dumps(_file_stats(full)),
                     }
                 }
             )
@@ -1425,7 +1487,10 @@ def _stage_new_files_arrow(
     """Add actions for an id-mapped write, via the `_arrow_stage`
     executor-side writer (field ids stamped at every nesting level;
     partitioned layouts route to hive dirs with partitionValues taken
-    from the descriptors, not parsed back from dir names)."""
+    from the descriptors, not parsed back from dir names). Stats come
+    from one footer read per new file, same as `_adds_for_dir` —
+    min/max keys are the files' PHYSICAL column names, which is what
+    `delta_plan_files` looks up on mapped tables."""
     return [
         {
             "add": {
@@ -1434,7 +1499,11 @@ def _stage_new_files_arrow(
                 "size": d["size"],
                 "modificationTime": d["modificationTime"],
                 "dataChange": True,
-                "stats": json.dumps({"numRecords": d["numRecords"]}),
+                "stats": json.dumps(
+                    _file_stats(
+                        os.path.join(path, d["path"].replace("/", os.sep))
+                    )
+                ),
             }
         }
         for d in _arrow_stage(df_phys, path, path, pcols, meta)
@@ -1767,7 +1836,12 @@ def versioned_to_delta(vt, dest: str, version: int | None = None) -> int:
 
 
 def optimize_delta(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
+    curve: str = "zorder",
 ) -> int:
     """OPTIMIZE compaction as a Delta commit: read the current snapshot
     (deletion vectors APPLIED — compaction is how DV'd deletes get
@@ -1777,6 +1851,15 @@ def optimize_delta(
     streaming readers know no logical rows changed. Prior versions stay
     time-travelable until vacuum. Returns the new version.
 
+    ``zorder_by`` is Delta's ``OPTIMIZE ... ZORDER BY`` (round 9): the
+    rewrite range-partitions + sorts along the Morton curve
+    (``curve="hilbert"``: Hilbert, 2 columns) of the listed numeric
+    columns — a pure column expression from `sources.layout` — so the
+    per-file minValues/maxValues the commit records are tight on EVERY
+    listed column and `delta_plan_files`/`read_delta_pruned` skip files
+    for predicates on any of them. Content-identical: clustering is a
+    plan property, never a result change.
+
     Scale: the rewrite is one distributed job over the live data; the
     commit is O(live files) metadata. Production engines compact in
     partition-scoped bins — the same plan here is one `optimize_delta`
@@ -1784,9 +1867,24 @@ def optimize_delta(
     v, state = _next_version(path)
     meta = state["meta"]
     pcols = meta.get("partitionColumns", []) or []
-    df = _to_physical(
-        read_delta(spark, path).coalesce(max(1, target_files)), meta
-    )
+    snap = read_delta(spark, path)
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.sources.layout import hilbert_value, zorder_value
+
+        zfn = {"zorder": zorder_value, "hilbert": hilbert_value}.get(curve)
+        if zfn is None:
+            raise ValueError(f"unknown curve {curve!r}")
+        snap = (
+            snap.withColumn("_z", zfn(snap, zorder_by, bits=zorder_bits))
+            .repartitionByRange(max(1, target_files), "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        snap = snap.coalesce(max(1, target_files))
+    df = _to_physical(snap, meta)
     removes = [
         {
             "remove": {
@@ -1800,7 +1898,13 @@ def optimize_delta(
     new = _stage_new_files(df, path, pcols, meta)
     for a in new:
         a["add"]["dataChange"] = False
-    _write_commit(path, v, removes + new, op="OPTIMIZE")
+    _write_commit(
+        path, v, removes + new, op="OPTIMIZE",
+        params=(
+            {"zOrderBy": json.dumps(zorder_by), "curve": curve}
+            if zorder_by else {}
+        ),
+    )
     return v
 
 
@@ -2818,8 +2922,39 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     actions += removes + readds
     if not actions:
         return v - 1  # already at the target state: no-op, no commit
+    cdc_actions: list[dict] = []
+    if (meta_now.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true" and (removes or readds):
+        # real Delta's RESTORE on a CDF table records the ROW-level
+        # delta so the change feed stays derivable across the mixed
+        # add+remove commit: rows only in the current snapshot become
+        # 'delete', rows only in the target become 'insert' (a rewrap
+        # like restoring across an OPTIMIZE yields an empty feed —
+        # correct, nothing changed row-wise). Two snapshot scans + two
+        # exceptAll shuffles, the honest row-diff cost.
+        if meta_now.get("schemaString") != meta_old.get("schemaString"):
+            raise NotImplementedError(
+                "RESTORE with Change Data Feed across a schema change"
+            )
+        from pyspark.sql import functions as F
+
+        plan = _ScanPlan(spark, meta_old)
+        cols = [f.name for f in plan.schema.fields]
+        cur = _scan_snapshot(spark, path, meta_now, adds_now).select(*cols)
+        tgt = _scan_snapshot(spark, path, meta_old, adds_old).select(*cols)
+        feed = (
+            cur.exceptAll(tgt)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                tgt.exceptAll(cur).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        )
+        cdc_actions = _write_cdc_files(feed, path, plan)
     _write_commit(
-        path, v, actions,
+        path, v, actions + cdc_actions,
         op="RESTORE", params={"version": str(version)},
     )
     return v
@@ -2877,3 +3012,81 @@ def clone_delta(src: str, dest: str, version: int | None = None) -> int:
                 else "latest"},
     )
     return 0
+
+
+def delta_plan_files(
+    path: str, col: str, lo=None, hi=None, version: int | None = None
+) -> tuple[list[str], int]:
+    """DATA SKIPPING from the log's per-file stats (Delta's file-level
+    pruning, round 9): the subset of the snapshot's add paths whose
+    recorded [minValues, maxValues] for ``col`` can intersect the closed
+    interval [lo, hi], plus the total live-file count. Sound by
+    construction: a file without stats for the column (foreign minimal
+    writers, the Arrow id-mapped stage writer, binary columns) is always
+    kept — pruning only skips files whose stats PROVE emptiness.
+    ``col`` is the LOGICAL column name; on column-mapped tables it is
+    translated to the physical stats key. O(live files) driver-side
+    metadata, no Spark job."""
+    meta, adds, _state = _snapshot_state(path, version)
+    key = col
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("name", "id"):
+        from pyspark.sql.types import StructType
+
+        want = StructType.fromJson(json.loads(meta["schemaString"]))
+        by_logical = {f.name: _physical_name(f) for f in want.fields}
+        if col not in by_logical:
+            raise ValueError(f"unknown column {col!r}")
+        key = by_logical[col]
+    keep = []
+    for p in sorted(adds):
+        a = adds[p]
+        s = a.get("stats")
+        bounds = None
+        if s:
+            try:
+                st = json.loads(s) if isinstance(s, str) else s
+                mn = (st.get("minValues") or {}).get(key)
+                mx = (st.get("maxValues") or {}).get(key)
+                if mn is not None and mx is not None:
+                    bounds = (mn, mx)
+            except (ValueError, TypeError):
+                bounds = None
+        if bounds is not None and (
+            (hi is not None and bounds[0] > hi)
+            or (lo is not None and bounds[1] < lo)
+        ):
+            continue
+        keep.append(p)
+    return keep, len(adds)
+
+
+def read_delta_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read with log-stats file skipping THEN the exact row-level filter
+    — pruning is a plan change, never a result change. The kept subset
+    routes through the same one-scan snapshot reader (`_scan_snapshot`),
+    so deletion vectors, partition values, and column mapping all apply
+    exactly as in `read_delta`. On a 100 TB table OPTIMIZE'd with
+    ``zorder_by`` this turns a range query on any clustered column into
+    an O(matching files) scan before parquet row-group pruning starts."""
+    from pyspark.sql import functions as F
+
+    meta, adds, _state = _snapshot_state(path, version)
+    keep, _total = delta_plan_files(path, col, lo, hi, version)
+    sub = {p: adds[p] for p in keep}
+    df = _scan_snapshot(spark, path, meta, sub)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    return df.filter(cond)

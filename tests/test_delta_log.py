@@ -2379,3 +2379,166 @@ class TestHistoryRestoreClone:
         src = self._table(spark, tmp_path)
         with pytest.raises(ValueError, match="already"):
             clone_delta(src, src)
+
+
+class TestRestoreCDC:
+    def test_restore_emits_row_level_cdc(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            delta_changes_cdf,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "rc")
+        write_delta(
+            spark.range(10).select(F.col("id").alias("k")).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        delete_delta(spark, path, "k < 3")            # v1
+        v2 = restore_delta(spark, path, 0)            # resurrects 0,1,2
+        feed = delta_changes_cdf(spark, path, v2, v2)
+        got = sorted((r["k"], r["_change_type"]) for r in feed.collect())
+        assert got == [(0, "insert"), (1, "insert"), (2, "insert")]
+        v3 = restore_delta(spark, path, 1)            # re-deletes them
+        feed3 = delta_changes_cdf(spark, path, v3, v3)
+        got3 = sorted((r["k"], r["_change_type"]) for r in feed3.collect())
+        assert got3 == [(0, "delete"), (1, "delete"), (2, "delete")]
+        # the whole feed across every commit stays derivable end-to-end:
+        # v0 derived inserts (10) + v1 delete (3) + v2 restore-inserts
+        # (3) + v3 restore-deletes (3)
+        full = delta_changes_cdf(spark, path, 0)
+        assert full.count() == 10 + 3 + 3 + 3
+
+    def test_restore_across_optimize_yields_empty_feed(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delta_changes_cdf,
+            optimize_delta,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "ro")
+        write_delta(
+            spark.range(8).select(F.col("id").alias("k")).repartition(4),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        optimize_delta(spark, path)                   # v1, dataChange=false
+        v2 = restore_delta(spark, path, 0)            # files differ, rows don't
+        feed = delta_changes_cdf(spark, path, v2, v2)
+        assert feed.count() == 0
+        assert read_delta(spark, path).count() == 8
+
+
+class TestDataSkippingZorder:
+    def test_stats_in_adds(self, spark, tmp_path):
+        path = str(tmp_path / "s")
+        write_delta(
+            spark.range(100).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).cast("string").alias("s"),
+            ).coalesce(1),
+            path,
+        )
+        cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        adds = [json.loads(x)["add"] for x in open(cpath) if '"add"' in x]
+        st = json.loads(adds[0]["stats"])
+        assert st["numRecords"] == 100
+        assert st["minValues"]["k"] == 0 and st["maxValues"]["k"] == 99
+        assert st["minValues"]["s"] == "0" and st["maxValues"]["s"] == "6"
+        assert st["nullCount"]["k"] == 0
+
+    def test_plan_files_prunes_and_stays_sound(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delta_plan_files,
+            read_delta_pruned,
+        )
+
+        path = str(tmp_path / "p")
+        # range-clustered files: repartitionByRange makes per-file k
+        # bounds disjoint, so skipping is provable
+        write_delta(
+            spark.range(1000).select(F.col("id").alias("k"))
+            .repartitionByRange(10, "k"),
+            path,
+        )
+        keep, total = delta_plan_files(path, "k", 250, 260)
+        assert total == 10
+        assert 1 <= len(keep) <= 2  # one or two boundary files
+        got = sorted(
+            r["k"] for r in read_delta_pruned(spark, path, "k", 250, 260)
+            .collect()
+        )
+        assert got == list(range(250, 261))
+        # no stats -> keep (soundness): strip stats and re-plan
+        cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        actions = [json.loads(x) for x in open(cpath).read().splitlines()]
+        for a in actions:
+            if a.get("add"):
+                a["add"].pop("stats", None)
+        with open(cpath, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        keep2, total2 = delta_plan_files(path, "k", 250, 260)
+        assert (len(keep2), total2) == (10, 10)
+
+    def test_optimize_zorder_makes_second_dimension_prunable(
+        self, spark, tmp_path
+    ):
+        from rtcdb_spark.sources.delta_log import (
+            delta_history,
+            delta_plan_files,
+            optimize_delta,
+            read_delta_pruned,
+        )
+
+        path = str(tmp_path / "z")
+        # clustered by k, random in v: v-predicates prune nothing
+        write_delta(
+            spark.range(4000).select(
+                F.col("id").alias("k"),
+                ((F.col("id") * 2654435761) % 4000).alias("v"),
+            ).repartitionByRange(8, "k"),
+            path,
+        )
+        keep0, total0 = delta_plan_files(path, "v", 0, 100)
+        assert (len(keep0), total0) == (8, 8)  # unprunable before
+        optimize_delta(spark, path, target_files=8, zorder_by=["k", "v"])
+        keep1, total1 = delta_plan_files(path, "v", 0, 100)
+        assert total1 == 8 and len(keep1) < 8  # files actually skipped
+        got = sorted(
+            r["v"] for r in read_delta_pruned(spark, path, "v", 0, 100)
+            .collect()
+        )
+        expect = sorted(
+            v for v in ((k * 2654435761) % 4000 for k in range(4000))
+            if 0 <= v <= 100
+        )
+        assert got == expect
+        h = delta_history(path)[0]
+        assert h["operation"] == "OPTIMIZE"
+        assert json.loads(h["operationParameters"]["zOrderBy"]) == ["k", "v"]
+
+    def test_pruned_read_applies_dvs_and_partitions(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            read_delta_pruned,
+        )
+
+        path = str(tmp_path / "dv")
+        write_delta(
+            spark.range(100).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 2).cast("string").alias("p"),
+            ).repartitionByRange(4, "k"),
+            path,
+            partition_by=["p"],
+        )
+        delete_delta(spark, path, "k % 10 = 0")
+        got = sorted(
+            (r["k"], r["p"])
+            for r in read_delta_pruned(spark, path, "k", 10, 30).collect()
+        )
+        assert got == [
+            (k, str(k % 2)) for k in range(10, 31) if k % 10 != 0
+        ]
