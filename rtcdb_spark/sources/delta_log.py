@@ -3025,35 +3025,63 @@ def delta_plan_files(
     writers, the Arrow id-mapped stage writer, binary columns) is always
     kept — pruning only skips files whose stats PROVE emptiness.
     ``col`` is the LOGICAL column name; on column-mapped tables it is
-    translated to the physical stats key. O(live files) driver-side
-    metadata, no Spark job."""
+    translated to the physical stats key. When ``col`` IS a partition
+    column, pruning uses the add actions' exact partitionValues (parsed
+    back to the declared type) instead of file stats — Delta's
+    partition pruning, which needs no stats at all; null partition
+    values are always kept (a closed interval cannot prove a null
+    absent). O(live files) driver-side metadata, no Spark job."""
+    from pyspark.sql.types import StructType
+
     meta, adds, _state = _snapshot_state(path, version)
+    want = StructType.fromJson(json.loads(meta["schemaString"]))
     key = col
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
     if mode in ("name", "id"):
-        from pyspark.sql.types import StructType
-
-        want = StructType.fromJson(json.loads(meta["schemaString"]))
         by_logical = {f.name: _physical_name(f) for f in want.fields}
         if col not in by_logical:
             raise ValueError(f"unknown column {col!r}")
         key = by_logical[col]
+    pcols = meta.get("partitionColumns", []) or []
+    pv_parse = None
+    if key in pcols:
+        dt = next(
+            (f.dataType.simpleString() for f in want.fields
+             if f.name == col), "string"
+        )
+
+        def pv_parse(v: str):
+            if dt in ("bigint", "int", "smallint", "tinyint", "long"):
+                return int(v)
+            if dt in ("double", "float"):
+                return float(v)
+            return v  # strings/dates compare in their serialized order
+
     keep = []
     for p in sorted(adds):
         a = adds[p]
-        s = a.get("stats")
         bounds = None
-        if s:
-            try:
-                st = json.loads(s) if isinstance(s, str) else s
-                mn = (st.get("minValues") or {}).get(key)
-                mx = (st.get("maxValues") or {}).get(key)
-                if mn is not None and mx is not None:
-                    bounds = (mn, mx)
-            except (ValueError, TypeError):
-                bounds = None
+        if pv_parse is not None:
+            raw = (a.get("partitionValues") or {}).get(key)
+            if raw is not None:
+                try:
+                    v = pv_parse(raw)
+                    bounds = (v, v)  # exact value: tightest possible
+                except (ValueError, TypeError):
+                    bounds = None
+        else:
+            s = a.get("stats")
+            if s:
+                try:
+                    st = json.loads(s) if isinstance(s, str) else s
+                    mn = (st.get("minValues") or {}).get(key)
+                    mx = (st.get("maxValues") or {}).get(key)
+                    if mn is not None and mx is not None:
+                        bounds = (mn, mx)
+                except (ValueError, TypeError):
+                    bounds = None
         if bounds is not None and (
             (hi is not None and bounds[0] > hi)
             or (lo is not None and bounds[1] < lo)

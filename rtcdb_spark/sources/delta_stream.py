@@ -20,6 +20,10 @@ Options:
 - ``ignoreDeletes`` (default false): skip commits whose data-changing
   actions are REMOVES ONLY (partition-boundary deletes), delta-spark's
   option of the same name.
+- ``maxVersionsPerTrigger`` (default unlimited): cap how many commit
+  VERSIONS a micro-batch may cover — the version-offset twin of
+  delta-spark's maxFilesPerTrigger, so a backfill over a long history
+  drains in bounded batches instead of one giant first batch.
 - ``ignoreChanges`` (default false, implies ignoreDeletes): never fail
   on non-append commits — removes are skipped, adds that carry a
   deletion vector (a DV DELETE's re-add of the SAME rows) are skipped,
@@ -188,6 +192,11 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_deletes = self.ignore_changes or (
             str(options.get("ignoredeletes", "false")).lower() in truthy
         )
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        self._last_seen = None  # rate-limit anchor (see latestOffset)
         # mapping facts from the SNAPSHOT metaData, not only in-range
         # metaData actions (ADVICE r8: startingVersion past the mapping
         # commit bypassed the gate and died in the Arrow read). The
@@ -207,10 +216,24 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         versions = delta_versions(self.table_path)
-        return {"version": versions[-1] if versions else -1}
+        head = versions[-1] if versions else -1
+        if self.max_versions is None:
+            return {"version": head}
+        # bounded micro-batches (delta-spark's maxFilesPerTrigger made
+        # version-granular for version offsets): never advance more than
+        # maxVersionsPerTrigger past the last boundary this reader has
+        # seen. After a checkpoint restart the anchor re-learns the true
+        # start from the first partitions() call, so a stale anchor can
+        # only produce an empty batch, never a skipped or re-read one.
+        base = self._last_seen if self._last_seen is not None else             self.starting - 1
+        end = min(head, base + self.max_versions)
+        self._last_seen = max(base, end)
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        if self.max_versions is not None:
+            self._last_seen = max(self._last_seen or lo, lo, hi)
         if hi <= lo:
             return []
         versions = delta_versions(self.table_path)

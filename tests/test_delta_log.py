@@ -2542,3 +2542,44 @@ class TestDataSkippingZorder:
         assert got == [
             (k, str(k % 2)) for k in range(10, 31) if k % 10 != 0
         ]
+
+
+class TestPartitionPruning:
+    def test_plan_files_prunes_on_partition_values(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delta_plan_files,
+            read_delta_pruned,
+        )
+
+        path = str(tmp_path / "pp")
+        write_delta(
+            spark.range(100).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 10).alias("b"),
+            ).coalesce(1),
+            path,
+            partition_by=["b"],
+        )
+        keep, total = delta_plan_files(path, "b", 3, 4)
+        assert total == 10 and len(keep) == 2
+        assert all("b=3" in p or "b=4" in p for p in keep)
+        got = sorted(
+            r["k"] for r in read_delta_pruned(spark, path, "b", 3, 4)
+            .collect()
+        )
+        assert got == [k for k in range(100) if k % 10 in (3, 4)]
+
+    def test_null_partition_always_kept(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_plan_files
+
+        path = str(tmp_path / "pn")
+        write_delta(
+            spark.createDataFrame(
+                [(1, "x"), (2, None), (3, "y")], "k long, p string"
+            ).coalesce(1),
+            path,
+            partition_by=["p"],
+        )
+        keep, total = delta_plan_files(path, "p", "x", "x")
+        # the null-partition file survives (sound); only 'y' is pruned
+        assert total == 3 and len(keep) == 2

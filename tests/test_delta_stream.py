@@ -280,3 +280,98 @@ class TestDeltaStreamIgnoreOptions:
         # no duplicates (the deleted rows DID stream before the delete
         # committed — standard delta-spark ignoreChanges semantics)
         assert sorted(r["k"] for r in got.collect()) == list(range(10))
+
+
+class TestRateLimit:
+    def test_max_versions_per_trigger_bounds_batches(self, spark, tmp_path):
+        # the Python streaming source API runs availableNow as a single
+        # batch, so each drain is exactly ONE rate-limited micro-batch:
+        # five commits at maxVersionsPerTrigger=2 need three drains, and
+        # the checkpointed offsets must advance <= 2 versions per batch
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 3).coalesce(1), path)          # v0
+        for a, b in [(3, 6), (6, 9), (9, 12), (12, 15)]:          # v1..v4
+            append_delta(_mk(spark, a, b).coalesce(1), path)
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", path)
+                .option("maxVersionsPerTrigger", "2")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        counts = []
+        for _ in range(4):
+            drain()
+            counts.append(spark.read.parquet(sink).count())
+        assert counts == [6, 12, 15, 15]  # 2, 2, 1 versions, then no-op
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == list(range(15))
+        import json as _json
+
+        offs = []
+        odir = os.path.join(ckpt, "offsets")
+        for f in sorted(os.listdir(odir), key=lambda x: (len(x), x)):
+            if f.startswith("."):
+                continue
+            for ln in open(os.path.join(odir, f)).read().splitlines():
+                if ln.startswith("{") and '"version"' in ln:
+                    offs.append(_json.loads(ln)["version"])
+        assert offs and offs[-1] == 4
+        prev = -1
+        for v in offs:
+            assert v - prev <= 2, (prev, v, offs)
+            prev = v
+
+    def test_rate_limited_resume(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 3).coalesce(1), path)
+        append_delta(_mk(spark, 3, 6).coalesce(1), path)
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", path)
+                .option("maxVersionsPerTrigger", "1")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def drain_all():
+            prev = -1
+            for _ in range(8):
+                drain()
+                n = spark.read.parquet(sink).count()
+                if n == prev:
+                    return n
+                prev = n
+            return prev
+
+        drain_all()
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == list(range(6))
+        # a restart with two more commits delivers exactly the new rows
+        append_delta(_mk(spark, 6, 9).coalesce(1), path)
+        append_delta(_mk(spark, 9, 12).coalesce(1), path)
+        drain_all()
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == list(range(12))
