@@ -255,9 +255,11 @@ _PRIORITY = [
     # green in the r8 ledger; the family keeps arithmetic/progressive/
     # lossless/pHash there too)
     "multimodal_mp3_bitstream_decode",
-    # streaming Delta source green rep (round-9: now with column-mapped
-    # tables + ignoreDeletes/ignoreChanges)
-    "stream_delta_source",
+    # streaming Delta: the round-9 CHANGE-FEED source flagship takes the
+    # r8-green snapshot-source rep's slot (stream_delta_source stays
+    # green in the r8 ledger and shares the round-9 mapped/options code
+    # paths with the CDF variant)
+    "stream_delta_cdf_source",
     # --- 27 never-driver-run entries, census-biased (wave 20) ---
     # events family (0/10 confirmed before this window)
     "events_peak_concurrency", "events_user_paths", "events_ab_test_ztest",

@@ -156,6 +156,7 @@ HEADLINE = [
     "source_delta_nested_id_partitioned",
     "source_delta_restore",
     "source_delta_zorder_skipping",
+    "stream_delta_cdf_source",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -1135,3 +1135,94 @@ def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "stream_delta_cdf_source",
+    """
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM (
+        SELECT 'insert' AS _change_type, o_orderkey FROM orders
+        UNION ALL
+        SELECT 'delete' AS _change_type, o_orderkey
+        FROM orders WHERE o_orderkey % 10 < 2
+    )
+    GROUP BY _change_type
+    ORDER BY _change_type
+    """,
+    tags=("streaming", "delta", "source", "cdf", "change-feed",
+          "exactly-once"),
+)
+def stream_delta_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta CHANGE DATA FEED as a STREAMING SOURCE (round 9,
+    `delta_stream` with ``readChangeFeed=true``): orders lands in two
+    CDF-enabled append commits; a checkpointed drain delivers their
+    rows as `_change_type='insert'` with per-commit `_commit_version`;
+    then a DV DELETE (%10 < 2) lands and a second drain from the SAME
+    checkpoint must deliver exactly the CDC files' delete rows — one
+    input partition per cdc file, `_change_type` read verbatim from the
+    file, zero re-delivery of the inserts (asserted in-query by sink
+    counts). The aggregate keys on change type over the sunk feed; a
+    re-delivered insert, a missed cdc file, or a wrong change-type
+    constant breaks the hash against the fixture's UNION ALL twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources import load_table
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        delete_delta,
+        write_delta,
+    )
+    from rtcdb_spark.sources.delta_stream import register_delta_stream
+
+    register_delta_stream(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="rtcdb_delta_cdf_src_")
+    path = os.path.join(root, "t")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    append_delta(o.filter(F.col("o_orderkey") % 2 == 1), path)
+
+    def _drain() -> None:
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drain()
+    n_inserts = spark.read.parquet(sink).count()
+    n_total = o.count()
+    assert n_inserts == n_total, (n_inserts, n_total)
+    delete_delta(spark, path, "o_orderkey % 10 < 2")
+    _drain()  # same checkpoint: ONLY the delete's cdc rows arrive
+    sunk = spark.read.parquet(sink)
+    return (
+        sunk.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("_change_type")
+    )

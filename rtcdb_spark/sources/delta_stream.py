@@ -91,6 +91,9 @@ class _FilePartition(InputPartition):
         mode: str = "none",
         phys_of: dict | None = None,
         fid_of: dict | None = None,
+        cdf: bool = False,
+        ctype: str | None = None,
+        version: int | None = None,
     ):
         self.path = path
         self.pvals = pvals  # keyed by PHYSICAL partition column name
@@ -99,6 +102,9 @@ class _FilePartition(InputPartition):
         self.mode = mode
         self.phys_of = phys_of or {}  # logical -> physical name
         self.fid_of = fid_of or {}  # logical -> parquet field id (id mode)
+        self.cdf = cdf          # change-feed mode: emit _change_type/_commit_version
+        self.ctype = ctype      # constant change type; None = read from the file
+        self.version = version  # commit version (change-feed mode)
 
 
 def _spark_to_arrow_type(dt):
@@ -192,6 +198,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_deletes = self.ignore_changes or (
             str(options.get("ignoredeletes", "false")).lower() in truthy
         )
+        self.cdf = (
+            str(options.get("readchangefeed", "false")).lower() in truthy
+        )
         mv = options.get("maxversionspertrigger")
         self.max_versions = int(mv) if mv is not None else None
         if self.max_versions is not None and self.max_versions < 1:
@@ -253,6 +262,58 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if a.get("remove") is not None
                 and a["remove"].get("dataChange", True)
             ]
+            if self.cdf:
+                # CHANGE FEED mode (round 9): a commit with cdc actions
+                # is represented by those files ALONE (the protocol's
+                # change-data-files rule); a pure append derives as
+                # inserts; anything else without CDC files is not
+                # derivable as a stream of changes
+                cdcs = [
+                    a["cdc"] for a in acts if a.get("cdc") is not None
+                ]
+                if cdcs:
+                    for c in cdcs:
+                        parts.append(
+                            _FilePartition(
+                                os.path.abspath(
+                                    _resolve(self.table_path, c["path"])
+                                ),
+                                _demap(c.get("partitionValues")) or {},
+                                schema_json,
+                                self.pcols,
+                                self.mode,
+                                self.phys_of,
+                                self.fid_of,
+                                cdf=True,
+                                ctype=None,  # read from the file
+                                version=v,
+                            )
+                        )
+                    continue
+                if removes or any(a.get("deletionVector") for a in adds):
+                    raise ValueError(
+                        f"commit {v} changes data without CDC files; its "
+                        "changes are not derivable as a stream — set "
+                        "delta.enableChangeDataFeed before such commits"
+                    )
+                for a in adds:
+                    parts.append(
+                        _FilePartition(
+                            os.path.abspath(
+                                _resolve(self.table_path, a["path"])
+                            ),
+                            _demap(a.get("partitionValues")) or {},
+                            schema_json,
+                            self.pcols,
+                            self.mode,
+                            self.phys_of,
+                            self.fid_of,
+                            cdf=True,
+                            ctype="insert",
+                            version=v,
+                        )
+                    )
+                continue
             if removes and not (
                 self.ignore_changes or (self.ignore_deletes and not adds)
             ):
@@ -301,7 +362,11 @@ class DeltaStreamReader(DataSourceStreamReader):
         def _phys(name: str) -> str:
             return phys_of.get(name, name) if mode != "none" else name
 
-        data_fields = [f for f in schema.fields if _phys(f.name) not in pcols]
+        base_fields = [
+            f for f in schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ] if partition.cdf else list(schema.fields)
+        data_fields = [f for f in base_fields if _phys(f.name) not in pcols]
         pf = pq.ParquetFile(partition.path)
         file_names = pf.schema_arrow.names
         col_of = {}
@@ -328,10 +393,14 @@ class DeltaStreamReader(DataSourceStreamReader):
                         f"(logical {f.name!r})"
                     )
                 col_of[f.name] = p
-        tbl = pf.read(columns=[col_of[f.name] for f in data_fields])
+        read_cols = [col_of[f.name] for f in data_fields]
+        if partition.cdf and partition.ctype is None:
+            # cdc files store _change_type verbatim, no mapping
+            read_cols.append("_change_type")
+        tbl = pf.read(columns=read_cols)
         n = tbl.num_rows
         cols, names = [], []
-        for f in schema.fields:
+        for f in base_fields:
             at = _spark_to_arrow_type(f.dataType)
             if _phys(f.name) in pcols:
                 raw = partition.pvals.get(_phys(f.name))
@@ -341,6 +410,19 @@ class DeltaStreamReader(DataSourceStreamReader):
                 arr = tbl.column(col_of[f.name]).combine_chunks().cast(at)
             cols.append(arr)
             names.append(f.name)
+        if partition.cdf:
+            if partition.ctype is None:
+                ct = tbl.column("_change_type").combine_chunks().cast(
+                    pa.string()
+                )
+            else:
+                ct = pa.array([partition.ctype] * n, type=pa.string())
+            cols.append(ct)
+            names.append("_change_type")
+            cols.append(
+                pa.array([int(partition.version)] * n, type=pa.int64())
+            )
+            names.append("_commit_version")
         out = pa.table(dict(zip(names, cols)))
         yield from out.to_batches(max_chunksize=1 << 16)
 
@@ -360,7 +442,20 @@ class DeltaStreamDataSource(DataSource):
         if not path:
             raise ValueError("delta_stream requires option 'path'")
         meta, _adds, _state = _snapshot_state(path)
-        return StructType.fromJson(json.loads(meta["schemaString"])).simpleString()
+        base = StructType.fromJson(json.loads(meta["schemaString"]))
+        if str(self.options.get("readchangefeed", "false")).lower() in (
+            "true", "1", "yes",
+        ):
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            base = StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType(), True),
+                    StructField("_commit_version", LongType(), True),
+                ]
+            )
+        return base.simpleString()
 
     def streamReader(self, schema: StructType) -> DeltaStreamReader:
         return DeltaStreamReader(schema, dict(self.options))

@@ -375,3 +375,96 @@ class TestRateLimit:
         assert sorted(
             r["k"] for r in spark.read.parquet(sink).collect()
         ) == list(range(12))
+
+
+class TestChangeFeedStream:
+    def test_cdf_stream_inserts_and_deletes(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(
+            _mk(spark, 0, 6).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        append_delta(_mk(spark, 6, 9).coalesce(1), path)   # v1
+        delete_delta(spark, path, "k < 2")                 # v2: cdc files
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(sink)
+        rows = sorted(
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in got.collect()
+        )
+        expect = sorted(
+            [(k, "insert", 0) for k in range(6)]
+            + [(k, "insert", 1) for k in range(6, 9)]
+            + [(0, "delete", 2), (1, "delete", 2)]
+        )
+        assert rows == expect
+        # partition column rides along with its type
+        assert dict(got.dtypes)["p"] == "string"
+
+    def test_cdf_stream_refuses_underivable_commit(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 6).coalesce(1), path)  # CDF off
+        delete_delta(spark, path, "k < 2")               # no cdc files
+        with pytest.raises(Exception, match="enableChangeDataFeed|CDC"):
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", path)
+                .option("readChangeFeed", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "s"))
+                .option("checkpointLocation", str(tmp_path / "c"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    def test_cdf_stream_exactly_once_resume(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(
+            _mk(spark, 0, 4).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", path)
+                .option("readChangeFeed", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        assert spark.read.parquet(sink).count() == 4
+        delete_delta(spark, path, "k = 0")
+        drain()
+        got = spark.read.parquet(sink)
+        assert got.count() == 5  # 4 inserts + 1 delete, zero re-delivery
+        assert sorted(
+            (r["k"], r["_change_type"]) for r in got.collect()
+        ) == [(0, "delete"), (0, "insert"), (1, "insert"), (2, "insert"),
+              (3, "insert")]
