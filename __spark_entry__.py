@@ -205,9 +205,14 @@ _PRIORITY = [
     # orders_rfm_segmentation, embedding_quantize_int8, timeseries_ewma,
     # stream_window_sliding, source_orc_roundtrip,
     # curation_pipeline_funnel, sample_stratified_fixed,
-    # udf_cogrouped_map. That puts 29 never-run entries in the window
-    # -> cross-round union 170 + 29 = 199 if all green (VERDICT r8
-    # item 1 target: >=193).
+    # udf_cogrouped_map. Late-round swaps raised the first-timer count
+    # to 31: source_delta_restore (RESTORE/history flagship) took the
+    # r8-green partitioned-roundtrip slot, stream_delta_cdf_source (the
+    # change-feed streaming source) took the r8-green stream_delta_source
+    # slot, and multimodal_mp3_bitstream_decode took the r8-green
+    # jpeg_hierarchical slot. 31 never-run entries in the window ->
+    # cross-round union 170 + 31 = 201 if all green (VERDICT r8 item 1
+    # target: >=193).
     # OUT (ALL r8-driver-green; each family keeps >=1 green rep in this
     # window or the r8 ledger): source_delta_column_mapping,
     # source_delta_delete_dv, source_delta_changes,

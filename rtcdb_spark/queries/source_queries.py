@@ -1675,13 +1675,21 @@ def source_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_delta_zorder_skipping",
     """
+    WITH b AS (
+        SELECT MIN(o_custkey) AS mn,
+               MAX(o_custkey) - MIN(o_custkey) AS span
+        FROM orders
+    )
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            MIN(o_orderkey) AS min_key,
            MAX(o_orderkey) AS max_key,
            CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
     FROM orders
-    WHERE o_custkey BETWEEN 200 AND 400
+    WHERE o_custkey BETWEEN
+        (SELECT mn + CAST(FLOOR(span / 5) AS BIGINT) FROM b)
+        AND
+        (SELECT mn + CAST(FLOOR(span * 2 / 5) AS BIGINT) FROM b)
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
@@ -1720,15 +1728,21 @@ def source_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="rtcdb_delta_z_")
     shutil.rmtree(path)
     write_delta(o.repartitionByRange(8, "o_orderkey"), path)
-    keep0, total0 = delta_plan_files(path, "o_custkey", 200, 400)
+    # the probed band is the [20%, 40%] slice of the custkey DOMAIN —
+    # derived from the data so the fixture scales with sf (a fixed
+    # constant range empties at small scale factors)
+    mn, mx = o.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    lo = int(mn) + (int(mx) - int(mn)) // 5
+    hi = int(mn) + (int(mx) - int(mn)) * 2 // 5
+    keep0, total0 = delta_plan_files(path, "o_custkey", lo, hi)
     assert total0 == 8 and len(keep0) == 8, (len(keep0), total0)
     optimize_delta(
         spark, path, target_files=8,
         zorder_by=["o_orderkey", "o_custkey"],
     )
-    keep1, total1 = delta_plan_files(path, "o_custkey", 200, 400)
+    keep1, total1 = delta_plan_files(path, "o_custkey", lo, hi)
     assert total1 == 8 and len(keep1) < 8, (len(keep1), total1)
-    t = read_delta_pruned(spark, path, "o_custkey", 200, 400)
+    t = read_delta_pruned(spark, path, "o_custkey", lo, hi)
     return (
         t.groupBy("o_orderstatus")
         .agg(

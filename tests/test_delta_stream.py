@@ -468,3 +468,90 @@ class TestChangeFeedStream:
             (r["k"], r["_change_type"]) for r in got.collect()
         ) == [(0, "delete"), (0, "insert"), (1, "insert"), (2, "insert"),
               (3, "insert")]
+
+
+class TestChangeFeedStreamExtras:
+    def test_cdf_stream_merge_vocabulary(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import merge_delta
+
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(
+            _mk(spark, 0, 6).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        merge_delta(
+            spark, path,
+            spark.createDataFrame(
+                [(2, "9", -2.0), (100, "9", -100.0)],
+                "k long, p string, v double",
+            ),
+            on=["k"],
+        )
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(sink)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in got.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        # 6 derived inserts from v0 + the merge's full CDC vocabulary
+        assert by_type == {
+            "insert": 7,  # 6 original + the merge's not-matched insert
+            "update_preimage": 1,
+            "update_postimage": 1,
+        }, by_type
+
+    def test_cdf_stream_on_name_mapped_table(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delete_delta
+
+        register_delta_stream(spark)
+        path = _mapped_table(tmp_path, "name")
+        # enable CDF on the mapped table (hand-edit the v0 metaData)
+        import json as _json
+
+        cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        acts = [_json.loads(x) for x in open(cpath).read().splitlines()]
+        acts[1]["metaData"]["configuration"][
+            "delta.enableChangeDataFeed"
+        ] = "true"
+        with open(cpath, "w") as fh:
+            for a in acts:
+                fh.write(_json.dumps(a) + "\n")
+        append_delta(_mrows(spark, 0, 6), path)
+        delete_delta(spark, path, "k < 2")
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["k"], r["s"], r["_change_type"])
+            for r in spark.read.parquet(sink).collect()
+        )
+        assert got == sorted(
+            [(i, f"s{i}", "insert") for i in range(6)]
+            + [(0, "s0", "delete"), (1, "s1", "delete")]
+        )
