@@ -3118,3 +3118,42 @@ def read_delta_pruned(
     if hi is not None:
         cond = cond & (F.col(col) <= F.lit(hi))
     return df.filter(cond)
+
+
+def delta_version_at(path: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the LAST version committed at or
+    before ``ts_ms`` (epoch millis). A commit's timestamp is its
+    commitInfo timestamp when present, else the commit file's
+    modification time — the same default real Delta uses (file mtime)
+    before the inCommitTimestamp feature. Raises if the table has no
+    commit at or before the timestamp. O(commits) driver metadata."""
+    versions = delta_versions(path)
+    if not versions:
+        raise ValueError(f"{path} is not a Delta table")
+    best = None
+    for v in versions:
+        ts = None
+        for a in _commit_actions(path, v, versions):
+            if a.get("commitInfo") is not None:
+                ts = a["commitInfo"].get("timestamp")
+                break
+        if ts is None:
+            ts = int(os.path.getmtime(_commit_path(path, v)) * 1000)
+        if ts <= ts_ms:
+            best = v
+        else:
+            break  # commit timestamps are monotone along versions
+    if best is None:
+        raise ValueError(
+            f"no commit at or before timestamp {ts_ms} (earliest is "
+            f"version {versions[0]})"
+        )
+    return best
+
+
+def read_delta_at_timestamp(
+    spark: SparkSession, path: str, ts_ms: int
+) -> DataFrame:
+    """``SELECT ... TIMESTAMP AS OF``: the snapshot in force at
+    ``ts_ms``."""
+    return read_delta(spark, path, version=delta_version_at(path, ts_ms))

@@ -17,6 +17,9 @@ Options:
 - ``path`` (required).
 - ``startingVersion`` (default 0 — emit the full history as the first
   batch; pass a later version to subscribe from there).
+- ``startingTimestamp`` (epoch millis, exclusive with startingVersion):
+  start from the first commit AT or AFTER the timestamp, delta-spark's
+  semantics; commit times come from commitInfo (file mtime fallback).
 - ``ignoreDeletes`` (default false): skip commits whose data-changing
   actions are REMOVES ONLY (partition-boundary deletes), delta-spark's
   option of the same name.
@@ -188,9 +191,35 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError("delta_stream requires option 'path'")
         self.schema = schema
         # Spark lower-cases data source option keys
-        self.starting = int(
-            options.get("startingversion", options.get("startingVersion", 0))
-        )
+        st = options.get("startingtimestamp")
+        if st is not None and "startingversion" in options:
+            raise ValueError(
+                "startingVersion and startingTimestamp are exclusive"
+            )
+        if st is not None:
+            # delta-spark semantics: start from the FIRST commit at or
+            # after the timestamp (an all-older log yields an empty
+            # stream that picks up future commits)
+            from rtcdb_spark.sources.delta_log import delta_version_at
+
+            ts_ms = int(st)
+            try:
+                at = delta_version_at(self.table_path, ts_ms)
+                vs = delta_versions(self.table_path)
+                later = [v for v in vs if v > at]
+                # `at` is the last commit <= ts; the first >= ts is the
+                # next one unless `at` itself matches exactly
+                self.starting = at if self._commit_ts(at) >= ts_ms else (
+                    later[0] if later else (vs[-1] + 1)
+                )
+            except ValueError:
+                self.starting = 0  # whole log is at/after the timestamp
+        else:
+            self.starting = int(
+                options.get(
+                    "startingversion", options.get("startingVersion", 0)
+                )
+            )
         truthy = ("true", "1", "yes")
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() in truthy
@@ -218,6 +247,20 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.mode, self.pcols, self.phys_of, self.fid_of = _mapping_facts(
             meta, log_schema
         )
+
+    def _commit_ts(self, v: int) -> int:
+        from rtcdb_spark.sources.delta_log import (
+            _commit_actions as _ca,
+            _commit_path as _cp,
+        )
+
+        vs = delta_versions(self.table_path)
+        for a in _ca(self.table_path, v, vs):
+            if a.get("commitInfo") is not None:
+                t = a["commitInfo"].get("timestamp")
+                if t is not None:
+                    return int(t)
+        return int(os.path.getmtime(_cp(self.table_path, v)) * 1000)
 
     def initialOffset(self) -> dict:
         # "everything strictly before startingVersion is already consumed"

@@ -2583,3 +2583,30 @@ class TestPartitionPruning:
         keep, total = delta_plan_files(path, "p", "x", "x")
         # the null-partition file survives (sound); only 'y' is pruned
         assert total == 3 and len(keep) == 2
+
+
+class TestTimestampTravel:
+    def test_version_at_and_read(self, spark, tmp_path):
+        import time as _time
+
+        from rtcdb_spark.sources.delta_log import (
+            delta_version_at,
+            read_delta_at_timestamp,
+        )
+
+        path = str(tmp_path / "tt")
+        write_delta(
+            spark.range(3).select(F.col("id").alias("k")).coalesce(1), path
+        )
+        t0 = int(_time.time() * 1000)
+        _time.sleep(0.05)
+        append_delta(spark.createDataFrame([(10,)], "k bigint"), path)
+        t1 = int(_time.time() * 1000)
+        _time.sleep(0.05)
+        append_delta(spark.createDataFrame([(20,)], "k bigint"), path)
+        assert delta_version_at(path, t0) == 0
+        assert delta_version_at(path, t1) == 1
+        assert delta_version_at(path, int(_time.time() * 1000) + 1000) == 2
+        assert read_delta_at_timestamp(spark, path, t1).count() == 4
+        with pytest.raises(ValueError, match="no commit"):
+            delta_version_at(path, t0 - 10_000_000)

@@ -555,3 +555,50 @@ class TestChangeFeedStreamExtras:
             [(i, f"s{i}", "insert") for i in range(6)]
             + [(0, "s0", "delete"), (1, "s1", "delete")]
         )
+
+
+class TestStartingTimestamp:
+    def test_starting_timestamp_subscribes_from_commit(self, spark, tmp_path):
+        import time as _time
+
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 5).coalesce(1), path)
+        _time.sleep(0.05)
+        cut = int(_time.time() * 1000)
+        _time.sleep(0.05)
+        append_delta(_mk(spark, 5, 8).coalesce(1), path)
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("startingTimestamp", str(cut))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "sink"))
+        # only the post-cut commit arrives
+        assert sorted(r["k"] for r in got.collect()) == [5, 6, 7]
+
+    def test_exclusive_with_starting_version(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 3).coalesce(1), path)
+        with pytest.raises(Exception, match="exclusive"):
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", path)
+                .option("startingVersion", "0")
+                .option("startingTimestamp", "0")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "s"))
+                .option("checkpointLocation", str(tmp_path / "c"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
