@@ -226,15 +226,49 @@ _PRIORITY = [
     # timeseries_gapfill_ffill, similarity_ivf_trained_topk,
     # multimodal_jpeg_lossless, multimodal_image_phash_dedup,
     # udf_grouped_agg, stream_delta_sink.
+    # (wave 21, round 10 per VERDICT r9 item 1): the third census
+    # rotation. CENSUS at the start of round 10: registry 326 entries,
+    # 205 driver-confirmed across rounds 1-9 (every one green in its
+    # latest appearance; the r9 window went 50/50), 121 never
+    # driver-run; zero-confirmed families: quality 0/1; weakest:
+    # orders-analytics 2/10, embedding 2/7, stream-composites 3/10,
+    # events 3/10, reshape 1/3, dedup 9/23, text 11/27,
+    # timeseries 3/7, plus ten 1/2 one-off families (sort-within,
+    # funnel, histogram, anomaly, part, lineitem, freq, split,
+    # customer, sample). This window keeps a 23-entry green-rep core
+    # (>=1 r9-green representative per SURVEY §2 family) and fills the
+    # other 27 slots with never-driver-run entries biased to those
+    # families (all pass the sf0.01 driver-sim locally this session);
+    # five of them (fn_variant_json, agg_string_agg, window_nth_value,
+    # graph_bfs_hops + the events DFT row's family sibling) were in the
+    # judge's independent 18/18 r9 sample, so the window and the
+    # sample cross-check each other. A late-round swap (the wave-19/20
+    # pattern) put the round-10 capability flagship
+    # stream_delta_backfill_files — maxFilesPerTrigger draining one
+    # 6-file commit in 3 compound-offset micro-batches, oracle-gated —
+    # in the r9-green stream_delta_cdf_source slot (streaming-delta
+    # keeps cdf_source green in the r9 ledger and the backfill row
+    # exercises the same source). 28 never-run entries in the window
+    # -> cross-round union 205 + 28 = 233 if all green (VERDICT r9
+    # item 1 target: >=226).
+    # OUT (ALL r9-driver-green; each family keeps >=1 green rep in
+    # this window or the r9 ledger): source_delta_restore,
+    # source_delta_cdf_id_mapped, source_delta_nested_id_partitioned,
+    # events_user_paths, events_ab_test_ztest, sessionize_islands,
+    # pivot_events, cohort_retention, histogram_equidepth,
+    # lineitem_abc_pareto, attribution_multi_touch, scd2_order_status,
+    # cdc_snapshot_diff, split_train_val_test, mixture_balance_sources,
+    # basket_brand_affinity, customer_order_gap_stats,
+    # supplier_concentration_hhi, search_rrf_fusion, pack_sequences,
+    # orders_rfm_segmentation, embedding_quantize_int8,
+    # timeseries_ewma, stream_window_sliding, source_orc_roundtrip,
+    # curation_pipeline_funnel, sample_stratified_fixed.
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
     "source_rtcdb_string_scan",
-    # (the r8-green partitioned-roundtrip rep rotates to the ledger;
-    # delta keeps cdf + three round-9 capability rows in-window)
-    "source_delta_restore", "source_delta_cdf",
-    # round-9 capability flagships: the last two Delta writer-matrix
-    # cells, both oracle-gated
-    "source_delta_cdf_id_mapped", "source_delta_nested_id_partitioned",
+    # delta green rep (restore/cdf_id_mapped/nested_id rotate to the
+    # r9 ledger); the never-run log-stats-skipping row joins below
+    "source_delta_cdf",
     # C-I warehouse green rep
     "versioned_changes_feed",
     # C-III aggregates green rep
@@ -255,31 +289,40 @@ _PRIORITY = [
     "dedup_exact", "dedup_star_connectivity_groups",
     # C-IX similarity green rep (pinned-codebook PQ)
     "similarity_pq_topk",
-    # C-IX multimodal: the round-9 MP3 bitstream-decode flagship takes
-    # the r8-green hierarchical-JPEG rep's slot (jpeg_hierarchical stays
-    # green in the r8 ledger; the family keeps arithmetic/progressive/
-    # lossless/pHash there too)
+    # C-IX multimodal green rep
     "multimodal_mp3_bitstream_decode",
-    # streaming Delta: the round-9 CHANGE-FEED source flagship takes the
-    # r8-green snapshot-source rep's slot (stream_delta_source stays
-    # green in the r8 ledger and shares the round-9 mapped/options code
-    # paths with the CDF variant)
-    "stream_delta_cdf_source",
-    # --- 27 never-driver-run entries, census-biased (wave 20) ---
-    # events family (0/10 confirmed before this window)
-    "events_peak_concurrency", "events_user_paths", "events_ab_test_ztest",
-    # zero-confirmed one-off analytics families
-    "sessionize_islands", "pivot_events", "cohort_retention",
-    "histogram_equidepth", "lineitem_abc_pareto", "attribution_multi_touch",
-    "scd2_order_status", "cdc_snapshot_diff", "split_train_val_test",
-    "mixture_balance_sources", "basket_brand_affinity",
-    "customer_order_gap_stats", "supplier_concentration_hhi",
-    "profile_columns", "search_rrf_fusion", "pack_sequences",
-    # weakest nonzero families
-    "orders_rfm_segmentation", "embedding_quantize_int8", "timeseries_ewma",
-    "stream_window_sliding", "source_orc_roundtrip",
-    "curation_pipeline_funnel", "sample_stratified_fixed",
+    # streaming Delta: the round-10 bounded-backfill flagship
+    # (maxFilesPerTrigger compound offsets) takes the r9-green
+    # cdf_source rep's slot
+    "stream_delta_backfill_files",
+    # C-X UDF green rep
     "udf_cogrouped_map",
+    # events + profiling green reps (first confirmed in r9)
+    "events_peak_concurrency", "profile_columns",
+    # --- 27 never-driver-run entries, census-biased (wave 21) ---
+    # the one zero-confirmed family
+    "quality_gate_orders",
+    # orders-analytics (2/10)
+    "orders_benford_audit", "orders_new_vs_returning", "orders_growth_mom",
+    # embedding (2/7)
+    "embedding_label_centroids", "embedding_norm_quality",
+    # stream composites (3/10)
+    "stream_enrich_segments", "stream_error_rate_hourly",
+    "stream_cdc_tombstones",
+    # events (3/10)
+    "events_activity_streaks", "events_markov_transitions",
+    # reshape (1/3), dedup (9/23), text (11/27)
+    "reshape_posexplode",
+    "dedup_embedding_cosine", "dedup_exact_normalized",
+    "text_tfidf_topk", "text_vocab_build", "text_zipf_fit",
+    # timeseries (3/7) + the 1/2 one-off families
+    "timeseries_max_drawdown", "sort_within_partitions",
+    "funnel_time_to_convert", "histogram_value_bins", "anomaly_mad_robust",
+    # judge-sampled r9 tail entries promoted to driver slots
+    "graph_bfs_hops", "fn_variant_json", "window_nth_value",
+    "agg_string_agg",
+    # the one never-run Delta row (also in the bench set)
+    "source_delta_zorder_skipping",
 ]
 
 _WAVE19 = [

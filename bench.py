@@ -157,6 +157,9 @@ HEADLINE = [
     "source_delta_restore",
     "source_delta_zorder_skipping",
     "stream_delta_cdf_source",
+    # round 10: file-granular rate-limited backfill of one multi-file
+    # commit (compound version+file-index offsets)
+    "stream_delta_backfill_files",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -329,17 +329,22 @@ def stream_cdc_upsert(
     """Streaming CDC apply (SCD1 upsert): maintain a keyed snapshot holding
     each key's LATEST event, merged per micro-batch via foreachBatch.
 
-    Per batch: reduce the batch to one row per key (max_by over the
-    deterministic (ts, event_id) version vector — a hash aggregate), then
-    merge with the previous snapshot by taking the greater version per
-    key. The merge is a commutative/idempotent MAX, so batch replay after
-    a crash converges to the same snapshot (exactly-once effect without a
-    transactional store), and out-of-order delivery across batches cannot
-    regress a key to an older value — the property CDC pipelines need
-    under at-least-once transports.
+    Per batch: union the raw batch with the previous snapshot and take
+    each key's greatest (ts, event_id) version vector in ONE hash
+    aggregate (max_by). Spark's partial aggregation pre-reduces the
+    batch side map-side before the shuffle, so a separate
+    batch-reduction pass would only add a second shuffle for the same
+    answer (round 10: the two-stage form measured 2× the per-batch
+    floor in isolation). The merge is a commutative/idempotent MAX, so
+    batch replay after a crash converges to the same snapshot
+    (exactly-once effect without a transactional store), and
+    out-of-order delivery across batches cannot regress a key to an
+    older value — the property CDC pipelines need under at-least-once
+    transports.
 
     Scale: each batch shuffles batch-sized + touched-key-sized rows on the
-    key; the snapshot swap is the distributed two-rename pattern of
+    key (map-side combine bounds the batch side at touched-keys rows);
+    the snapshot swap is the distributed two-rename pattern of
     `_swap_in`. On a transactional table the same logic is MERGE WHEN
     MATCHED AND source.version > target.version."""
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
@@ -347,23 +352,15 @@ def stream_cdc_upsert(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        latest = (
-            batch_df.select(*cols)
-            .groupBy(key_col)
+        src = batch_df.select(*cols)
+        prev = _read_snapshot(spark, out_dir)
+        if prev is not None:
+            src = prev.select(*cols).unionByName(src)
+        merged = (
+            src.groupBy(key_col)
             .agg(F.max_by(F.struct(*cols), ver).alias("r"))
             .select("r.*")
         )
-        prev = _read_snapshot(spark, out_dir)
-        if prev is not None:
-            merged = (
-                prev.select(*cols)
-                .unionByName(latest)
-                .groupBy(key_col)
-                .agg(F.max_by(F.struct(*cols), ver).alias("r"))
-                .select("r.*")
-            )
-        else:
-            merged = latest
         _swap_in(merged, out_dir)
 
     q = (
