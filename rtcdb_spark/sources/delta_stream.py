@@ -677,7 +677,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in Spark's checkpoint
+        # offsets are durable in Spark's checkpoint; drop memoized file
+        # lists for fully-consumed commits so a long-running stream's
+        # driver memory stays O(in-flight commits), not O(history)
+        ev, ei = _dec_offset(end)
+        done_through = ev if ei >= _FULL else ev - 1
+        for v in [k for k in self._files_memo if k <= done_through]:
+            del self._files_memo[v]
 
 
 class DeltaStreamDataSource(DataSource):

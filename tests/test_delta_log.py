@@ -2930,3 +2930,183 @@ class TestProtocolCheckpointCdfExamples:
             from urllib.parse import unquote
 
             assert unquote(c["path"]).startswith("_change_data/")
+
+    def _ck_arrays(self, rows, protocol_t, meta_t, add_t):
+        """Column arrays for a foreign checkpoint part: one action per
+        row, null siblings (the spec's top-level layout)."""
+        import pyarrow as pa
+
+        return pa.table({
+            "protocol": pa.array(
+                [r.get("protocol") for r in rows], type=protocol_t),
+            "metaData": pa.array(
+                [r.get("metaData") for r in rows], type=meta_t),
+            "add": pa.array([r.get("add") for r in rows], type=add_t),
+        })
+
+    def _types(self):
+        import pyarrow as pa
+
+        smap = pa.map_(pa.string(), pa.string())
+        protocol_t = pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])
+        format_t = pa.struct([("provider", pa.string()), ("options", smap)])
+        meta_t = pa.struct([
+            ("id", pa.string()), ("format", format_t),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", smap), ("createdTime", pa.int64()),
+        ])
+        add_t = pa.struct([
+            ("path", pa.string()), ("partitionValues", smap),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])
+        return protocol_t, meta_t, add_t
+
+    def _stage_two_files(self, spark, tmp_path, path):
+        """Two one-row data files under <path>/d, returning their adds."""
+        os.makedirs(os.path.join(path, "d"), exist_ok=True)
+        for i, k in enumerate((1, 2)):
+            spark.createDataFrame([(k,)], "k bigint").coalesce(1) \
+                .write.mode("overwrite") \
+                .parquet(str(tmp_path / f"stage{i}"))
+            part = [f for f in os.listdir(str(tmp_path / f"stage{i}"))
+                    if f.endswith(".parquet")][0]
+            os.rename(os.path.join(str(tmp_path / f"stage{i}"), part),
+                      os.path.join(path, "d", f"part-0000{i}.parquet"))
+        return [
+            {"path": f"d/part-0000{i}.parquet", "partitionValues": [],
+             "size": 1, "modificationTime": 0, "dataChange": True}
+            for i in (0, 1)
+        ]
+
+    def test_foreign_multipart_checkpoint_folds(self, spark, tmp_path):
+        """The spec's multi-part naming example, as actual foreign
+        files: version-10 checkpoint split over 3 parts (protocol |
+        metaData | the adds), every part hand-built with pyarrow. Our
+        reader must require ALL parts and fold them in order."""
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import delta_checkpoints
+
+        path = str(tmp_path / "fmp")
+        log = os.path.join(path, "_delta_log")
+        os.makedirs(log)
+        adds = self._stage_two_files(spark, tmp_path, path)
+        schema_str = json.dumps({"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        ]})
+        protocol_t, meta_t, add_t = self._types()
+        parts_rows = [
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}],
+            [{"metaData": {
+                "id": "foreign-mp", "format": {
+                    "provider": "parquet", "options": []},
+                "schemaString": schema_str, "partitionColumns": [],
+                "configuration": [], "createdTime": 0}}],
+            [{"add": a} for a in adds],
+        ]
+        for i, rows in enumerate(parts_rows, start=1):
+            pq.write_table(
+                self._ck_arrays(rows, protocol_t, meta_t, add_t),
+                os.path.join(log, self.SPEC_PARTS[i - 1]),
+            )
+        assert delta_checkpoints(path) == [10]
+        assert sorted(
+            r["k"] for r in read_delta(spark, path).collect()
+        ) == [1, 2]
+        # an incomplete part set must refuse, not fold partially: the
+        # checkpoint detector drops it (so the table has no usable
+        # history at all) and a direct part fold names the gap
+        os.remove(os.path.join(log, self.SPEC_PARTS[2]))
+        from rtcdb_spark.sources.delta_log import _checkpoint_files
+
+        assert delta_checkpoints(path) == []
+        with pytest.raises(ValueError, match="missing parts"):
+            _checkpoint_files(path, 10)
+        with pytest.raises(ValueError, match="no _delta_log commits"):
+            read_delta(spark, path)
+
+    def test_foreign_v2_checkpoint_with_sidecar_folds(
+        self, spark, tmp_path
+    ):
+        """A foreign V2 checkpoint: top-level
+        <v>.checkpoint.<unique>.parquet carrying checkpointMetadata +
+        protocol + metaData + a sidecar action; the adds live in
+        _delta_log/_sidecars/<name>.parquet. All pyarrow-built."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import delta_checkpoints
+
+        path = str(tmp_path / "fv2")
+        log = os.path.join(path, "_delta_log")
+        sidedir = os.path.join(log, "_sidecars")
+        os.makedirs(sidedir)
+        adds = self._stage_two_files(spark, tmp_path, path)
+        schema_str = json.dumps({"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        ]})
+        protocol_t, meta_t, add_t = self._types()
+        pq.write_table(
+            self._ck_arrays(
+                [{"add": a} for a in adds], protocol_t, meta_t, add_t
+            ),
+            os.path.join(sidedir, "s-0.parquet"),
+        )
+        ckmeta_t = pa.struct([("version", pa.int64())])
+        sidecar_t = pa.struct([
+            ("path", pa.string()), ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ])
+        proto3 = pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])
+        top = pa.table({
+            "checkpointMetadata": pa.array(
+                [{"version": 10}, None, None, None], type=ckmeta_t),
+            "protocol": pa.array(
+                [None,
+                 {"minReaderVersion": 3, "minWriterVersion": 7,
+                  "readerFeatures": ["v2Checkpoint"],
+                  "writerFeatures": ["v2Checkpoint"]},
+                 None, None],
+                type=proto3),
+            "metaData": pa.array(
+                [None, None,
+                 {"id": "foreign-v2", "format": {
+                     "provider": "parquet", "options": []},
+                  "schemaString": schema_str, "partitionColumns": [],
+                  "configuration": [], "createdTime": 0},
+                 None],
+                type=meta_t),
+            "sidecar": pa.array(
+                [None, None, None,
+                 {"path": "s-0.parquet", "sizeInBytes": 1,
+                  "modificationTime": 0}],
+                type=sidecar_t),
+        })
+        pq.write_table(
+            top,
+            os.path.join(
+                log,
+                "00000000000000000010.checkpoint."
+                "80a083e8-7026-4e79-81be-64bd76c43a11.parquet",
+            ),
+        )
+        assert delta_checkpoints(path) == [10]
+        assert sorted(
+            r["k"] for r in read_delta(spark, path).collect()
+        ) == [1, 2]
+        # a v2 checkpoint lying about its version must refuse
+        bad = os.path.join(log, "00000000000000000011.checkpoint.x.parquet")
+        pq.write_table(top, bad)
+        with pytest.raises(ValueError, match="version"):
+            from rtcdb_spark.sources.delta_log import _snapshot_state
+            _snapshot_state(path, 11)

@@ -808,3 +808,47 @@ class TestStartingTimestamp:
                 .start()
             )
             q.awaitTermination()
+
+
+class TestNestedMappedChangeFeed:
+    def test_cdf_stream_on_nested_mapped_table(self, spark, tmp_path):
+        # round-10 composition: readChangeFeed over a NESTED name-mapped
+        # table — derived inserts ride the recursive Arrow restore with
+        # the cdf columns appended after the restored data columns
+        import json as _json
+
+        register_delta_stream(spark)
+        path = _nested_mapped_table(tmp_path, "name")
+        # enable CDF in the (hand-written) metaData before any data
+        cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        acts = [_json.loads(x) for x in open(cpath)]
+        for a in acts:
+            if a.get("metaData"):
+                a["metaData"]["configuration"][
+                    "delta.enableChangeDataFeed"] = "true"
+        with open(cpath, "w") as fh:
+            for a in acts:
+                fh.write(_json.dumps(a) + "\n")
+        append_delta(_nrows(spark, 0, 4), path)
+        append_delta(_nrows(spark, 4, 6), path)
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(str(tmp_path / "sink"))
+        assert sorted(
+            (r["k"], r["s"]["a"], r["s"]["b"], r["_change_type"],
+             r["_commit_version"])
+            for r in got.collect()
+        ) == [
+            (i, i * 10, f"b{i}", "insert", 1 if i < 4 else 2)
+            for i in range(6)
+        ]
