@@ -248,9 +248,11 @@ _PRIORITY = [
     # 6-file commit in 3 compound-offset micro-batches, oracle-gated —
     # in the r9-green stream_delta_cdf_source slot (streaming-delta
     # keeps cdf_source green in the r9 ledger and the backfill row
-    # exercises the same source). 28 never-run entries in the window
-    # -> cross-round union 205 + 28 = 233 if all green (VERDICT r9
-    # item 1 target: >=226).
+    # exercises the same source). A second swap put the round-10
+    # domain-metadata/liquid-clustering flagship
+    # source_delta_liquid_clustering in the r9-green source_delta_cdf
+    # slot. 29 never-run entries in the window -> cross-round union
+    # 205 + 29 = 234 if all green (VERDICT r9 item 1 target: >=226).
     # OUT (ALL r9-driver-green; each family keeps >=1 green rep in
     # this window or the r9 ledger): source_delta_restore,
     # source_delta_cdf_id_mapped, source_delta_nested_id_partitioned,
@@ -266,9 +268,11 @@ _PRIORITY = [
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
     "source_rtcdb_string_scan",
-    # delta green rep (restore/cdf_id_mapped/nested_id rotate to the
-    # r9 ledger); the never-run log-stats-skipping row joins below
-    "source_delta_cdf",
+    # delta: the round-10 liquid-clustering/domainMetadata flagship
+    # takes the r9-green cdf rep's slot (restore/cdf/cdf_id_mapped/
+    # nested_id all stay green in the r9 ledger); the never-run
+    # log-stats-skipping row joins below
+    "source_delta_liquid_clustering",
     # C-I warehouse green rep
     "versioned_changes_feed",
     # C-III aggregates green rep

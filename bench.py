@@ -158,8 +158,10 @@ HEADLINE = [
     "source_delta_zorder_skipping",
     "stream_delta_cdf_source",
     # round 10: file-granular rate-limited backfill of one multi-file
-    # commit (compound version+file-index offsets)
+    # commit (compound version+file-index offsets); domain-metadata
+    # liquid clustering driving a bare OPTIMIZE
     "stream_delta_backfill_files",
+    "source_delta_liquid_clustering",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -1753,3 +1753,105 @@ def source_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_delta_liquid_clustering",
+    """
+    WITH b AS (
+        SELECT MIN(o_custkey) AS mn,
+               MAX(o_custkey) - MIN(o_custkey) AS span
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders
+    WHERE o_custkey BETWEEN
+        (SELECT mn + CAST(FLOOR(span * 3 / 5) AS BIGINT) FROM b)
+        AND
+        (SELECT mn + CAST(FLOOR(span * 4 / 5) AS BIGINT) FROM b)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "delta", "interchange", "clustering",
+          "domain-metadata", "data-skipping", "optimize"),
+)
+def source_delta_liquid_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Liquid-clustering metadata via Domain Metadata (round 10,
+    `delta_log.set_clustering_columns` + `domainMetadata` actions +
+    the `optimize_delta` tie-in): orders lands range-clustered by
+    o_orderkey (8 files; a o_custkey band prunes nothing — asserted),
+    then CLUSTER BY metadata is recorded in the `delta.clustering`
+    system domain — a `domainMetadata` action whose commit upgrades
+    the protocol to writer-feature `domainMetadata` with the legacy
+    features enumerated (asserted in-query) — and a BARE `OPTIMIZE`
+    (no zorder argument) re-clusters along the declared columns, the
+    way liquid clustering's maintenance runs. The o_custkey band now
+    skips files (asserted); a classic checkpoint is written and every
+    JSON commit DELETED, so the final pruned read folds the domain,
+    the feature protocol, and the stats purely from checkpoint rows.
+    The aggregate hashes against the fixture's WHERE twin. At 100 TB:
+    clustering policy travels WITH the table (any engine's OPTIMIZE
+    re-clusters the same way), and checkpoint replay is O(live files)
+    regardless of history length."""
+    import os
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        _snapshot_state,
+        checkpoint_delta,
+        clustering_columns,
+        delta_domain_metadata,
+        delta_plan_files,
+        optimize_delta,
+        read_delta_pruned,
+        set_clustering_columns,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_lc_")
+    shutil.rmtree(path)
+    write_delta(o.repartitionByRange(8, "o_orderkey"), path)
+    mn, mx = o.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    lo = int(mn) + (int(mx) - int(mn)) * 3 // 5
+    hi = int(mn) + (int(mx) - int(mn)) * 4 // 5
+    keep0, total0 = delta_plan_files(path, "o_custkey", lo, hi)
+    assert total0 == 8 and len(keep0) == 8, (len(keep0), total0)
+    set_clustering_columns(path, ["o_orderkey", "o_custkey"])
+    assert clustering_columns(path) == ["o_orderkey", "o_custkey"]
+    proto = _snapshot_state(path)[2]["protocol"]
+    assert proto["minWriterVersion"] == 7 and {
+        "domainMetadata", "appendOnly", "invariants",
+    } <= set(proto["writerFeatures"]), proto
+    optimize_delta(spark, path, target_files=8)  # bare OPTIMIZE
+    keep1, total1 = delta_plan_files(path, "o_custkey", lo, hi)
+    assert total1 == 8 and len(keep1) < 8, (len(keep1), total1)
+    checkpoint_delta(path)
+    log = os.path.join(path, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json") and f[:20].isdigit():
+            os.remove(os.path.join(log, f))
+    # checkpoint-only table: domain + protocol + stats all from rows
+    assert "delta.clustering" in delta_domain_metadata(path)
+    keep2, total2 = delta_plan_files(path, "o_custkey", lo, hi)
+    assert (len(keep2), total2) == (len(keep1), total1)
+    t = read_delta_pruned(spark, path, "o_custkey", lo, hi)
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -303,6 +303,13 @@ def _fold_action(action: dict, state: dict) -> None:
         prev = state["txns"].get(t["appId"])
         if prev is None or t.get("version", 0) >= prev.get("version", 0):
             state["txns"][t["appId"]] = dict(t)
+    elif action.get("domainMetadata") is not None:
+        # Domain Metadata (round 10, protocol's domainMetadata action):
+        # latest action per domain wins; removed=true tombstones are
+        # RETAINED in state (checkpoints must carry them, like remove
+        # tombstones) and filtered at the read API
+        d = dict(action["domainMetadata"])
+        state.setdefault("domains", {})[d["domain"]] = d
 
 
 def _snapshot_state(
@@ -326,7 +333,8 @@ def _snapshot_state(
         )
     start_cp = max((c for c in cps if c <= until), default=None)
     state: dict = {
-        "meta": None, "adds": {}, "removes": {}, "txns": {}, "protocol": None,
+        "meta": None, "adds": {}, "removes": {}, "txns": {},
+        "protocol": None, "domains": {},
     }
     if start_cp is not None:
         import pyarrow.parquet as pq
@@ -409,20 +417,25 @@ def checkpoint_delta(
     )
     meta, adds, state = _snapshot_state(path, v)
     removes, txns = state["removes"], state["txns"]
+    domains = state.get("domains") or {}
     proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
-    if (
-        proto.get("minReaderVersion", 1) > 1
-        or proto.get("readerFeatures")
-        or proto.get("writerFeatures")
-    ):
+    if proto.get("minReaderVersion", 1) > 1 or proto.get("readerFeatures"):
+        # READER-feature tables (DV etc.) need the v2 checkpoint writer;
+        # WRITER-features-only tables (domainMetadata, constraints as
+        # features) checkpoint classically with the writerFeatures list
+        # carried in the protocol row (round 10 — was a blanket refusal)
         raise NotImplementedError(
-            "checkpointing a table with reader/writer features would need "
-            "the feature-list checkpoint schema; read such tables in "
-            "place instead"
+            "checkpointing a table with reader features needs the v2 "
+            "checkpoint writer (checkpoint_delta_v2); read such tables "
+            "in place instead"
         )
 
     protocol_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     meta_t = pa.struct(
         [
@@ -461,14 +474,16 @@ def checkpoint_delta(
             ("lastUpdated", pa.int64()),
         ]
     )
-    n = 2 + len(adds) + len(removes) + len(txns)
+    n = 2 + len(adds) + len(removes) + len(txns) + len(domains)
     # the FOLDED protocol, not a hard-coded downgrade: a reader-1 table
     # with writer version 3-6 (invariants, CHECK constraints, ...) keeps
     # its writer requirement when engines replay from this checkpoint
-    # (ADVICE r7). Reader >1 / feature tables were refused above.
+    # (ADVICE r7); a writer-feature table keeps its feature list.
+    # Reader-feature tables were refused above.
     proto_col = [{
         "minReaderVersion": proto.get("minReaderVersion", 1),
         "minWriterVersion": proto.get("minWriterVersion", 2),
+        "writerFeatures": proto.get("writerFeatures"),
     }] + [None] * (n - 1)
     meta_row = {
         "id": meta["id"],
@@ -499,7 +514,7 @@ def checkpoint_delta(
                 "stats": a.get("stats"),
             }
         )
-    add_col += [None] * (len(removes) + len(txns))
+    add_col += [None] * (len(removes) + len(txns) + len(domains))
     remove_col: list = [None] * (2 + len(adds))
     for p in sorted(removes):
         r = removes[p]
@@ -510,7 +525,7 @@ def checkpoint_delta(
                 "dataChange": bool(r.get("dataChange", True)),
             }
         )
-    remove_col += [None] * len(txns)
+    remove_col += [None] * (len(txns) + len(domains))
     txn_col: list = [None] * (2 + len(adds) + len(removes))
     for app in sorted(txns):
         t = txns[app]
@@ -521,6 +536,27 @@ def checkpoint_delta(
                 "lastUpdated": t.get("lastUpdated"),
             }
         )
+    txn_col += [None] * len(domains)
+    domain_t = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
+    )
+    # tombstoned domains ride along too — the spec's checkpoint rule,
+    # same reasoning as remove tombstones (a replaying writer must see
+    # that the domain was dropped, not resurrect a pre-drop value)
+    domain_col: list = [None] * (2 + len(adds) + len(removes) + len(txns))
+    for name in sorted(domains):
+        d = domains[name]
+        domain_col.append(
+            {
+                "domain": d["domain"],
+                "configuration": d.get("configuration"),
+                "removed": bool(d.get("removed", False)),
+            }
+        )
     table = pa.table(
         {
             "protocol": pa.array(proto_col, type=protocol_t),
@@ -528,6 +564,7 @@ def checkpoint_delta(
             "add": pa.array(add_col, type=add_t),
             "remove": pa.array(remove_col, type=remove_t),
             "txn": pa.array(txn_col, type=txn_t),
+            "domainMetadata": pa.array(domain_col, type=domain_t),
         }
     )
     if parts is None or parts <= 1:
@@ -1119,7 +1156,12 @@ def _next_version(path: str) -> tuple[int, dict]:
         raise ValueError(f"{path} is not a Delta table")
     head = max(versions[-1] if versions else -1, cps[-1] if cps else -1)
     meta, adds, _state = _snapshot_state(path)
-    return head + 1, {"meta": meta, "adds": adds}
+    return head + 1, {
+        "meta": meta,
+        "adds": adds,
+        "protocol": _state.get("protocol"),
+        "domains": _state.get("domains") or {},
+    }
 
 
 def _check_write_schema(df: DataFrame, meta: dict) -> None:
@@ -1867,6 +1909,20 @@ def optimize_delta(
     v, state = _next_version(path)
     meta = state["meta"]
     pcols = meta.get("partitionColumns", []) or []
+    if not zorder_by:
+        # liquid-clustering tie-in (round 10): a bare OPTIMIZE on a
+        # table whose `delta.clustering` domain declares columns
+        # re-clusters along them, delta-spark's maintenance behavior
+        dm = (state.get("domains") or {}).get("delta.clustering")
+        if dm and not dm.get("removed"):
+            try:
+                cfg = json.loads(dm.get("configuration") or "{}")
+                zorder_by = [
+                    p[-1] if isinstance(p, list) else str(p)
+                    for p in cfg.get("clusteringColumns") or []
+                ] or None
+            except (ValueError, TypeError):
+                pass
     snap = read_delta(spark, path)
     if zorder_by:
         from pyspark.sql import functions as F
@@ -2037,6 +2093,128 @@ def update_delta_config(path: str, config: dict[str, str]) -> int:
         op="SET TBLPROPERTIES", params={k: str(v2) for k, v2 in config.items()},
     )
     return v
+
+
+# Legacy writer-protocol versions imply these features; upgrading a
+# table to writer version 7 (table features) must enumerate them, per
+# the protocol's "Table Features" chapter.
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
+def _with_writer_feature(proto: dict | None, feature: str) -> dict:
+    """The protocol action that adds a WRITER table feature: writer
+    version jumps to 7 with every legacy-implied feature enumerated
+    (spec rule — a v7 writerFeatures list replaces, not augments, the
+    legacy version's implications); the reader side is untouched unless
+    the table already speaks reader features."""
+    p = dict(proto or {"minReaderVersion": 1, "minWriterVersion": 2})
+    if p.get("minWriterVersion", 2) >= 7 and p.get("writerFeatures"):
+        wf = set(p["writerFeatures"])
+    else:
+        wf = set()
+        for ver, feats in _LEGACY_WRITER_FEATURES.items():
+            if p.get("minWriterVersion", 2) >= ver:
+                wf.update(feats)
+    wf.add(feature)
+    out = {
+        "minReaderVersion": p.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf),
+    }
+    if p.get("readerFeatures") is not None or p.get(
+        "minReaderVersion", 1
+    ) >= 3:
+        out["minReaderVersion"] = 3
+        out["readerFeatures"] = sorted(set(p.get("readerFeatures") or []))
+    return out
+
+
+def set_domain_metadata(
+    path: str, domain: str, configuration, removed: bool = False
+) -> int:
+    """Write a `domainMetadata` action (round 10, the protocol's Domain
+    Metadata chapter): one string configuration per named domain, latest
+    action per domain wins, ``removed=True`` tombstones it. The commit
+    upgrades the protocol to writer-feature `domainMetadata` (writer
+    version 7 with legacy features enumerated) the first time — the
+    spec's gate so legacy writers, which would silently DROP domains on
+    their next metadata-less checkpoint, refuse the table instead.
+    Domains named `delta.*` are system domains (e.g. `delta.clustering`
+    carries liquid clustering columns — see `set_clustering_columns`).
+    O(1) driver metadata, no Spark job."""
+    v, state = _next_version(path)
+    conf = (
+        configuration
+        if isinstance(configuration, str)
+        else json.dumps(configuration, sort_keys=True)
+    )
+    actions: list[dict] = []
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if "domainMetadata" not in set(proto.get("writerFeatures") or []):
+        actions.append(
+            {"protocol": _with_writer_feature(proto, "domainMetadata")}
+        )
+    actions.append(
+        {"domainMetadata": {
+            "domain": domain, "configuration": conf,
+            "removed": bool(removed),
+        }}
+    )
+    _write_commit(
+        path, v, actions,
+        op="DROP DOMAIN METADATA" if removed else "SET DOMAIN METADATA",
+        params={"domain": domain},
+    )
+    return v
+
+
+def delta_domain_metadata(
+    path: str, version: int | None = None
+) -> dict[str, str]:
+    """Live (non-removed) domain metadata at ``version``: domain ->
+    configuration string, folded from the log/checkpoint with
+    latest-per-domain semantics."""
+    _meta, _adds, state = _snapshot_state(path, version)
+    return {
+        d: dm.get("configuration")
+        for d, dm in sorted((state.get("domains") or {}).items())
+        if not dm.get("removed")
+    }
+
+
+def set_clustering_columns(path: str, cols: list[str]) -> int:
+    """Record liquid-clustering columns in the `delta.clustering` system
+    domain (delta-spark's CLUSTER BY metadata). `optimize_delta` with no
+    explicit ``zorder_by`` picks these up, so `OPTIMIZE` alone
+    re-clusters the table the way liquid clustering's maintenance
+    does."""
+    return set_domain_metadata(
+        path, "delta.clustering",
+        {"clusteringColumns": [[c] for c in cols]},
+    )
+
+
+def clustering_columns(path: str, version: int | None = None) -> list[str]:
+    """The table's declared clustering columns ([] when none): the
+    `delta.clustering` domain's configuration, physical->leaf names
+    flattened (the domain stores each column as a name-path array)."""
+    dm = delta_domain_metadata(path, version).get("delta.clustering")
+    if not dm:
+        return []
+    try:
+        cfg = json.loads(dm)
+        return [
+            p[-1] if isinstance(p, list) else str(p)
+            for p in cfg.get("clusteringColumns") or []
+        ]
+    except (ValueError, TypeError):
+        return []
 
 
 def _write_cdc_files(df: DataFrame, path: str, plan: _ScanPlan) -> list[dict]:
@@ -2805,7 +2983,12 @@ def checkpoint_delta_v2(
         [("path", pa.string()), ("sizeInBytes", pa.int64()),
          ("modificationTime", pa.int64())]
     )
-    rows_n = 2 + 1 + len(txns) + len(sidecar_rows)
+    domains = state.get("domains") or {}
+    domain_t = pa.struct(
+        [("domain", pa.string()), ("configuration", pa.string()),
+         ("removed", pa.bool_())]
+    )
+    rows_n = 2 + 1 + len(txns) + len(domains) + len(sidecar_rows)
     col = {
         "checkpointMetadata": [{"version": v}] + [None] * (rows_n - 1),
         "protocol": [None, {
@@ -2829,8 +3012,19 @@ def checkpoint_delta_v2(
         t = txns[app]
         txn_col.append({"appId": t["appId"], "version": t.get("version", 0),
                         "lastUpdated": t.get("lastUpdated")})
-    txn_col += [None] * len(sidecar_rows)
-    sc_col: list = [None] * (3 + len(txns))
+    txn_col += [None] * (len(domains) + len(sidecar_rows))
+    # domainMetadata lives in the v2 TOP-LEVEL file (sidecars carry only
+    # file actions, per spec); tombstoned domains included
+    domain_col: list = [None] * (3 + len(txns))
+    for name in sorted(domains):
+        d = domains[name]
+        domain_col.append(
+            {"domain": d["domain"],
+             "configuration": d.get("configuration"),
+             "removed": bool(d.get("removed", False))}
+        )
+    domain_col += [None] * len(sidecar_rows)
+    sc_col: list = [None] * (3 + len(txns) + len(domains))
     sc_col += sidecar_rows
     table = pa.table(
         {
@@ -2838,6 +3032,7 @@ def checkpoint_delta_v2(
             "protocol": pa.array(col["protocol"], type=protocol_t),
             "metaData": pa.array(col["metaData"], type=meta_t),
             "txn": pa.array(txn_col, type=txn_t),
+            "domainMetadata": pa.array(domain_col, type=domain_t),
             "sidecar": pa.array(sc_col, type=sidecar_t),
         }
     )

@@ -3110,3 +3110,160 @@ class TestProtocolCheckpointCdfExamples:
         with pytest.raises(ValueError, match="version"):
             from rtcdb_spark.sources.delta_log import _snapshot_state
             _snapshot_state(path, 11)
+
+
+class TestDomainMetadata:
+    """Domain Metadata (round 10): latest-per-domain fold, removal
+    tombstones, writer-feature protocol upgrade with legacy features
+    enumerated, checkpoint carry (classic + v2), and the
+    `delta.clustering` liquid-clustering tie-in to OPTIMIZE."""
+
+    def test_set_get_override_remove(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delta_domain_metadata,
+            set_domain_metadata,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(4).select(F.col("id").alias("k")), path)
+        set_domain_metadata(path, "app.retention", {"days": 30})
+        set_domain_metadata(path, "app.owner", "team-a")
+        got = delta_domain_metadata(path)
+        assert got["app.owner"] == "team-a"
+        assert json.loads(got["app.retention"]) == {"days": 30}
+        set_domain_metadata(path, "app.owner", "team-b")  # override
+        assert delta_domain_metadata(path)["app.owner"] == "team-b"
+        v = set_domain_metadata(path, "app.owner", "", removed=True)
+        assert "app.owner" not in delta_domain_metadata(path)
+        # time travel sees the pre-removal value
+        assert delta_domain_metadata(path, v - 1)["app.owner"] == "team-b"
+        # data untouched throughout
+        assert read_delta(spark, path).count() == 4
+
+    def test_protocol_upgrade_enumerates_legacy_features(
+        self, spark, tmp_path
+    ):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            set_domain_metadata,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(2).select(F.col("id").alias("k")), path)
+        set_domain_metadata(path, "d", "x")
+        proto = _snapshot_state(path)[2]["protocol"]
+        assert proto["minWriterVersion"] == 7
+        wf = set(proto["writerFeatures"])
+        # minWriterVersion 2 legacy implications + the new feature
+        assert {"domainMetadata", "appendOnly", "invariants"} <= wf
+        # second write must NOT re-emit a protocol action
+        set_domain_metadata(path, "d2", "y")
+        last = max(
+            int(f[:20])
+            for f in os.listdir(os.path.join(path, "_delta_log"))
+            if f.endswith(".json")
+        )
+        acts = [
+            json.loads(x)
+            for x in open(
+                os.path.join(path, "_delta_log", f"{last:020d}.json")
+            )
+        ]
+        assert not any(a.get("protocol") for a in acts)
+
+    def test_classic_checkpoint_carries_domains(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            checkpoint_delta,
+            delta_domain_metadata,
+            set_domain_metadata,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(3).select(F.col("id").alias("k")), path)
+        set_domain_metadata(path, "app.a", "1")
+        set_domain_metadata(path, "app.b", "2")
+        set_domain_metadata(path, "app.b", "", removed=True)
+        v = checkpoint_delta(path)
+        # drop every JSON commit: the checkpoint alone must carry the
+        # domains (incl. the tombstone), the feature protocol, and data
+        log = os.path.join(path, "_delta_log")
+        for f in os.listdir(log):
+            if f.endswith(".json") and f[:20].isdigit():
+                os.remove(os.path.join(log, f))
+        got = delta_domain_metadata(path)
+        assert got == {"app.a": "1"}
+        from rtcdb_spark.sources.delta_log import _snapshot_state
+
+        state = _snapshot_state(path)[2]
+        assert state["domains"]["app.b"]["removed"] is True
+        assert "domainMetadata" in set(
+            state["protocol"]["writerFeatures"] or []
+        )
+        assert read_delta(spark, path).count() == 3
+
+    def test_v2_checkpoint_carries_domains(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            checkpoint_delta_v2,
+            delta_domain_metadata,
+            set_domain_metadata,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(5).select(F.col("id").alias("k")), path)
+        set_domain_metadata(path, "app.z", "zz")
+        checkpoint_delta_v2(path)
+        log = os.path.join(path, "_delta_log")
+        for f in os.listdir(log):
+            if f.endswith(".json") and f[:20].isdigit():
+                os.remove(os.path.join(log, f))
+        assert delta_domain_metadata(path) == {"app.z": "zz"}
+        assert read_delta(spark, path).count() == 5
+
+    def test_clustering_domain_drives_optimize(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            clustering_columns,
+            delta_plan_files,
+            optimize_delta,
+            read_delta_pruned,
+            set_clustering_columns,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(4000).select(
+                F.col("id").alias("k"),
+                ((F.col("id") * 2654435761) % 4000).alias("v"),
+            ).repartitionByRange(8, "k"),
+            path,
+        )
+        set_clustering_columns(path, ["k", "v"])
+        assert clustering_columns(path) == ["k", "v"]
+        keep0, total0 = delta_plan_files(path, "v", 0, 100)
+        assert (len(keep0), total0) == (8, 8)
+        optimize_delta(spark, path, target_files=8)  # NO zorder_by arg
+        keep1, total1 = delta_plan_files(path, "v", 0, 100)
+        assert total1 == 8 and len(keep1) < 8
+        got = sorted(
+            r["v"] for r in
+            read_delta_pruned(spark, path, "v", 0, 100).collect()
+        )
+        assert got == sorted(range(0, 101))
+
+    def test_foreign_domain_action_folds(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_domain_metadata
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(2).select(F.col("id").alias("k")), path)
+        # hand-append a spec-shaped commit from a foreign writer
+        with open(
+            os.path.join(path, "_delta_log", f"{1:020d}.json"), "w"
+        ) as fh:
+            fh.write(json.dumps({"domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": json.dumps(
+                    {"clusteringColumns": [["k"]]}),
+                "removed": False}}) + "\n")
+        from rtcdb_spark.sources.delta_log import clustering_columns
+
+        assert clustering_columns(path) == ["k"]
+        assert "delta.clustering" in delta_domain_metadata(path)
