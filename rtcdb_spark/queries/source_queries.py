@@ -1855,3 +1855,82 @@ def source_delta_liquid_clustering(
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_delta_ict_travel",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders
+    WHERE o_orderkey % 4 <> 3
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "delta", "interchange", "ict", "timestamp-travel"),
+)
+def source_delta_ict_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Commit Timestamps driving TIMESTAMP AS OF (round 10,
+    `delta_log.enable_in_commit_timestamps`): orders lands in three
+    commits (v0 pre-ICT, v2-v3 stamped with strictly monotone
+    `commitInfo.inCommitTimestamp`, commitInfo FIRST — both asserted
+    in-query), then every commit file's mtime is pushed A DAY into the
+    future — the backup/copy/retention clock skew ICT exists to
+    survive. TIMESTAMP AS OF the v2 stamp must still resolve to v2
+    (file mtimes would say "nothing committed yet") and the read at
+    that timestamp excludes v3's slice. The aggregate hashes against
+    the fixture's 3-of-4 twin, so a travel that trusted mtimes or a
+    non-monotone stamp breaks it."""
+    import os
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        delta_version_at,
+        enable_in_commit_timestamps,
+        read_delta_at_timestamp,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_ict_")
+    shutil.rmtree(path)
+    write_delta(o.filter(F.col("o_orderkey") % 4 == 0), path)      # v0
+    ev = enable_in_commit_timestamps(path)                          # v1
+    append_delta(o.filter(F.col("o_orderkey") % 4 == 1), path)      # v2
+    append_delta(o.filter(F.col("o_orderkey") % 4 == 2), path)      # v3
+    append_delta(o.filter(F.col("o_orderkey") % 4 == 3), path)      # v4
+    log = os.path.join(path, "_delta_log")
+    icts = {}
+    import json as _json
+
+    for f in os.listdir(log):
+        if f.endswith(".json") and f[:20].isdigit():
+            with open(os.path.join(log, f)) as fh:
+                first = _json.loads(fh.readline())
+            ci = first.get("commitInfo") or {}
+            if "inCommitTimestamp" in ci:
+                icts[int(f[:20])] = ci["inCommitTimestamp"]
+    assert sorted(icts) == [ev, ev + 1, ev + 2, ev + 3], icts
+    vals = [icts[v] for v in sorted(icts)]
+    assert all(b > a for a, b in zip(vals, vals[1:])), vals
+    # clock sabotage: every commit file's mtime jumps a day ahead
+    for f in os.listdir(log):
+        if f.endswith(".json"):
+            p = os.path.join(log, f)
+            os.utime(p, (os.path.getmtime(p) + 86400,) * 2)
+    at = icts[ev + 2]  # v3's stamp: includes slices 0,1,2 — not 3
+    assert delta_version_at(path, at) == ev + 2
+    t = read_delta_at_timestamp(spark, path, at)
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -968,17 +968,70 @@ def _commit_info(op: str, params: dict | None = None) -> dict:
     }
 
 
+def _ict_state(
+    path: str, version: int, actions: list[dict]
+) -> tuple[bool, int | None]:
+    """(in-commit-timestamps enabled, previous commit's ICT) for the
+    commit about to be written. An in-actions metaData carries the FULL
+    merged configuration, so its flag value is authoritative
+    (enable/disable commits included); otherwise ICT is in force iff
+    the previous commit was stamped — on an ICT table every commit is,
+    with commitInfo FIRST, so one readline decides."""
+    enabled = None
+    for a in actions:
+        m = a.get("metaData")
+        if m is not None:
+            cfg = _demap(m.get("configuration")) or {}
+            if "delta.enableInCommitTimestamps" in cfg:
+                enabled = cfg["delta.enableInCommitTimestamps"] == "true"
+            else:
+                enabled = False if enabled is None else enabled
+            break
+    prev_ict = None
+    p = _commit_path(path, version - 1)
+    if version > 0 and os.path.exists(p):
+        with open(p) as fh:
+            first = fh.readline().strip()
+        if first:
+            try:
+                ci = json.loads(first).get("commitInfo")
+            except ValueError:
+                ci = None
+            if ci and ci.get("inCommitTimestamp") is not None:
+                prev_ict = int(ci["inCommitTimestamp"])
+    if enabled is None:
+        enabled = prev_ict is not None
+    return enabled, prev_ict
+
+
 def _write_commit(
     path: str,
     version: int,
     actions: list[dict],
     op: str | None = None,
     params: dict | None = None,
+    ict: int | None = None,
 ) -> None:
-    if op is not None:
+    enabled, prev_ict = _ict_state(path, version, actions)
+    if enabled:
+        # inCommitTimestamp feature (round 10): commitInfo must be the
+        # FIRST action and carry a strictly monotonically increasing
+        # timestamp — the clock readers trust over file mtimes
+        ci = _commit_info(op or "WRITE", params)
+        stamp = (
+            ict
+            if ict is not None
+            else max(int(time.time() * 1000), (prev_ict or 0) + 1)
+        )
+        if prev_ict is not None and stamp <= prev_ict:
+            stamp = prev_ict + 1
+        ci["commitInfo"]["inCommitTimestamp"] = stamp
+        ci["commitInfo"]["timestamp"] = stamp
+        actions = [ci] + list(actions)
+    elif op is not None:
         # commitInfo LAST: the protocol does not constrain its position
-        # and appending keeps hand-written fixture logs and positional
-        # test asserts stable
+        # (absent ICT) and appending keeps hand-written fixture logs and
+        # positional test asserts stable
         actions = list(actions) + [_commit_info(op, params)]
     os.makedirs(_log_dir(path), exist_ok=True)
     target = _commit_path(path, version)
@@ -2135,6 +2188,45 @@ def _with_writer_feature(proto: dict | None, feature: str) -> dict:
     return out
 
 
+def enable_in_commit_timestamps(path: str) -> int:
+    """Turn on the `inCommitTimestamp` writer feature (round 10, the
+    protocol's In-Commit Timestamps chapter): every subsequent commit
+    stamps `commitInfo.inCommitTimestamp` — strictly monotonically
+    increasing, commitInfo FIRST in the file — and readers resolve
+    TIMESTAMP AS OF from it instead of file modification times (which
+    backups, copies, and retention rewrites silently change; the exact
+    failure ICT was designed to close). The enablement commit records
+    `delta.inCommitTimestampEnablementVersion` and
+    `...EnablementTimestamp` (equal to its own ICT, per spec) so time
+    travel knows where the trustworthy clock begins, and upgrades the
+    protocol to the writer feature. Disable any time with
+    `update_delta_config({"delta.enableInCommitTimestamps": "false"})`."""
+    v, state = _next_version(path)
+    _, prev_ict = _ict_state(path, v, [])
+    ict = max(int(time.time() * 1000), (prev_ict or 0) + 1)
+    meta = dict(state["meta"])
+    meta["configuration"] = {
+        **(meta.get("configuration") or {}),
+        "delta.enableInCommitTimestamps": "true",
+        "delta.inCommitTimestampEnablementVersion": str(v),
+        "delta.inCommitTimestampEnablementTimestamp": str(ict),
+    }
+    actions: list[dict] = []
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if "inCommitTimestamp" not in set(proto.get("writerFeatures") or []):
+        actions.append(
+            {"protocol": _with_writer_feature(proto, "inCommitTimestamp")}
+        )
+    actions.append({"metaData": meta})
+    _write_commit(
+        path, v, actions,
+        op="SET TBLPROPERTIES",
+        params={"delta.enableInCommitTimestamps": "true"},
+        ict=ict,
+    )
+    return v
+
+
 def set_domain_metadata(
     path: str, domain: str, configuration, removed: bool = False
 ) -> int:
@@ -3070,7 +3162,9 @@ def delta_history(path: str) -> list[dict]:
         out.append(
             {
                 "version": v,
-                "timestamp": (ci or {}).get("timestamp"),
+                "timestamp": (ci or {}).get(
+                    "inCommitTimestamp", (ci or {}).get("timestamp")
+                ),
                 "operation": (ci or {}).get("operation"),
                 "operationParameters": _demap(
                     (ci or {}).get("operationParameters")
@@ -3386,7 +3480,11 @@ def delta_version_at(path: str, ts_ms: int) -> int:
         ts = None
         for a in _commit_actions(path, v, versions):
             if a.get("commitInfo") is not None:
-                ts = a["commitInfo"].get("timestamp")
+                ci = a["commitInfo"]
+                # inCommitTimestamp (round 10) outranks the wall-clock
+                # field — it is monotone by construction and survives
+                # file copies/retention rewrites
+                ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
                 break
         if ts is None:
             ts = int(os.path.getmtime(_commit_path(path, v)) * 1000)

@@ -415,7 +415,8 @@ class DeltaStreamReader(DataSourceStreamReader):
         vs = delta_versions(self.table_path)
         for a in _ca(self.table_path, v, vs):
             if a.get("commitInfo") is not None:
-                t = a["commitInfo"].get("timestamp")
+                ci = a["commitInfo"]
+                t = ci.get("inCommitTimestamp", ci.get("timestamp"))
                 if t is not None:
                     return int(t)
         return int(os.path.getmtime(_cp(self.table_path, v)) * 1000)

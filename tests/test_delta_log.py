@@ -3267,3 +3267,111 @@ class TestDomainMetadata:
 
         assert clustering_columns(path) == ["k"]
         assert "delta.clustering" in delta_domain_metadata(path)
+
+
+class TestInCommitTimestamps:
+    """In-Commit Timestamps (round 10): commitInfo FIRST with a strictly
+    monotone inCommitTimestamp once enabled; TIMESTAMP AS OF trusts it
+    over file mtimes; enablement records version+timestamp configs and
+    the writer feature; disable stops stamping."""
+
+    def _first_actions(self, path):
+        log = os.path.join(path, "_delta_log")
+        out = {}
+        for f in sorted(os.listdir(log)):
+            if f.endswith(".json") and f[:20].isdigit():
+                with open(os.path.join(log, f)) as fh:
+                    out[int(f[:20])] = json.loads(fh.readline())
+        return out
+
+    def test_enable_stamps_monotone_ict_first(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            enable_in_commit_timestamps,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(3).select(F.col("id").alias("k")), path)
+        ev = enable_in_commit_timestamps(path)
+        for i in range(3):  # rapid commits force the +1 monotone path
+            append_delta(
+                spark.createDataFrame([(100 + i,)], "k bigint"), path
+            )
+        firsts = self._first_actions(path)
+        # v0 predates ICT: its first action is NOT a stamped commitInfo
+        assert (
+            firsts[0].get("commitInfo") is None
+            or "inCommitTimestamp" not in firsts[0]["commitInfo"]
+        )
+        icts = []
+        for v in range(ev, ev + 4):
+            ci = firsts[v].get("commitInfo")
+            assert ci is not None and "inCommitTimestamp" in ci, v
+            icts.append(ci["inCommitTimestamp"])
+        assert all(b > a for a, b in zip(icts, icts[1:])), icts
+        # enablement configs: version + timestamp equal to the commit's own
+        meta = _snapshot_state(path)[0]
+        cfg = meta["configuration"]
+        assert cfg["delta.inCommitTimestampEnablementVersion"] == str(ev)
+        assert int(
+            cfg["delta.inCommitTimestampEnablementTimestamp"]
+        ) == icts[0]
+        proto = _snapshot_state(path)[2]["protocol"]
+        assert "inCommitTimestamp" in set(proto["writerFeatures"])
+        assert read_delta(spark, path).count() == 6
+
+    def test_timestamp_travel_trusts_ict_over_mtime(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delta_version_at,
+            enable_in_commit_timestamps,
+            read_delta_at_timestamp,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(2).select(F.col("id").alias("k")), path)
+        ev = enable_in_commit_timestamps(path)
+        append_delta(spark.createDataFrame([(10,)], "k bigint"), path)
+        firsts = self._first_actions(path)
+        ict2 = firsts[ev + 1]["commitInfo"]["inCommitTimestamp"]
+        # sabotage the file clock: push every commit's mtime a day out
+        log = os.path.join(path, "_delta_log")
+        for f in os.listdir(log):
+            if f.endswith(".json"):
+                p = os.path.join(log, f)
+                os.utime(p, (os.path.getmtime(p) + 86400,) * 2)
+        assert delta_version_at(path, ict2) == ev + 1
+        assert delta_version_at(path, ict2 - 1) == ev
+        assert read_delta_at_timestamp(spark, path, ict2).count() == 3
+
+    def test_disable_stops_stamping(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            enable_in_commit_timestamps,
+            update_delta_config,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(2).select(F.col("id").alias("k")), path)
+        enable_in_commit_timestamps(path)
+        append_delta(spark.createDataFrame([(9,)], "k bigint"), path)
+        dv = update_delta_config(
+            path, {"delta.enableInCommitTimestamps": "false"}
+        )
+        append_delta(spark.createDataFrame([(11,)], "k bigint"), path)
+        firsts = self._first_actions(path)
+        ci = firsts[dv + 1].get("commitInfo") or {}
+        assert "inCommitTimestamp" not in ci
+        assert read_delta(spark, path).count() == 4
+
+    def test_history_reports_ict(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delta_history,
+            enable_in_commit_timestamps,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(2).select(F.col("id").alias("k")), path)
+        ev = enable_in_commit_timestamps(path)
+        firsts = self._first_actions(path)
+        ict = firsts[ev]["commitInfo"]["inCommitTimestamp"]
+        h = {e["version"]: e for e in delta_history(path)}
+        assert h[ev]["timestamp"] == ict
