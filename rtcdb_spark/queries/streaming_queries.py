@@ -1245,11 +1245,11 @@ def stream_delta_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_delta_backfill_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded BACKFILL of one giant Delta commit (round 10,
     `delta_stream` with ``maxFilesPerTrigger`` — VERDICT r9 item 4):
-    orders lands as ONE commit of 6 data files; checkpointed
-    availableNow drains at maxFilesPerTrigger=2 must take ceil(6/2)=3
+    orders lands as ONE commit of 4 data files; checkpointed
+    availableNow drains at maxFilesPerTrigger=2 must take ceil(4/2)=2
     micro-batches, each advancing a compound (version, file-index)
     offset WITHIN the commit — asserted in-query by the sink's strictly
-    increasing, properly partial counts. A seventh-file commit then
+    increasing, properly partial counts. A fifth-file commit then
     lands and one more drain from the SAME checkpoint delivers exactly
     it (exactly-once across the mid-commit boundaries). delta-spark
     semantics: an initial 1M-file load drains in bounded batches
@@ -1275,7 +1275,7 @@ def stream_delta_backfill_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     head = o.filter(F.col("o_orderkey") % 7 != 0)
     tail = o.filter(F.col("o_orderkey") % 7 == 0)
-    write_delta(head.repartition(6), path)  # ONE commit, 6 files
+    write_delta(head.repartition(4), path)  # ONE commit, 4 files
 
     def _drain() -> int:
         q = (
@@ -1293,10 +1293,10 @@ def stream_delta_backfill_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(sink).count()
 
     n_head = head.count()
-    counts = [_drain() for _ in range(3)]
-    assert counts[2] == n_head and 0 < counts[0] < counts[1] < n_head, (
-        "6 files at maxFilesPerTrigger=2 must drain in exactly 3 "
-        f"partial batches, got {counts} of {n_head}"
+    counts = [_drain() for _ in range(2)]
+    assert counts[1] == n_head and 0 < counts[0] < n_head, (
+        "4 files at maxFilesPerTrigger=2 must drain in exactly 2 "
+        f"batches, the first properly partial, got {counts} of {n_head}"
     )
     append_delta(tail.coalesce(1), path)  # v1 lands AFTER the backfill
     n_all = _drain()  # same checkpoint: only the new commit arrives
