@@ -2188,6 +2188,202 @@ def _with_writer_feature(proto: dict | None, feature: str) -> dict:
     return out
 
 
+def enable_column_mapping(path: str, mode: str = "name") -> int:
+    """ALTER TABLE ... SET ('delta.columnMapping.mode' = 'name') on an
+    EXISTING table (round 10 — the migration that unlocks RENAME/DROP
+    COLUMN): every field, recursively through nested structs, gets
+    `delta.columnMapping.physicalName` equal to its CURRENT name — so
+    every already-written parquet file keeps resolving byte-for-byte —
+    plus a fresh `delta.columnMapping.id`; `maxColumnId` is recorded
+    and the protocol upgrades to the mapping versions (reader 2 /
+    writer 5, or the columnMapping feature on feature tables).
+
+    Only 'name' mode is legal here, delta-spark's own rule: 'id' mode
+    matches by parquet FIELD ID footer metadata, which files written
+    before the migration do not carry — an id-mode migration would
+    orphan every existing file. Metadata-only commit, no data moves."""
+    from pyspark.sql.types import StructType
+
+    if mode != "name":
+        raise ValueError(
+            "column mapping can only be enabled in 'name' mode on an "
+            "existing table — its files lack the parquet field ids 'id' "
+            "mode matches by; create id-mode tables with write_delta"
+        )
+    v, state = _next_version(path)
+    meta = dict(state["meta"])
+    cfg = dict(meta.get("configuration") or {})
+    if cfg.get("delta.columnMapping.mode") in ("name", "id"):
+        return v - 1  # already mapped: no-op
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    counter = {"next": int(cfg.get("delta.columnMapping.maxColumnId", 0))}
+
+    def _annot(f):
+        from pyspark.sql.types import StructField
+        from pyspark.sql.types import StructType as _ST
+
+        counter["next"] += 1
+        md = dict(f.metadata or {})
+        md["delta.columnMapping.id"] = counter["next"]
+        md["delta.columnMapping.physicalName"] = f.name
+        dt = f.dataType
+        if isinstance(dt, _ST):
+            dt = _ST([_annot(c) for c in dt.fields])
+        return StructField(f.name, dt, f.nullable, metadata=md)
+
+    new_schema = StructType([_annot(f) for f in schema.fields])
+    cfg["delta.columnMapping.mode"] = "name"
+    cfg["delta.columnMapping.maxColumnId"] = str(counter["next"])
+    meta["schemaString"] = new_schema.json()
+    meta["configuration"] = cfg
+    actions: list[dict] = []
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if proto.get("minWriterVersion", 2) >= 7 or proto.get("writerFeatures"):
+        up = _with_writer_feature(proto, "columnMapping")
+        up["minReaderVersion"] = 3
+        up["readerFeatures"] = sorted(
+            set(up.get("readerFeatures") or []) | {"columnMapping"}
+        )
+        actions.append({"protocol": up})
+    elif (
+        proto.get("minReaderVersion", 1) < 2
+        or proto.get("minWriterVersion", 2) < 5
+    ):
+        actions.append({"protocol": {
+            "minReaderVersion": max(2, proto.get("minReaderVersion", 1)),
+            "minWriterVersion": max(5, proto.get("minWriterVersion", 2)),
+        }})
+    actions.append({"metaData": meta})
+    _write_commit(
+        path, v, actions,
+        op="SET TBLPROPERTIES",
+        params={"delta.columnMapping.mode": "name"},
+    )
+    return v
+
+
+def _require_mapping(meta: dict, op: str) -> None:
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) not in ("name", "id"):
+        raise ValueError(
+            f"{op} requires column mapping (physical names decouple the "
+            "schema from the files) — run enable_column_mapping first, "
+            "delta-spark's own precondition"
+        )
+
+
+def alter_delta_rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN (round 10): a metadata-only commit
+    changing the LOGICAL name; the physicalName stays, so every data
+    file — past and future — resolves unchanged. Top-level columns only
+    (nested member renames would extend the same rewrite one level
+    down); requires column mapping."""
+    from pyspark.sql.types import StructField, StructType
+
+    if "." in old or "." in new:
+        raise NotImplementedError(
+            "nested-member rename; top-level columns only"
+        )
+    v, state = _next_version(path)
+    meta = dict(state["meta"])
+    _require_mapping(meta, "RENAME COLUMN")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no such column {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [
+        StructField(new, f.dataType, f.nullable, metadata=f.metadata)
+        if f.name == old else f
+        for f in schema.fields
+    ]
+    meta["schemaString"] = StructType(fields).json()
+    _write_commit(
+        path, v, [{"metaData": meta}],
+        op="RENAME COLUMN", params={"from": old, "to": new},
+    )
+    return v
+
+
+def alter_delta_drop_column(path: str, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN (round 10): metadata-only — the
+    physical column stays in the files and readers simply stop
+    projecting it (Delta's documented DROP semantics; a later
+    `optimize_delta` rewrite physically sheds it). Refused for
+    partition columns, the last remaining column, and columns some
+    other field's generation expression or invariant references."""
+    from pyspark.sql.types import StructType
+
+    v, state = _next_version(path)
+    meta = dict(state["meta"])
+    _require_mapping(meta, "DROP COLUMN")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    target = next((f for f in schema.fields if f.name == col), None)
+    if target is None:
+        raise ValueError(f"no such column {col!r}")
+    if len(schema.fields) == 1:
+        raise ValueError("cannot drop the last column")
+    if _physical_name(target) in (meta.get("partitionColumns") or []):
+        raise ValueError(f"cannot drop partition column {col!r}")
+    for f in schema.fields:
+        if f.name == col:
+            continue
+        md = f.metadata or {}
+        for key in ("delta.generationExpression", "delta.invariants"):
+            if col in str(md.get(key) or ""):
+                raise ValueError(
+                    f"column {col!r} is referenced by {f.name!r}'s "
+                    f"{key.split('.')[-1]}; drop that contract first"
+                )
+    meta["schemaString"] = StructType(
+        [f for f in schema.fields if f.name != col]
+    ).json()
+    _write_commit(
+        path, v, [{"metaData": meta}],
+        op="DROP COLUMNS", params={"column": col},
+    )
+    return v
+
+
+def alter_delta_add_column(
+    path: str, name: str, dtype: str, nullable: bool = True
+) -> int:
+    """ALTER TABLE ... ADD COLUMN (round 10): additive evolution — old
+    files lack the column and read as NULL (the explicit-schema scan's
+    missing-column rule), new writes carry it. Under column mapping the
+    new field gets a FRESH id and a `col-<id>` physical name, never
+    reusing a dropped column's identity — re-adding a dropped NAME must
+    not resurrect its old values."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    v, state = _next_version(path)
+    meta = dict(state["meta"])
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if name in [f.name for f in schema.fields]:
+        raise ValueError(f"column {name!r} already exists")
+    dt = _parse_datatype_string(dtype)
+    cfg = dict(meta.get("configuration") or {})
+    md = {}
+    if cfg.get("delta.columnMapping.mode") in ("name", "id"):
+        nid = int(cfg.get("delta.columnMapping.maxColumnId", 0)) + 1
+        md = {
+            "delta.columnMapping.id": nid,
+            "delta.columnMapping.physicalName": f"col-{nid}",
+        }
+        cfg["delta.columnMapping.maxColumnId"] = str(nid)
+        meta["configuration"] = cfg
+    meta["schemaString"] = StructType(
+        list(schema.fields) + [StructField(name, dt, nullable, metadata=md)]
+    ).json()
+    _write_commit(
+        path, v, [{"metaData": meta}],
+        op="ADD COLUMNS", params={"column": name, "type": dtype},
+    )
+    return v
+
+
 def enable_in_commit_timestamps(path: str) -> int:
     """Turn on the `inCommitTimestamp` writer feature (round 10, the
     protocol's In-Commit Timestamps chapter): every subsequent commit

@@ -3375,3 +3375,141 @@ class TestInCommitTimestamps:
         ict = firsts[ev]["commitInfo"]["inCommitTimestamp"]
         h = {e["version"]: e for e in delta_history(path)}
         assert h[ev]["timestamp"] == ict
+
+
+class TestAlterColumns:
+    """ALTER TABLE surface (round 10): enable column mapping on an
+    existing table, then RENAME/DROP/ADD COLUMN as metadata-only
+    commits — old files resolve via unchanged physical names."""
+
+    def test_enable_mapping_keeps_old_files_readable(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            enable_column_mapping,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k bigint, s string"
+            ),
+            path,
+        )
+        enable_column_mapping(path)
+        meta = _snapshot_state(path)[0]
+        assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+        assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "2"
+        assert sorted(
+            tuple(r) for r in read_delta(spark, path).collect()
+        ) == [(1, "a"), (2, "b")]
+        # appends after the migration write under physical names
+        append_delta(
+            spark.createDataFrame([(3, "c")], "k bigint, s string"), path
+        )
+        assert read_delta(spark, path).count() == 3
+        # enabling again is a no-op (no new commit)
+        from rtcdb_spark.sources.delta_log import delta_versions
+
+        head = delta_versions(path)[-1]
+        assert enable_column_mapping(path) == head
+        with pytest.raises(ValueError, match="'name' mode"):
+            # fresh unmapped table: id-mode migration must refuse
+            p2 = str(tmp_path / "t2")
+            write_delta(spark.createDataFrame([(1,)], "k bigint"), p2)
+            enable_column_mapping(p2, mode="id")
+
+    def test_rename_column_old_and_new_data(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_rename_column,
+            enable_column_mapping,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                  "k bigint, price double"),
+            path,
+        )
+        with pytest.raises(ValueError, match="column mapping"):
+            alter_delta_rename_column(path, "price", "amount")
+        enable_column_mapping(path)
+        alter_delta_rename_column(path, "price", "amount")
+        df = read_delta(spark, path)
+        assert set(df.columns) == {"k", "amount"}
+        assert sorted(tuple(r) for r in df.collect()) == [
+            (1, 10.0), (2, 20.0),
+        ]
+        # append AFTER the rename: logical 'amount' lands under the
+        # ORIGINAL physical name, both generations read together
+        append_delta(
+            spark.createDataFrame([(3, 30.0)], "k bigint, amount double"),
+            path,
+        )
+        assert sorted(
+            tuple(r) for r in read_delta(spark, path).collect()
+        ) == [(1, 10.0), (2, 20.0), (3, 30.0)]
+        with pytest.raises(ValueError, match="already exists"):
+            alter_delta_rename_column(path, "k", "amount")
+
+    def test_drop_then_readd_does_not_resurrect(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_add_column,
+            alter_delta_drop_column,
+            enable_column_mapping,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(1, "old1"), (2, "old2")],
+                                  "k bigint, note string"),
+            path,
+        )
+        enable_column_mapping(path)
+        alter_delta_drop_column(path, "note")
+        assert read_delta(spark, path).columns == ["k"]
+        # re-adding the NAME gets a fresh physical identity: old values
+        # must NOT come back
+        alter_delta_add_column(path, "note", "string")
+        rows = {r["k"]: r["note"] for r in read_delta(spark, path).collect()}
+        assert rows == {1: None, 2: None}
+        append_delta(
+            spark.createDataFrame([(3, "new3")], "k bigint, note string"),
+            path,
+        )
+        rows = {r["k"]: r["note"] for r in read_delta(spark, path).collect()}
+        assert rows == {1: None, 2: None, 3: "new3"}
+        alter_delta_drop_column(path, "note")
+        with pytest.raises(ValueError, match="last column"):
+            alter_delta_drop_column(path, "k")
+
+    def test_add_column_nulls_for_old_files_unmapped_table(
+        self, spark, tmp_path
+    ):
+        from rtcdb_spark.sources.delta_log import alter_delta_add_column
+
+        path = str(tmp_path / "t")
+        write_delta(spark.createDataFrame([(1,), (2,)], "k bigint"), path)
+        alter_delta_add_column(path, "tag", "string")
+        rows = {r["k"]: r["tag"] for r in read_delta(spark, path).collect()}
+        assert rows == {1: None, 2: None}
+        append_delta(
+            spark.createDataFrame([(3, "t3")], "k bigint, tag string"), path
+        )
+        rows = {r["k"]: r["tag"] for r in read_delta(spark, path).collect()}
+        assert rows == {1: None, 2: None, 3: "t3"}
+
+    def test_drop_partition_column_refused(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_drop_column,
+            enable_column_mapping,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(1, "a")], "k bigint, p string"),
+            path,
+            partition_by=["p"],
+        )
+        enable_column_mapping(path)
+        with pytest.raises(ValueError, match="partition column"):
+            alter_delta_drop_column(path, "p")
