@@ -187,7 +187,16 @@ def _checkpoint_files(path: str, version: int) -> list[str]:
     total = None
     v2: list[str] = []
     for f in os.listdir(d):
-        if not (f.startswith(prefix) and f.endswith(".parquet")):
+        if not f.startswith(prefix):
+            continue
+        # V2 checkpoints come in BOTH spec formats: <v>.checkpoint.<u>
+        # .parquet and .json (round 10 — ndjson of the same actions)
+        if f.endswith(".json"):
+            mid = f[len(prefix):-len(".json")]
+            if mid and "." not in mid:
+                v2.append(os.path.join(d, f))
+            continue
+        if not f.endswith(".parquet"):
             continue
         mid = f[len(prefix):-len(".parquet")].split(".")
         if len(mid) == 2 and all(s.isdigit() for s in mid):
@@ -220,7 +229,12 @@ def delta_checkpoints(path: str) -> list[int]:
     for f in os.listdir(d):
         if f.endswith(".checkpoint.parquet") and f[:20].isdigit():
             out.add(int(f[:20]))
-        elif ".checkpoint." in f and f.endswith(".parquet") and f[:20].isdigit():
+        elif (
+            ".checkpoint." in f
+            and (f.endswith(".parquet") or f.endswith(".json"))
+            and f[:20].isdigit()
+            and len(f) != 25  # a plain %020d.json commit is not one
+        ):
             v = int(f[:20])
             try:
                 _checkpoint_files(path, v)
@@ -339,8 +353,15 @@ def _snapshot_state(
     if start_cp is not None:
         import pyarrow.parquet as pq
 
+        def _cp_actions(part_file: str):
+            if part_file.endswith(".json"):
+                # V2 JSON checkpoint: ndjson, one action per line
+                with open(part_file) as fh:
+                    return [json.loads(ln) for ln in fh if ln.strip()]
+            return pq.read_table(part_file).to_pylist()
+
         for part in _checkpoint_files(path, start_cp):
-            for action in pq.read_table(part).to_pylist():
+            for action in _cp_actions(part):
                 if action.get("sidecar") is not None:
                     sc = action["sidecar"]
                     scp = sc["path"]
@@ -3124,7 +3145,8 @@ def merge_delta(
 
 
 def checkpoint_delta_v2(
-    path: str, version: int | None = None, sidecars: int = 2
+    path: str, version: int | None = None, sidecars: int = 2,
+    fmt: str = "parquet",
 ) -> int:
     """Write a V2 (sidecar) checkpoint: the top-level
     ``<v>.checkpoint.<uuid>.parquet`` holds `checkpointMetadata`, the
@@ -3133,8 +3155,13 @@ def checkpoint_delta_v2(
     high-water marks, and one `sidecar` action per
     ``_delta_log/_sidecars/<uuid>-<i>.parquet`` file; the sidecars carry
     the add/remove actions (including deletion-vector descriptors, which
-    the classic single-file writer refuses). Returns the checkpointed
+    the classic single-file writer refuses). ``fmt="json"`` (round 10)
+    writes the top-level file in the spec's OTHER allowed format —
+    ``<v>.checkpoint.<uuid>.json``, ndjson one action per line —
+    while sidecars stay parquet, per spec. Returns the checkpointed
     version."""
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"v2 checkpoint format {fmt!r}: parquet or json")
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -3324,9 +3351,43 @@ def checkpoint_delta_v2(
             "sidecar": pa.array(sc_col, type=sidecar_t),
         }
     )
-    top = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.{u}.parquet")
-    pq.write_table(table, top + ".tmp")
-    os.rename(top + ".tmp", top)
+    if fmt == "json":
+        top = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.{u}.json")
+        rows = []
+        for i in range(rows_n):
+            row = {
+                k: tbl_col[i]
+                for k, tbl_col in (
+                    ("checkpointMetadata", col["checkpointMetadata"]),
+                    ("protocol", col["protocol"]),
+                    ("metaData", col["metaData"]),
+                    ("txn", txn_col),
+                    ("domainMetadata", domain_col),
+                    ("sidecar", sc_col),
+                )
+                if tbl_col[i] is not None
+            }
+            # map-typed fields were prepared as (k, v) pair lists for
+            # Arrow; the JSON format wants plain objects
+            if "metaData" in row:
+                m = dict(row["metaData"])
+                m["configuration"] = dict(m.get("configuration") or [])
+                m["format"] = {
+                    **m["format"],
+                    "options": dict(m["format"].get("options") or []),
+                }
+                row["metaData"] = m
+            rows.append(row)
+        with open(top + ".tmp", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.rename(top + ".tmp", top)
+    else:
+        top = os.path.join(
+            _log_dir(path), f"{v:020d}.checkpoint.{u}.parquet"
+        )
+        pq.write_table(table, top + ".tmp")
+        os.rename(top + ".tmp", top)
     lc = os.path.join(_log_dir(path), "_last_checkpoint")
     with open(lc + ".tmp", "w") as fh:
         json.dump({"version": v, "size": rows_n}, fh)

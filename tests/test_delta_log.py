@@ -3513,3 +3513,84 @@ class TestAlterColumns:
         enable_column_mapping(path)
         with pytest.raises(ValueError, match="partition column"):
             alter_delta_drop_column(path, "p")
+
+
+class TestV2JsonCheckpoint:
+    def test_v2_json_checkpoint_roundtrip(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            checkpoint_delta_v2,
+            delta_checkpoints,
+            set_domain_metadata,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(6).select(F.col("id").alias("k")), path)
+        set_domain_metadata(path, "app.x", "1")
+        v = checkpoint_delta_v2(path, fmt="json")
+        log = os.path.join(path, "_delta_log")
+        tops = [f for f in os.listdir(log) if ".checkpoint." in f]
+        assert any(f.endswith(".json") for f in tops), tops
+        for f in os.listdir(log):
+            if f.endswith(".json") and len(f) == 25:
+                os.remove(os.path.join(log, f))
+        assert delta_checkpoints(path) == [v]
+        assert read_delta(spark, path).count() == 6
+        from rtcdb_spark.sources.delta_log import delta_domain_metadata
+
+        assert delta_domain_metadata(path) == {"app.x": "1"}
+
+    def test_foreign_v2_json_checkpoint_folds(self, spark, tmp_path):
+        """Hand-written ndjson v2 checkpoint (foreign bytes) with a
+        parquet sidecar — the reader folds it like the parquet twin."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import delta_checkpoints
+
+        path = str(tmp_path / "fj")
+        log = os.path.join(path, "_delta_log")
+        sidedir = os.path.join(log, "_sidecars")
+        os.makedirs(sidedir)
+        os.makedirs(os.path.join(path, "d"))
+        spark.createDataFrame([(5,)], "k bigint").coalesce(1) \
+            .write.parquet(str(tmp_path / "stage"))
+        part = [f for f in os.listdir(str(tmp_path / "stage"))
+                if f.endswith(".parquet")][0]
+        os.rename(os.path.join(str(tmp_path / "stage"), part),
+                  os.path.join(path, "d", "f0.parquet"))
+        smap = pa.map_(pa.string(), pa.string())
+        add_t = pa.struct([
+            ("path", pa.string()), ("partitionValues", smap),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])
+        pq.write_table(
+            pa.table({"add": pa.array(
+                [{"path": "d/f0.parquet", "partitionValues": [],
+                  "size": 1, "modificationTime": 0, "dataChange": True}],
+                type=add_t)}),
+            os.path.join(sidedir, "sj-0.parquet"),
+        )
+        schema_str = json.dumps({"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        ]})
+        top = os.path.join(
+            log, "00000000000000000003.checkpoint.deadbeef.json"
+        )
+        with open(top, "w") as fh:
+            for a in [
+                {"checkpointMetadata": {"version": 3}},
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["v2Checkpoint"],
+                              "writerFeatures": ["v2Checkpoint"]}},
+                {"metaData": {
+                    "id": "fj", "format": {
+                        "provider": "parquet", "options": {}},
+                    "schemaString": schema_str, "partitionColumns": [],
+                    "configuration": {}, "createdTime": 0}},
+                {"sidecar": {"path": "sj-0.parquet", "sizeInBytes": 1,
+                             "modificationTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        assert delta_checkpoints(path) == [3]
+        assert [r["k"] for r in read_delta(spark, path).collect()] == [5]
