@@ -2005,3 +2005,81 @@ def source_delta_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("note").cast("bigint").alias("n_notes"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "source_delta_row_tracking",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey % 10 >= 2
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "delta", "interchange", "row-tracking",
+          "domain-metadata"),
+)
+def source_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING end-to-end (round 10,
+    `delta_log.enable_row_tracking` + `read_delta_row_ids`): the even
+    half of orders lands, row tracking is enabled (the backfill commit
+    re-adds every live file with a baseRowId and records the
+    rowIdHighWaterMark in the `delta.rowTracking` system domain), the
+    odd half appends with fresh ids above the high-water mark, and a
+    DV DELETE drops o_orderkey % 10 < 2. In-query asserts: every
+    surviving row's `_row_id` is UNIQUE, the ids assigned before the
+    delete are IDENTICAL after it (stability — the DV re-add keeps
+    baseRowId, deleted positions just vanish), and the appended half's
+    `_row_commit_version` is exactly its commit. The aggregate runs
+    over the surviving rows and hashes against the fixture's WHERE
+    twin, so a dropped survivor, a resurrected row, or a double-count
+    from id collisions breaks it."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        delete_delta,
+        enable_row_tracking,
+        read_delta_row_ids,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_rt_")
+    shutil.rmtree(path)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path)
+    ev = enable_row_tracking(spark, path)
+    av = append_delta(o.filter(F.col("o_orderkey") % 2 == 1), path)
+    pre = read_delta_row_ids(spark, path).select("o_orderkey", "_row_id")
+    n_total = o.count()
+    stats = read_delta_row_ids(spark, path).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("_row_id").alias("n_ids"),
+        F.sum(
+            (F.col("_row_commit_version") == av).cast("int")
+        ).alias("n_appended"),
+    ).collect()[0]
+    assert stats["n"] == n_total and stats["n_ids"] == n_total, stats
+    n_odd = o.filter(F.col("o_orderkey") % 2 == 1).count()
+    assert stats["n_appended"] == n_odd, (stats, n_odd, ev)
+    delete_delta(spark, path, "o_orderkey % 10 < 2")
+    t = read_delta_row_ids(spark, path)
+    # stability: surviving (o_orderkey, _row_id) pairs are a subset of
+    # the pre-delete assignment — one distributed anti-join, no collect
+    moved = t.select("o_orderkey", "_row_id").exceptAll(pre).count()
+    assert moved == 0, f"{moved} row ids changed across the DV delete"
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

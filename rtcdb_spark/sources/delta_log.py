@@ -1211,12 +1211,20 @@ def write_delta(
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(path)
+    actions = (
+        [_PROTOCOL, _meta_action(df, pcols, configuration)]
+        + _adds_for_dir(path, pcols)
+        + (extra_actions or [])
+    )
+    if (configuration or {}).get("delta.enableRowTracking") == "true":
+        actions += _assign_row_ids(
+            0, actions,
+            {"meta": {"configuration": configuration}, "domains": {}},
+        )
     _write_commit(
         path,
         0,
-        [_PROTOCOL, _meta_action(df, pcols, configuration)]
-        + _adds_for_dir(path, pcols)
-        + (extra_actions or []),
+        actions,
         op="WRITE",
         params={"mode": "ErrorIfExists", "partitionBy": json.dumps(pcols)},
     )
@@ -1882,8 +1890,9 @@ def append_delta(
     pcols = state["meta"].get("partitionColumns", []) or []
     adds = _stage_new_files(df, path, pcols, state["meta"])
     hw = _identity_high_water(adds, path, state["meta"])
+    rt = _assign_row_ids(v, adds, state)
     _write_commit(
-        path, v, adds + ([hw] if hw else []) + (extra_actions or []),
+        path, v, adds + rt + ([hw] if hw else []) + (extra_actions or []),
         op="WRITE", params={"mode": "Append"},
     )
     return v
@@ -1912,8 +1921,9 @@ def overwrite_delta(df: DataFrame, path: str) -> int:
     ]
     new = _stage_new_files(df, path, pcols, state["meta"])
     hw = _identity_high_water(new, path, state["meta"])
+    rt = _assign_row_ids(v, new, state)
     _write_commit(
-        path, v, removes + new + ([hw] if hw else []),
+        path, v, removes + new + rt + ([hw] if hw else []),
         op="WRITE", params={"mode": "Overwrite"},
     )
     return v
@@ -1982,6 +1992,13 @@ def optimize_delta(
     per partition predicate, noted not hidden."""
     v, state = _next_version(path)
     meta = state["meta"]
+    if _row_tracking_on(meta):
+        raise NotImplementedError(
+            "OPTIMIZE on a row-tracked table must materialize each "
+            "row's id/commit-version into the rewritten files "
+            "(delta.rowTracking.materialized* columns) so ids stay "
+            "stable; refused rather than silently reshuffling row ids"
+        )
     pcols = meta.get("partitionColumns", []) or []
     if not zorder_by:
         # liquid-clustering tie-in (round 10): a bare OPTIMIZE on a
@@ -2403,6 +2420,180 @@ def alter_delta_add_column(
         op="ADD COLUMNS", params={"column": name, "type": dtype},
     )
     return v
+
+
+def _row_tracking_on(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(
+        "delta.enableRowTracking"
+    ) == "true"
+
+
+def _row_id_high_water(state: dict) -> int:
+    dm = (state.get("domains") or {}).get("delta.rowTracking")
+    if dm and not dm.get("removed"):
+        try:
+            return int(
+                json.loads(dm.get("configuration") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            )
+        except (ValueError, TypeError):
+            return -1
+    return -1
+
+
+def _assign_row_ids(
+    version: int, actions: list[dict], state: dict
+) -> list[dict]:
+    """Stamp `baseRowId`/`defaultRowCommitVersion` on every NEW add
+    action (round 10, the protocol's Row Tracking chapter: fresh row id
+    of row i in a file = baseRowId + i) and return the updated
+    `delta.rowTracking` domain action carrying the advanced
+    rowIdHighWaterMark. Adds that already carry a baseRowId — DV
+    re-adds, RESTORE re-adds — keep it: the same physical file keeps
+    the same ids, which is what makes row ids stable under row-level
+    deletes. Mutates the add dicts in place; no-op when the table does
+    not track rows."""
+    if not _row_tracking_on(state.get("meta") or {}):
+        return []
+    next_id = _row_id_high_water(state) + 1
+    start = next_id
+    for a in actions:
+        add = a.get("add")
+        if add is None or add.get("baseRowId") is not None:
+            continue
+        n = None
+        s = add.get("stats")
+        if s:
+            try:
+                st = json.loads(s) if isinstance(s, str) else s
+                n = st.get("numRecords")
+            except (ValueError, TypeError):
+                n = None
+        if n is None:
+            raise ValueError(
+                "row tracking requires numRecords stats on every new "
+                f"add ({add.get('path')!r} has none)"
+            )
+        add["baseRowId"] = next_id
+        add["defaultRowCommitVersion"] = version
+        next_id += int(n)
+    if next_id == start:
+        return []
+    return [{"domainMetadata": {
+        "domain": "delta.rowTracking",
+        "configuration": json.dumps({"rowIdHighWaterMark": next_id - 1}),
+        "removed": False,
+    }}]
+
+
+def enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """Turn on ROW TRACKING (round 10, the protocol's Row Tracking
+    chapter — requires the domainMetadata feature, which this enables
+    too): every data file gets a `baseRowId` so row i carries the
+    stable fresh id baseRowId + i, plus a `defaultRowCommitVersion`;
+    the high-water mark lives in the `delta.rowTracking` system domain.
+    The enablement commit BACKFILLS every live add (re-committed with
+    dataChange=false, ids assigned in path order — O(live files)
+    metadata, no data moves) and records the materialized-column names
+    future rewrites must carry (`delta.rowTracking.materialized*`).
+    Read ids with `read_delta_row_ids`. OPTIMIZE/MERGE on row-tracked
+    tables are refused until they materialize ids through rewrites —
+    an honest gate, not a silent id reshuffle (`spark` is accepted for
+    API symmetry with the other enablers and future backfill scans)."""
+    v, state = _next_version(path)
+    meta = dict(state["meta"])
+    if _row_tracking_on(meta):
+        return v - 1  # already on: no-op
+    suffix = uuid.uuid4().hex[:8]
+    meta["configuration"] = {
+        **(meta.get("configuration") or {}),
+        "delta.enableRowTracking": "true",
+        "delta.rowTracking.materializedRowIdColumnName":
+            f"_row-id-col-{suffix}",
+        "delta.rowTracking.materializedRowCommitVersionColumnName":
+            f"_row-commit-version-col-{suffix}",
+    }
+    actions: list[dict] = []
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    wf = set(proto.get("writerFeatures") or [])
+    if not {"rowTracking", "domainMetadata"} <= wf:
+        up = _with_writer_feature(proto, "rowTracking")
+        up["writerFeatures"] = sorted(
+            set(up["writerFeatures"]) | {"domainMetadata"}
+        )
+        actions.append({"protocol": up})
+    actions.append({"metaData": meta})
+    readds = [
+        {"add": {**state["adds"][p], "dataChange": False}}
+        for p in sorted(state["adds"])
+    ]
+    actions += readds
+    state_on = {**state, "meta": meta}
+    actions += _assign_row_ids(v, actions, state_on)
+    _write_commit(
+        path, v, actions,
+        op="SET TBLPROPERTIES",
+        params={"delta.enableRowTracking": "true"},
+    )
+    return v
+
+
+def read_delta_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot plus `_row_id` and `_row_commit_version` (round 10):
+    fresh values computed as baseRowId + `_metadata.row_index` and the
+    add's defaultRowCommitVersion, via a broadcast basename -> (base,
+    version) map — the same zero-shuffle shape the DV anti-join and
+    partition re-attachment use. Deletion vectors apply first, so a
+    DV DELETE keeps every surviving row's id (asserted in tests).
+    Materialized-column precedence (rows rewritten by OPTIMIZE/MERGE)
+    is moot while those commands are gated on row-tracked tables."""
+    from pyspark.sql import functions as F
+
+    meta, adds, _state = _snapshot_state(path, version)
+    if not _row_tracking_on(meta):
+        raise ValueError(
+            "table does not track rows — run enable_row_tracking first"
+        )
+    plan = _ScanPlan(spark, meta)
+    missing = [p for p, a in adds.items() if a.get("baseRowId") is None]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} live file(s) lack baseRowId — written by a "
+            "non-row-tracking writer after enablement?"
+        )
+    if not adds:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame([], StructType(
+            list(plan.schema.fields)
+            + [StructField("_row_id", LongType(), False),
+               StructField("_row_commit_version", LongType(), False)]
+        ))
+    k = _key_tail(len(plan.pcols))
+    pairs = [
+        (
+            _path_key(p, k, path),
+            int(adds[p]["baseRowId"]),
+            int(adds[p].get("defaultRowCommitVersion", -1)),
+        )
+        for p in sorted(adds)
+    ]
+    base = _scan_with_keys(spark, path, plan, adds, apply_dvs=True)
+    m = spark.createDataFrame(
+        pairs, f"{_NAME_COL} string, _rt_base bigint, _rt_dcv bigint"
+    )
+    out_cols = [f.name for f in plan.schema.fields]
+    return (
+        base.join(F.broadcast(m), _NAME_COL)
+        .select(
+            *out_cols,
+            (F.col("_rt_base") + F.col("_dv_ridx")).alias("_row_id"),
+            F.col("_rt_dcv").alias("_row_commit_version"),
+        )
+    )
 
 
 def enable_in_commit_timestamps(path: str) -> int:
@@ -3022,6 +3213,12 @@ def merge_delta(
         raise ValueError("when_not_matched must be 'insert' or None")
     v, state = _next_version(path)
     meta = state["meta"]
+    if _row_tracking_on(meta):
+        raise NotImplementedError(
+            "MERGE on a row-tracked table must materialize surviving "
+            "rows' ids into the rewritten files; refused rather than "
+            "silently reshuffling row ids"
+        )
     adds = state["adds"]
     _check_write_schema(source, meta)
     plan = _ScanPlan(spark, meta)

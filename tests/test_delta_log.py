@@ -3594,3 +3594,131 @@ class TestV2JsonCheckpoint:
                 fh.write(json.dumps(a) + "\n")
         assert delta_checkpoints(path) == [3]
         assert [r["k"] for r in read_delta(spark, path).collect()] == [5]
+
+
+class TestRowTracking:
+    """Row tracking (round 10): enablement backfill, fresh-id reads,
+    stability under appends and DV deletes, high-water domain, and the
+    honest OPTIMIZE/MERGE gates."""
+
+    def test_enable_backfills_and_reads_unique_ids(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            enable_row_tracking,
+            read_delta_row_ids,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(20).select(F.col("id").alias("k")).repartition(4),
+            path,
+        )
+        enable_row_tracking(spark, path)
+        state = _snapshot_state(path)[2]
+        assert all(
+            a.get("baseRowId") is not None for a in state["adds"].values()
+        )
+        dm = state["domains"]["delta.rowTracking"]
+        assert json.loads(dm["configuration"])["rowIdHighWaterMark"] == 19
+        proto = state["protocol"]
+        assert {"rowTracking", "domainMetadata"} <= set(
+            proto["writerFeatures"]
+        )
+        df = read_delta_row_ids(spark, path)
+        rows = df.collect()
+        ids = sorted(r["_row_id"] for r in rows)
+        assert ids == list(range(20))  # unique, contiguous from 0
+        assert set(r["_row_commit_version"] for r in rows) == {1}
+
+    def test_appends_extend_high_water(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            enable_row_tracking,
+            read_delta_row_ids,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(5).select(F.col("id").alias("k")), path)
+        ev = enable_row_tracking(spark, path)
+        append_delta(
+            spark.createDataFrame([(100,), (101,)], "k bigint").coalesce(1),
+            path,
+        )
+        df = read_delta_row_ids(spark, path)
+        got = {r["k"]: (r["_row_id"], r["_row_commit_version"])
+               for r in df.collect()}
+        assert sorted(r[0] for r in got.values()) == list(range(7))
+        assert got[100][1] == ev + 1 and got[101][1] == ev + 1
+        state = _snapshot_state(path)[2]
+        dm = json.loads(
+            state["domains"]["delta.rowTracking"]["configuration"]
+        )
+        assert dm["rowIdHighWaterMark"] == 6
+
+    def test_row_ids_stable_under_dv_delete(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            enable_row_tracking,
+            read_delta_row_ids,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(10).select(F.col("id").alias("k")).coalesce(1),
+            path,
+        )
+        enable_row_tracking(spark, path)
+        before = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        delete_delta(spark, path, "k < 4")
+        after = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert sorted(after) == list(range(4, 10))
+        # survivors keep their EXACT pre-delete ids (the DV re-add
+        # preserves baseRowId; deleted positions simply vanish)
+        assert all(after[k] == before[k] for k in after)
+
+    def test_row_tracking_from_table_creation(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import read_delta_row_ids
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(8).select(F.col("id").alias("k")).repartition(2),
+            path,
+            configuration={"delta.enableRowTracking": "true"},
+        )
+        ids = sorted(
+            r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        )
+        assert ids == list(range(8))
+
+    def test_optimize_and_merge_gated(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            enable_row_tracking,
+            merge_delta,
+            optimize_delta,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(6).select(F.col("id").alias("k")), path)
+        enable_row_tracking(spark, path)
+        with pytest.raises(NotImplementedError, match="row-tracked"):
+            optimize_delta(spark, path)
+        with pytest.raises(NotImplementedError, match="row-tracked"):
+            merge_delta(
+                spark, path,
+                spark.createDataFrame([(1,)], "k bigint"), on=["k"],
+            )
+
+    def test_untracked_table_refuses_row_id_read(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import read_delta_row_ids
+
+        path = str(tmp_path / "t")
+        write_delta(spark.range(3).select(F.col("id").alias("k")), path)
+        with pytest.raises(ValueError, match="enable_row_tracking"):
+            read_delta_row_ids(spark, path)
