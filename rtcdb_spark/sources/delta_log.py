@@ -1992,13 +1992,26 @@ def optimize_delta(
     per partition predicate, noted not hidden."""
     v, state = _next_version(path)
     meta = state["meta"]
-    if _row_tracking_on(meta):
-        raise NotImplementedError(
-            "OPTIMIZE on a row-tracked table must materialize each "
-            "row's id/commit-version into the rewritten files "
-            "(delta.rowTracking.materialized* columns) so ids stay "
-            "stable; refused rather than silently reshuffling row ids"
+    rt_on = _row_tracking_on(meta)
+    mat_id = mat_ver = None
+    if rt_on:
+        cfg0 = meta.get("configuration") or {}
+        mat_id = cfg0.get("delta.rowTracking.materializedRowIdColumnName")
+        mat_ver = cfg0.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
         )
+        if not (mat_id and mat_ver):
+            raise ValueError(
+                "row-tracked table lacks materialized column names in "
+                "its configuration"
+            )
+        if (cfg0.get("delta.columnMapping.mode") or "none") != "none":
+            raise NotImplementedError(
+                "OPTIMIZE on a row-tracked COLUMN-MAPPED table: the "
+                "physical rewrite would drop the materialized id "
+                "columns in the mapping translation; refused rather "
+                "than reshuffling row ids"
+            )
     pcols = meta.get("partitionColumns", []) or []
     if not zorder_by:
         # liquid-clustering tie-in (round 10): a bare OPTIMIZE on a
@@ -2014,7 +2027,20 @@ def optimize_delta(
                 ] or None
             except (ValueError, TypeError):
                 pass
-    snap = read_delta(spark, path)
+    if rt_on:
+        # ROW TRACKING (round 10): the rewrite MATERIALIZES each row's
+        # id and commit version as physical columns under the names the
+        # table's configuration reserves — read_delta_row_ids prefers
+        # them over the fresh baseRowId+index computation, so ids
+        # survive any number of rewrites. Readers of the DATA schema
+        # never see the extra columns (explicit-schema projection).
+        snap = (
+            read_delta_row_ids(spark, path)
+            .withColumnRenamed("_row_id", mat_id)
+            .withColumnRenamed("_row_commit_version", mat_ver)
+        )
+    else:
+        snap = read_delta(spark, path)
     if zorder_by:
         from pyspark.sql import functions as F
 
@@ -2045,8 +2071,9 @@ def optimize_delta(
     new = _stage_new_files(df, path, pcols, meta)
     for a in new:
         a["add"]["dataChange"] = False
+    rt = _assign_row_ids(v, new, state) if rt_on else []
     _write_commit(
-        path, v, removes + new, op="OPTIMIZE",
+        path, v, removes + new + rt, op="OPTIMIZE",
         params=(
             {"zOrderBy": json.dumps(zorder_by), "curve": curve}
             if zorder_by else {}
@@ -2581,18 +2608,41 @@ def read_delta_row_ids(
         )
         for p in sorted(adds)
     ]
-    base = _scan_with_keys(spark, path, plan, adds, apply_dvs=True)
+    cfg = meta.get("configuration") or {}
+    mat_id = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_ver = cfg.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    extra = []
+    if mat_id and mat_ver:
+        from pyspark.sql.types import LongType, StructField
+
+        extra = [
+            StructField(mat_id, LongType(), True),
+            StructField(mat_ver, LongType(), True),
+        ]
+    base = _scan_with_keys(
+        spark, path, plan, adds, apply_dvs=True, extra_fields=extra
+    )
     m = spark.createDataFrame(
         pairs, f"{_NAME_COL} string, _rt_base bigint, _rt_dcv bigint"
     )
     out_cols = [f.name for f in plan.schema.fields]
-    return (
-        base.join(F.broadcast(m), _NAME_COL)
-        .select(
-            *out_cols,
-            (F.col("_rt_base") + F.col("_dv_ridx")).alias("_row_id"),
-            F.col("_rt_dcv").alias("_row_commit_version"),
-        )
+    joined = base.join(F.broadcast(m), _NAME_COL)
+    fresh_id = F.col("_rt_base") + F.col("_dv_ridx")
+    fresh_ver = F.col("_rt_dcv")
+    if extra:
+        # MATERIALIZED values outrank fresh ones (the protocol's
+        # precedence): rows carried through an OPTIMIZE rewrite keep
+        # the ids their original files assigned
+        rid = F.coalesce(joined[mat_id], fresh_id)
+        rver = F.coalesce(joined[mat_ver], fresh_ver)
+    else:
+        rid, rver = fresh_id, fresh_ver
+    return joined.select(
+        *out_cols,
+        rid.alias("_row_id"),
+        rver.alias("_row_commit_version"),
     )
 
 
@@ -2923,6 +2973,7 @@ def _scan_with_keys(
     plan: _ScanPlan,
     adds: dict[str, dict],
     apply_dvs: bool = False,
+    extra_fields: list | None = None,
 ) -> DataFrame:
     """One scan over live files carrying `_dv_name` (decoded path key) +
     `_dv_ridx` (row index) plus the LOGICAL data and partition columns —
@@ -2937,8 +2988,16 @@ def _scan_with_keys(
     items = list(adds.items())
     k = _key_tail(len(plan.pcols))
     _unique_keys(items, k, path)
+    read_schema = plan.read_schema
+    if extra_fields:
+        # extra PHYSICAL columns read verbatim (no mapping) — e.g. the
+        # row-tracking materialized id columns; files without them
+        # yield nulls (explicit-schema missing-column rule)
+        from pyspark.sql.types import StructType as _ST
+
+        read_schema = _ST(list(read_schema.fields) + list(extra_fields))
     df = (
-        spark.read.schema(plan.read_schema)
+        spark.read.schema(read_schema)
         .parquet(*[_resolve(path, p) for p, _ in items])
         .withColumn(_NAME_COL, _key_col(k))
         .withColumn("_dv_ridx", F.col("_metadata.row_index"))
@@ -2971,6 +3030,8 @@ def _scan_with_keys(
                 F.broadcast(deleted), [_NAME_COL, "_dv_ridx"], "left_anti"
             )
     cols = [F.col(_NAME_COL), F.col("_dv_ridx")] + plan.logical_data_cols()
+    if extra_fields:
+        cols += [df[f.name] for f in extra_fields]
     if plan.pcols:
         by_name = {f.name: f.dataType for f in plan.schema.fields}
         pv_cols = [f"_pv_{i}" for i in range(len(plan.pcols))]

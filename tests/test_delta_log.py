@@ -3697,18 +3697,65 @@ class TestRowTracking:
         )
         assert ids == list(range(8))
 
-    def test_optimize_and_merge_gated(self, spark, tmp_path):
+    def test_optimize_materializes_and_preserves_ids(self, spark, tmp_path):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            enable_row_tracking,
+            optimize_delta,
+            read_delta_row_ids,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(12).select(F.col("id").alias("k")).repartition(3),
+            path,
+        )
+        enable_row_tracking(spark, path)
+        before = {
+            r["k"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        optimize_delta(spark, path, target_files=1)
+        after = {
+            r["k"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        # every row keeps its exact (id, commit version) through the
+        # rewrite — materialized columns outrank the fresh computation
+        assert after == before
+        # the rewritten file physically carries the materialized columns
+        meta = _snapshot_state(path)[0]
+        mat = meta["configuration"][
+            "delta.rowTracking.materializedRowIdColumnName"
+        ]
+        live = _snapshot_state(path)[1]
+        assert len(live) == 1
+        f = os.path.join(path, next(iter(live)))
+        assert mat in pq.read_schema(f).names
+        # a SECOND rewrite keeps them stable again (materialized values
+        # round-trip through their own read path)
+        optimize_delta(spark, path, target_files=2)
+        again = {
+            r["k"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert again == before
+        # plain data readers never see the physical extras
+        assert read_delta(spark, path).columns == ["k"]
+
+    def test_merge_still_gated(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import (
             enable_row_tracking,
             merge_delta,
-            optimize_delta,
         )
 
         path = str(tmp_path / "t")
         write_delta(spark.range(6).select(F.col("id").alias("k")), path)
         enable_row_tracking(spark, path)
-        with pytest.raises(NotImplementedError, match="row-tracked"):
-            optimize_delta(spark, path)
         with pytest.raises(NotImplementedError, match="row-tracked"):
             merge_delta(
                 spark, path,
