@@ -248,11 +248,21 @@ _PRIORITY = [
     # 6-file commit in 3 compound-offset micro-batches, oracle-gated —
     # in the r9-green stream_delta_cdf_source slot (streaming-delta
     # keeps cdf_source green in the r9 ledger and the backfill row
-    # exercises the same source). A second swap put the round-10
-    # domain-metadata/liquid-clustering flagship
-    # source_delta_liquid_clustering in the r9-green source_delta_cdf
-    # slot. 29 never-run entries in the window -> cross-round union
-    # 205 + 29 = 234 if all green (VERDICT r9 item 1 target: >=226).
+    # exercises the same source). Further swaps put the other round-10
+    # capability flagships in r9-green slots whose families keep green
+    # reps in the window or the r9 ledger:
+    # source_delta_liquid_clustering (domain metadata + CLUSTER BY
+    # driving a bare OPTIMIZE) for source_delta_cdf,
+    # source_delta_ict_travel (in-commit timestamps beating mtime skew)
+    # for text_bigram_perplexity (text keeps bpe_tokenize in-window),
+    # source_delta_alter_columns (enable-mapping migration +
+    # RENAME/DROP/ADD COLUMN) for dedup_star_connectivity_groups
+    # (dedup keeps dedup_exact in-window), and
+    # source_delta_row_tracking (stable row ids, backfill, DV-safe,
+    # OPTIMIZE materialization) for udf_cogrouped_map (C-X keeps its
+    # green rep in the r9 ledger). 32 never-run entries in the window
+    # -> cross-round union 205 + 32 = 237 if all green (VERDICT r9
+    # item 1 target: >=226).
     # OUT (ALL r9-driver-green; each family keeps >=1 green rep in
     # this window or the r9 ledger): source_delta_restore,
     # source_delta_cdf_id_mapped, source_delta_nested_id_partitioned,
@@ -287,10 +297,12 @@ _PRIORITY = [
     "fn_json_map",
     # C-VIII event-time + streaming green reps
     "stream_window_session", "stream_dedup_near_simhash_unordered",
-    # C-IX text green reps (oracle-gated trained BPE + LM perplexity)
-    "text_bpe_tokenize", "text_bigram_perplexity",
-    # C-IX dedup green reps
-    "dedup_exact", "dedup_star_connectivity_groups",
+    # C-IX text green rep (oracle-gated trained BPE; bigram_perplexity
+    # rotates to the r9 ledger for the ICT flagship)
+    "text_bpe_tokenize", "source_delta_ict_travel",
+    # C-IX dedup green rep (star-connectivity rotates to the r9 ledger
+    # for the ALTER TABLE flagship)
+    "dedup_exact", "source_delta_alter_columns",
     # C-IX similarity green rep (pinned-codebook PQ)
     "similarity_pq_topk",
     # C-IX multimodal green rep
@@ -299,8 +311,9 @@ _PRIORITY = [
     # (maxFilesPerTrigger compound offsets) takes the r9-green
     # cdf_source rep's slot
     "stream_delta_backfill_files",
-    # C-X UDF green rep
-    "udf_cogrouped_map",
+    # C-X keeps its green rep in the r9 ledger (udf_cogrouped_map);
+    # the ROW TRACKING flagship takes the slot
+    "source_delta_row_tracking",
     # events + profiling green reps (first confirmed in r9)
     "events_peak_concurrency", "profile_columns",
     # --- 27 never-driver-run entries, census-biased (wave 21) ---
