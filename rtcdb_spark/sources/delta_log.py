@@ -479,6 +479,10 @@ def checkpoint_delta(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            # row tracking (round 10): checkpoints must carry these or
+            # replay would orphan every row id
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     remove_t = pa.struct(
@@ -533,6 +537,10 @@ def checkpoint_delta(
                 "modificationTime": a.get("modificationTime", 0),
                 "dataChange": bool(a.get("dataChange", True)),
                 "stats": a.get("stats"),
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get(
+                    "defaultRowCommitVersion"
+                ),
             }
         )
     add_col += [None] * (len(removes) + len(txns) + len(domains))
@@ -3455,6 +3463,8 @@ def checkpoint_delta_v2(
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
             ("deletionVector", dv_t),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     remove_t = pa.struct(
@@ -3474,6 +3484,8 @@ def checkpoint_delta_v2(
             "modificationTime": a.get("modificationTime", 0),
             "dataChange": bool(a.get("dataChange", True)),
             "stats": a.get("stats"),
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
             "deletionVector": (
                 {
                     "storageType": dv.get("storageType"),

@@ -3769,3 +3769,58 @@ class TestRowTracking:
         write_delta(spark.range(3).select(F.col("id").alias("k")), path)
         with pytest.raises(ValueError, match="enable_row_tracking"):
             read_delta_row_ids(spark, path)
+
+
+class TestFeatureComposition:
+    def test_all_round10_features_survive_v2_checkpoint_fold(
+        self, spark, tmp_path
+    ):
+        """One table through the WHOLE round-10 feature stack — ICT,
+        row tracking, domain metadata, in-place mapping migration,
+        RENAME, append, DV delete — then a v2 checkpoint with every
+        JSON commit deleted: rows, STABLE row ids, and domains must
+        fold from checkpoint rows alone (this exact composition caught
+        the checkpoint writers dropping baseRowId)."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_rename_column,
+            checkpoint_delta_v2,
+            delete_delta,
+            delta_domain_metadata,
+            enable_column_mapping,
+            enable_in_commit_timestamps,
+            enable_row_tracking,
+            read_delta_row_ids,
+            set_domain_metadata,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(i, f"s{i}") for i in range(6)], "k bigint, s string"
+            ).coalesce(1),
+            path,
+        )
+        enable_in_commit_timestamps(path)
+        enable_row_tracking(spark, path)
+        set_domain_metadata(path, "app.owner", "x")
+        enable_column_mapping(path)
+        alter_delta_rename_column(path, "s", "label")
+        append_delta(
+            spark.createDataFrame([(9, "s9")], "k bigint, label string"),
+            path,
+        )
+        delete_delta(spark, path, "k = 2")
+        checkpoint_delta_v2(path)
+        log = os.path.join(path, "_delta_log")
+        for f in os.listdir(log):
+            if f.endswith(".json") and len(f) == 25:
+                os.remove(os.path.join(log, f))
+        assert sorted(
+            r["k"] for r in read_delta(spark, path).collect()
+        ) == [0, 1, 3, 4, 5, 9]
+        got = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert got == {0: 0, 1: 1, 3: 3, 4: 4, 5: 5, 9: 6}, got
+        assert delta_domain_metadata(path)["app.owner"] == "x"
