@@ -3282,12 +3282,26 @@ def merge_delta(
         raise ValueError("when_not_matched must be 'insert' or None")
     v, state = _next_version(path)
     meta = state["meta"]
-    if _row_tracking_on(meta):
-        raise NotImplementedError(
-            "MERGE on a row-tracked table must materialize surviving "
-            "rows' ids into the rewritten files; refused rather than "
-            "silently reshuffling row ids"
+    rt_on = _row_tracking_on(meta)
+    mat_id = mat_ver = None
+    if rt_on:
+        cfg0 = meta.get("configuration") or {}
+        mat_id = cfg0.get("delta.rowTracking.materializedRowIdColumnName")
+        mat_ver = cfg0.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
         )
+        if not (mat_id and mat_ver):
+            raise ValueError(
+                "row-tracked table lacks materialized column names in "
+                "its configuration"
+            )
+        if (cfg0.get("delta.columnMapping.mode") or "none") != "none":
+            raise NotImplementedError(
+                "MERGE on a row-tracked COLUMN-MAPPED table: the "
+                "physical rewrite would drop the materialized id "
+                "columns in the mapping translation; refused rather "
+                "than reshuffling row ids"
+            )
     adds = state["adds"]
     _check_write_schema(source, meta)
     plan = _ScanPlan(spark, meta)
@@ -3304,7 +3318,47 @@ def merge_delta(
             "most one source row (Delta MERGE contract)"
         )
 
-    tgt = _scan_with_keys(spark, path, plan, adds, apply_dvs=True)
+    if rt_on:
+        # ROW TRACKING (round 10): the rewrite must carry each
+        # surviving row's id — scan WITH the materialized columns
+        # (null on never-rewritten files) and resolve each row's id
+        # exactly like read_delta_row_ids: materialized first, fresh
+        # baseRowId + row-index fallback
+        from pyspark.sql.types import LongType, StructField
+
+        extra = [
+            StructField(mat_id, LongType(), True),
+            StructField(mat_ver, LongType(), True),
+        ]
+        raw = _scan_with_keys(
+            spark, path, plan, adds, apply_dvs=True, extra_fields=extra
+        )
+        pairs = [
+            (
+                _path_key(p, k, path),
+                int(adds[p]["baseRowId"]),
+                int(adds[p].get("defaultRowCommitVersion", -1)),
+            )
+            for p in sorted(adds)
+        ]
+        if any(adds[p].get("baseRowId") is None for p in adds):
+            raise ValueError(
+                "row-tracked table has live files without baseRowId"
+            )
+        rmap = spark.createDataFrame(
+            pairs, f"{_NAME_COL} string, _rt_base bigint, _rt_dcv bigint"
+        )
+        raw = raw.join(F.broadcast(rmap), _NAME_COL)
+        tgt = raw.select(
+            *[c for c in raw.columns
+              if c not in (mat_id, mat_ver, "_rt_base", "_rt_dcv")],
+            F.coalesce(
+                raw[mat_id], F.col("_rt_base") + F.col("_dv_ridx")
+            ).alias("_rt_rid"),
+            F.coalesce(raw[mat_ver], F.col("_rt_dcv")).alias("_rt_rver"),
+        )
+    else:
+        tgt = _scan_with_keys(spark, path, plan, adds, apply_dvs=True)
     src = source.select(*out_cols)
     # touched files: one semi-join, collecting only distinct file keys
     # (metadata-only output — safe on nested-id-mapped tables because
@@ -3342,12 +3396,26 @@ def merge_delta(
             "left",
         )
         hit = F.col("_src_hit").isNotNull()
+        rt_carry = (
+            # a row keeps its id through the rewrite; its commit
+            # version bumps to THIS commit only when the merge
+            # actually modified it
+            [
+                F.col("_rt_rid").alias(mat_id),
+                F.when(hit, F.lit(v))
+                .otherwise(F.col("_rt_rver"))
+                .alias(mat_ver),
+            ]
+            if rt_on
+            else []
+        )
         if when_matched == "update":
             rewritten = joined.select(
                 *[
                     F.when(hit, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
                     for c in out_cols
-                ]
+                ],
+                *rt_carry,
             )
             if cdf_on:
                 matched = joined.filter(hit)
@@ -3359,7 +3427,14 @@ def merge_delta(
                     F.lit("update_postimage").alias("_change_type"),
                 ))
         else:  # delete
-            rewritten = joined.filter(~hit).select(*out_cols)
+            rewritten = joined.filter(~hit).select(
+                *out_cols,
+                *(
+                    [F.col("_rt_rid").alias(mat_id),
+                     F.col("_rt_rver").alias(mat_ver)]
+                    if rt_on else []
+                ),
+            )
             if cdf_on:
                 cdc_frames.append(joined.filter(hit).select(
                     *out_cols, F.lit("delete").alias("_change_type")
@@ -3378,14 +3453,25 @@ def merge_delta(
                 "GENERATED ALWAYS (the full-schema merge source carries "
                 "explicit values)"
             )
+    if rt_on and inserts is not None:
+        # fresh rows have no materialized identity: they take fresh ids
+        # from the rewritten file's baseRowId + position, the spec's
+        # fallback — exactly like rows in a brand-new file
+        inserts = inserts.select(
+            *out_cols,
+            F.lit(None).cast("long").alias(mat_id),
+            F.lit(None).cast("long").alias(mat_ver),
+        )
     new_df = rewritten
     if inserts is not None:
         new_df = inserts if new_df is None else new_df.unionByName(inserts)
-    new_df = _apply_write_constraints(new_df.select(*out_cols), meta)
+    keep_cols = out_cols + ([mat_id, mat_ver] if rt_on else [])
+    new_df = _apply_write_constraints(new_df.select(*keep_cols), meta)
     # _to_physical renames mapped tables to physical column names, so the
     # staged write partitions by the log's (physical) partitionColumns
     staged = _stage_new_files(_to_physical(new_df, meta), path, plan.pcols, meta)
     hw_action = _identity_high_water(staged, path, meta)
+    rt_actions = _assign_row_ids(v, staged, state) if rt_on else []
     now = int(time.time() * 1000)
     removes = [
         {
@@ -3404,7 +3490,8 @@ def merge_delta(
     _write_commit(
         path,
         v,
-        removes + staged + ([hw_action] if hw_action else []) + cdc_actions,
+        removes + staged + rt_actions
+        + ([hw_action] if hw_action else []) + cdc_actions,
         op="MERGE", params={"predicate": json.dumps(on)},
     )
     return v

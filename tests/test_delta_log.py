@@ -3747,20 +3747,77 @@ class TestRowTracking:
         # plain data readers never see the physical extras
         assert read_delta(spark, path).columns == ["k"]
 
-    def test_merge_still_gated(self, spark, tmp_path):
+    def test_merge_preserves_and_versions_ids(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import (
             enable_row_tracking,
             merge_delta,
+            read_delta_row_ids,
         )
 
         path = str(tmp_path / "t")
-        write_delta(spark.range(6).select(F.col("id").alias("k")), path)
+        write_delta(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(6)], "k bigint, val bigint"
+            ).coalesce(1),
+            path,
+        )
         enable_row_tracking(spark, path)
-        with pytest.raises(NotImplementedError, match="row-tracked"):
-            merge_delta(
-                spark, path,
-                spark.createDataFrame([(1,)], "k bigint"), on=["k"],
-            )
+        before = {
+            r["k"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        mv = merge_delta(
+            spark, path,
+            spark.createDataFrame(
+                [(1, 111), (3, 333), (100, 1000)], "k bigint, val bigint"
+            ),
+            on=["k"],
+        )
+        after = {
+            r["k"]: (r["_row_id"], r["_row_commit_version"], r["val"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        # untouched rows: id AND commit version unchanged
+        for kk in (0, 2, 4, 5):
+            assert after[kk][:2] == before[kk], (kk, after[kk], before[kk])
+        # UPDATED rows keep their id; commit version bumps to the merge
+        for kk in (1, 3):
+            assert after[kk][0] == before[kk][0]
+            assert after[kk][1] == mv
+            assert after[kk][2] == kk * 111
+        # inserted row: a FRESH id above every pre-merge id, merge version
+        assert after[100][1] == mv
+        assert after[100][0] > max(i for i, _ in before.values())
+        # ids stay globally unique
+        assert len({i for i, *_ in after.values()}) == len(after)
+
+    def test_merge_delete_keeps_survivor_ids(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            enable_row_tracking,
+            merge_delta,
+            read_delta_row_ids,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(8).select(F.col("id").alias("k")).coalesce(1), path
+        )
+        enable_row_tracking(spark, path)
+        before = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        merge_delta(
+            spark, path,
+            spark.createDataFrame([(2,), (5,)], "k bigint"),
+            on=["k"], when_matched="delete", when_not_matched=None,
+        )
+        after = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert sorted(after) == [0, 1, 3, 4, 6, 7]
+        assert all(after[kk] == before[kk] for kk in after)
 
     def test_untracked_table_refuses_row_id_read(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import read_delta_row_ids
