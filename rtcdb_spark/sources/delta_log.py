@@ -1278,7 +1278,9 @@ def _check_write_schema(df: DataFrame, meta: dict) -> None:
         )
 
 
-def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
+def _to_physical(
+    df: DataFrame, meta: dict, extra_cols: list[str] | None = None
+) -> DataFrame:
     """Mapped-table writes (round 7 wave 2): after logical-schema
     validation, rename the DataFrame to the table's PHYSICAL column
     names — positional struct casts rename nested fields too — so the
@@ -1301,7 +1303,11 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
         *[
             F.col(f.name).cast(_physical_type(f.dataType)).alias(_physical_name(f))
             for f in want.fields
-        ]
+        ],
+        # pass-through physical columns OUTSIDE the schema (round 10:
+        # the row-tracking materialized id columns) — already physical
+        # names, no mapping translation
+        *[df[c] for c in (extra_cols or [])],
     )
     if mode == "id":
         if _nested_id_mapped(meta):
@@ -2013,12 +2019,15 @@ def optimize_delta(
                 "row-tracked table lacks materialized column names in "
                 "its configuration"
             )
-        if (cfg0.get("delta.columnMapping.mode") or "none") != "none":
+        if (cfg0.get("delta.columnMapping.mode") or "none") == "id":
+            # name-mode passes the materialized columns through the
+            # physical translation verbatim (round 10); id-mode files
+            # match data columns by parquet field id, and the extras
+            # carry none — refused rather than mixing match rules
             raise NotImplementedError(
-                "OPTIMIZE on a row-tracked COLUMN-MAPPED table: the "
-                "physical rewrite would drop the materialized id "
-                "columns in the mapping translation; refused rather "
-                "than reshuffling row ids"
+                "OPTIMIZE on a row-tracked ID-mapped table: the "
+                "materialized id columns carry no parquet field ids; "
+                "refused rather than reshuffling row ids"
             )
     pcols = meta.get("partitionColumns", []) or []
     if not zorder_by:
@@ -2065,7 +2074,9 @@ def optimize_delta(
         )
     else:
         snap = snap.coalesce(max(1, target_files))
-    df = _to_physical(snap, meta)
+    df = _to_physical(
+        snap, meta, extra_cols=[mat_id, mat_ver] if rt_on else None
+    )
     removes = [
         {
             "remove": {
@@ -3295,12 +3306,11 @@ def merge_delta(
                 "row-tracked table lacks materialized column names in "
                 "its configuration"
             )
-        if (cfg0.get("delta.columnMapping.mode") or "none") != "none":
+        if (cfg0.get("delta.columnMapping.mode") or "none") == "id":
             raise NotImplementedError(
-                "MERGE on a row-tracked COLUMN-MAPPED table: the "
-                "physical rewrite would drop the materialized id "
-                "columns in the mapping translation; refused rather "
-                "than reshuffling row ids"
+                "MERGE on a row-tracked ID-mapped table: the "
+                "materialized id columns carry no parquet field ids; "
+                "refused rather than reshuffling row ids"
             )
     adds = state["adds"]
     _check_write_schema(source, meta)
@@ -3469,7 +3479,12 @@ def merge_delta(
     new_df = _apply_write_constraints(new_df.select(*keep_cols), meta)
     # _to_physical renames mapped tables to physical column names, so the
     # staged write partitions by the log's (physical) partitionColumns
-    staged = _stage_new_files(_to_physical(new_df, meta), path, plan.pcols, meta)
+    staged = _stage_new_files(
+        _to_physical(
+            new_df, meta, extra_cols=[mat_id, mat_ver] if rt_on else None
+        ),
+        path, plan.pcols, meta,
+    )
     hw_action = _identity_high_water(staged, path, meta)
     rt_actions = _assign_row_ids(v, staged, state) if rt_on else []
     now = int(time.time() * 1000)

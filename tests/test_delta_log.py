@@ -3881,3 +3881,54 @@ class TestFeatureComposition:
         }
         assert got == {0: 0, 1: 1, 3: 3, 4: 4, 5: 5, 9: 6}, got
         assert delta_domain_metadata(path)["app.owner"] == "x"
+
+    def test_optimize_and_merge_materialize_on_name_mapped(
+        self, spark, tmp_path
+    ):
+        """Round-10 close-out: the materialization survives the NAME-mode
+        physical translation too — migrate, rename, optimize, then merge,
+        with ids stable throughout (id-mode stays gated)."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_rename_column,
+            enable_column_mapping,
+            enable_row_tracking,
+            merge_delta,
+            optimize_delta,
+            read_delta_row_ids,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(8)], "k bigint, val bigint"
+            ).repartition(2),
+            path,
+        )
+        enable_row_tracking(spark, path)
+        enable_column_mapping(path)
+        alter_delta_rename_column(path, "val", "amount")
+        before = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        optimize_delta(spark, path, target_files=1)
+        mid = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert mid == before
+        mv = merge_delta(
+            spark, path,
+            spark.createDataFrame([(3, 999), (50, 500)],
+                                  "k bigint, amount bigint"),
+            on=["k"],
+        )
+        after = {
+            r["k"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        for kk in range(8):
+            assert after[kk][0] == before[kk], (kk, after[kk])
+        assert after[3][1] == mv
+        assert after[50][0] > max(before.values())
+        assert len({i for i, _ in after.values()}) == 9
