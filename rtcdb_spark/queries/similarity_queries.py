@@ -1002,3 +1002,100 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sel_order")
     )
+
+
+@query(
+    "embedding_matryoshka_energy",
+    """
+    WITH base AS (
+        SELECT label,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm,
+               sqrt(list_dot_product(
+                   (embedding::DOUBLE[])[1:CAST(len(embedding) / 2 AS BIGINT)],
+                   (embedding::DOUBLE[])[1:CAST(len(embedding) / 2 AS BIGINT)]
+               )) AS half
+        FROM embeddings
+    ),
+    r AS (
+        SELECT label,
+               CASE WHEN norm < 1e-12 THEN 0.0 ELSE half / norm END AS ratio
+        FROM base
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(MIN(ratio), 9) AS min_ratio,
+           ROUND(MAX(ratio), 9) AS max_ratio,
+           CAST(SUM(CASE WHEN ratio >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncatable,
+           CAST(SUM(CASE WHEN ratio >= 0.75 AND ratio < 0.9
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_marginal,
+           CAST(SUM(CASE WHEN ratio < 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tail_heavy
+    FROM r
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "embedding", "matryoshka", "llm-pipeline",
+          "quality"),
+)
+def embedding_matryoshka_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka (MRL) truncation audit — the screen run before cutting
+    embedding dimensions in half to halve ANN index cost: per vector,
+    the fraction of the L2 norm the FIRST d/2 coordinates retain
+    (energy ratio = ||prefix|| / ||full||); per label, the ratio range
+    and a three-way census (>= 0.9 safely truncatable, 0.75-0.9
+    marginal, < 0.75 tail-heavy — truncation would reorder neighbors).
+    MRL-trained encoders concentrate energy in the prefix, so this
+    measures whether a corpus's embeddings actually have that property
+    before a pipeline relies on it.
+
+    Determinism: both engines fold the SAME doubles in the same
+    sequential order (list_dot_product vs zip_with+aggregate — the
+    `embedding_norm_quality` precedent), per-row division and ROUND are
+    single float ops, and every aggregate is a count or an exact
+    MIN/MAX. Scale: pure map-side column expressions + one label-key
+    hash aggregate; no shuffle before it, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    half_dot = F.expr(
+        "aggregate(zip_with("
+        " slice(CAST(embedding AS ARRAY<DOUBLE>), 1,"
+        "       CAST(size(embedding) / 2 AS INT)),"
+        " slice(CAST(embedding AS ARRAY<DOUBLE>), 1,"
+        "       CAST(size(embedding) / 2 AS INT)),"
+        " (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    full_dot = F.expr(
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+        " CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    base = e.select(
+        "label",
+        F.sqrt(full_dot).alias("norm"),
+        F.sqrt(half_dot).alias("half"),
+    )
+    r = base.select(
+        "label",
+        F.when(F.col("norm") < 1e-12, F.lit(0.0))
+        .otherwise(F.col("half") / F.col("norm"))
+        .alias("ratio"),
+    )
+    return (
+        r.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.min("ratio"), 9).alias("min_ratio"),
+            F.round(F.max("ratio"), 9).alias("max_ratio"),
+            F.sum((F.col("ratio") >= 0.9).cast("int"))
+            .cast("bigint").alias("n_truncatable"),
+            F.sum(
+                ((F.col("ratio") >= 0.75) & (F.col("ratio") < 0.9)).cast("int")
+            ).cast("bigint").alias("n_marginal"),
+            F.sum((F.col("ratio") < 0.75).cast("int"))
+            .cast("bigint").alias("n_tail_heavy"),
+        )
+        .orderBy("label")
+    )
