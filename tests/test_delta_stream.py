@@ -852,3 +852,47 @@ class TestNestedMappedChangeFeed:
             (i, i * 10, f"b{i}", "insert", 1 if i < 4 else 2)
             for i in range(6)
         ]
+
+
+class TestRateKnobComposition:
+    def test_max_versions_and_files_compose(self, spark, tmp_path):
+        # 3 commits x 4 files at maxVersionsPerTrigger=2 AND
+        # maxFilesPerTrigger=3: whichever knob binds first ends the
+        # batch, and the union over drains is exactly-once
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 40).repartition(4), path)
+        append_delta(_mk(spark, 40, 80).repartition(4), path)
+        append_delta(_mk(spark, 80, 120).repartition(4), path)
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", path)
+                .option("maxVersionsPerTrigger", "2")
+                .option("maxFilesPerTrigger", "3")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(sink).count()
+
+        counts = []
+        for _ in range(6):
+            counts.append(drain())
+            if counts[-1] == 120 and len(counts) >= 2 and counts[-2] == 120:
+                break
+        # 12 files at <=3/batch needs >=4 productive drains
+        productive = sum(
+            1 for a, b in zip([0] + counts, counts) if b > a
+        )
+        assert productive >= 4, counts
+        assert counts[-1] == 120
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == list(range(120))
