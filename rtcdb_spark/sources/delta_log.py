@@ -4065,6 +4065,51 @@ def delta_plan_files(
     return keep, len(adds)
 
 
+def delta_plan_files_multi(
+    path: str,
+    preds: list[tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Conjunctive data skipping (round 10): ``preds`` is a list of
+    ``(col, lo, hi)`` closed-interval predicates ANDed together — the
+    kept set is the INTERSECTION of each predicate's sound keep set,
+    which is itself sound (a file pruned by ANY conjunct proves the
+    conjunction empty for that file). This is what a ZORDER'd table is
+    FOR: after clustering on (a, b), a query with ranges on both
+    prunes multiplicatively. O(live files × predicates) driver-side
+    metadata."""
+    keep: set | None = None
+    total = 0
+    for col, lo, hi in preds:
+        ks, total = delta_plan_files(path, col, lo, hi, version)
+        keep = set(ks) if keep is None else keep & set(ks)
+    return sorted(keep or []), total
+
+
+def read_delta_pruned_multi(
+    spark: SparkSession,
+    path: str,
+    preds: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-predicate pruned read: conjunctive file skipping THEN the
+    exact row-level filters — same contract as `read_delta_pruned`,
+    several dimensions at once."""
+    from pyspark.sql import functions as F
+
+    meta, adds, _state = _snapshot_state(path, version)
+    keep, _total = delta_plan_files_multi(path, preds, version)
+    sub = {p: adds[p] for p in keep}
+    df = _scan_snapshot(spark, path, meta, sub)
+    cond = F.lit(True)
+    for col, lo, hi in preds:
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    return df.filter(cond)
+
+
 def read_delta_pruned(
     spark: SparkSession,
     path: str,

@@ -363,11 +363,16 @@ class DeltaStreamReader(DataSourceStreamReader):
             except ValueError:
                 self.starting = 0  # whole log is at/after the timestamp
         else:
-            self.starting = int(
-                options.get(
-                    "startingversion", options.get("startingVersion", 0)
-                )
+            sv = options.get(
+                "startingversion", options.get("startingVersion", 0)
             )
+            if str(sv).lower() == "latest":
+                # delta-spark's literal: skip the whole existing history,
+                # deliver only commits that land after the stream starts
+                vs = delta_versions(self.table_path)
+                self.starting = (vs[-1] + 1) if vs else 0
+            else:
+                self.starting = int(sv)
         truthy = ("true", "1", "yes")
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() in truthy

@@ -3932,3 +3932,43 @@ class TestFeatureComposition:
         assert after[3][1] == mv
         assert after[50][0] > max(before.values())
         assert len({i for i, _ in after.values()}) == 9
+
+
+class TestMultiPredicateSkipping:
+    def test_conjunctive_pruning_after_zorder(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delta_plan_files,
+            delta_plan_files_multi,
+            optimize_delta,
+            read_delta_pruned_multi,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(4000).select(
+                F.col("id").alias("a"),
+                ((F.col("id") * 2654435761) % 4000).alias("b"),
+            ).repartitionByRange(8, "a"),
+            path,
+        )
+        optimize_delta(spark, path, target_files=8, zorder_by=["a", "b"])
+        ka, _ = delta_plan_files(path, "a", 0, 500)
+        kb, _ = delta_plan_files(path, "b", 0, 500)
+        both, total = delta_plan_files_multi(
+            path, [("a", 0, 500), ("b", 0, 500)]
+        )
+        assert total == 8
+        # the conjunction prunes at least as hard as either conjunct
+        assert len(both) <= min(len(ka), len(kb))
+        assert set(both) == set(ka) & set(kb)
+        got = sorted(
+            (r["a"], r["b"]) for r in read_delta_pruned_multi(
+                spark, path, [("a", 0, 500), ("b", 0, 500)]
+            ).collect()
+        )
+        want = sorted(
+            (i, (i * 2654435761) % 4000)
+            for i in range(501)
+            if (i * 2654435761) % 4000 <= 500
+        )
+        assert got == want

@@ -896,3 +896,41 @@ class TestRateKnobComposition:
         assert sorted(
             r["k"] for r in spark.read.parquet(sink).collect()
         ) == list(range(120))
+
+
+class TestStartingLatest:
+    def test_starting_version_latest_skips_history(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 10), path)
+        append_delta(_mk(spark, 10, 20), path)
+
+        def drain():
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", path)
+                .option("startingVersion", "latest")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "sink"))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        import os as _os
+
+        sink = str(tmp_path / "sink")
+        first = (
+            spark.read.parquet(sink).count()
+            if any(f.endswith(".parquet") for f in _os.listdir(sink))
+            else 0
+        )
+        assert first == 0  # existing history skipped entirely
+        append_delta(_mk(spark, 20, 25), path)
+        drain()  # same checkpoint: only the post-subscription commit
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == list(range(20, 25))
