@@ -2083,3 +2083,81 @@ def source_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_delta_multi_skipping",
+    """
+    WITH b AS (
+        SELECT MIN(o_orderkey) AS kmn, MAX(o_orderkey) - MIN(o_orderkey) AS kspan,
+               MIN(o_custkey) AS cmn, MAX(o_custkey) - MIN(o_custkey) AS cspan
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey <= (SELECT kmn + CAST(FLOOR(kspan / 4) AS BIGINT) FROM b)
+      AND o_custkey  <= (SELECT cmn + CAST(FLOOR(cspan / 4) AS BIGINT) FROM b)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "delta", "interchange", "data-skipping", "zorder",
+          "multi-predicate"),
+)
+def source_delta_multi_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (multi-predicate) data skipping (round 10,
+    `delta_log.delta_plan_files_multi`): orders is ZORDER'd on
+    (o_orderkey, o_custkey), then a query ANDing ranges on BOTH columns
+    plans its file set as the INTERSECTION of each predicate's sound
+    keep set — asserted in-query to prune at least as hard as either
+    conjunct alone (the multiplicative payoff clustering exists for).
+    The pruned read routes through the shared one-scan reader and
+    hashes against the fixture's two-clause WHERE twin, so an unsound
+    intersection (a file wrongly pruned by the combination) breaks it."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        delta_plan_files,
+        delta_plan_files_multi,
+        optimize_delta,
+        read_delta_pruned_multi,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_ms_")
+    shutil.rmtree(path)
+    write_delta(o.repartition(8), path)  # unclustered on purpose
+    optimize_delta(
+        spark, path, target_files=8,
+        zorder_by=["o_orderkey", "o_custkey"],
+    )
+    kmn, kmx, cmn, cmx = o.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min("o_custkey"), F.max("o_custkey"),
+    ).collect()[0]
+    khi = int(kmn) + (int(kmx) - int(kmn)) // 4
+    chi = int(cmn) + (int(cmx) - int(cmn)) // 4
+    preds = [("o_orderkey", None, khi), ("o_custkey", None, chi)]
+    ka, _ = delta_plan_files(path, "o_orderkey", None, khi)
+    kb, _ = delta_plan_files(path, "o_custkey", None, chi)
+    both, total = delta_plan_files_multi(path, preds)
+    assert total == 8 and set(both) == set(ka) & set(kb), (
+        len(ka), len(kb), len(both),
+    )
+    assert len(both) <= min(len(ka), len(kb)) and len(both) < 8
+    t = read_delta_pruned_multi(spark, path, preds)
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
