@@ -2101,14 +2101,21 @@ def optimize_delta(
     return v
 
 
-def vacuum_delta(path: str, retain_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+def vacuum_delta(
+    path: str,
+    retain_ms: int = 7 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> list[str]:
     """Physically delete data files no longer referenced by the CURRENT
     snapshot, Delta's vacuum semantics: a file goes when it (a) is not a
     live add, and (b) was tombstoned (or last modified, for untracked
     stragglers) more than ``retain_ms`` ago. Deletion-vector files
     referenced by live adds are protected; unreferenced ones age out the
     same way. Time travel to versions whose files were vacuumed is gone —
-    the same contract as Delta's ``VACUUM``. Returns the deleted paths."""
+    the same contract as Delta's ``VACUUM``. Returns the deleted paths;
+    ``dry_run=True`` (round 10, VACUUM ... DRY RUN) returns the list
+    WITHOUT deleting anything — the look-before-you-leap check run
+    before every production vacuum."""
     meta, adds, state = _snapshot_state(path)
     now = int(time.time() * 1000)
     cutoff = now - retain_ms
@@ -2144,7 +2151,8 @@ def vacuum_delta(path: str, retain_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
                 continue
             ts = tomb_ts.get(full, int(os.path.getmtime(full) * 1000))
             if ts <= cutoff:
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(full)
     return deleted
 
@@ -3765,6 +3773,45 @@ def checkpoint_delta_v2(
         json.dump({"version": v, "size": rows_n}, fh)
     os.rename(lc + ".tmp", lc)
     return v
+
+
+def describe_detail(path: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL (round 10, Delta's command of the same name):
+    one metadata dict for the snapshot — format, table id, creation
+    time, partition/clustering columns, live-file count and total
+    bytes, properties, protocol versions and feature lists. O(live
+    files) driver-side metadata, no Spark job."""
+    meta, adds, state = _snapshot_state(path, version)
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    dm = (state.get("domains") or {}).get("delta.clustering")
+    clustering: list[str] = []
+    if dm and not dm.get("removed"):
+        try:
+            clustering = [
+                p[-1] if isinstance(p, list) else str(p)
+                for p in json.loads(
+                    dm.get("configuration") or "{}"
+                ).get("clusteringColumns") or []
+            ]
+        except (ValueError, TypeError):
+            clustering = []
+    return {
+        "format": meta.get("format", {}).get("provider", "parquet"),
+        "id": meta.get("id"),
+        "location": os.path.abspath(path),
+        "createdAt": meta.get("createdTime"),
+        "partitionColumns": meta.get("partitionColumns", []) or [],
+        "clusteringColumns": clustering,
+        "numFiles": len(adds),
+        "sizeInBytes": sum(
+            int(a.get("size") or 0) for a in adds.values()
+        ),
+        "properties": dict(meta.get("configuration") or {}),
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": proto.get("minWriterVersion", 2),
+        "readerFeatures": sorted(proto.get("readerFeatures") or []),
+        "writerFeatures": sorted(proto.get("writerFeatures") or []),
+    }
 
 
 def delta_history(path: str) -> list[dict]:

@@ -3972,3 +3972,56 @@ class TestMultiPredicateSkipping:
             if (i * 2654435761) % 4000 <= 500
         )
         assert got == want
+
+
+class TestVacuumDryRunDescribeDetail:
+    def test_vacuum_dry_run_deletes_nothing(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import vacuum_delta
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(6).select(F.col("id").alias("k")).coalesce(1), path
+        )
+        overwrite_delta(
+            spark.createDataFrame([(99,)], "k bigint").coalesce(1), path
+        )
+        would = vacuum_delta(path, retain_ms=0, dry_run=True)
+        assert len(would) == 1  # the overwritten file
+        assert all(os.path.exists(p) for p in would)  # nothing deleted
+        # time travel still works after the dry run
+        assert read_delta(spark, path, version=0).count() == 6
+        gone = vacuum_delta(path, retain_ms=0)
+        assert sorted(gone) == sorted(would)
+        assert not any(os.path.exists(p) for p in gone)
+
+    def test_describe_detail(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            describe_detail,
+            set_clustering_columns,
+            set_domain_metadata,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(10).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 2).cast("string").alias("p"),
+            ),
+            path,
+            partition_by=["p"],
+            configuration={"delta.appendOnly": "false"},
+        )
+        set_clustering_columns(path, ["k"])
+        d = describe_detail(path)
+        assert d["format"] == "parquet"
+        assert d["partitionColumns"] == ["p"]
+        assert d["clusteringColumns"] == ["k"]
+        assert d["numFiles"] >= 2 and d["sizeInBytes"] > 0
+        assert d["properties"]["delta.appendOnly"] == "false"
+        assert d["minWriterVersion"] == 7  # domain-metadata feature
+        assert "domainMetadata" in d["writerFeatures"]
+        # version pinning: before the domain commit there was no feature
+        d0 = describe_detail(path, version=0)
+        assert d0["writerFeatures"] == []
+        set_domain_metadata(path, "delta.clustering", "", removed=True)
+        assert describe_detail(path)["clusteringColumns"] == []
