@@ -301,6 +301,19 @@ def _restore_value(arr, dt, mode):
     return arr.cast(target)
 
 
+def _phys_type_map(schema_json: str) -> dict[str, str]:
+    """physical column name -> type (top level) — the invariant a
+    running stream can rely on. Renames under mapping keep the physical
+    name, adds/drops change the key SET (both sound to read with the
+    snapshot schema: missing column -> null, dropped column -> ignored)
+    — only a TYPE change under the same physical name makes old or new
+    files unsound against the reader's fixed schema."""
+    st = StructType.fromJson(json.loads(schema_json))
+    return {
+        _physical_name(f): f.dataType.simpleString() for f in st.fields
+    }
+
+
 def _mapping_facts(meta: dict, schema: StructType):
     """(mode, pcols_physical, phys_of, fid_of) from a snapshot metaData.
     Top-level facts only — nested members resolve per-file inside
@@ -410,6 +423,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.mode, self.pcols, self.phys_of, self.fid_of = _mapping_facts(
             meta, log_schema
         )
+        self._types_by_phys = _phys_type_map(meta["schemaString"])
 
     def _commit_ts(self, v: int) -> int:
         from rtcdb_spark.sources.delta_log import (
@@ -440,6 +454,25 @@ class DeltaStreamReader(DataSourceStreamReader):
         if got is not None:
             return got
         acts = _commit_actions(self.table_path, v, versions)
+        for a in acts:
+            m = a.get("metaData")
+            if m is None:
+                continue
+            # schema-change guard (round 10): adds/drops/renames are
+            # sound against the reader's fixed snapshot schema
+            # (missing -> null, extra -> ignored, physical name stable
+            # under mapping), but a TYPE change under the same
+            # physical name is not — fail like delta-spark and let the
+            # restart adopt the new schema
+            then = _phys_type_map(m["schemaString"])
+            for pn, t in then.items():
+                now_t = self._types_by_phys.get(pn)
+                if now_t is not None and now_t != t:
+                    raise ValueError(
+                        f"commit {v} changes column type ({pn!r}: "
+                        f"{t} -> {now_t} at the snapshot); restart "
+                        "the stream to adopt the new schema"
+                    )
         adds = [
             a["add"]
             for a in acts
@@ -625,6 +658,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         pf = pq.ParquetFile(partition.path)
         file_names = pf.schema_arrow.names
         col_of = {}
+        # a column ABSENT from the file reads as null — files written
+        # before an ADD COLUMN lack it, the batch reader's
+        # explicit-schema rule (round 10; was a hard error)
         if mode == "id":
             by_fid = {}
             for af in pf.schema_arrow:
@@ -632,23 +668,15 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if fid is not None:
                     by_fid[int(fid)] = af.name
             for f in data_fields:
-                want = partition.fid_of[f.name]
-                if want not in by_fid:
-                    raise ValueError(
-                        f"{partition.path}: no parquet column carries "
-                        f"field id {want} (logical column {f.name!r})"
-                    )
-                col_of[f.name] = by_fid[want]
+                col_of[f.name] = by_fid.get(partition.fid_of[f.name])
         else:
             for f in data_fields:
                 p = _phys(f.name)
-                if p not in file_names:
-                    raise ValueError(
-                        f"{partition.path}: missing column {p!r} "
-                        f"(logical {f.name!r})"
-                    )
-                col_of[f.name] = p
-        read_cols = [col_of[f.name] for f in data_fields]
+                col_of[f.name] = p if p in file_names else None
+        read_cols = [
+            col_of[f.name] for f in data_fields
+            if col_of[f.name] is not None
+        ]
         if partition.cdf and partition.ctype is None:
             # cdc files store _change_type verbatim, no mapping
             read_cols.append("_change_type")
@@ -662,6 +690,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                 raw = partition.pvals.get(_phys(f.name))
                 # protocol: partition values are strings, null = null
                 arr = pa.array([raw] * n, type=pa.string()).cast(at)
+            elif col_of[f.name] is None:
+                arr = pa.nulls(n, type=at)  # file predates the column
             else:
                 arr = _restore_value(
                     tbl.column(col_of[f.name]), lf.dataType, mode

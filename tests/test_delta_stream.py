@@ -934,3 +934,51 @@ class TestStartingLatest:
         assert sorted(
             r["k"] for r in spark.read.parquet(sink).collect()
         ) == list(range(20, 25))
+
+
+class TestSchemaChangeGuard:
+    def test_type_change_in_range_fails_the_stream(self, spark, tmp_path):
+        import json as _json
+
+        from rtcdb_spark.sources.delta_log import _snapshot_state
+
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 5).coalesce(1), path)
+        # forge a foreign commit that RETYPES k (bigint -> int) and the
+        # snapshot keeps the new type; the stream started... actually
+        # the reader inits on the SNAPSHOT, so the in-range OLD->NEW
+        # transition is what it sees: hand-write v1 with the retype
+        meta = _snapshot_state(path)[0]
+        schema = _json.loads(meta["schemaString"])
+        for f in schema["fields"]:
+            if f["name"] == "v":
+                f["type"] = "float"  # was double
+        m2 = dict(meta)
+        m2["schemaString"] = _json.dumps(schema)
+        log = os.path.join(path, "_delta_log")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"metaData": m2}) + "\n")
+        with pytest.raises(Exception, match="column type|restart"):
+            _drain(
+                spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+            )
+
+    def test_additive_change_streams_fine(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import alter_delta_add_column
+
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 4).coalesce(1), path)
+        alter_delta_add_column(path, "tag", "string")
+        append_delta(
+            spark.createDataFrame(
+                [(99, "1", 5.0, "t")], "k bigint, p string, v double, tag string"
+            ),
+            path,
+        )
+        got = _drain(
+            spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        )
+        rows = {r["k"]: r["tag"] for r in got.collect()}
+        assert rows == {0: None, 1: None, 2: None, 3: None, 99: "t"}
