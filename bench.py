@@ -162,6 +162,13 @@ HEADLINE = [
     # liquid clustering driving a bare OPTIMIZE
     "stream_delta_backfill_files",
     "source_delta_liquid_clustering",
+    # round 10, late waves: in-commit timestamps, ALTER TABLE, row
+    # tracking, conjunctive skipping, Matryoshka embedding audit
+    "source_delta_ict_travel",
+    "source_delta_alter_columns",
+    "source_delta_row_tracking",
+    "source_delta_multi_skipping",
+    "embedding_matryoshka_energy",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
