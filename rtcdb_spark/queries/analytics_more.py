@@ -970,3 +970,74 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "events_burstiness_fano",
+    """
+    WITH perbin AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 minute', ts) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        GROUP BY event_type, time_bucket(INTERVAL '1 minute', ts)
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2,
+               CAST(MAX(c) AS BIGINT) AS peak
+        FROM perbin
+        GROUP BY event_type
+    )
+    SELECT event_type, n_bins, s1 AS n_events, peak,
+           ROUND(
+               (CAST(s2 AS DOUBLE) / n_bins
+                - (CAST(s1 AS DOUBLE) / n_bins)
+                  * (CAST(s1 AS DOUBLE) / n_bins))
+               / (CAST(s1 AS DOUBLE) / n_bins), 9) AS fano
+    FROM agg
+    ORDER BY event_type
+    """,
+    tags=("events", "anomaly", "burstiness", "timeseries"),
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness via the FANO FACTOR (variance-to-mean ratio of
+    per-minute arrival counts, per event type) — the dispersion index
+    that separates Poisson-like organic traffic (fano ≈ 1) from bursty
+    machine traffic (fano >> 1) and metronomic bots (fano << 1); the
+    standard first screen before the heavier cadence detectors.
+
+    Determinism: per-bin counts are exact integers; variance comes from
+    the EXACT bigint sums (Σc, Σc², bin count) with the identical
+    double formula evaluated once per group on both engines — no
+    accumulation of floats across rows. Scale: two hash aggregates
+    (type+minute, then type); the first pre-reduces map-side, the
+    second is |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    perbin = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = perbin.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.max("c").cast("bigint").alias("peak"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_bins")
+    return agg.select(
+        "event_type",
+        "n_bins",
+        F.col("s1").alias("n_events"),
+        "peak",
+        F.round(
+            (F.col("s2").cast("double") / F.col("n_bins") - mean * mean)
+            / mean,
+            9,
+        ).alias("fano"),
+    ).orderBy("event_type")
