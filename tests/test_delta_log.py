@@ -4025,3 +4025,74 @@ class TestVacuumDryRunDescribeDetail:
         assert d0["writerFeatures"] == []
         set_domain_metadata(path, "delta.clustering", "", removed=True)
         assert describe_detail(path)["clusteringColumns"] == []
+
+
+class TestRound10Edges:
+    def test_vacuum_dry_run_protects_live_dv(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            vacuum_delta,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(10).select(F.col("id").alias("k")).coalesce(1),
+            path,
+        )
+        delete_delta(spark, path, "k < 3")  # live file + live DV .bin
+        would = vacuum_delta(path, retain_ms=0, dry_run=True)
+        # nothing unreferenced exists: the data file and its DV are live
+        assert would == []
+        assert read_delta(spark, path).count() == 7
+
+    def test_describe_detail_reports_reader_features(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            describe_detail,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(6).select(F.col("id").alias("k")).coalesce(1), path
+        )
+        delete_delta(spark, path, "k = 0")
+        d = describe_detail(path)
+        assert "deletionVectors" in d["readerFeatures"]
+        assert d["minReaderVersion"] == 3 and d["minWriterVersion"] == 7
+
+    def test_row_ids_time_travel(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            enable_row_tracking,
+            read_delta_row_ids,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(4).select(F.col("id").alias("k")).coalesce(1), path
+        )
+        ev = enable_row_tracking(spark, path)
+        append_delta(
+            spark.createDataFrame([(50,)], "k bigint").coalesce(1), path
+        )
+        now = {r["k"]: r["_row_id"]
+               for r in read_delta_row_ids(spark, path).collect()}
+        then = {r["k"]: r["_row_id"]
+                for r in read_delta_row_ids(spark, path, version=ev)
+                .collect()}
+        assert sorted(then) == [0, 1, 2, 3]
+        assert all(now[k] == then[k] for k in then)  # history consistent
+
+    def test_alter_add_column_type_roundtrip(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import alter_delta_add_column
+
+        path = str(tmp_path / "t")
+        write_delta(spark.createDataFrame([(1,)], "k bigint"), path)
+        alter_delta_add_column(path, "score", "double", nullable=True)
+        append_delta(
+            spark.createDataFrame([(2, 0.5)], "k bigint, score double"),
+            path,
+        )
+        got = {r["k"]: r["score"] for r in read_delta(spark, path).collect()}
+        assert got == {1: None, 2: 0.5}
+        with pytest.raises(ValueError, match="already exists"):
+            alter_delta_add_column(path, "score", "double")
