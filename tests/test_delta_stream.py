@@ -982,3 +982,56 @@ class TestSchemaChangeGuard:
         )
         rows = {r["k"]: r["tag"] for r in got.collect()}
         assert rows == {0: None, 1: None, 2: None, 3: None, 99: "t"}
+
+
+class TestStreamRound10Edges:
+    def test_row_tracked_table_streams(self, spark, tmp_path):
+        # adds carrying baseRowId/defaultRowCommitVersion are opaque to
+        # the stream — rows deliver exactly once, no schema surprises
+        from rtcdb_spark.sources.delta_log import enable_row_tracking
+
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 6).coalesce(1), path)
+        enable_row_tracking(spark, path)  # backfill re-adds, dataChange=false
+        append_delta(_mk(spark, 6, 9).coalesce(1), path)
+        got = _drain(
+            spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        )
+        # the backfill's dataChange=false re-adds must NOT re-emit v0
+        assert sorted(r["k"] for r in got.collect()) == list(range(9))
+
+    def test_latest_composes_with_file_cap(self, spark, tmp_path):
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(_mk(spark, 0, 50).repartition(5), path)  # skipped
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", path)
+                .option("startingVersion", "latest")
+                .option("maxFilesPerTrigger", "2")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            import os as _os
+            if not any(
+                f.endswith(".parquet") for f in _os.listdir(sink)
+            ):
+                return 0
+            return spark.read.parquet(sink).count()
+
+        assert drain() == 0  # history skipped
+        append_delta(_mk(spark, 50, 90).repartition(4), path)
+        counts = [drain() for _ in range(3)]
+        assert counts[-1] == 40 and 0 < counts[0] < 40  # capped batches
+        assert sorted(
+            r["k"] for r in spark.read.parquet(sink).collect()
+        ) == list(range(50, 90))
