@@ -1012,8 +1012,8 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_dot_product(embedding::DOUBLE[],
                                      embedding::DOUBLE[])) AS norm,
                sqrt(list_dot_product(
-                   (embedding::DOUBLE[])[1:CAST(len(embedding) / 2 AS BIGINT)],
-                   (embedding::DOUBLE[])[1:CAST(len(embedding) / 2 AS BIGINT)]
+                   (embedding::DOUBLE[])[1:len(embedding) // 2],
+                   (embedding::DOUBLE[])[1:len(embedding) // 2]
                )) AS half
         FROM embeddings
     ),
@@ -1062,9 +1062,9 @@ def embedding_matryoshka_energy(
     half_dot = F.expr(
         "aggregate(zip_with("
         " slice(CAST(embedding AS ARRAY<DOUBLE>), 1,"
-        "       CAST(size(embedding) / 2 AS INT)),"
+        "       CAST(floor(size(embedding) / 2) AS INT)),"
         " slice(CAST(embedding AS ARRAY<DOUBLE>), 1,"
-        "       CAST(size(embedding) / 2 AS INT)),"
+        "       CAST(floor(size(embedding) / 2) AS INT)),"
         " (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     )
     full_dot = F.expr(

@@ -1030,6 +1030,28 @@ def _ict_state(
                 prev_ict = int(ci["inCommitTimestamp"])
     if enabled is None:
         enabled = prev_ict is not None
+    if (
+        not enabled
+        and prev_ict is None
+        and version > 0
+        and not os.path.exists(p)
+    ):
+        # Checkpoint-only log (ADVICE r10): the v-1 JSON commit was
+        # vacuumed after a checkpoint, so the one-readline probe can't
+        # see the previous stamp. The table configuration in the
+        # checkpointed snapshot is still authoritative — without this
+        # fallback the next commit would silently stop stamping and
+        # break the every-commit-stamped invariant TIMESTAMP AS OF
+        # relies on. (prev_ict stays None; the wall clock is >= the
+        # previous commit's stamp on any sane clock, and _write_commit
+        # still enforces strict monotonicity when a stamp is visible.)
+        try:
+            meta, _adds, _state = _snapshot_state(path, version - 1)
+        except (ValueError, OSError):
+            meta = None
+        if meta is not None:
+            cfg = meta.get("configuration") or {}
+            enabled = cfg.get("delta.enableInCommitTimestamps") == "true"
     return enabled, prev_ict
 
 
@@ -1219,12 +1241,32 @@ def write_delta(
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(path)
+    proto_action = _PROTOCOL
+    track_rows = (configuration or {}).get("delta.enableRowTracking") == "true"
+    if track_rows:
+        # Creation-path row tracking (ADVICE r10): the same writer-feature
+        # gate and materialized-column-name reservation enable_row_tracking
+        # applies — legacy writers must not touch a row-tracked table, and
+        # OPTIMIZE/MERGE need the reserved names from version 0
+        up = _with_writer_feature(_PROTOCOL["protocol"], "rowTracking")
+        up["writerFeatures"] = sorted(
+            set(up["writerFeatures"]) | {"domainMetadata"}
+        )
+        proto_action = {"protocol": up}
+        suffix = uuid.uuid4().hex[:8]
+        configuration = {
+            "delta.rowTracking.materializedRowIdColumnName":
+                f"_row-id-col-{suffix}",
+            "delta.rowTracking.materializedRowCommitVersionColumnName":
+                f"_row-commit-version-col-{suffix}",
+            **configuration,
+        }
     actions = (
-        [_PROTOCOL, _meta_action(df, pcols, configuration)]
+        [proto_action, _meta_action(df, pcols, configuration)]
         + _adds_for_dir(path, pcols)
         + (extra_actions or [])
     )
-    if (configuration or {}).get("delta.enableRowTracking") == "true":
+    if track_rows:
         actions += _assign_row_ids(
             0, actions,
             {"meta": {"configuration": configuration}, "domains": {}},
@@ -1357,7 +1399,8 @@ def _nested_id_mapped(meta: dict) -> bool:
 
 
 def _stage_new_files(
-    df: DataFrame, path: str, pcols: list[str], meta: dict | None = None
+    df: DataFrame, path: str, pcols: list[str], meta: dict | None = None,
+    n_extra: int = 0,
 ) -> list[dict]:
     """Write ``df`` to a private staging dir inside the table, move the
     parquet files into place, and return their add actions — O(new
@@ -1367,11 +1410,16 @@ def _stage_new_files(
     rather than clobbers.
 
     Nested-id-mapped tables (round 8 wave 6) route to the ARROW stage
-    writer, which stamps parquet field ids at every nesting level."""
+    writer, which stamps parquet field ids at every nesting level;
+    ``n_extra`` trailing columns outside the table schema (round 11:
+    the row-tracking materialized id columns) are written verbatim with
+    no field id — id-mode readers name-match requested fields that
+    carry no field id (verified Spark 4.1 behavior), so the mixed files
+    read back correctly."""
     import shutil
 
     if meta is not None and _nested_id_mapped(meta):
-        return _stage_new_files_arrow(df, path, pcols, meta)
+        return _stage_new_files_arrow(df, path, pcols, meta, n_extra)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("error")
     if pcols:
@@ -1620,7 +1668,8 @@ def _arrow_stage(
 
 
 def _stage_new_files_arrow(
-    df_phys: DataFrame, path: str, pcols: list[str], meta: dict
+    df_phys: DataFrame, path: str, pcols: list[str], meta: dict,
+    n_extra: int = 0,
 ) -> list[dict]:
     """Add actions for an id-mapped write, via the `_arrow_stage`
     executor-side writer (field ids stamped at every nesting level;
@@ -1644,7 +1693,7 @@ def _stage_new_files_arrow(
                 ),
             }
         }
-        for d in _arrow_stage(df_phys, path, path, pcols, meta)
+        for d in _arrow_stage(df_phys, path, path, pcols, meta, n_extra)
     ]
 
 
@@ -2019,16 +2068,12 @@ def optimize_delta(
                 "row-tracked table lacks materialized column names in "
                 "its configuration"
             )
-        if (cfg0.get("delta.columnMapping.mode") or "none") == "id":
-            # name-mode passes the materialized columns through the
-            # physical translation verbatim (round 10); id-mode files
-            # match data columns by parquet field id, and the extras
-            # carry none — refused rather than mixing match rules
-            raise NotImplementedError(
-                "OPTIMIZE on a row-tracked ID-mapped table: the "
-                "materialized id columns carry no parquet field ids; "
-                "refused rather than reshuffling row ids"
-            )
+        # name-mode passes the materialized columns through the physical
+        # translation verbatim (round 10); id-mode (round 11, VERDICT r10
+        # item 2) writes them verbatim WITHOUT field ids — Spark's
+        # field-id read path name-matches requested fields that carry no
+        # id (verified 4.1 behavior), so data columns keep id-matching
+        # while the materialized extras match by their reserved names
     pcols = meta.get("partitionColumns", []) or []
     if not zorder_by:
         # liquid-clustering tie-in (round 10): a bare OPTIMIZE on a
@@ -2087,7 +2132,7 @@ def optimize_delta(
         }
         for p in sorted(state["adds"])
     ]
-    new = _stage_new_files(df, path, pcols, meta)
+    new = _stage_new_files(df, path, pcols, meta, n_extra=2 if rt_on else 0)
     for a in new:
         a["add"]["dataChange"] = False
     rt = _assign_row_ids(v, new, state) if rt_on else []
@@ -2551,10 +2596,12 @@ def enable_row_tracking(spark: SparkSession, path: str) -> int:
     dataChange=false, ids assigned in path order — O(live files)
     metadata, no data moves) and records the materialized-column names
     future rewrites must carry (`delta.rowTracking.materialized*`).
-    Read ids with `read_delta_row_ids`. OPTIMIZE/MERGE on row-tracked
-    tables are refused until they materialize ids through rewrites —
-    an honest gate, not a silent id reshuffle (`spark` is accepted for
-    API symmetry with the other enablers and future backfill scans)."""
+    Read ids with `read_delta_row_ids`. OPTIMIZE/MERGE rewrites
+    MATERIALIZE ids under those reserved names (all mapping modes,
+    round 11 — id-mode writes them field-id-less and name-matches on
+    read), so ids survive any number of rewrites (`spark` is accepted
+    for API symmetry with the other enablers and future backfill
+    scans)."""
     v, state = _next_version(path)
     meta = dict(state["meta"])
     if _row_tracking_on(meta):
@@ -2602,8 +2649,8 @@ def read_delta_row_ids(
     version) map — the same zero-shuffle shape the DV anti-join and
     partition re-attachment use. Deletion vectors apply first, so a
     DV DELETE keeps every surviving row's id (asserted in tests).
-    Materialized-column precedence (rows rewritten by OPTIMIZE/MERGE)
-    is moot while those commands are gated on row-tracked tables."""
+    Materialized columns (rows rewritten by OPTIMIZE/MERGE) take
+    precedence over the fresh computation, per the protocol."""
     from pyspark.sql import functions as F
 
     meta, adds, _state = _snapshot_state(path, version)
@@ -3314,12 +3361,8 @@ def merge_delta(
                 "row-tracked table lacks materialized column names in "
                 "its configuration"
             )
-        if (cfg0.get("delta.columnMapping.mode") or "none") == "id":
-            raise NotImplementedError(
-                "MERGE on a row-tracked ID-mapped table: the "
-                "materialized id columns carry no parquet field ids; "
-                "refused rather than reshuffling row ids"
-            )
+        # id-mode (round 11): materialized id columns are written with
+        # no field id and name-matched on read — see optimize_delta
     adds = state["adds"]
     _check_write_schema(source, meta)
     plan = _ScanPlan(spark, meta)
@@ -3491,7 +3534,7 @@ def merge_delta(
         _to_physical(
             new_df, meta, extra_cols=[mat_id, mat_ver] if rt_on else None
         ),
-        path, plan.pcols, meta,
+        path, plan.pcols, meta, n_extra=2 if rt_on else 0,
     )
     hw_action = _identity_high_water(staged, path, meta)
     rt_actions = _assign_row_ids(v, staged, state) if rt_on else []
@@ -3869,6 +3912,20 @@ def _restore_changed_sets(
     return cur_changed, tgt_changed
 
 
+def _restore_phys_types(meta: dict) -> dict[str, str]:
+    """physical column name -> full physical type tree, for the
+    RESTORE-CDF compatibility check (nested members rendered under
+    physical names, so a mapped RENAME at any depth compares equal
+    while a retype at any depth does not)."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(meta["schemaString"]))
+    return {
+        _physical_name(f): _physical_type(f.dataType).simpleString()
+        for f in st.fields
+    }
+
+
 def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF (round 9, Delta's RESTORE):
     ONE new commit that makes the live set (and the metaData, if it
@@ -3923,9 +3980,33 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         # (A ⊎ C) ∖ (B ⊎ C) = A ∖ B — so restricting both scans to the
         # changed files is provably the same feed at O(changed files)
         # instead of O(table) × 2.
-        if meta_now.get("schemaString") != meta_old.get("schemaString"):
+        # Schema changes since the target (round 11, VERDICT r10 item 4):
+        # ADD/DROP COLUMN restores are fine — the diff runs under the
+        # TARGET schema (which the restore reinstates, so the feed is
+        # readable post-restore), and the explicit-schema scan null-fills
+        # columns a file lacks (the streaming reader's rule): files
+        # written after a DROP simply yield nulls for the resurrected
+        # column, files written after an ADD have their extra column
+        # ignored. Only a RETYPE under the same physical name (or a
+        # partitioning change) makes one side's files unreadable under
+        # the target schema — still refused.
+        _tp_now = _restore_phys_types(meta_now)
+        _tp_old = _restore_phys_types(meta_old)
+        retyped = sorted(
+            n for n in _tp_now.keys() & _tp_old.keys()
+            if _tp_now[n] != _tp_old[n]
+        )
+        if retyped:
             raise NotImplementedError(
-                "RESTORE with Change Data Feed across a schema change"
+                "RESTORE with Change Data Feed across a column TYPE "
+                f"change ({retyped})"
+            )
+        if (meta_now.get("partitionColumns") or []) != (
+            meta_old.get("partitionColumns") or []
+        ):
+            raise NotImplementedError(
+                "RESTORE with Change Data Feed across a partitioning "
+                "change"
             )
         from pyspark.sql import functions as F
 
@@ -3935,7 +4016,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         plan = _ScanPlan(spark, meta_old)
         cols = [f.name for f in plan.schema.fields]
         cur = _scan_snapshot(
-            spark, path, meta_now, cur_changed
+            spark, path, meta_old, cur_changed
         ).select(*cols)
         tgt = _scan_snapshot(
             spark, path, meta_old, tgt_changed
@@ -4130,7 +4211,12 @@ def delta_plan_files_multi(
     for col, lo, hi in preds:
         ks, total = delta_plan_files(path, col, lo, hi, version)
         keep = set(ks) if keep is None else keep & set(ks)
-    return sorted(keep or []), total
+    if keep is None:
+        # AND over zero conjuncts is TRUE (ADVICE r10): an empty preds
+        # list must keep every live file, not silently read nothing
+        _meta, adds, _state = _snapshot_state(path, version)
+        return sorted(adds), len(adds)
+    return sorted(keep), total
 
 
 def read_delta_pruned_multi(

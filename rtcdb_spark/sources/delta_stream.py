@@ -95,6 +95,7 @@ from rtcdb_spark.sources.delta_log import (
     _commit_actions,
     _demap,
     _physical_name,
+    _physical_type,
     _resolve,
     _snapshot_state,
     delta_versions,
@@ -294,23 +295,41 @@ def _restore_value(arr, dt, mode):
             mask=arr.is_null() if arr.null_count else None,
         )
     if isinstance(dt, MapType):
-        raise NotImplementedError(
-            "delta_stream: map columns with STRUCT keys/values on a "
-            "column-mapped table; read the snapshot with read_delta"
-        )
+        # maps recurse exactly like lists (round 11, VERDICT r10 item
+        # 5): keys and items restore independently, offsets carry over.
+        # MapArray.from_arrays has no mask parameter — null entries are
+        # encoded as NULL OFFSETS instead (pyarrow's documented rule)
+        keys = _restore_value(arr.keys, dt.keyType, mode)
+        items = _restore_value(arr.items, dt.valueType, mode)
+        offsets = arr.offsets
+        if arr.null_count:
+            import pyarrow.compute as pc
+
+            mask = pa.concat_arrays(
+                [arr.is_null(), pa.array([False], pa.bool_())]
+            )
+            offsets = pc.if_else(
+                mask, pa.scalar(None, pa.int32()), offsets
+            )
+        return pa.MapArray.from_arrays(offsets, keys, items)
     return arr.cast(target)
 
 
 def _phys_type_map(schema_json: str) -> dict[str, str]:
-    """physical column name -> type (top level) — the invariant a
-    running stream can rely on. Renames under mapping keep the physical
-    name, adds/drops change the key SET (both sound to read with the
-    snapshot schema: missing column -> null, dropped column -> ignored)
-    — only a TYPE change under the same physical name makes old or new
-    files unsound against the reader's fixed schema."""
+    """physical column name -> FULL physical type tree (struct/array/map
+    members rendered under their physical names, via `_physical_type`)
+    — the invariant a running stream can rely on. Renames under mapping
+    keep physical names at every level (so a nested-member RENAME
+    compares equal), adds/drops change the key SET (both sound to read
+    with the snapshot schema: missing column -> null, dropped column ->
+    ignored) — only a TYPE change under the same physical name, at any
+    nesting depth, makes old or new files unsound against the reader's
+    fixed schema (ADVICE r10: top-level-only comparison let nested
+    retypes slip past the fail-fast gate into opaque Arrow errors)."""
     st = StructType.fromJson(json.loads(schema_json))
     return {
-        _physical_name(f): f.dataType.simpleString() for f in st.fields
+        _physical_name(f): _physical_type(f.dataType).simpleString()
+        for f in st.fields
     }
 
 

@@ -2468,6 +2468,102 @@ class TestRestoreCDC:
         assert got == [(9001, "delete"), (9002, "delete")]
         assert read_delta(spark, path).count() == 800
 
+    def test_restore_cdc_across_add_column(self, spark, tmp_path):
+        """Round 11 (VERDICT r10 item 4): RESTORE with CDF across an
+        ADDITIVE schema change — the diff runs under the TARGET schema
+        (reinstated by the restore, so the feed is readable after it);
+        rows appended since the target become 'delete' entries projected
+        to the old columns."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_add_column,
+            delta_changes_cdf,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "rac")
+        write_delta(
+            spark.range(5).select(F.col("id").alias("k")).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        alter_delta_add_column(path, "extra", "long")        # v1
+        append_delta(
+            spark.createDataFrame(
+                [(100, 1), (101, 2)], "k bigint, extra bigint"
+            ).coalesce(1),
+            path,
+        )                                                    # v2
+        v3 = restore_delta(spark, path, 0)
+        assert read_delta(spark, path).columns == ["k"]      # schema reverted
+        feed = delta_changes_cdf(spark, path, v3, v3)
+        got = sorted((r["k"], r["_change_type"]) for r in feed.collect())
+        assert got == [(100, "delete"), (101, "delete")]
+        # restoring FORWARD across the same add works too — the appended
+        # rows come back as inserts under the v2 (wider) schema, old
+        # files null-filling the added column
+        v4 = restore_delta(spark, path, 2)
+        feed4 = delta_changes_cdf(spark, path, v4, v4)
+        got4 = sorted(
+            (r["k"], r["extra"], r["_change_type"]) for r in feed4.collect()
+        )
+        assert got4 == [(100, 1, "insert"), (101, 2, "insert")]
+
+    def test_restore_cdc_across_drop_column_resurrects(self, spark, tmp_path):
+        """DROP since the target: the restore resurrects the column; the
+        cur-side files written after the drop null-fill it in the diff."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_drop_column,
+            delta_changes_cdf,
+            enable_column_mapping,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "rdc")
+        write_delta(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(4)], "k bigint, val bigint"
+            ).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        enable_column_mapping(path)                          # v1
+        alter_delta_drop_column(path, "val")                 # v2
+        append_delta(
+            spark.createDataFrame([(100,)], "k bigint").coalesce(1), path
+        )                                                    # v3
+        v4 = restore_delta(spark, path, 0)
+        back = read_delta(spark, path)
+        assert sorted(back.columns) == ["k", "val"]          # resurrected
+        feed = delta_changes_cdf(spark, path, v4, v4)
+        got = sorted(
+            (r["k"], r["val"], r["_change_type"]) for r in feed.collect()
+        )
+        assert got == [(100, None, "delete")]
+
+    def test_restore_cdc_refuses_retype(self, spark, tmp_path):
+        from rtcdb_spark.sources import delta_log as dl
+
+        path = str(tmp_path / "rrt")
+        write_delta(
+            spark.range(3).select(F.col("id").alias("k")).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        append_delta(
+            spark.createDataFrame([(7,)], "k bigint").coalesce(1), path
+        )
+        # hand-retype the column in a metadata commit (no ALTER surface
+        # retypes on purpose)
+        v, state = dl._next_version(path)
+        meta = dict(state["meta"])
+        meta["schemaString"] = json.dumps({"type": "struct", "fields": [
+            {"name": "k", "type": "string", "nullable": True,
+             "metadata": {}},
+        ]})
+        dl._write_commit(path, v, [{"metaData": meta}], op="RETYPE")
+        with pytest.raises(NotImplementedError, match="TYPE change"):
+            dl.restore_delta(spark, path, 0)
+
     def test_restore_changed_sets_pure(self):
         from rtcdb_spark.sources.delta_log import _restore_changed_sets
 
@@ -3826,6 +3922,251 @@ class TestRowTracking:
         write_delta(spark.range(3).select(F.col("id").alias("k")), path)
         with pytest.raises(ValueError, match="enable_row_tracking"):
             read_delta_row_ids(spark, path)
+
+    def test_creation_path_upgrades_protocol_and_reserves_names(
+        self, spark, tmp_path
+    ):
+        """ADVICE r10: write_delta with enableRowTracking must apply the
+        SAME writer-feature gate and materialized-name reservation the
+        enable_row_tracking migration does — otherwise legacy writers
+        aren't gated out and the first OPTIMIZE dies on missing names."""
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            optimize_delta,
+            read_delta_row_ids,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(6).select(F.col("id").alias("k")).repartition(2),
+            path,
+            configuration={"delta.enableRowTracking": "true"},
+        )
+        meta, _adds, state = _snapshot_state(path)
+        proto = state["protocol"]
+        assert proto["minWriterVersion"] == 7
+        assert {"rowTracking", "domainMetadata"} <= set(
+            proto["writerFeatures"]
+        )
+        cfg = meta["configuration"]
+        assert cfg["delta.rowTracking.materializedRowIdColumnName"]
+        assert cfg[
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ]
+        before = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        optimize_delta(spark, path, target_files=1)
+        after = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert after == before
+
+    def _flat_id_table(self, spark, tmp_path):
+        """Empty FLAT id-mapped table; appends route through the
+        withMetadata field-id writer."""
+        path = str(tmp_path / "fid")
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-1"}},
+            {"name": "val", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-2"}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2"},
+                    "createdTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        return path
+
+    def test_optimize_and_merge_materialize_on_flat_id_mapped(
+        self, spark, tmp_path
+    ):
+        """Round 11 (VERDICT r10 item 2): OPTIMIZE/MERGE on a row-tracked
+        FLAT id-mapped table — the materialized id columns are written
+        field-id-less and name-matched on read, data columns keep
+        field-id matching, ids stable throughout."""
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            append_delta,
+            enable_row_tracking,
+            merge_delta,
+            optimize_delta,
+            read_delta_row_ids,
+        )
+
+        path = self._flat_id_table(spark, tmp_path)
+        append_delta(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(8)], "k bigint, val bigint"
+            ).repartition(2),
+            path,
+        )
+        enable_row_tracking(spark, path)
+        before = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        optimize_delta(spark, path, target_files=1)
+        mid = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert mid == before
+        # the rewritten file: data columns carry field ids, materialized
+        # extras are present under their reserved names with NO field id
+        meta, live, _state = _snapshot_state(path)
+        mat = meta["configuration"][
+            "delta.rowTracking.materializedRowIdColumnName"
+        ]
+        assert len(live) == 1
+        sch = pq.read_schema(os.path.join(path, next(iter(live))))
+        assert mat in sch.names and "col-1" in sch.names
+        f_data = sch.field("col-1")
+        assert f_data.metadata and b"PARQUET:field_id" in f_data.metadata
+        f_mat = sch.field(mat)
+        assert not (f_mat.metadata or {}).get(b"PARQUET:field_id")
+        mv = merge_delta(
+            spark, path,
+            spark.createDataFrame(
+                [(3, 999), (50, 500)], "k bigint, val bigint"
+            ),
+            on=["k"],
+        )
+        after = {
+            r["k"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        for kk in range(8):
+            assert after[kk][0] == before[kk], (kk, after[kk])
+        assert after[3][1] == mv
+        assert after[50][0] > max(before.values())
+        assert len({i for i, _ in after.values()}) == 9
+        # plain readers never see the extras
+        assert read_delta(spark, path).columns == ["k", "val"]
+
+    def test_optimize_and_merge_materialize_on_nested_id_mapped(
+        self, spark, tmp_path
+    ):
+        """Round 11: same, on a NESTED-id-mapped table — the Arrow stage
+        writer carries the trailing materialized columns verbatim
+        (n_extra) while stamping field ids at every schema level."""
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            append_delta,
+            enable_row_tracking,
+            merge_delta,
+            optimize_delta,
+            read_delta_row_ids,
+        )
+
+        path = str(tmp_path / "nid")
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-1"}},
+            {"name": "s", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-2"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "a", "type": "long", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-3"}},
+                 {"name": "b", "type": "string", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.id": 4,
+                      "delta.columnMapping.physicalName": "col-4"}},
+             ]}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "4"},
+                    "createdTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        append_delta(
+            spark.createDataFrame(
+                [(i, (i * 10, f"s{i}")) for i in range(8)],
+                "k long, s struct<a: long, b: string>",
+            ).repartition(2),
+            path,
+        )
+        enable_row_tracking(spark, path)
+        before = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        optimize_delta(spark, path, target_files=1)
+        mid = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert mid == before
+        meta, live, _state = _snapshot_state(path)
+        mat = meta["configuration"][
+            "delta.rowTracking.materializedRowIdColumnName"
+        ]
+        assert len(live) == 1
+        rep = str(pq.ParquetFile(
+            os.path.join(path, next(iter(live)))
+        ).schema)
+        assert "field_id=3 col-3" in rep  # nested ids still stamped
+        assert mat in rep
+        mv = merge_delta(
+            spark, path,
+            spark.createDataFrame(
+                [(3, (999, "zz")), (50, (500, "ww"))],
+                "k long, s struct<a: long, b: string>",
+            ),
+            on=["k"],
+        )
+        after = {
+            r["k"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        for kk in range(8):
+            assert after[kk][0] == before[kk], (kk, after[kk])
+        assert after[3][1] == mv
+        assert after[50][0] > max(before.values())
+        got = sorted(
+            (r["k"], r["s"]["a"], r["s"]["b"])
+            for r in read_delta(spark, path).collect()
+        )
+        assert (3, 999, "zz") in got and (50, 500, "ww") in got
 
 
 class TestFeatureComposition:
