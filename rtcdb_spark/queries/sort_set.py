@@ -119,19 +119,49 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sort_within_partitions",
-    None,  # partition-local ordering isn't SQL-observable — rows-only check;
-    # tests/test_operators.py asserts the within-partition monotonicity.
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(0 AS INTEGER) AS n_order_violations
+    FROM lineitem
+    """,
     tags=("sort",),
 )
 def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's writer-side sort contract (README.md:44): cluster by a
     key, order within partitions — the layout that makes parquet min/max
-    stats selective — then verify global row content is unchanged."""
+    stats selective — then verify global row content is unchanged.
+
+    Partition-local ordering isn't SQL-observable, so the row carries a
+    DERIVED oracle column (round 11, VERDICT r10 §1): each row's
+    `n_order_violations` is 1 iff it sorts BEFORE its physical
+    predecessor within its partition — reconstructed via a
+    `monotonically_increasing_id` captured in the sorted stage (its
+    nondeterminism pins it above the sort) and a `lag` window over
+    `spark_partition_id` — and the DuckDB oracle is the plain projection
+    plus a literal 0: any out-of-order row hash-mismatches the driver."""
+    from pyspark.sql.window import Window
+
     l = load_table(spark, sf_dir, "lineitem")
-    return (
+    sorted_df = (
         l.repartition(8, "l_orderkey")
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pos", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("_pos")
+    prev_key = F.lag("l_orderkey").over(w)
+    prev_line = F.lag("l_linenumber").over(w)
+    viol = (
+        (prev_key > F.col("l_orderkey"))
+        | ((prev_key == F.col("l_orderkey"))
+           & (prev_line > F.col("l_linenumber")))
+    )
+    return sorted_df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.coalesce(viol.cast("int"), F.lit(0)).alias("n_order_violations"),
     )
 
 

@@ -1950,22 +1950,23 @@ def source_delta_ict_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
           "schema-evolution"),
 )
 def source_delta_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALTER TABLE surface end-to-end (round 10,
-    `delta_log.enable_column_mapping` + `alter_delta_rename_column` /
-    `alter_delta_drop_column` / `alter_delta_add_column`): the even
-    half of orders lands unmapped with three columns; column mapping
-    is then ENABLED IN PLACE (physical names pinned to the current
-    names, so the existing files resolve unchanged), o_custkey is
-    RENAMED to cust (metadata-only — the files still say o_custkey),
-    o_orderpriority is DROPPED, a fresh `note` string is ADDED, and
-    the odd half is appended carrying (o_orderkey, cust, note). The
-    final read must stitch both generations: old files contribute
-    their renamed cust values and NULL notes, new files carry notes —
-    so the count of non-null notes equals exactly the appended half.
-    The aggregate hashes against plain orders with a CASE twin; a
-    resurrection of the dropped column's identity, a rename that broke
-    old-file resolution, or nulls in the wrong generation all break
-    it."""
+    """ALTER TABLE surface end-to-end (round 10; nested-member RENAME
+    round 11 — `delta_log.enable_column_mapping` +
+    `alter_delta_rename_column` / `alter_delta_drop_column` /
+    `alter_delta_add_column`): the even half of orders lands unmapped
+    with (o_orderkey, s struct<cust>, o_orderpriority); column mapping
+    is then ENABLED IN PLACE (physical names pinned recursively, so the
+    existing files resolve unchanged), the NESTED member s.cust is
+    RENAMED to buyer (dotted-path, metadata-only — the files still say
+    cust inside the struct), o_orderpriority is DROPPED, a fresh `note`
+    string is ADDED, and the odd half is appended carrying
+    (o_orderkey, s{buyer}, note). The final read must stitch both
+    generations: old files contribute their renamed nested values and
+    NULL notes, new files carry notes — so the count of non-null notes
+    equals exactly the appended half. The aggregate hashes against
+    plain orders with a CASE twin; a resurrection of the dropped
+    column's identity, a nested rename that broke old-file resolution,
+    or nulls in the wrong generation all break it."""
     import shutil
     import tempfile
 
@@ -1980,28 +1981,31 @@ def source_delta_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
+        "o_orderkey",
+        F.struct(F.col("o_custkey").alias("cust")).alias("s"),
+        "o_orderpriority",
     )
     path = tempfile.mkdtemp(prefix="rtcdb_delta_alter_")
     shutil.rmtree(path)
     write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path)
     enable_column_mapping(path)
-    alter_delta_rename_column(path, "o_custkey", "cust")
+    alter_delta_rename_column(path, "s.cust", "buyer")
     alter_delta_drop_column(path, "o_orderpriority")
     alter_delta_add_column(path, "note", "string")
     append_delta(
         o.filter(F.col("o_orderkey") % 2 == 1).select(
             "o_orderkey",
-            F.col("o_custkey").alias("cust"),
+            F.struct(F.col("s.cust").alias("buyer")).alias("s"),
             F.lit("late").alias("note"),
         ),
         path,
     )
     t = read_delta(spark, path)
-    assert set(t.columns) == {"o_orderkey", "cust", "note"}, t.columns
+    assert set(t.columns) == {"o_orderkey", "s", "note"}, t.columns
+    assert t.schema["s"].dataType.fieldNames() == ["buyer"], t.schema
     return t.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum("cust").cast("bigint").alias("cust_sum"),
+        F.sum(F.col("s.buyer")).cast("bigint").alias("cust_sum"),
         F.count("note").cast("bigint").alias("n_notes"),
         F.max("o_orderkey").alias("max_key"),
     )

@@ -2410,33 +2410,89 @@ def _require_mapping(meta: dict, op: str) -> None:
         )
 
 
-def alter_delta_rename_column(path: str, old: str, new: str) -> int:
-    """ALTER TABLE ... RENAME COLUMN (round 10): a metadata-only commit
-    changing the LOGICAL name; the physicalName stays, so every data
-    file — past and future — resolves unchanged. Top-level columns only
-    (nested member renames would extend the same rewrite one level
-    down); requires column mapping."""
-    from pyspark.sql.types import StructField, StructType
+def _rename_member(dt, segs: list[str], new_name: str):
+    """``dt`` with the member at dotted path ``segs`` renamed to
+    ``new_name`` — descending through struct members by name and
+    through array elements / map values transparently (the struct
+    inside ``array<struct<...>>`` is addressed by its member name
+    directly, delta-spark's path convention). Every level's
+    columnMapping metadata rides along untouched, so resolution to
+    physical columns is unchanged."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
-    if "." in old or "." in new:
-        raise NotImplementedError(
-            "nested-member rename; top-level columns only"
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _rename_member(dt.elementType, segs, new_name), dt.containsNull
         )
+    if isinstance(dt, MapType):
+        return MapType(
+            dt.keyType,
+            _rename_member(dt.valueType, segs, new_name),
+            dt.valueContainsNull,
+        )
+    if not isinstance(dt, StructType):
+        raise ValueError(
+            f"path segment {segs[0]!r} addresses into a non-struct type "
+            f"{dt.simpleString()}"
+        )
+    head, rest = segs[0], segs[1:]
+    names = [f.name for f in dt.fields]
+    if head not in names:
+        raise ValueError(f"no such column {head!r}")
+    out = []
+    for f in dt.fields:
+        if f.name != head:
+            out.append(f)
+            continue
+        if rest:
+            out.append(
+                StructField(
+                    f.name,
+                    _rename_member(f.dataType, rest, new_name),
+                    f.nullable,
+                    metadata=f.metadata,
+                )
+            )
+        else:
+            if new_name in names:
+                raise ValueError(f"column {new_name!r} already exists")
+            if not (f.metadata or {}).get("delta.columnMapping.physicalName"):
+                raise ValueError(
+                    f"member {head!r} carries no physicalName — renaming "
+                    "it would orphan its data; re-run the mapping "
+                    "migration first"
+                )
+            out.append(
+                StructField(new_name, f.dataType, f.nullable, metadata=f.metadata)
+            )
+    return StructType(out)
+
+
+def alter_delta_rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN (round 10; nested members round 11
+    per VERDICT r10 item 6): a metadata-only commit changing the
+    LOGICAL name; the physicalName stays at every level, so every data
+    file — past and future — resolves unchanged. ``old`` may be a
+    dotted path into nested structs (``s.a``; array elements and map
+    values are descended transparently); ``new`` is the bare new member
+    name, or a dotted path whose prefix equals ``old``'s. Requires
+    column mapping."""
+    from pyspark.sql.types import StructType
+
+    segs = old.split(".")
+    new_name = new
+    if "." in new:
+        pre, new_name = new.rsplit(".", 1)
+        if pre != ".".join(segs[:-1]):
+            raise ValueError(
+                f"RENAME cannot move a column across structs "
+                f"({old!r} -> {new!r})"
+            )
     v, state = _next_version(path)
     meta = dict(state["meta"])
     _require_mapping(meta, "RENAME COLUMN")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    names = [f.name for f in schema.fields]
-    if old not in names:
-        raise ValueError(f"no such column {old!r}")
-    if new in names:
-        raise ValueError(f"column {new!r} already exists")
-    fields = [
-        StructField(new, f.dataType, f.nullable, metadata=f.metadata)
-        if f.name == old else f
-        for f in schema.fields
-    ]
-    meta["schemaString"] = StructType(fields).json()
+    meta["schemaString"] = _rename_member(schema, segs, new_name).json()
     _write_commit(
         path, v, [{"metaData": meta}],
         op="RENAME COLUMN", params={"from": old, "to": new},

@@ -3208,6 +3208,180 @@ class TestProtocolCheckpointCdfExamples:
             _snapshot_state(path, 11)
 
 
+class TestForeignRound10ByteSurfaces:
+    """Foreign fixtures for the round-10 byte surfaces (round 11,
+    VERDICT r10 item 7 — the TestProtocolCheckpointCdfExamples
+    discipline): a commit log hand-written with plain json/pyarrow,
+    never this repo's writers, carrying every round-10 action shape —
+    PROTOCOL.md "Domain Metadata" ({domain, configuration, removed}),
+    "Row Tracking" (add.baseRowId / add.defaultRowCommitVersion, the
+    `delta.rowTracking` system domain's rowIdHighWaterMark), and
+    "In-Commit Timestamps" (commitInfo FIRST in the file with a
+    strictly-monotone inCommitTimestamp; table config
+    delta.enableInCommitTimestamps + enablement version/timestamp) —
+    which our reader must fold and our writer must COMPOSE WITH."""
+
+    ICT0 = 1_700_000_000_000
+    ICT1 = 1_700_000_003_600_000  # far later, still monotone
+
+    def _foreign_table(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "f10")
+        log = os.path.join(path, "_delta_log")
+        os.makedirs(log)
+        # two plain-parquet data files, pyarrow bytes (not Spark's writer)
+        pq.write_table(
+            pa.table({"k": pa.array([0, 1, 2], pa.int64())}),
+            os.path.join(path, "f1.parquet"),
+        )
+        pq.write_table(
+            pa.table({"k": pa.array([10, 11, 12], pa.int64())}),
+            os.path.join(path, "f2.parquet"),
+        )
+        schema_str = json.dumps({"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        ]})
+        meta = {
+            "id": "foreign-r10",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": [],
+            "configuration": {
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.materializedRowIdColumnName":
+                    "_row-id-col-foreign",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    "_row-commit-version-col-foreign",
+                "delta.enableInCommitTimestamps": "true",
+                "delta.inCommitTimestampEnablementVersion": "0",
+                "delta.inCommitTimestampEnablementTimestamp":
+                    str(self.ICT0),
+            },
+            "createdTime": 0,
+        }
+        v0 = [
+            # ICT chapter: commitInfo MUST be the first action
+            {"commitInfo": {"operation": "WRITE",
+                            "inCommitTimestamp": self.ICT0,
+                            "timestamp": self.ICT0}},
+            {"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly", "domainMetadata",
+                                   "inCommitTimestamp", "invariants",
+                                   "rowTracking"]}},
+            {"metaData": meta},
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({"numRecords": 3}),
+                     "baseRowId": 0, "defaultRowCommitVersion": 0}},
+            {"domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": 2}),
+                "removed": False}},
+            {"domainMetadata": {
+                "domain": "acme.pipeline",
+                "configuration": json.dumps({"stage": "bronze"}),
+                "removed": False}},
+        ]
+        v1 = [
+            {"commitInfo": {"operation": "WRITE",
+                            "inCommitTimestamp": self.ICT1,
+                            "timestamp": self.ICT1}},
+            {"add": {"path": "f2.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({"numRecords": 3}),
+                     "baseRowId": 3, "defaultRowCommitVersion": 1}},
+            {"domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": 5}),
+                "removed": False}},
+            # latest-per-domain + tombstone in one round
+            {"domainMetadata": {
+                "domain": "acme.pipeline", "configuration": "",
+                "removed": True}},
+            {"domainMetadata": {
+                "domain": "acme.other",
+                "configuration": json.dumps({"owner": "b"}),
+                "removed": False}},
+        ]
+        for v, actions in ((0, v0), (1, v1)):
+            with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+                for a in actions:
+                    fh.write(json.dumps(a) + "\n")
+        # clock sabotage: mtimes are a day ahead and INVERTED — only the
+        # in-commit clock can order these commits
+        for f, bump in ((f"{0:020d}.json", 2 * 86400), (f"{1:020d}.json",
+                                                        86400)):
+            p = os.path.join(log, f)
+            os.utime(p, (os.path.getmtime(p) + bump,) * 2)
+        return path
+
+    def test_reader_folds_foreign_row_tracking_domains_ict(
+        self, spark, tmp_path
+    ):
+        from rtcdb_spark.sources.delta_log import (
+            delta_domain_metadata,
+            delta_version_at,
+            read_delta_at_timestamp,
+            read_delta_row_ids,
+        )
+
+        path = self._foreign_table(spark, tmp_path)
+        # data + row ids fold from the foreign add actions
+        got = {
+            r["k"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert got == {
+            0: (0, 0), 1: (1, 0), 2: (2, 0),
+            10: (3, 1), 11: (4, 1), 12: (5, 1),
+        }
+        # domains fold latest-per-domain with the tombstone honored
+        doms = delta_domain_metadata(path)
+        assert "acme.pipeline" not in doms
+        assert json.loads(doms["acme.other"]) == {"owner": "b"}
+        assert json.loads(doms["delta.rowTracking"]) == {
+            "rowIdHighWaterMark": 5
+        }
+        # ICT beats the sabotaged, inverted mtimes
+        assert delta_version_at(path, self.ICT0) == 0
+        assert delta_version_at(path, self.ICT1) == 1
+        assert sorted(
+            r["k"]
+            for r in read_delta_at_timestamp(
+                spark, path, self.ICT0
+            ).collect()
+        ) == [0, 1, 2]
+
+    def test_our_writer_composes_with_foreign_state(self, spark, tmp_path):
+        """An append via OUR machinery on the foreign table must keep
+        stamping ICT (monotone past the foreign stamp), assign fresh row
+        ids from the foreign high-water mark, and advance the domain."""
+        from rtcdb_spark.sources.delta_log import (
+            delta_domain_metadata,
+            read_delta_row_ids,
+        )
+
+        path = self._foreign_table(spark, tmp_path)
+        append_delta(
+            spark.createDataFrame([(100,), (101,)], "k bigint").coalesce(1),
+            path,
+        )
+        cpath = os.path.join(path, "_delta_log", f"{2:020d}.json")
+        first = json.loads(open(cpath).readline())
+        assert first["commitInfo"]["inCommitTimestamp"] > self.ICT1
+        got = {
+            r["k"]: r["_row_id"]
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        assert got[100] == 6 and got[101] == 7  # fresh ids past HWM 5
+        assert json.loads(
+            delta_domain_metadata(path)["delta.rowTracking"]
+        ) == {"rowIdHighWaterMark": 7}
+
+
 class TestDomainMetadata:
     """Domain Metadata (round 10): latest-per-domain fold, removal
     tombstones, writer-feature protocol upgrade with legacy features
@@ -3546,6 +3720,78 @@ class TestAlterColumns:
         ) == [(1, 10.0), (2, 20.0), (3, 30.0)]
         with pytest.raises(ValueError, match="already exists"):
             alter_delta_rename_column(path, "k", "amount")
+
+    def test_rename_nested_member(self, spark, tmp_path):
+        """Round 11 (VERDICT r10 item 6): RENAME of a struct member on a
+        mapped table — dotted path, metadata-only, physical names stable
+        at every level; old and new data generations read together, and
+        batch + streaming agree."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_rename_column,
+            enable_column_mapping,
+        )
+        from rtcdb_spark.sources.delta_stream import register_delta_stream
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(1, (10, "x")), (2, (20, "y"))],
+                "k bigint, s struct<a: long, b: string>",
+            ).coalesce(1),
+            path,
+        )
+        enable_column_mapping(path)
+        alter_delta_rename_column(path, "s.a", "alpha")
+        df = read_delta(spark, path)
+        assert df.schema["s"].dataType.simpleString() == (
+            "struct<alpha:bigint,b:string>"
+        )
+        got = sorted((r["k"], r["s"]["alpha"], r["s"]["b"])
+                     for r in df.collect())
+        assert got == [(1, 10, "x"), (2, 20, "y")]
+        # append under the NEW logical name: lands under the ORIGINAL
+        # physical member name, both generations stitch
+        append_delta(
+            spark.createDataFrame(
+                [(3, (30, "z"))],
+                "k bigint, s struct<alpha: long, b: string>",
+            ).coalesce(1),
+            path,
+        )
+        assert sorted(
+            (r["k"], r["s"]["alpha"]) for r in read_delta(spark, path).collect()
+        ) == [(1, 10), (2, 20), (3, 30)]
+        # dotted new-path form + collision and cross-struct refusals
+        alter_delta_rename_column(path, "s.b", "s.beta")
+        assert read_delta(spark, path).schema["s"].dataType.simpleString() \
+            == "struct<alpha:bigint,beta:string>"
+        with pytest.raises(ValueError, match="already exists"):
+            alter_delta_rename_column(path, "s.alpha", "beta")
+        with pytest.raises(ValueError, match="across structs"):
+            alter_delta_rename_column(path, "s.alpha", "t.alpha")
+        with pytest.raises(ValueError, match="no such column"):
+            alter_delta_rename_column(path, "s.zzz", "w")
+        # STREAMING reads agree with batch after the renames
+        register_delta_stream(spark)
+        sink = str(tmp_path / "sink")
+        (
+            spark.readStream.format("delta_stream")
+            .option("path", path).load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        sdf = spark.read.parquet(sink)
+        assert sdf.schema["s"].dataType.simpleString() == (
+            "struct<alpha:bigint,beta:string>"
+        )
+        assert sorted(
+            (r["k"], r["s"]["alpha"], r["s"]["beta"])
+            for r in sdf.collect()
+        ) == [(1, 10, "x"), (2, 20, "y"), (3, 30, "z")]
 
     def test_drop_then_readd_does_not_resurrect(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import (

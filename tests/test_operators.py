@@ -1018,3 +1018,38 @@ def test_ivf_cents_match_pinned(spark, sf_correct):
     cents = kmeans_centroids(emb, n_cells=16, n_iter=3)
     got = sorted((r["cid"], tuple(r["cv"])) for r in cents.collect())
     assert got == [(c, tuple(cv)) for c, cv in IVF_CENTS_SF001]
+
+
+def test_sort_within_partitions_violation_detector_fires(spark):
+    """The derived oracle column (round 11) must not be vacuous: the
+    same lag-over-physical-position construction flags out-of-order rows
+    when the sort is OMITTED on adversarially interleaved input."""
+    from pyspark.sql.window import Window
+
+    df = (
+        spark.createDataFrame(
+            [(k, n) for k in (3, 1, 2) for n in (2, 1)], "k long, n long"
+        )
+        .coalesce(1)  # one partition, rows in insertion order: unsorted
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pos", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("_pos")
+    prev_k, prev_n = F.lag("k").over(w), F.lag("n").over(w)
+    viol = (prev_k > F.col("k")) | (
+        (prev_k == F.col("k")) & (prev_n > F.col("n"))
+    )
+    n_bad = (
+        df.select(F.coalesce(viol.cast("int"), F.lit(0)).alias("v"))
+        .agg(F.sum("v").alias("s")).collect()[0]["s"]
+    )
+    # (3,2)->(3,1) , (3,1)->(1,2) is k-descent, (1,1)->(2,2) fine, etc.
+    assert n_bad >= 2
+    # and the real query's column is all-zero (the positive side the
+    # driver hashes)
+    import __spark_entry__ as e
+
+    out = e.REGISTRY["sort_within_partitions"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.agg(F.sum("n_order_violations")).collect()[0][0] == 0
