@@ -2165,3 +2165,228 @@ def source_delta_multi_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_delta_row_tracking_idmap",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 4
+                    THEN o_custkey + 1000000 ELSE o_custkey END AS cust,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 4 THEN 1 ELSE 0 END AS from_merge
+        FROM base
+        UNION ALL
+        SELECT k.*
+        FROM (VALUES ((SELECT MAX(o_orderkey) FROM base) + 2,
+                      CAST(1 AS BIGINT), 'X', 1),
+                     ((SELECT MAX(o_orderkey) FROM base) + 4,
+                      CAST(2 AS BIGINT), 'X', 1),
+                     ((SELECT MAX(o_orderkey) FROM base) + 6,
+                      CAST(3 AS BIGINT), 'X', 1))
+             AS k(o_orderkey, cust, o_orderstatus, from_merge)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cust) AS BIGINT) AS cust_sum,
+           CAST(SUM(from_merge) AS BIGINT) AS n_from_merge,
+           MAX(o_orderkey) AS max_key
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "delta", "interchange", "row-tracking",
+          "column-mapping", "id-mode"),
+)
+def source_delta_row_tracking_idmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW TRACKING on an ID-MAPPED table, through OPTIMIZE and MERGE
+    (round 11, VERDICT r10 item 2 — the matrix cell round 10 refused):
+    an id-mode table is CREATED empty (field ids + physical `pc-<n>`
+    names in the schema metadata), the even half of orders appends
+    through the field-id-stamping writer, row tracking backfills, an
+    OPTIMIZE rewrite MATERIALIZES every row's id under the reserved
+    column names — written field-id-less and name-matched on read,
+    while data columns keep field-id matching — and a MERGE then
+    updates the %10==4 keys and inserts three fresh ones. In-query
+    asserts: ids are unique, every pre-OPTIMIZE (key, id) pair survives
+    the rewrite byte-identically (materialized precedence), and every
+    pre-MERGE survivor keeps its id. The aggregate counts the rows
+    whose `_row_commit_version` equals the MERGE's commit — exactly
+    the updated+inserted set, reconstructed arithmetically by the
+    DuckDB twin."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        enable_row_tracking,
+        merge_delta,
+        optimize_delta,
+        read_delta_row_ids,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_rtid_")
+    shutil.rmtree(path)
+    fields = StructType([
+        StructField("o_orderkey", LongType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "pc-1"}),
+        StructField("o_custkey", LongType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "pc-2"}),
+        StructField("o_orderstatus", StringType(), True, {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "pc-3"}),
+    ])
+    write_delta(
+        spark.createDataFrame([], fields), path,
+        configuration={"delta.columnMapping.mode": "id",
+                       "delta.columnMapping.maxColumnId": "3"},
+    )
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    append_delta(even.repartition(4), path)
+    enable_row_tracking(spark, path)
+    pre = read_delta_row_ids(spark, path).select("o_orderkey", "_row_id")
+    optimize_delta(spark, path, target_files=2)
+    mid = read_delta_row_ids(spark, path)
+    n_even = even.count()
+    stats = mid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("_row_id").alias("n_ids"),
+    ).collect()[0]
+    assert stats["n"] == n_even and stats["n_ids"] == n_even, stats
+    moved = mid.select("o_orderkey", "_row_id").exceptAll(pre).count()
+    assert moved == 0, f"{moved} ids changed across OPTIMIZE"
+    max_key = even.agg(F.max("o_orderkey")).collect()[0][0]
+    src = (
+        even.filter(F.col("o_orderkey") % 10 == 4)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1000000).alias("o_custkey"),
+            "o_orderstatus",
+        )
+        .unionByName(spark.createDataFrame(
+            [(max_key + 2, 1, "X"), (max_key + 4, 2, "X"),
+             (max_key + 6, 3, "X")],
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string",
+        ))
+    )
+    mv = merge_delta(spark, path, src, on=["o_orderkey"])
+    t = read_delta_row_ids(spark, path)
+    kept = t.filter(F.col("o_orderkey") <= max_key).select(
+        "o_orderkey", "_row_id"
+    )
+    moved2 = kept.exceptAll(pre).count()
+    assert moved2 == 0, f"{moved2} ids changed across MERGE"
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            F.sum((F.col("_row_commit_version") == mv).cast("int"))
+            .cast("bigint").alias("n_from_merge"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "source_delta_restore_cdf_evolved",
+    """
+    WITH odd AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(o_custkey) AS BIGINT) AS s
+            FROM odd)
+    SELECT stage, change_type, n_rows, cust_sum, n_notes
+    FROM (
+        SELECT 'back' AS stage, 'delete' AS change_type, n AS n_rows,
+               s AS cust_sum, CAST(0 AS BIGINT) AS n_notes
+        FROM agg
+        UNION ALL
+        SELECT 'forward', 'insert', n, s, n FROM agg
+    )
+    ORDER BY stage
+    """,
+    tags=("source", "delta", "interchange", "restore", "cdf",
+          "schema-evolution"),
+)
+def source_delta_restore_cdf_evolved(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTORE with Change Data Feed ACROSS an additive schema change
+    (round 11, VERDICT r10 item 4 — the composition round 10 refused):
+    a CDF table takes the even half of orders, ADD COLUMN `note`, the
+    odd half appends carrying notes, then RESTORE back to v0 — the
+    schema reverts and the feed records the odd half as row-level
+    `delete`s under the TARGET (narrow) schema — and RESTORE forward to
+    the wide head, whose feed re-inserts the odd half WITH its notes
+    (old files null-fill the added column during the diff). Each
+    restore's feed is read back via `delta_changes_cdf` over exactly
+    its commit and aggregated; the DuckDB twin reconstructs both stages
+    arithmetically from plain orders. In-query asserts pin the schema
+    flip-flop; a feed computed under the wrong schema, a lost note, or
+    a diff that resurrects the even half breaks the hash."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        alter_delta_add_column,
+        append_delta,
+        delta_changes_cdf,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_rce_")
+    shutil.rmtree(path)
+    write_delta(
+        o.filter(F.col("o_orderkey") % 2 == 0), path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    alter_delta_add_column(path, "note", "string")
+    append_delta(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn("note", F.lit("late")),
+        path,
+    )
+    v_back = restore_delta(spark, path, 0)
+    assert read_delta(spark, path).columns == [
+        "o_orderkey", "o_custkey",
+    ], "restore must reinstate the narrow schema"
+    back = delta_changes_cdf(spark, path, v_back, v_back).agg(
+        F.first(F.col("_change_type")).alias("change_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        F.lit(0).cast("bigint").alias("n_notes"),
+    ).select(F.lit("back").alias("stage"), "*")
+    v_fwd = restore_delta(spark, path, 2)
+    assert read_delta(spark, path).columns == [
+        "o_orderkey", "o_custkey", "note",
+    ], "forward restore must reinstate the wide schema"
+    fwd = delta_changes_cdf(spark, path, v_fwd, v_fwd).agg(
+        F.first(F.col("_change_type")).alias("change_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        F.count("note").cast("bigint").alias("n_notes"),
+    ).select(F.lit("forward").alias("stage"), "*")
+    return back.unionByName(fwd).orderBy("stage")

@@ -1237,18 +1237,23 @@ def write_delta(
     if delta_versions(path):
         raise ValueError(f"{path} already is a Delta table")
     pcols = partition_by or []
-    writer = df.write.mode("error")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(path)
-    proto_action = _PROTOCOL
+    mode = (configuration or {}).get("delta.columnMapping.mode") or "none"
+    base_proto = _PROTOCOL["protocol"]
+    if mode in ("name", "id"):
+        # mapped CREATION (round 11 — the id-mode story
+        # enable_column_mapping points at): the log's partitionColumns
+        # are PHYSICAL names, files are written through the same
+        # physical-translation/field-id machinery appends use, and the
+        # protocol speaks the mapping versions from version 0
+        base_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+    proto_action = {"protocol": base_proto}
     track_rows = (configuration or {}).get("delta.enableRowTracking") == "true"
     if track_rows:
         # Creation-path row tracking (ADVICE r10): the same writer-feature
         # gate and materialized-column-name reservation enable_row_tracking
         # applies — legacy writers must not touch a row-tracked table, and
         # OPTIMIZE/MERGE need the reserved names from version 0
-        up = _with_writer_feature(_PROTOCOL["protocol"], "rowTracking")
+        up = _with_writer_feature(base_proto, "rowTracking")
         up["writerFeatures"] = sorted(
             set(up["writerFeatures"]) | {"domainMetadata"}
         )
@@ -1261,9 +1266,33 @@ def write_delta(
                 f"_row-commit-version-col-{suffix}",
             **configuration,
         }
+    meta_action = _meta_action(df, pcols, configuration)
+    if mode in ("name", "id"):
+        meta_d = meta_action["metaData"]
+        if mode == "id" and any(
+            "delta.columnMapping.id" not in (f.metadata or {})
+            for f in df.schema.fields
+        ):
+            raise ValueError(
+                "id-mode creation requires delta.columnMapping.id and "
+                "physicalName metadata on every schema field"
+            )
+        phys_of = {f.name: _physical_name(f) for f in df.schema.fields}
+        meta_d["partitionColumns"] = [phys_of.get(c, c) for c in pcols]
+        os.makedirs(path, exist_ok=True)
+        adds = _stage_new_files(
+            _to_physical(df, meta_d), path,
+            meta_d["partitionColumns"], meta_d,
+        )
+    else:
+        writer = df.write.mode("error")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(path)
+        adds = _adds_for_dir(path, pcols)
     actions = (
-        [proto_action, _meta_action(df, pcols, configuration)]
-        + _adds_for_dir(path, pcols)
+        [proto_action, meta_action]
+        + adds
         + (extra_actions or [])
     )
     if track_rows:
