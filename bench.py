@@ -169,6 +169,11 @@ HEADLINE = [
     "source_delta_row_tracking",
     "source_delta_multi_skipping",
     "embedding_matryoshka_energy",
+    # round 11: row-tracked ID-mapped OPTIMIZE/MERGE materialization
+    # (id-mode creation + field-id-less extras), RESTORE with CDF
+    # across an additive schema change (back + forward)
+    "source_delta_row_tracking_idmap",
+    "source_delta_restore_cdf_evolved",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -2259,7 +2259,14 @@ def source_delta_row_tracking_idmap(
     even = o.filter(F.col("o_orderkey") % 2 == 0)
     append_delta(even.repartition(4), path)
     enable_row_tracking(spark, path)
-    pre = read_delta_row_ids(spark, path).select("o_orderkey", "_row_id")
+    # the pre-rewrite assignment is diffed against twice (post-OPTIMIZE,
+    # post-MERGE); one eager localCheckpoint avoids re-running the
+    # row-id scan for each anti-diff
+    pre = (
+        read_delta_row_ids(spark, path)
+        .select("o_orderkey", "_row_id")
+        .localCheckpoint(eager=True)
+    )
     optimize_delta(spark, path, target_files=2)
     mid = read_delta_row_ids(spark, path)
     n_even = even.count()
