@@ -1036,6 +1036,74 @@ class TestSchemaChangeGuard:
                 spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
             )
 
+    def test_nested_member_type_change_fails_the_stream(
+        self, spark, tmp_path
+    ):
+        """ADVICE r10: the fail-fast guard compares FULL physical type
+        trees, so a retype of a struct MEMBER (not just a top-level
+        column) trips it instead of surfacing as an opaque Arrow error."""
+        import json as _json
+
+        from rtcdb_spark.sources.delta_log import _snapshot_state
+
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(1, (10, "x"))], "k long, s struct<a: long, b: string>"
+            ).coalesce(1),
+            path,
+        )
+        meta = _snapshot_state(path)[0]
+        schema = _json.loads(meta["schemaString"])
+        for f in schema["fields"]:
+            if f["name"] == "s":
+                for m in f["type"]["fields"]:
+                    if m["name"] == "a":
+                        m["type"] = "string"  # nested retype
+        m2 = dict(meta)
+        m2["schemaString"] = _json.dumps(schema)
+        with open(
+            os.path.join(path, "_delta_log", f"{1:020d}.json"), "w"
+        ) as fh:
+            fh.write(_json.dumps({"metaData": m2}) + "\n")
+        with pytest.raises(Exception, match="column type|restart"):
+            _drain(
+                spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+            )
+
+    def test_nested_member_rename_streams_fine(self, spark, tmp_path):
+        """...while a nested-member RENAME on a mapped table (physical
+        names stable) streams without tripping the guard — the exact
+        pair the full-tree comparison must distinguish."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_rename_column,
+            enable_column_mapping,
+        )
+
+        register_delta_stream(spark)
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(1, (10, "x"))], "k long, s struct<a: long, b: string>"
+            ).coalesce(1),
+            path,
+        )
+        enable_column_mapping(path)
+        alter_delta_rename_column(path, "s.a", "alpha")
+        append_delta(
+            spark.createDataFrame(
+                [(2, (20, "y"))], "k long, s struct<alpha: long, b: string>"
+            ).coalesce(1),
+            path,
+        )
+        got = _drain(
+            spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        )
+        assert sorted(
+            (r["k"], r["s"]["alpha"], r["s"]["b"]) for r in got.collect()
+        ) == [(1, 10, "x"), (2, 20, "y")]
+
     def test_additive_change_streams_fine(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import alter_delta_add_column
 
