@@ -2529,28 +2529,74 @@ def alter_delta_rename_column(path: str, old: str, new: str) -> int:
     return v
 
 
+def _struct_path_apply(dt, segs: list[str], leaf):
+    """``dt`` with ``leaf(containing_struct, member_name)`` applied at
+    the struct containing the dotted path's LAST segment — descending
+    struct members by name and array elements / map values
+    transparently (the shared walk nested RENAME/DROP/ADD ride)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _struct_path_apply(dt.elementType, segs, leaf), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            dt.keyType,
+            _struct_path_apply(dt.valueType, segs, leaf),
+            dt.valueContainsNull,
+        )
+    if not isinstance(dt, StructType):
+        raise ValueError(
+            f"path segment {segs[0]!r} addresses into a non-struct type "
+            f"{dt.simpleString()}"
+        )
+    if len(segs) == 1:
+        return leaf(dt, segs[0])
+    head, rest = segs[0], segs[1:]
+    names = [f.name for f in dt.fields]
+    if head not in names:
+        raise ValueError(f"no such column {head!r}")
+    return StructType([
+        StructField(
+            f.name,
+            _struct_path_apply(f.dataType, rest, leaf),
+            f.nullable,
+            metadata=f.metadata,
+        )
+        if f.name == head else f
+        for f in dt.fields
+    ])
+
+
 def alter_delta_drop_column(path: str, col: str) -> int:
-    """ALTER TABLE ... DROP COLUMN (round 10): metadata-only — the
-    physical column stays in the files and readers simply stop
-    projecting it (Delta's documented DROP semantics; a later
-    `optimize_delta` rewrite physically sheds it). Refused for
-    partition columns, the last remaining column, and columns some
-    other field's generation expression or invariant references."""
+    """ALTER TABLE ... DROP COLUMN (round 10; nested members round 11):
+    metadata-only — the physical column stays in the files and readers
+    simply stop projecting it (Delta's documented DROP semantics; a
+    later `optimize_delta` rewrite physically sheds it). ``col`` may be
+    a dotted path into nested structs (``s.a`` drops member a of struct
+    s; array elements / map values descended transparently). Refused
+    for partition columns, the last remaining column (or last member of
+    a struct — a memberless struct has no parquet representation), and
+    columns some other field's generation expression or invariant
+    references."""
     from pyspark.sql.types import StructType
 
     v, state = _next_version(path)
     meta = dict(state["meta"])
     _require_mapping(meta, "DROP COLUMN")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    target = next((f for f in schema.fields if f.name == col), None)
-    if target is None:
-        raise ValueError(f"no such column {col!r}")
-    if len(schema.fields) == 1:
-        raise ValueError("cannot drop the last column")
-    if _physical_name(target) in (meta.get("partitionColumns") or []):
-        raise ValueError(f"cannot drop partition column {col!r}")
+    segs = col.split(".")
+    if len(segs) == 1:
+        target = next((f for f in schema.fields if f.name == col), None)
+        if target is None:
+            raise ValueError(f"no such column {col!r}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        if _physical_name(target) in (meta.get("partitionColumns") or []):
+            raise ValueError(f"cannot drop partition column {col!r}")
     for f in schema.fields:
-        if f.name == col:
+        if f.name == segs[0]:
             continue
         md = f.metadata or {}
         for key in ("delta.generationExpression", "delta.invariants"):
@@ -2559,9 +2605,20 @@ def alter_delta_drop_column(path: str, col: str) -> int:
                     f"column {col!r} is referenced by {f.name!r}'s "
                     f"{key.split('.')[-1]}; drop that contract first"
                 )
-    meta["schemaString"] = StructType(
-        [f for f in schema.fields if f.name != col]
-    ).json()
+
+    def _drop(st, member):
+        from pyspark.sql.types import StructType as _ST
+
+        names = [f.name for f in st.fields]
+        if member not in names:
+            raise ValueError(f"no such column {member!r}")
+        if len(st.fields) == 1:
+            raise ValueError(
+                f"cannot drop {col!r}: it is its struct's last member"
+            )
+        return _ST([f for f in st.fields if f.name != member])
+
+    meta["schemaString"] = _struct_path_apply(schema, segs, _drop).json()
     _write_commit(
         path, v, [{"metaData": meta}],
         op="DROP COLUMNS", params={"column": col},
@@ -2572,19 +2629,20 @@ def alter_delta_drop_column(path: str, col: str) -> int:
 def alter_delta_add_column(
     path: str, name: str, dtype: str, nullable: bool = True
 ) -> int:
-    """ALTER TABLE ... ADD COLUMN (round 10): additive evolution — old
-    files lack the column and read as NULL (the explicit-schema scan's
-    missing-column rule), new writes carry it. Under column mapping the
-    new field gets a FRESH id and a `col-<id>` physical name, never
-    reusing a dropped column's identity — re-adding a dropped NAME must
-    not resurrect its old values."""
+    """ALTER TABLE ... ADD COLUMN (round 10; nested members round 11):
+    additive evolution — old files lack the column and read as NULL
+    (the explicit-schema scan's missing-column rule, which Spark
+    applies to missing struct MEMBERS too), new writes carry it.
+    ``name`` may be a dotted path (``s.a2`` adds member a2 to struct s;
+    array elements / map values descended transparently). Under column
+    mapping the new field gets a FRESH id and a `col-<id>` physical
+    name, never reusing a dropped column's identity — re-adding a
+    dropped NAME must not resurrect its old values."""
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
     v, state = _next_version(path)
     meta = dict(state["meta"])
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    if name in [f.name for f in schema.fields]:
-        raise ValueError(f"column {name!r} already exists")
     dt = _parse_datatype_string(dtype)
     cfg = dict(meta.get("configuration") or {})
     md = {}
@@ -2596,9 +2654,19 @@ def alter_delta_add_column(
         }
         cfg["delta.columnMapping.maxColumnId"] = str(nid)
         meta["configuration"] = cfg
-    meta["schemaString"] = StructType(
-        list(schema.fields) + [StructField(name, dt, nullable, metadata=md)]
-    ).json()
+    segs = name.split(".")
+
+    def _add(st, member):
+        from pyspark.sql.types import StructType as _ST
+
+        if member in [f.name for f in st.fields]:
+            raise ValueError(f"column {member!r} already exists")
+        return _ST(
+            list(st.fields)
+            + [StructField(member, dt, nullable, metadata=md)]
+        )
+
+    meta["schemaString"] = _struct_path_apply(schema, segs, _add).json()
     _write_commit(
         path, v, [{"metaData": meta}],
         op="ADD COLUMNS", params={"column": name, "type": dtype},

@@ -3793,6 +3793,74 @@ class TestAlterColumns:
             for r in sdf.collect()
         ) == [(1, 10, "x"), (2, 20, "y"), (3, 30, "z")]
 
+    def test_nested_member_drop_and_add(self, spark, tmp_path):
+        """Round 11: DROP and ADD of struct MEMBERS via dotted paths —
+        metadata-only, old files keep their bytes; a dropped member
+        stops projecting, an added member null-fills on old files and
+        carries values on new appends; fresh mapping identity for adds."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_add_column,
+            alter_delta_drop_column,
+            enable_column_mapping,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(1, (10, "x")), (2, (20, "y"))],
+                "k bigint, s struct<a: long, b: string>",
+            ).coalesce(1),
+            path,
+        )
+        enable_column_mapping(path)
+        alter_delta_drop_column(path, "s.b")
+        df = read_delta(spark, path)
+        assert df.schema["s"].dataType.simpleString() == "struct<a:bigint>"
+        assert sorted((r["k"], r["s"]["a"]) for r in df.collect()) == [
+            (1, 10), (2, 20),
+        ]
+        alter_delta_add_column(path, "s.c", "long")
+        df2 = read_delta(spark, path)
+        assert df2.schema["s"].dataType.simpleString() == (
+            "struct<a:bigint,c:bigint>"
+        )
+        # the new member carries FRESH mapping identity (never reuses b's)
+        from rtcdb_spark.sources.delta_log import _snapshot_state
+
+        meta = _snapshot_state(path)[0]
+        import json as _json
+
+        sfld = next(
+            f for f in _json.loads(meta["schemaString"])["fields"]
+            if f["name"] == "s"
+        )
+        c_md = next(
+            m for m in sfld["type"]["fields"] if m["name"] == "c"
+        )["metadata"]
+        b_phys = "col-"  # b's physical name was col-<old>; c's must differ
+        assert c_md["delta.columnMapping.physicalName"].startswith(b_phys)
+        assert sorted(
+            (r["k"], r["s"]["a"], r["s"]["c"]) for r in df2.collect()
+        ) == [(1, 10, None), (2, 20, None)]  # old files null-fill c
+        append_delta(
+            spark.createDataFrame(
+                [(3, (30, 300))], "k bigint, s struct<a: long, c: long>"
+            ).coalesce(1),
+            path,
+        )
+        assert sorted(
+            (r["k"], r["s"]["a"], r["s"]["c"])
+            for r in read_delta(spark, path).collect()
+        ) == [(1, 10, None), (2, 20, None), (3, 30, 300)]
+        # guards: last member, existing member, bad paths
+        alter_delta_drop_column(path, "s.c")
+        with pytest.raises(ValueError, match="last member"):
+            alter_delta_drop_column(path, "s.a")
+        with pytest.raises(ValueError, match="already exists"):
+            alter_delta_add_column(path, "s.a", "long")
+        with pytest.raises(ValueError, match="non-struct"):
+            alter_delta_add_column(path, "k.x", "long")
+
     def test_drop_then_readd_does_not_resurrect(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import (
             alter_delta_add_column,
