@@ -376,8 +376,11 @@ _PRIORITY = [
     "timeseries_cusum_drift", "timeseries_interval_union",
     # joins (10/16)
     "join_lateral_topn", "join_interval_overlap",
-    # scalar functions (10/16)
-    "fn_try_cast", "fn_array_setops",
+    # scalar functions (10/16); fn_array_setops was drafted here but
+    # returns ARRAY-typed columns the driver canonicalizer cannot hash
+    # (the mirror's window-schema guard caught it) — fn_hash, scalar
+    # output, takes the slot
+    "fn_try_cast", "fn_hash",
     # graph (5/8) + the 1/2 one-off families
     "graph_modularity", "customer_spend_gini", "part_brand_share_shift",
 ]
