@@ -338,8 +338,11 @@ _PRIORITY = [
     "set_except_all", "sort_within_partitions",
     # C-VI windows green rep
     "window_running_frames",
-    # C-VII scalar functions green rep
-    "fn_json_map",
+    # C-VII's green-rep slot goes to the round-11 TYPE WIDENING
+    # flagship (late-swap, the wave-19/20 precedent): fn_json_map
+    # rotates to the r10 ledger — the family keeps fn_variant_json
+    # r10-green there plus fn_try_cast/fn_hash first-timers in-window
+    "source_delta_type_widening",
     # C-VIII event-time + streaming green reps
     "stream_window_session", "stream_dedup_near_simhash_unordered",
     # C-IX text green rep (oracle-gated trained BPE)

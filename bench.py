@@ -174,6 +174,9 @@ HEADLINE = [
     # across an additive schema change (back + forward)
     "source_delta_row_tracking_idmap",
     "source_delta_restore_cdf_evolved",
+    # round 11, late wave: type widening (narrow + wide physical
+    # generations under one widened scan)
+    "source_delta_type_widening",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -2397,3 +2397,99 @@ def source_delta_restore_cdf_evolved(
         F.count("note").cast("bigint").alias("n_notes"),
     ).select(F.lit("forward").alias("stage"), "*")
     return back.unionByName(fwd).orderBy("stage")
+
+
+@query(
+    "source_delta_type_widening",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_custkey AS INTEGER) AS BIGINT) AS cust
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               o_custkey + 10000000000 AS cust
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cust) AS BIGINT) AS cust_sum,
+           CAST(MIN(cust) AS BIGINT) AS min_cust,
+           CAST(MAX(cust) AS BIGINT) AS max_cust
+    FROM t
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "delta", "interchange", "type-widening",
+          "schema-evolution"),
+)
+def source_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING end-to-end (round 11, the protocol's Type Widening
+    chapter — `alter_delta_widen_column`): the even half of orders lands
+    with o_custkey CAST DOWN to int (the narrow generation's parquet
+    files physically carry int32), the column is widened int -> bigint
+    in a metadata-only commit (typeChanges history recorded, protocol
+    upgraded to the typeWidening reader-writer feature), and the odd
+    half appends with custkey + 10_000_000_000 — values only the WIDE
+    type can hold. The final read scans int32 and int64 files under one
+    bigint schema (Spark's native upcast; nothing rewritten). In-query
+    asserts pin the protocol upgrade and the recorded change history;
+    the aggregate (per-status count/sum/min/max over the stitched
+    generations) hashes against the arithmetic DuckDB twin."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        _snapshot_state,
+        alter_delta_widen_column,
+        append_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_tw_")
+    shutil.rmtree(path)
+    write_delta(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.col("o_custkey").cast("int").alias("cust"),
+            "o_orderstatus",
+        ),
+        path,
+    )
+    wv = alter_delta_widen_column(path, "cust", "bigint")
+    append_delta(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            (F.col("o_custkey") + 10_000_000_000).alias("cust"),
+            "o_orderstatus",
+        ),
+        path,
+    )
+    import json as _json
+
+    meta, _adds, state = _snapshot_state(path)
+    proto = state["protocol"]
+    assert "typeWidening" in (proto.get("readerFeatures") or []), proto
+    cf = next(
+        f for f in _json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "cust"
+    )
+    assert cf["metadata"]["delta.typeChanges"] == [
+        {"fromType": "int", "toType": "bigint", "tableVersion": wv}
+    ], cf
+    t = read_delta(spark, path)
+    assert t.schema["cust"].dataType.simpleString() == "bigint"
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cust").cast("bigint").alias("cust_sum"),
+            F.min("cust").cast("bigint").alias("min_cust"),
+            F.max("cust").cast("bigint").alias("max_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -249,9 +249,16 @@ def delta_checkpoints(path: str) -> list[int]:
 # deletion_vectors.py decodes the roaring bitmaps; read_delta anti-joins
 # them out on _metadata.row_index); v2Checkpoint joined in wave 2
 # (checkpoint_delta_v2 writes them, _snapshot_state resolves sidecar
-# actions at fold time).
+# actions at fold time); typeWidening joined in round 11 — every
+# widening the protocol's Type Widening chapter allows (int-family
+# ladder, float->double, int->double, date->timestamp_ntz, int/long ->
+# decimal, decimal precision growth) is read natively by Spark 4.1's
+# parquet reader when old narrow files are scanned under the snapshot's
+# widened explicit schema (pinned by test against pyarrow-written
+# narrow files); widen with `alter_delta_widen_column`.
 _READER_FEATURES = {
     "columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint",
+    "typeWidening", "typeWidening-preview",
 }
 
 
@@ -2670,6 +2677,123 @@ def alter_delta_add_column(
     _write_commit(
         path, v, [{"metaData": meta}],
         op="ADD COLUMNS", params={"column": name, "type": dtype},
+    )
+    return v
+
+
+_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+
+def _widening_allowed(frm, to) -> bool:
+    """The protocol's Type Widening chapter's ALLOWED type-change matrix:
+    byte -> short -> int -> long; float -> double; byte/short/int ->
+    double; date -> timestamp_ntz; byte/short/int/long -> decimal with
+    enough integer digits; decimal(p,s) -> decimal(p',s') with p' >= p,
+    s' >= s and p'-s' >= p-s (integer digits never shrink). Everything
+    else — including every NARROWING — is not a widening."""
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampNTZType,
+    )
+
+    ints = (ByteType, ShortType, IntegerType, LongType)
+    if isinstance(frm, ints) and isinstance(to, ints):
+        order = [ByteType, ShortType, IntegerType, LongType]
+        return order.index(type(frm)) < order.index(type(to))
+    if isinstance(frm, (ByteType, ShortType, IntegerType)) and isinstance(
+        to, DoubleType
+    ):
+        return True
+    if isinstance(frm, FloatType) and isinstance(to, DoubleType):
+        return True
+    if isinstance(frm, DateType) and isinstance(to, TimestampNTZType):
+        return True
+    if isinstance(frm, ints) and isinstance(to, DecimalType):
+        need = _INT_DIGITS[frm.typeName()]
+        return to.scale >= 0 and (to.precision - to.scale) >= need
+    if isinstance(frm, DecimalType) and isinstance(to, DecimalType):
+        return (
+            to.precision >= frm.precision
+            and to.scale >= frm.scale
+            and (to.precision - to.scale) >= (frm.precision - frm.scale)
+        )
+    return False
+
+
+def alter_delta_widen_column(path: str, col: str, new_type: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE (round 11, the protocol's
+    Type Widening chapter): a metadata-only commit widening a column's
+    type — old files keep their NARROW parquet type and read natively
+    under the widened explicit schema (Spark 4.1 upcasts every allowed
+    widening; pinned by test), new writes carry the wide type. The
+    change is recorded in the field's `delta.typeChanges` metadata
+    ({fromType, toType, tableVersion}, the spec's history format) and
+    the protocol upgrades to the `typeWidening` READER-WRITER feature
+    (minReader 3 / minWriter 7). ``col`` may be a dotted path into
+    nested structs. Narrowings and cross-family changes are refused
+    with the allowed matrix in the message."""
+    from pyspark.sql.types import (
+        StructField,
+        StructType,
+        _parse_datatype_string,
+    )
+
+    v, state = _next_version(path)
+    meta = dict(state["meta"])
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    to_dt = _parse_datatype_string(new_type)
+    segs = col.split(".")
+
+    def _widen(st, member):
+        from pyspark.sql.types import StructType as _ST
+
+        f = next((x for x in st.fields if x.name == member), None)
+        if f is None:
+            raise ValueError(f"no such column {member!r}")
+        if not _widening_allowed(f.dataType, to_dt):
+            raise ValueError(
+                f"{f.dataType.simpleString()} -> {to_dt.simpleString()} "
+                "is not an allowed type widening (int-family ladder, "
+                "float->double, int->double, date->timestamp_ntz, "
+                "int/long->decimal, decimal precision growth)"
+            )
+        md = dict(f.metadata or {})
+        changes = list(md.get("delta.typeChanges") or [])
+        changes.append({
+            "fromType": f.dataType.simpleString(),
+            "toType": to_dt.simpleString(),
+            "tableVersion": v,
+        })
+        md["delta.typeChanges"] = changes
+        return _ST([
+            StructField(x.name, to_dt, x.nullable, metadata=md)
+            if x.name == member else x
+            for x in st.fields
+        ])
+
+    meta["schemaString"] = _struct_path_apply(schema, segs, _widen).json()
+    actions: list[dict] = []
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if "typeWidening" not in set(proto.get("readerFeatures") or []):
+        up = _with_writer_feature(proto, "typeWidening")
+        rf = set(up.get("readerFeatures") or [])
+        if not rf and proto.get("minReaderVersion", 1) >= 2:
+            rf |= {"columnMapping"}  # enumerate what legacy v2 implied
+        rf.add("typeWidening")
+        up["minReaderVersion"] = 3
+        up["readerFeatures"] = sorted(rf)
+        actions.append({"protocol": up})
+    actions.append({"metaData": meta})
+    _write_commit(
+        path, v, actions,
+        op="CHANGE COLUMN", params={"column": col, "type": new_type},
     )
     return v
 

@@ -190,17 +190,18 @@ class TestDeltaGates:
         df = spark.range(3).select(F.col("id").alias("k"))
         path = str(tmp_path / "t")
         write_delta(df, path)
-        # v3 demanding a feature we can't honor (type widening) refuses
+        # v3 demanding a feature we can't honor (collated strings) refuses
+        # (typeWidening moved to the SUPPORTED list in round 11)
         self._set_protocol(
             path,
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["typeWidening"],
-                "writerFeatures": ["typeWidening"],
+                "readerFeatures": ["collations"],
+                "writerFeatures": ["collations"],
             },
         )
-        with pytest.raises(NotImplementedError, match="typeWidening"):
+        with pytest.raises(NotImplementedError, match="collations"):
             read_delta(spark, path)
         # v3 whose features are all covered reads fine (round 7)
         self._set_protocol(
@@ -4751,3 +4752,182 @@ class TestRound10Edges:
         assert got == {1: None, 2: 0.5}
         with pytest.raises(ValueError, match="already exists"):
             alter_delta_add_column(path, "score", "double")
+
+
+class TestTypeWidening:
+    """Type Widening (round 11, the protocol's Type Widening chapter):
+    reader-side acceptance of the `typeWidening` reader feature — every
+    allowed widening reads natively because old NARROW parquet files are
+    scanned under the snapshot's widened explicit schema — plus the
+    `alter_delta_widen_column` writer (typeChanges history, reader-writer
+    protocol upgrade, allowed-matrix refusals, dotted nested paths)."""
+
+    def test_foreign_widened_table_reads(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "tw")
+        os.makedirs(os.path.join(path, "_delta_log"))
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2, 3], pa.int32()),
+                      "v": pa.array([1.5, 2.5, 3.5], pa.float32())}),
+            os.path.join(path, "f1.parquet"),
+        )
+        fields = [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.typeChanges": [{"fromType": "int", "toType": "bigint",
+                                       "tableVersion": 1}]}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        ]
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["typeWidening"],
+                              "writerFeatures": ["typeWidening"]}},
+                {"metaData": {
+                    "id": "tw", "format": {"provider": "parquet",
+                                           "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [], "configuration": {},
+                    "createdTime": 0}},
+                {"add": {"path": "f1.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        df = read_delta(spark, path)
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "bigint", "double",
+        ]
+        assert sorted(tuple(r) for r in df.collect()) == [
+            (1, 1.5), (2, 2.5), (3, 3.5),
+        ]
+
+    def test_widen_int_to_long_both_generations(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            alter_delta_widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v int")
+            .coalesce(1),
+            path,
+        )
+        wv = alter_delta_widen_column(path, "v", "bigint")
+        # appends must now carry the WIDE type — including values beyond
+        # int range, the point of widening
+        append_delta(
+            spark.createDataFrame(
+                [(3, 10_000_000_000)], "k bigint, v bigint"
+            ).coalesce(1),
+            path,
+        )
+        df = read_delta(spark, path)
+        assert df.schema["v"].dataType.simpleString() == "bigint"
+        assert sorted(tuple(r) for r in df.collect()) == [
+            (1, 10), (2, 20), (3, 10_000_000_000),
+        ]
+        meta, _adds, state = _snapshot_state(path)
+        proto = state["protocol"]
+        assert proto["minReaderVersion"] == 3
+        assert "typeWidening" in proto["readerFeatures"]
+        assert "typeWidening" in proto["writerFeatures"]
+        vf = next(
+            f for f in json.loads(meta["schemaString"])["fields"]
+            if f["name"] == "v"
+        )
+        assert vf["metadata"]["delta.typeChanges"] == [
+            {"fromType": "int", "toType": "bigint", "tableVersion": wv}
+        ]
+        # narrow appends are refused by the write-schema gate
+        with pytest.raises(ValueError, match="does not match"):
+            append_delta(
+                spark.createDataFrame([(4, 40)], "k bigint, v int"), path
+            )
+
+    def test_widen_decimal_date_and_nested(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import alter_delta_widen_column
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(1, (7,))], "k int, s struct<a: int>"
+            ).coalesce(1),
+            path,
+        )
+        alter_delta_widen_column(path, "k", "decimal(12,2)")
+        alter_delta_widen_column(path, "s.a", "bigint")  # dotted path
+        df = read_delta(spark, path)
+        assert df.schema["k"].dataType.simpleString() == "decimal(12,2)"
+        assert df.schema["s"].dataType.simpleString() == "struct<a:bigint>"
+        r = df.collect()[0]
+        assert (str(r["k"]), r["s"]["a"]) == ("1.00", 7)
+        # second widen on the same column APPENDS to the history
+        alter_delta_widen_column(path, "k", "decimal(20,2)")
+        from rtcdb_spark.sources.delta_log import _snapshot_state
+
+        meta = _snapshot_state(path)[0]
+        kf = next(
+            f for f in json.loads(meta["schemaString"])["fields"]
+            if f["name"] == "k"
+        )
+        assert [c["toType"] for c in kf["metadata"]["delta.typeChanges"]] \
+            == ["decimal(12,2)", "decimal(20,2)"]
+
+    def test_widening_matrix_refusals(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import alter_delta_widen_column
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame(
+                [(10_000_000_000, 1.5, "x")], "k bigint, v double, s string"
+            ),
+            path,
+        )
+        for col, bad in (
+            ("k", "int"),            # narrowing
+            ("k", "decimal(10,0)"),  # not enough integer digits for long
+            ("v", "float"),          # narrowing
+            ("s", "bigint"),         # cross-family
+            ("v", "string"),         # cross-family
+        ):
+            with pytest.raises(ValueError, match="not an allowed"):
+                alter_delta_widen_column(path, col, bad)
+
+    def test_widen_composes_with_column_mapping(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_rename_column,
+            alter_delta_widen_column,
+            enable_column_mapping,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(1, 10)], "k bigint, v int").coalesce(1),
+            path,
+        )
+        enable_column_mapping(path)
+        alter_delta_widen_column(path, "v", "bigint")
+        alter_delta_rename_column(path, "v", "val")
+        append_delta(
+            spark.createDataFrame(
+                [(2, 5_000_000_000)], "k bigint, val bigint"
+            ).coalesce(1),
+            path,
+        )
+        df = read_delta(spark, path)
+        # the v3 upgrade must have enumerated columnMapping for readers
+        from rtcdb_spark.sources.delta_log import _snapshot_state
+
+        proto = _snapshot_state(path)[2]["protocol"]
+        assert {"columnMapping", "typeWidening"} <= set(
+            proto["readerFeatures"]
+        )
+        assert sorted(tuple(r) for r in df.collect()) == [
+            (1, 10), (2, 5_000_000_000),
+        ]
