@@ -327,8 +327,10 @@ _PRIORITY = [
     # round-11 capability flagships (both sf0.01 driver-sim green)
     "source_delta_row_tracking_idmap",
     "source_delta_restore_cdf_evolved",
-    # C-I warehouse green rep
-    "versioned_changes_feed",
+    # C-I warehouse's green-rep slot goes to the round-11 COLUMN
+    # DEFAULTS flagship (late-swap): versioned_changes_feed rotates to
+    # the r10 ledger — the versioned family keeps it green there
+    "source_delta_column_defaults",
     # C-III aggregates green rep
     "agg_bitmap_distinct",
     # C-IV joins green rep

@@ -175,8 +175,9 @@ HEADLINE = [
     "source_delta_row_tracking_idmap",
     "source_delta_restore_cdf_evolved",
     # round 11, late wave: type widening (narrow + wide physical
-    # generations under one widened scan)
+    # generations under one widened scan) + column defaults
     "source_delta_type_widening",
+    "source_delta_column_defaults",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

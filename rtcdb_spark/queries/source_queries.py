@@ -2493,3 +2493,91 @@ def source_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_delta_column_defaults",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_custkey,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'BACKFILL' AS prio
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+           MAX(o_orderkey) AS max_key
+    FROM t
+    GROUP BY prio
+    ORDER BY prio
+    """,
+    tags=("source", "delta", "interchange", "column-defaults",
+          "schema-evolution"),
+)
+def source_delta_column_defaults(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLUMN DEFAULTS end-to-end (round 11, the protocol's Default
+    Columns chapter — `alter_delta_set_default` / `allowColumnDefaults`):
+    the even half of orders lands with a prio column, a DEFAULT
+    'BACKFILL' is set, and the odd half appends WITHOUT the column —
+    the writer fills it at write time (the spec's INSERT rule; reads
+    are untouched, so the even half keeps its real priorities). A
+    post-default append carrying the column keeps its values (defaults
+    never validate), and DROP DEFAULT makes omission a schema violation
+    again — both asserted in-query. The per-priority aggregate hashes
+    against the UNION twin."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        _snapshot_state,
+        alter_delta_drop_default,
+        alter_delta_set_default,
+        append_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_cd_")
+    shutil.rmtree(path)
+    write_delta(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey",
+            F.col("o_orderpriority").alias("prio"),
+        ),
+        path,
+    )
+    alter_delta_set_default(path, "prio", "'BACKFILL'")
+    proto = _snapshot_state(path)[2]["protocol"]
+    assert "allowColumnDefaults" in (proto.get("writerFeatures") or []), proto
+    append_delta(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey"
+        ),
+        path,
+    )
+    alter_delta_drop_default(path, "prio")
+    try:
+        append_delta(
+            o.limit(1).select("o_orderkey", "o_custkey"), path
+        )
+        raise AssertionError("omission must fail after DROP DEFAULT")
+    except ValueError:
+        pass
+    t = read_delta(spark, path)
+    return (
+        t.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("prio")
+    )

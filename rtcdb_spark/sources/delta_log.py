@@ -259,6 +259,11 @@ def delta_checkpoints(path: str) -> list[int]:
 _READER_FEATURES = {
     "columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint",
     "typeWidening", "typeWidening-preview",
+    # vacuumProtocolCheck (round 11): the feature's only requirement is
+    # that VACUUM validates the table protocol before deleting —
+    # vacuum_delta folds the snapshot through _check_protocol on every
+    # run, so the requirement holds by construction
+    "vacuumProtocolCheck",
 }
 
 
@@ -1780,6 +1785,14 @@ def _apply_write_constraints(df: DataFrame, meta: dict) -> DataFrame:
                         F.col(f.name).eqNullSafe(expr),
                     )
                 )
+        dflt = md.get("CURRENT_DEFAULT")
+        if dflt is not None and f.name not in have:
+            # Default Columns (round 11, the protocol's Default Columns
+            # chapter / allowColumnDefaults): an INSERT omitting the
+            # column takes its CURRENT_DEFAULT expression; a present
+            # column is used as-is (defaults, unlike generated columns,
+            # never validate)
+            df = df.withColumn(f.name, F.expr(dflt).cast(f.dataType))
         inv = md.get("delta.invariants")
         if inv is not None:
             expr_sql = _json.loads(inv)["expression"]["expression"]
@@ -2677,6 +2690,79 @@ def alter_delta_add_column(
     _write_commit(
         path, v, [{"metaData": meta}],
         op="ADD COLUMNS", params={"column": name, "type": dtype},
+    )
+    return v
+
+
+def alter_delta_set_default(path: str, col: str, sql_expr: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... SET DEFAULT (round 11, the
+    protocol's Default Columns chapter): records the SQL expression in
+    the field's ``CURRENT_DEFAULT`` metadata and upgrades the protocol
+    to the `allowColumnDefaults` writer feature; subsequent
+    appends/overwrites that OMIT the column take the default
+    (`_apply_write_constraints` fills it before the schema gate).
+    Top-level columns only and never on a generated column, delta's own
+    rules; reads are unaffected — defaults apply at write time, old
+    files keep their values (and their nulls)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if "." in col:
+        raise ValueError("column defaults apply to top-level columns only")
+    v, state = _next_version(path)
+    meta = dict(state["meta"])
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    f = next((x for x in schema.fields if x.name == col), None)
+    if f is None:
+        raise ValueError(f"no such column {col!r}")
+    if (f.metadata or {}).get("delta.generationExpression"):
+        raise ValueError(
+            f"column {col!r} is generated; generated columns cannot "
+            "also carry a default"
+        )
+    md = {**(f.metadata or {}), "CURRENT_DEFAULT": sql_expr}
+    meta["schemaString"] = StructType([
+        StructField(x.name, x.dataType, x.nullable, metadata=md)
+        if x.name == col else x
+        for x in schema.fields
+    ]).json()
+    actions: list[dict] = []
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if "allowColumnDefaults" not in set(proto.get("writerFeatures") or []):
+        actions.append(
+            {"protocol": _with_writer_feature(proto, "allowColumnDefaults")}
+        )
+    actions.append({"metaData": meta})
+    _write_commit(
+        path, v, actions,
+        op="CHANGE COLUMN",
+        params={"column": col, "default": sql_expr},
+    )
+    return v
+
+
+def alter_delta_drop_default(path: str, col: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... DROP DEFAULT: removes the
+    field's ``CURRENT_DEFAULT``; subsequent writes must carry the
+    column again. The writer feature stays on the protocol (features
+    are never removed, per spec)."""
+    from pyspark.sql.types import StructField, StructType
+
+    v, state = _next_version(path)
+    meta = dict(state["meta"])
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    f = next((x for x in schema.fields if x.name == col), None)
+    if f is None:
+        raise ValueError(f"no such column {col!r}")
+    md = {k: x for k, x in (f.metadata or {}).items()
+          if k != "CURRENT_DEFAULT"}
+    meta["schemaString"] = StructType([
+        StructField(x.name, x.dataType, x.nullable, metadata=md)
+        if x.name == col else x
+        for x in schema.fields
+    ]).json()
+    _write_commit(
+        path, v, [{"metaData": meta}],
+        op="CHANGE COLUMN", params={"column": col, "default": None},
     )
     return v
 

@@ -4931,3 +4931,101 @@ class TestTypeWidening:
         assert sorted(tuple(r) for r in df.collect()) == [
             (1, 10), (2, 5_000_000_000),
         ]
+
+
+class TestColumnDefaults:
+    """Default Columns (round 11, the protocol's Default Columns
+    chapter / allowColumnDefaults writer feature): SET/DROP DEFAULT
+    commands, write-time fill for omitted columns, generated-column
+    exclusion, feature upgrade."""
+
+    def test_set_default_fills_omitted_column(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            alter_delta_drop_default,
+            alter_delta_set_default,
+        )
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+            .coalesce(1),
+            path,
+        )
+        alter_delta_set_default(path, "v", "CAST(42 AS BIGINT)")
+        proto = _snapshot_state(path)[2]["protocol"]
+        assert proto["minWriterVersion"] == 7
+        assert "allowColumnDefaults" in proto["writerFeatures"]
+        # an append OMITTING v takes the default; one carrying v keeps
+        # its values (defaults never validate)
+        append_delta(
+            spark.createDataFrame([(3,)], "k bigint").coalesce(1), path
+        )
+        append_delta(
+            spark.createDataFrame([(4, 99)], "k bigint, v bigint")
+            .coalesce(1),
+            path,
+        )
+        got = sorted(
+            tuple(r) for r in read_delta(spark, path).collect()
+        )
+        assert got == [(1, 10), (2, 20), (3, 42), (4, 99)]
+        # DROP DEFAULT: omitting v is a schema violation again
+        alter_delta_drop_default(path, "v")
+        with pytest.raises(ValueError, match="does not match"):
+            append_delta(
+                spark.createDataFrame([(5,)], "k bigint"), path
+            )
+        # old rows keep their values; the feature stays on the protocol
+        assert "allowColumnDefaults" in (
+            _snapshot_state(path)[2]["protocol"]["writerFeatures"]
+        )
+
+    def test_default_refused_on_generated_and_nested(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import alter_delta_set_default
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        path = str(tmp_path / "t")
+        schema = StructType([
+            StructField("k", LongType(), True),
+            StructField("twice", LongType(), True,
+                        {"delta.generationExpression": "k * 2"}),
+        ])
+        write_delta(
+            spark.createDataFrame([(1, 2)], schema).coalesce(1), path
+        )
+        with pytest.raises(ValueError, match="generated"):
+            alter_delta_set_default(path, "twice", "0")
+        with pytest.raises(ValueError, match="top-level"):
+            alter_delta_set_default(path, "s.a", "0")
+        with pytest.raises(ValueError, match="no such column"):
+            alter_delta_set_default(path, "zzz", "0")
+
+    def test_vacuum_protocol_check_feature_accepted(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import vacuum_delta
+
+        path = str(tmp_path / "t")
+        write_delta(
+            spark.range(4).select(F.col("id").alias("k")).coalesce(1), path
+        )
+        overwrite_delta(
+            spark.createDataFrame([(9,)], "k bigint").coalesce(1), path
+        )
+        # stamp the vacuumProtocolCheck reader-writer feature the way a
+        # foreign writer would
+        cpath = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        lines = open(cpath).read().splitlines()
+        out = []
+        for ln in lines:
+            a = json.loads(ln)
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["vacuumProtocolCheck"],
+                    "writerFeatures": ["vacuumProtocolCheck"]}
+            out.append(json.dumps(a))
+        with open(cpath, "w") as fh:
+            fh.write("\n".join(out) + "\n")
+        assert read_delta(spark, path).count() == 1
+        deleted = vacuum_delta(path, retain_ms=0)
+        assert len(deleted) == 1  # the overwritten file; protocol folded
