@@ -287,22 +287,26 @@ _PRIORITY = [
     # confirmed/total: events 5/11, dedup 11/23, text 14/27, orders
     # 5/10, embedding+similarity 10/16, timeseries 4/7, join 10/16,
     # fn 10/16, graph 5/8, plus the 1/2 one-offs (customer, part).
-    # This window keeps a 21-entry green-rep core (>=1 r10-green
-    # representative per SURVEY §2 family that has one; families whose
-    # rep rotates out keep r9/r10-ledger greens), adds the TWO round-11
-    # capability rows (source_delta_row_tracking_idmap — OPTIMIZE/MERGE
-    # id materialization on ID-mapped tables, the matrix cell round 10
+    # This window keeps a green-rep core (>=1 r10-green representative
+    # per SURVEY §2 family that has one; families whose rep rotates out
+    # keep r9/r10-ledger greens), adds the FOUR round-11 capability
+    # rows (source_delta_row_tracking_idmap — OPTIMIZE/MERGE id
+    # materialization on ID-mapped tables, the matrix cell round 10
     # refused, VERDICT r10 item 2; source_delta_restore_cdf_evolved —
-    # RESTORE with CDF across an additive schema change, item 4), and
-    # fills the remaining 27 slots with never-driver-run entries biased
-    # to the weak families above (ALL 27 validated green against the
-    # sf0.01 driver-sim this session, as were both capability rows):
+    # RESTORE with CDF across an additive schema change, item 4;
+    # late swaps per the wave-19/20 precedent:
+    # source_delta_type_widening for fn_json_map's slot and
+    # source_delta_column_defaults for versioned_changes_feed's slot —
+    # both displaced reps stay green in the r10 ledger), and fills the
+    # remaining 27 slots with never-driver-run entries biased to the
+    # weak families above (ALL validated green against the sf0.01
+    # driver-sim this session, as were all four capability rows):
     # 4 events, 4 dedup, 4 text, 3 orders, 3 embedding/similarity,
     # 2 timeseries, 2 join, 2 fn, graph_modularity, customer_spend_gini,
     # part_brand_share_shift. embedding_matryoshka_energy is included
     # deliberately: its odd-dimension prefix-length divergence (ADVICE
     # r10) was fixed this round and the driver should hash the fixed
-    # twin. 27 + 2 = 29 first-timers -> cross-round union 237 + 29 = 266
+    # twin. 27 + 4 = 31 first-timers -> cross-round union 237 + 31 = 268
     # if all green (VERDICT r10 item 1 target: >=257).
     # OUT (ALL r10-driver-green; each family keeps >=1 green rep in
     # this window or the r9/r10 ledger): source_delta_liquid_clustering,
