@@ -83,18 +83,44 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_count_distinct",
-    None,  # HLL sketches differ across engines — driver does rows-only check;
-    # tests/test_aggregates.py asserts <2% relative error vs exact instead.
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           COUNT(*) AS n_events,
+           CAST(1 AS INTEGER) AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB-scale distinct path: mergeable HLL sketch, no shuffle blowup."""
+    """The 100 TB-scale distinct path: mergeable HLL++ sketch, no shuffle
+    blowup. HLL internals differ across engines, so the estimate itself has
+    no SQL twin — instead the row carries a DERIVED oracle (round 12, the
+    `sort_within_partitions` pattern): both the sketch estimate and the
+    exact distinct run in ONE aggregate pass, and `within_bound` is 1 iff
+    the estimate lands within 5×rsd (rsd=0.01 requested, so ±5%, plus an
+    absolute slack of 4 for tiny groups) of the exact count. The DuckDB
+    twin is the exact distinct plus a literal 1 — an out-of-bound sketch
+    hash-mismatches the driver. At 100 TB the exact branch is dropped and
+    only the O(1)-per-group sketch ships through the shuffle."""
     e = load_table(spark, sf_dir, "events")
+    exact = F.col("n_users_exact")
+    err = F.abs(F.col("approx_users") - exact)
+    bound = F.greatest(F.ceil(exact * F.lit(0.05)), F.lit(4))
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_users_exact"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            "n_events",
+            (err <= bound).cast("int").alias("within_bound"),
         )
         .orderBy("event_type")
     )
@@ -211,21 +237,71 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_percentiles_approx",
-    None,  # t-digest/GK sketches differ across engines — rows-only check;
-    # tests assert bounded error vs exact percentile.
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price,
+           CAST(1 AS INTEGER) AS p50_within_bound,
+           CAST(1 AS INTEGER) AS p99_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     tags=("agg", "approx", "percentile"),
 )
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles — the mergeable, single-pass 100 TB path."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price_approx"),
-            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price_approx"),
-        )
-        .orderBy("l_returnflag")
+    """Sketch-based percentiles — the mergeable, single-pass 100 TB path.
+    GK-sketch outputs differ across engines, so the approx values have no
+    SQL twin — the row carries a DERIVED oracle instead (round 12, the
+    `sort_within_partitions` pattern): `percentile_approx(accuracy=10000)`
+    guarantees the returned element's RANK is within eps·N of the target
+    rank (eps = 1/accuracy, Greenwald-Khanna bound, Spark docs). The query
+    re-derives each approx value's true rank interval [n_lt+1, n_le] with
+    one conditional re-aggregation over a broadcast of the 3-row sketch
+    output, and `pXX_within_bound` is 1 iff that interval intersects
+    [q·N − eps·N − 1, q·N + eps·N + 1]. The hashed payload is the EXACT
+    interpolated percentile (Spark `percentile` ≡ DuckDB `quantile_cont`)
+    plus the flags; the DuckDB twin emits literal 1s — a sketch outside
+    its published bound hash-mismatches the driver. At 100 TB the exact
+    branch is dropped and only the O(1/eps)-sized mergeable sketch ships."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    sketch = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50a"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99a"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.99D)").alias("p99_price"),
     )
+    j = l.join(F.broadcast(sketch), "l_returnflag")
+    p = F.col("l_extendedprice")
+    ranks = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((p < F.col("p50a")).cast("long")).alias("lt50"),
+        F.sum((p <= F.col("p50a")).cast("long")).alias("le50"),
+        F.sum((p < F.col("p99a")).cast("long")).alias("lt99"),
+        F.sum((p <= F.col("p99a")).cast("long")).alias("le99"),
+        F.first("p50_price").alias("p50_price"),
+        F.first("p99_price").alias("p99_price"),
+    )
+    n_d = F.col("n_rows").cast("double")
+    eps = F.lit(1.0 / 10000.0)
+
+    def _ok(lt: str, le: str, q: float):
+        target = F.lit(q) * n_d
+        slack = eps * n_d + F.lit(1.0)
+        return (
+            (F.col(le).cast("double") >= target - slack)
+            & (F.col(lt).cast("double") + F.lit(1.0) <= target + slack)
+        ).cast("int")
+
+    return ranks.select(
+        "l_returnflag",
+        "n_rows",
+        "p50_price",
+        "p99_price",
+        _ok("lt50", "le50", 0.5).alias("p50_within_bound"),
+        _ok("lt99", "le99", 0.99).alias("p99_within_bound"),
+    ).orderBy("l_returnflag")
 
 
 @query(
@@ -326,7 +402,16 @@ def agg_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_hll_sketch_union",
-    None,  # Apache DataSketches HLL — estimates differ from DuckDB's HLL
+    """
+    SELECT lang, COUNT(DISTINCT doc_id) AS n_docs_exact,
+           CAST(1 AS INTEGER) AS within_bound
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '__all__' AS lang, COUNT(DISTINCT doc_id) AS n_docs_exact,
+           CAST(1 AS INTEGER) AS within_bound
+    FROM documents
+    ORDER BY lang
+    """,
     tags=("agg", "sketch", "hll"),
 )
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,17 +420,37 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the corpus-wide estimate. The point vs `approx_count_distinct`:
     the sketch is a *value* — persistable and unionable across partitions,
     days, or tables without re-scanning, which is how 100 TB rollups avoid
-    recomputing distincts. Sketches are order-independent (register-max),
-    so results are deterministic; rows-only check because DuckDB's HLL is a
-    different implementation with different estimates."""
+    recomputing distincts. DataSketches estimates have no DuckDB twin, so
+    the row carries a DERIVED oracle (round 12, the `sort_within_partitions`
+    pattern): per-lang AND post-union estimates are checked in-query
+    against exact distincts computed in the same plan; `within_bound` is 1
+    iff |est − exact| ≤ max(5×rsd×exact, 4), where rsd = 1.04/√2¹² ≈ 1.63%
+    for the default lgConfigK=12 (DataSketches HLL accuracy table). The
+    DuckDB twin is exact + a literal 1 — an out-of-bound sketch OR a lossy
+    union hash-mismatches the driver. The hashed payload is the exact
+    count; at 100 TB only the fixed-size sketches ship and persist."""
     d = load_table(spark, sf_dir, "documents")
-    per_lang = d.groupBy("lang").agg(F.hll_sketch_agg("doc_id").alias("sk"))
-    lang_est = per_lang.select(
-        "lang", F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct")
+    per_lang = d.groupBy("lang").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.countDistinct("doc_id").alias("n_docs_exact"),
     )
-    overall = per_lang.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("__all__").alias("lang"),
-        F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct"),
+    rsd5 = F.lit(5 * 1.04 / 64.0)  # 5 sigma at lgConfigK=12
+    exact = F.col("n_docs_exact")
+    est = F.hll_sketch_estimate("sk").cast("long")
+    bound = F.greatest(F.ceil(exact * rsd5), F.lit(4))
+    lang_est = per_lang.select(
+        "lang",
+        "n_docs_exact",
+        (F.abs(est - exact) <= bound).cast("int").alias("within_bound"),
+    )
+    overall = (
+        per_lang.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(d.agg(F.countDistinct("doc_id").alias("n_docs_exact"))))
+        .select(
+            F.lit("__all__").alias("lang"),
+            "n_docs_exact",
+            (F.abs(est - exact) <= bound).cast("int").alias("within_bound"),
+        )
     )
     return lang_est.unionByName(overall).orderBy("lang")
 

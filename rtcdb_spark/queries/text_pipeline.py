@@ -432,22 +432,11 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_compression_ratio",
-    None,  # zlib has no SQL twin; rows-only + pinned unit invariants
-    tags=("text", "quality", "compression", "llm-pipeline", "rows-only"),
-)
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressibility as a quality signal — DEFLATE ratio per document
-    (compressed/raw bytes): the cheap entropy proxy production corpus
-    filters use to catch boilerplate and template spam that token-level
-    heuristics miss (highly compressible ⇒ repetitive). zlib level 6 with
-    fixed settings is bit-deterministic, so the scores are replay-stable;
-    there is no SQL twin (DuckDB has no DEFLATE function), hence the
-    rows-only check plus unit invariants (ratio bounds, repetitive ≪
-    random ordering) in tests/test_operators.py. Arrow-batched
-    `mapInPandas` — the same embarrassingly-parallel scan shape as the
-    multimodal feature extractors; no shuffle at all."""
+def compression_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DEFLATE detail per document (deflate_bytes, compression_ratio,
+    flag_repetitive) — the production output of the compressibility filter;
+    `text_compression_ratio` wraps this with the derived-oracle projection.
+    Arrow-batched `mapInPandas`, embarrassingly parallel, no shuffle."""
     import pandas as _pd
     import zlib as _zlib
     from collections.abc import Iterator as _Iterator
@@ -484,9 +473,52 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", "text").mapInPandas(process, schema).orderBy("doc_id")
+    return d.select("doc_id", "text").mapInPandas(process, schema)
+
+
+@query(
+    "text_compression_ratio",
+    """
+    SELECT doc_id,
+           strlen(text) AS raw_bytes,
+           CAST(1 AS INTEGER) AS within_bound
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "compression", "llm-pipeline"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility as a quality signal — DEFLATE ratio per document
+    (compressed/raw bytes): the cheap entropy proxy production corpus
+    filters use to catch boilerplate and template spam that token-level
+    heuristics miss (highly compressible ⇒ repetitive). zlib level 6 with
+    fixed settings is bit-deterministic, so the scores are replay-stable.
+    DuckDB has no DEFLATE function, so the row carries a DERIVED oracle
+    (round 12, the `sort_within_partitions` pattern): `within_bound` is 1
+    iff the measured deflate size respects zlib's published envelope —
+    above the format floor (DEFLATE's maximum ratio is 1032:1 for the
+    window+Huffman limit, plus the 2-byte zlib header and 4-byte adler32,
+    zlib.h) and below `compressBound` (raw + raw>>12 + raw>>14 + raw>>25 +
+    13 + 6). The hashed payload is the exact UTF-8 byte length (DuckDB
+    `strlen`) plus the flag; the full ratio detail lives in
+    `compression_detail` above, invariant-pinned in tests/test_operators.py.
+    Arrow-batched `mapInPandas`, embarrassingly parallel, no shuffle."""
+    detail = compression_detail(spark, sf_dir)
+    raw = F.col("raw_bytes")
+    comp = F.col("deflate_bytes")
+    upper = (
+        raw
+        + F.shiftright(raw, 12)
+        + F.shiftright(raw, 14)
+        + F.shiftright(raw, 25)
+        + F.lit(19)
     )
+    lower = F.greatest(F.floor(raw / F.lit(1032)) + F.lit(7), F.lit(8))
+    return detail.select(
+        "doc_id",
+        "raw_bytes",
+        ((comp >= lower) & (comp <= upper)).cast("int").alias("within_bound"),
+    ).orderBy("doc_id")
 
 
 @query(

@@ -513,12 +513,17 @@ def test_compression_ratio_orders_text_quality(spark, sf_smoke):
     deterministic across runs, and a pathological repeated string scores
     far more compressible than the fixture's varied text."""
     from rtcdb_spark.queries import REGISTRY
+    from rtcdb_spark.queries.text_pipeline import compression_detail
 
-    rows = REGISTRY["text_compression_ratio"].fn(spark, sf_smoke).collect()
+    rows = compression_detail(spark, sf_smoke).orderBy("doc_id").collect()
     assert rows, "no documents scored"
     assert all(0 < r["compression_ratio"] <= 1.15 for r in rows)
-    again = REGISTRY["text_compression_ratio"].fn(spark, sf_smoke).collect()
+    again = compression_detail(spark, sf_smoke).orderBy("doc_id").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    # the registry row's derived-oracle envelope must hold on every doc
+    gated = REGISTRY["text_compression_ratio"].fn(spark, sf_smoke).collect()
+    assert gated and all(r["within_bound"] == 1 for r in gated)
 
     import zlib
 
