@@ -1337,17 +1337,26 @@ def _next_version(path: str) -> tuple[int, dict]:
     }
 
 
-def _check_write_schema(df: DataFrame, meta: dict) -> None:
+def _check_write_schema(
+    df: DataFrame, meta: dict, ignore: tuple[str, ...] = ()
+) -> None:
     """Real Delta writers fail a commit whose schema doesn't match the
     table's (ADVICE r6): a renamed/missing/extra/re-typed column would
     write parquet silently and read back as NULL (or be dropped) under
     the log schema. Names match case-sensitively; nullability is not
-    compared (Spark writers routinely tighten it)."""
+    compared (Spark writers routinely tighten it). ``ignore`` names
+    columns the caller supplies itself (round 12: GENERATED ALWAYS
+    identity columns a MERGE source legitimately omits — the engine
+    generates them on the insert path)."""
     from pyspark.sql.types import StructType
 
     want = StructType.fromJson(json.loads(meta["schemaString"]))
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    exp = {f.name: f.dataType.simpleString() for f in want.fields}
+    exp = {
+        f.name: f.dataType.simpleString()
+        for f in want.fields
+        if f.name not in ignore
+    }
     if got != exp:
         missing = sorted(exp.keys() - got.keys())
         extra = sorted(got.keys() - exp.keys())
@@ -3687,7 +3696,13 @@ def merge_delta(
     ``when_matched`` is ``"update"`` (source wins every column — SCD1)
     or ``"delete"``; ``when_not_matched`` is ``"insert"`` or None.
     ``source`` must carry the full table schema (validated against the
-    log). Duplicate keys in ``source`` fail fast, the same contract as
+    log) — except GENERATED ALWAYS identity columns, which the source
+    may (and normally does) OMIT (round 12, VERDICT r11 item 5): the
+    engine generates fresh interleaved-stride ids on the insert path
+    via the writer-v6 machinery (`_assign_identity`), matched rows keep
+    their existing identity value (identity is never updatable), and
+    EXPLICIT values for a GENERATED ALWAYS column are still refused per
+    spec. Duplicate keys in ``source`` fail fast, the same contract as
     Delta's own MERGE (a target row may match at most one source row).
 
     If `delta.enableChangeDataFeed` is set, the commit also writes CDC
@@ -3727,11 +3742,36 @@ def merge_delta(
         # id-mode (round 11): materialized id columns are written with
         # no field id and name-matched on read — see optimize_delta
     adds = state["adds"]
-    _check_write_schema(source, meta)
+    # GENERATED ALWAYS identity: explicit values refused (spec); an
+    # OMITTED identity column is the real-world shape — generated on
+    # the insert path, carried from the target on the update path
+    omit_ids: list[str] = []
+    for f in _identity_fields(meta):
+        explicit_ok = (f.metadata or {}).get(
+            "delta.identity.allowExplicitInsert", False
+        )
+        if f.name in source.columns:
+            if not explicit_ok:
+                raise ValueError(
+                    f"identity column {f.name!r} is GENERATED ALWAYS; "
+                    "a MERGE source must omit it (the engine generates "
+                    "ids on insert) — explicit values are refused"
+                )
+        else:
+            # omitted → engine-generated on insert, for BOTH identity
+            # kinds (same contract as the append path)
+            omit_ids.append(f.name)
+    if any(c in omit_ids for c in on):
+        raise ValueError(
+            f"merge keys {on} include an identity column absent from "
+            "the source"
+        )
+    _check_write_schema(source, meta, ignore=tuple(omit_ids))
     plan = _ScanPlan(spark, meta)
     k = _key_tail(len(plan.pcols))
     key_to_rel = {_path_key(p, k, path): p for p in adds}
     out_cols = [f.name for f in plan.schema.fields]
+    src_cols = [c for c in out_cols if c not in omit_ids]
     if any(c not in out_cols for c in on):
         raise ValueError(f"merge keys {on} not all in table columns")
 
@@ -3783,7 +3823,7 @@ def merge_delta(
         )
     else:
         tgt = _scan_with_keys(spark, path, plan, adds, apply_dvs=True)
-    src = source.select(*out_cols)
+    src = source.select(*src_cols)
     # touched files: one semi-join, collecting only distinct file keys
     # (metadata-only output — safe on nested-id-mapped tables because
     # _ScanPlan turned nestedSchemaPruning off for the session)
@@ -3797,6 +3837,11 @@ def merge_delta(
     inserts = None
     if when_not_matched == "insert":
         inserts = src.join(tgt.select(*on), on, "left_anti")
+        if omit_ids:
+            # fresh rows take engine-generated interleaved-stride ids
+            # (writer v6); the high-water mark advances post-write from
+            # the staged footers, same as the append path
+            inserts = _assign_identity(inserts, meta)
     if not touched:
         if inserts is None:
             return v - 1  # nothing matched, nothing to insert: no-op
@@ -3812,7 +3857,7 @@ def merge_delta(
     if touched:
         t2 = tgt.filter(F.col(_NAME_COL).isin(touched))
         flagged = src.select(
-            *[F.col(c).alias(f"_src_{c}") for c in out_cols]
+            *[F.col(c).alias(f"_src_{c}") for c in src_cols]
         ).withColumn("_src_hit", F.lit(True))
         joined = t2.join(
             flagged,
@@ -3834,9 +3879,13 @@ def merge_delta(
             else []
         )
         if when_matched == "update":
+            # an omitted identity column is never updated: the target's
+            # value rides through the rewrite unconditionally
             rewritten = joined.select(
                 *[
-                    F.when(hit, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
+                    F.col(c).alias(c)
+                    if c in omit_ids
+                    else F.when(hit, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
                     for c in out_cols
                 ],
                 *rt_carry,
@@ -3847,7 +3896,12 @@ def merge_delta(
                     *out_cols, F.lit("update_preimage").alias("_change_type")
                 ))
                 cdc_frames.append(matched.select(
-                    *[F.col(f"_src_{c}").alias(c) for c in out_cols],
+                    *[
+                        F.col(c).alias(c)
+                        if c in omit_ids
+                        else F.col(f"_src_{c}").alias(c)
+                        for c in out_cols
+                    ],
                     F.lit("update_postimage").alias("_change_type"),
                 ))
         else:  # delete
@@ -3870,13 +3924,6 @@ def merge_delta(
 
     if touched:
         _check_append_only(meta, "MERGE with matched rows")
-    for f in _identity_fields(meta):
-        if not (f.metadata or {}).get("delta.identity.allowExplicitInsert", False):
-            raise NotImplementedError(
-                f"MERGE into a table whose identity column {f.name!r} is "
-                "GENERATED ALWAYS (the full-schema merge source carries "
-                "explicit values)"
-            )
     if rt_on and inserts is not None:
         # fresh rows have no materialized identity: they take fresh ids
         # from the rewritten file's baseRowId + position, the spec's

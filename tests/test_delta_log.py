@@ -1600,6 +1600,105 @@ class TestIdentityColumns:
         ids = sorted(r["id"] for r in read_delta(spark, path).collect())
         assert ids[0] == 500 and ids[1] > 500
 
+    def _keyed_table(self, spark, tmp_path, allow=False):
+        """id (identity) + k (merge key) + v (payload)."""
+        path = str(tmp_path / "idm")
+        md = {
+            "delta.identity.start": 10,
+            "delta.identity.step": 3,
+            "delta.identity.allowExplicitInsert": allow,
+        }
+        fields = [
+            {"name": "id", "type": "long", "nullable": True, "metadata": md},
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ]
+        os.makedirs(os.path.join(path, "_delta_log"))
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+                {"metaData": {
+                    "id": "im", "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [], "configuration": {},
+                    "createdTime": 0}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        return path
+
+    def test_merge_omitted_identity_generates_on_insert(self, spark, tmp_path):
+        """VERDICT r11 item 5: a merge source that OMITS a GENERATED
+        ALWAYS identity column is the common real-world shape — inserts
+        take fresh interleaved-stride ids past the high-water mark,
+        matched rows keep their existing id (identity is not updatable),
+        and the mark advances in the same commit."""
+        from rtcdb_spark.sources.delta_log import (
+            _snapshot_state,
+            append_delta as _ad,
+            merge_delta,
+        )
+
+        path = self._keyed_table(spark, tmp_path)
+        _ad(
+            spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                  "k long, v string"),
+            path,
+        )
+        before = {r["k"]: r["id"] for r in read_delta(spark, path).collect()}
+        meta0, _a, _s = _snapshot_state(path)
+        hw0 = json.loads(meta0["schemaString"])["fields"][0][
+            "metadata"]["delta.identity.highWaterMark"]
+        src = spark.createDataFrame(
+            [(2, "B"), (99, "new"), (98, "new2")], "k long, v string"
+        ).repartition(3)
+        merge_delta(spark, path, src, on=["k"])
+        rows = {r["k"]: r for r in read_delta(spark, path).collect()}
+        assert rows[2]["v"] == "B" and rows[2]["id"] == before[2]
+        assert rows[1]["id"] == before[1] and rows[3]["id"] == before[3]
+        fresh = [rows[99]["id"], rows[98]["id"]]
+        assert all(i > hw0 and (i - 10) % 3 == 0 for i in fresh)
+        assert len(set(fresh)) == 2
+        meta1, _a1, _s1 = _snapshot_state(path)
+        hw1 = json.loads(meta1["schemaString"])["fields"][0][
+            "metadata"]["delta.identity.highWaterMark"]
+        assert hw1 == max(r["id"] for r in rows.values())
+
+    def test_merge_explicit_generated_always_still_refused(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            append_delta as _ad,
+            merge_delta,
+        )
+
+        path = self._keyed_table(spark, tmp_path)
+        _ad(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            merge_delta(
+                spark, path,
+                spark.createDataFrame([(123, 1, "x")],
+                                      "id long, k long, v string"),
+                on=["k"],
+            )
+
+    def test_merge_delete_omitted_identity(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            append_delta as _ad,
+            merge_delta,
+        )
+
+        path = self._keyed_table(spark, tmp_path)
+        _ad(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            path,
+        )
+        before = {r["k"]: r["id"] for r in read_delta(spark, path).collect()}
+        merge_delta(
+            spark, path, spark.createDataFrame([(1, "zz")], "k long, v string"),
+            on=["k"], when_matched="delete", when_not_matched=None,
+        )
+        rows = {r["k"]: r for r in read_delta(spark, path).collect()}
+        assert list(rows) == [2] and rows[2]["id"] == before[2]
+
     def test_negative_step(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import append_delta as _ad
 
