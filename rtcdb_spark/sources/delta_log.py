@@ -3296,6 +3296,161 @@ def _write_cdc_files(df: DataFrame, path: str, plan: _ScanPlan) -> list[dict]:
     return cdc
 
 
+def _stats_disjoint(a_stats: str | None, r_stats: str | None) -> bool:
+    """True when two files' footer stats PROVE they share no row: some
+    top-level numeric column's [min, max] ranges do not intersect.
+    Numeric-only on purpose — string maxValues may be truncated+padded
+    by real writers (spec), so string ranges cannot prove disjointness.
+    Missing stats prove nothing."""
+    if not a_stats or not r_stats:
+        return False
+    try:
+        a, r = json.loads(a_stats), json.loads(r_stats)
+    except (TypeError, ValueError):
+        return False
+    amin, amax = a.get("minValues") or {}, a.get("maxValues") or {}
+    rmin, rmax = r.get("minValues") or {}, r.get("maxValues") or {}
+    num = (int, float)
+    for c in set(amin) & set(amax) & set(rmin) & set(rmax):
+        vals = (amin[c], amax[c], rmin[c], rmax[c])
+        if not all(isinstance(x, num) and not isinstance(x, bool) for x in vals):
+            continue
+        if amin[c] > rmax[c] or amax[c] < rmin[c]:
+            return True
+    return False
+
+
+def _derive_mixed_commit(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    plan: "_ScanPlan",
+    v: int,
+    dc_adds: dict[str, dict],
+    dc_removes: dict[str, dict],
+    prev_adds: dict[str, dict],
+):
+    """Derive a non-CDF commit's change feed when it mixes dataChange
+    adds and removes (round 12, VERDICT r11 item 6). Three provably
+    derivable shapes; anything else returns ``(None, reason)`` and the
+    caller keeps refusing per-commit:
+
+    - SAME-PATH re-add (the DV DELETE/UPDATE shape: remove F(dv_old) +
+      add F(dv_new)): the file bytes are identical, so the changes are
+      exactly the freshly-hidden rows ``dv_new \\ dv_old`` — reported as
+      deletes. A shrinking DV (rows restored) is not derivable.
+    - FULLY-DEAD removes (every pre-commit row already DV-deleted,
+      ``numRecords == dv.cardinality``): the remove contributes nothing;
+      the commit derives as insert-only.
+    - STATS-DISJOINT rewrite: every (added, removed) file pair is proven
+      row-disjoint by non-overlapping numeric min/max footer stats — no
+      row was carried verbatim, so removed rows are genuine deletes and
+      added rows genuine inserts.
+
+    Scale: the decision reads O(files-in-commit) actions and stats; only
+    same-path DV diffs materialize row indexes (bounded by the DV
+    cardinality, the established `_scan_with_keys` pattern)."""
+    from pyspark.sql import functions as F
+
+    for p in dc_removes:
+        if p not in prev_adds:
+            raise ValueError(
+                f"commit {v} removes {p!r} which was not live at "
+                f"version {v - 1}"
+            )
+    paired = sorted(p for p in dc_removes if p in dc_adds)
+    un_removes = {p: r for p, r in dc_removes.items() if p not in dc_adds}
+    un_adds = {p: a for p, a in dc_adds.items() if p not in dc_removes}
+
+    from rtcdb_spark.sources.deletion_vectors import resolve_dv_np
+
+    k = _key_tail(len(plan.pcols))
+    pair_diffs: list[tuple[str, dict, list[int]]] = []
+    for p in paired:
+        dv_old = prev_adds[p].get("deletionVector")
+        dv_new = dc_adds[p].get("deletionVector")
+        old = set(resolve_dv_np(path, dv_old).tolist()) if dv_old else set()
+        new = set(resolve_dv_np(path, dv_new).tolist()) if dv_new else set()
+        if not old <= new:
+            return None, (
+                f"re-added file {p!r} shrinks its deletion vector "
+                "(rows restored)"
+            )
+        fresh = sorted(new - old)
+        if fresh:
+            pair_diffs.append((p, prev_adds[p], fresh))
+
+    def _live_rows(p: str) -> int | None:
+        st = prev_adds[p].get("stats")
+        try:
+            n = json.loads(st)["numRecords"] if st else None
+        except (TypeError, ValueError, KeyError):
+            n = None
+        if n is None:
+            return None
+        dv = prev_adds[p].get("deletionVector")
+        return int(n) - int(dv.get("cardinality", 0) if dv else 0)
+
+    live_removes = {}
+    for p, r in un_removes.items():
+        live = _live_rows(p)
+        if live is None or live > 0:
+            live_removes[p] = r
+    if live_removes and un_adds:
+        for rp in live_removes:
+            for ap, a in un_adds.items():
+                if not _stats_disjoint(
+                    a.get("stats"), prev_adds[rp].get("stats")
+                ):
+                    return None, (
+                        f"added file {ap!r} and removed file {rp!r} have "
+                        "no numeric stats proving row-disjointness"
+                    )
+
+    parts: list[DataFrame] = []
+    if pair_diffs:
+        import numpy as np
+        import pandas as pd
+
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        keys = [_path_key(p, k, path) for p, _a, _f in pair_diffs]
+        counts = [len(f) for _p, _a, f in pair_diffs]
+        hidden = spark.createDataFrame(
+            pd.DataFrame({
+                _NAME_COL: np.repeat(np.array(keys, dtype=object), counts),
+                "_dv_ridx": np.concatenate(
+                    [np.array(f, dtype=np.int64) for _p, _a, f in pair_diffs]
+                ),
+            })
+        )
+        scan = _scan_with_keys(
+            spark, path, plan, {p: a for p, a, _f in pair_diffs}
+        )
+        parts.append(
+            scan.join(F.broadcast(hidden), [_NAME_COL, "_dv_ridx"])
+            .select(*[f.name for f in plan.schema.fields])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    if live_removes:
+        radds = {p: prev_adds[p] for p in live_removes}
+        parts.append(
+            _scan_snapshot(spark, path, meta, radds).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        )
+    if un_adds:
+        parts.append(
+            _scan_snapshot(spark, path, meta, un_adds).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    if not parts:
+        # e.g. a byte-identical re-add with an unchanged DV: derivably
+        # NO visible changes
+        return "empty", None
+    return reduce(lambda a, b: a.unionByName(b), parts), None
+
+
 def delta_changes_cdf(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
@@ -3309,8 +3464,13 @@ def delta_changes_cdf(
     deletes (the removed files are re-read, with the deletion vector
     they carried BEFORE the commit still applied, so already-deleted
     rows are not double-reported). Commits that MIX dataChange adds and
-    removes without CDC files (a DV DELETE on a table where the feed was
-    off) are not derivable and raise; maintenance commits
+    removes without CDC files derive when provably decomposable
+    (round 12, `_derive_mixed_commit`): same-path DV growth (the DV
+    DELETE shape — deletes are the freshly-hidden rows), fully-dead
+    removes (insert-only), and rewrites whose added/removed files are
+    proven row-disjoint by numeric footer stats; genuinely undecidable
+    mixed commits still raise per-commit, naming the undecidable pair
+    (delta-spark refuses ALL of these). Maintenance commits
     (dataChange=false) contribute nothing. The schema in force at the
     END of the range plans every scan. Column-mapped 'name'-mode tables
     read too (round 8 wave 5): CDC files carry physical column names
@@ -3366,12 +3526,25 @@ def delta_changes_cdf(
                 ):
                     dc_removes[act["remove"]["path"]] = act["remove"]
             if dc_adds and dc_removes:
-                raise NotImplementedError(
-                    f"commit {v} mixes data adds and removes without CDC "
-                    "files; its changes are not derivable — set "
-                    "delta.enableChangeDataFeed before such commits"
+                # round 12 (VERDICT r11 item 6): three provably
+                # derivable mixed shapes — same-path DV growth,
+                # fully-dead removes, stats-disjoint rewrites — read
+                # through; only genuinely undecidable commits refuse
+                prev_adds = _snapshot_state(path, v - 1)[1] if v > 0 else {}
+                derived, why = _derive_mixed_commit(
+                    spark, path, meta, plan, v, dc_adds, dc_removes,
+                    prev_adds,
                 )
-            if dc_adds:
+                if derived is None:
+                    raise NotImplementedError(
+                        f"commit {v} mixes data adds and removes without "
+                        f"CDC files and is not derivable ({why}) — set "
+                        "delta.enableChangeDataFeed before such commits"
+                    )
+                if isinstance(derived, str):  # "empty": no visible changes
+                    continue
+                df = derived
+            elif dc_adds:
                 df = _scan_snapshot(spark, path, meta, dc_adds).withColumn(
                     "_change_type", F.lit("insert")
                 )

@@ -5128,3 +5128,246 @@ class TestColumnDefaults:
         assert read_delta(spark, path).count() == 1
         deleted = vacuum_delta(path, retain_ms=0)
         assert len(deleted) == 1  # the overwritten file; protocol folded
+
+
+class TestMixedCommitCdfDerivation:
+    """Round 12 (VERDICT r11 item 6): non-CDF commits mixing dataChange
+    adds and removes — the shapes a FOREIGN writer's upsert/DV-delete
+    produces — derive through `delta_changes_cdf` when provably
+    decomposable, and refuse with the narrowest per-commit gate
+    otherwise. All fixtures are hand-written JSON commits over
+    pyarrow-written parquet (foreign bytes to this reader); inline DVs
+    follow the spec's z85 encoding (PROTOCOL.md "Deletion Vector
+    Descriptor Schema")."""
+
+    def _inline_dv(self, idx):
+        from rtcdb_spark.sources.deletion_vectors import (
+            encode_rbm_array_portable,
+            z85_encode,
+        )
+
+        data = encode_rbm_array_portable(list(idx))
+        padded = data + b"\x00" * (-len(data) % 4)
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(padded),
+            "sizeInBytes": len(data),
+            "cardinality": len(idx),
+        }
+
+    def _table(self, spark, tmp_path, name):
+        """v0: two foreign files — a.parquet k=0..4, b.parquet k=10..14,
+        numeric stats in both adds."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / name)
+        log = os.path.join(path, "_delta_log")
+        os.makedirs(log)
+        pq.write_table(
+            pa.table({"k": pa.array(range(5), type=pa.int64())}),
+            os.path.join(path, "a.parquet"),
+        )
+        pq.write_table(
+            pa.table({"k": pa.array(range(10, 15), type=pa.int64())}),
+            os.path.join(path, "b.parquet"),
+        )
+        schema_str = json.dumps({"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        ]})
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["deletionVectors"],
+                              "writerFeatures": ["deletionVectors"]}},
+                {"metaData": {
+                    "id": "mx", "format": {"provider": "parquet",
+                                           "options": {}},
+                    "schemaString": schema_str, "partitionColumns": [],
+                    "configuration": {}, "createdTime": 0}},
+                {"add": {"path": "a.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True,
+                         "stats": json.dumps({
+                             "numRecords": 5, "minValues": {"k": 0},
+                             "maxValues": {"k": 4},
+                             "nullCount": {"k": 0}})}},
+                {"add": {"path": "b.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True,
+                         "stats": json.dumps({
+                             "numRecords": 5, "minValues": {"k": 10},
+                             "maxValues": {"k": 14},
+                             "nullCount": {"k": 0}})}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        return path
+
+    def _commit(self, path, v, actions):
+        with open(os.path.join(
+                path, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    def test_same_path_dv_growth_derives_deletes(self, spark, tmp_path):
+        """The DV DELETE shape: remove F + re-add F with a grown DV —
+        changes are exactly the freshly-hidden rows."""
+        from rtcdb_spark.sources.delta_log import delta_changes_cdf
+
+        path = self._table(spark, tmp_path, "dvg")
+        self._commit(path, 1, [
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                        "dataChange": True}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": self._inline_dv([1, 3]),
+                     "stats": json.dumps({
+                         "numRecords": 5, "minValues": {"k": 0},
+                         "maxValues": {"k": 4}, "nullCount": {"k": 0}})}},
+        ])
+        got = sorted(
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in delta_changes_cdf(spark, path, 1, 1).collect()
+        )
+        assert got == [(1, "delete", 1), (3, "delete", 1)]
+        # second growth reports only the NEWLY hidden row
+        self._commit(path, 2, [
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 2,
+                        "dataChange": True}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": self._inline_dv([1, 3, 4]),
+                     "stats": json.dumps({
+                         "numRecords": 5, "minValues": {"k": 0},
+                         "maxValues": {"k": 4}, "nullCount": {"k": 0}})}},
+        ])
+        got2 = sorted(
+            (r["k"], r["_change_type"])
+            for r in delta_changes_cdf(spark, path, 2, 2).collect()
+        )
+        assert got2 == [(4, "delete")]
+        # and the snapshot read agrees with the surviving rows
+        assert sorted(r["k"] for r in read_delta(spark, path).collect()) == [
+            0, 2, 10, 11, 12, 13, 14,
+        ]
+
+    def test_dv_shrink_refuses_rows_restored(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import delta_changes_cdf
+
+        path = self._table(spark, tmp_path, "dvs")
+        self._commit(path, 1, [
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                        "dataChange": True}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": self._inline_dv([1, 3])}},
+        ])
+        self._commit(path, 2, [
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 2,
+                        "dataChange": True}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": self._inline_dv([1])}},
+        ])
+        with pytest.raises(NotImplementedError, match="rows restored"):
+            delta_changes_cdf(spark, path, 2, 2).collect()
+
+    def test_stats_disjoint_rewrite_derives(self, spark, tmp_path):
+        """A foreign non-CDF 'upsert' whose removed and added files are
+        provably row-disjoint (numeric stats) reads through."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import delta_changes_cdf
+
+        path = self._table(spark, tmp_path, "dis")
+        pq.write_table(
+            pa.table({"k": pa.array(range(20, 23), type=pa.int64())}),
+            os.path.join(path, "c.parquet"),
+        )
+        self._commit(path, 1, [
+            {"remove": {"path": "b.parquet", "deletionTimestamp": 1,
+                        "dataChange": True}},
+            {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({
+                         "numRecords": 3, "minValues": {"k": 20},
+                         "maxValues": {"k": 22}, "nullCount": {"k": 0}})}},
+        ])
+        got = sorted(
+            (r["k"], r["_change_type"])
+            for r in delta_changes_cdf(spark, path, 1, 1).collect()
+        )
+        assert got == [
+            (10, "delete"), (11, "delete"), (12, "delete"),
+            (13, "delete"), (14, "delete"),
+            (20, "insert"), (21, "insert"), (22, "insert"),
+        ]
+
+    def test_overlapping_rewrite_refuses_narrowly(self, spark, tmp_path):
+        """Overlapping stats (a carried row is possible) must refuse,
+        naming the undecidable file pair."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import delta_changes_cdf
+
+        path = self._table(spark, tmp_path, "ovl")
+        pq.write_table(
+            pa.table({"k": pa.array(range(12, 17), type=pa.int64())}),
+            os.path.join(path, "d.parquet"),
+        )
+        self._commit(path, 1, [
+            {"remove": {"path": "b.parquet", "deletionTimestamp": 1,
+                        "dataChange": True}},
+            {"add": {"path": "d.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({
+                         "numRecords": 5, "minValues": {"k": 12},
+                         "maxValues": {"k": 16}, "nullCount": {"k": 0}})}},
+        ])
+        with pytest.raises(
+            NotImplementedError, match="d.parquet.*b.parquet"
+        ):
+            delta_changes_cdf(spark, path, 1, 1).collect()
+
+    def test_fully_dead_remove_derives_insert_only(self, spark, tmp_path):
+        """Removing a file whose every row was already DV-deleted
+        contributes nothing; the commit derives as insert-only."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import delta_changes_cdf
+
+        path = self._table(spark, tmp_path, "dead")
+        # v1: kill all of a.parquet via DV (same-path growth — derivable)
+        self._commit(path, 1, [
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                        "dataChange": True}},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": self._inline_dv([0, 1, 2, 3, 4]),
+                     "stats": json.dumps({
+                         "numRecords": 5, "minValues": {"k": 0},
+                         "maxValues": {"k": 4}, "nullCount": {"k": 0}})}},
+        ])
+        # v2: drop the dead husk entirely + add fresh rows whose stats
+        # OVERLAP a's — still derivable because a has no live rows
+        pq.write_table(
+            pa.table({"k": pa.array([2, 3], type=pa.int64())}),
+            os.path.join(path, "e.parquet"),
+        )
+        self._commit(path, 2, [
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 2,
+                        "dataChange": True}},
+            {"add": {"path": "e.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({
+                         "numRecords": 2, "minValues": {"k": 2},
+                         "maxValues": {"k": 3}, "nullCount": {"k": 0}})}},
+        ])
+        got = sorted(
+            (r["k"], r["_change_type"])
+            for r in delta_changes_cdf(spark, path, 2, 2).collect()
+        )
+        assert got == [(2, "insert"), (3, "insert")]
