@@ -2581,3 +2581,217 @@ def source_delta_column_defaults(
         )
         .orderBy("prio")
     )
+
+
+@query(
+    "source_delta_merge_identity",
+    """
+    WITH t AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL
+        SELECT c_custkey AS k, 'MERGED' AS seg
+        FROM customer WHERE c_custkey BETWEEN 101 AND 300
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(1 AS INTEGER) AS ids_stable,
+           CAST(1 AS INTEGER) AS fresh_ids_valid
+    FROM t
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    tags=("source", "delta", "interchange", "identity", "merge"),
+)
+def source_delta_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with an ENGINE-GENERATED identity column (round 12, VERDICT
+    r11 item 5 — the protocol's Identity Columns chapter, writer v6): a
+    GENERATED ALWAYS id table takes a merge source that OMITS the id —
+    the common real-world shape. Matched rows keep their pre-merge ids
+    through the copy-on-write rewrite (identity is never updatable);
+    inserted rows take fresh interleaved-stride ids past the recorded
+    high-water mark; explicit id values stay refused (asserted
+    in-query). The hashed payload: per-segment aggregates of the merged
+    table plus DERIVED flags — `ids_stable` is 1 iff zero surviving
+    rows changed id (distributed pre/post join), `fresh_ids_valid` is 1
+    iff every insert id is unique, on the declared start+k*step
+    progression, and beyond the pre-merge mark. Scale: the MERGE
+    rewrites only touched files; id generation is one map-side
+    `mapInPandas` over the insert partition, no extra shuffle."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        _snapshot_state,
+        append_delta,
+        merge_delta,
+        read_delta,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_mi_")
+    shutil.rmtree(path)
+    # GENERATED ALWAYS identity table, start 1000 step 2 (writer v6)
+    _os.makedirs(_os.path.join(path, "_delta_log"))
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 1000, "delta.identity.step": 2,
+            "delta.identity.allowExplicitInsert": False}},
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "seg", "type": "string", "nullable": True, "metadata": {}},
+    ]
+    with open(_os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+            {"metaData": {
+                "id": "mi", "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0}},
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+    append_delta(c.filter(F.col("k") <= 200), path)  # ids generated
+    pre = read_delta(spark, path).select("k", F.col("id").alias("pre_id"))
+    pre = pre.localCheckpoint()  # pin the pre-merge image
+    hw0 = int(
+        _json.loads(_snapshot_state(path)[0]["schemaString"])["fields"][0][
+            "metadata"
+        ]["delta.identity.highWaterMark"]
+    )
+    # the source OMITS id: k 101..200 update (seg -> MERGED), 201..300
+    # insert with engine-generated ids
+    src = c.filter((F.col("k") >= 101) & (F.col("k") <= 300)).select(
+        "k", F.lit("MERGED").alias("seg")
+    )
+    merge_delta(spark, path, src, on=["k"])
+    # ... while explicit ids stay refused on GENERATED ALWAYS
+    try:
+        merge_delta(
+            spark, path,
+            spark.createDataFrame([(1, 101, "X")],
+                                  "id long, k long, seg string"),
+            on=["k"],
+        )
+        raise AssertionError("explicit identity values must be refused")
+    except ValueError:
+        pass
+    post = read_delta(spark, path)
+    # deletes survivors whose id changed -> ids_stable flag
+    changed = (
+        post.filter(F.col("k") <= 100)
+        .join(pre, "k")
+        .filter(F.col("id") != F.col("pre_id"))
+        .count()
+    )
+    upd = (
+        post.filter((F.col("k") >= 101) & (F.col("k") <= 200))
+        .join(pre, "k")
+        .filter(F.col("id") != F.col("pre_id"))
+        .count()
+    )
+    fresh = post.filter(F.col("k") > 200).select("id")
+    n_fresh = fresh.count()
+    bad_fresh = fresh.filter(
+        (F.col("id") <= hw0) | ((F.col("id") - 1000) % 2 != 0)
+    ).count()
+    n_uniq = fresh.distinct().count()
+    ids_stable = F.lit(1 if changed == 0 and upd == 0 else 0).cast("int")
+    fresh_ok = F.lit(
+        1 if bad_fresh == 0 and n_uniq == n_fresh == 100 else 0
+    ).cast("int")
+    return (
+        post.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+        .select(
+            "seg", "n_rows", "k_sum",
+            ids_stable.alias("ids_stable"),
+            fresh_ok.alias("fresh_ids_valid"),
+        )
+        .orderBy("seg")
+    )
+
+
+@query(
+    "source_delta_cdf_mixed_derive",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 5000
+    ),
+    feed AS (
+        SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+               k
+        FROM base
+        UNION ALL
+        SELECT 'delete', CAST(1 AS BIGINT), k
+        FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT 'delete', CAST(2 AS BIGINT), k
+        FROM base WHERE k % 7 <> 0
+        UNION ALL
+        SELECT 'insert', CAST(2 AS BIGINT), k + 10000000 AS k
+        FROM base WHERE k % 2 = 0
+    )
+    SELECT _change_type, _commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM feed
+    GROUP BY _change_type, _commit_version
+    ORDER BY _commit_version, _change_type
+    """,
+    tags=("source", "delta", "interchange", "cdf", "deletion-vectors"),
+)
+def source_delta_cdf_mixed_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF DERIVATION for mixed add+remove commits WITHOUT CDC files
+    (round 12, VERDICT r11 item 6 — `_derive_mixed_commit`): on a table
+    where the change feed was never enabled, (v1) a deletion-vector
+    DELETE commits remove+re-add of the same file with a grown DV — the
+    feed derives the freshly-hidden rows as deletes; (v2) an overwrite
+    whose new keys are provably row-disjoint from every removed file
+    (numeric min/max footer stats) derives as delete(pre-image live
+    rows, prior DVs applied — no double-report of v1's deletes) +
+    insert(new rows). delta-spark refuses BOTH shapes. The hashed
+    payload: per (change_type, commit) row counts and key sums against
+    the predicate-mirrored UNION twin. Scale: the derivation decision
+    reads O(files-in-commit) stats; only same-path DV diffs materialize
+    row indexes (bounded by DV cardinality)."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        delete_delta,
+        delta_changes_cdf,
+        overwrite_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).filter(F.col("k") <= 5000)
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_mx_")
+    shutil.rmtree(path)
+    write_delta(o.repartition(4), path)          # v0: inserts, NO CDF
+    delete_delta(spark, path, "k % 7 = 0")       # v1: DV mixed commit
+    overwrite_delta(                             # v2: stats-disjoint rewrite
+        o.filter(F.col("k") % 2 == 0).select(
+            (F.col("k") + F.lit(10_000_000)).alias("k")
+        ),
+        path,
+    )
+    feed = delta_changes_cdf(spark, path, 0)
+    return (
+        feed.groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )

@@ -315,7 +315,7 @@ def _restore_value(arr, dt, mode):
     return arr.cast(target)
 
 
-def _phys_type_map(schema_json: str) -> dict[str, str]:
+def _phys_type_map(schema_json: str) -> dict:
     """physical column name -> FULL physical type tree (struct/array/map
     members rendered under their physical names, via `_physical_type`)
     — the invariant a running stream can rely on. Renames under mapping
@@ -325,12 +325,44 @@ def _phys_type_map(schema_json: str) -> dict[str, str]:
     ignored) — only a TYPE change under the same physical name, at any
     nesting depth, makes old or new files unsound against the reader's
     fixed schema (ADVICE r10: top-level-only comparison let nested
-    retypes slip past the fail-fast gate into opaque Arrow errors)."""
+    retypes slip past the fail-fast gate into opaque Arrow errors).
+    Round 12: values are DataType trees (not simpleStrings) so the
+    guard can recognize protocol-ALLOWED widenings, which the Arrow
+    upcast in `_restore_value` reads soundly."""
     st = StructType.fromJson(json.loads(schema_json))
     return {
-        _physical_name(f): _physical_type(f.dataType).simpleString()
-        for f in st.fields
+        _physical_name(f): _physical_type(f.dataType) for f in st.fields
     }
+
+
+def _widen_compat(frm, to) -> bool:
+    """True when reading files written under type tree ``frm`` with the
+    snapshot's type tree ``to`` is sound: equal everywhere, or different
+    only by the Type Widening chapter's ALLOWED matrix at leaf positions
+    (`delta_log._widening_allowed`) — exactly what the per-file Arrow
+    upcast (`_restore_value`'s ``arr.cast``) performs. Struct member
+    sets may differ (add/drop are sound: missing -> null, extra ->
+    ignored); shared members must themselves be widen-compatible."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    from rtcdb_spark.sources.delta_log import _widening_allowed
+
+    if frm == to:
+        return True
+    if isinstance(frm, _St) and isinstance(to, _St):
+        now = {f.name: f.dataType for f in to.fields}
+        return all(
+            f.name not in now or _widen_compat(f.dataType, now[f.name])
+            for f in frm.fields
+        )
+    if isinstance(frm, ArrayType) and isinstance(to, ArrayType):
+        return _widen_compat(frm.elementType, to.elementType)
+    if isinstance(frm, MapType) and isinstance(to, MapType):
+        return _widen_compat(frm.keyType, to.keyType) and _widen_compat(
+            frm.valueType, to.valueType
+        )
+    return _widening_allowed(frm, to)
 
 
 def _mapping_facts(meta: dict, schema: StructType):
@@ -482,15 +514,22 @@ class DeltaStreamReader(DataSourceStreamReader):
             # (missing -> null, extra -> ignored, physical name stable
             # under mapping), but a TYPE change under the same
             # physical name is not — fail like delta-spark and let the
-            # restart adopt the new schema
+            # restart adopt the new schema. Round 12 (VERDICT r11 item
+            # 4): a protocol-ALLOWED WIDENING toward the snapshot type
+            # is sound — the restarted stream reads narrow pre-widening
+            # files through `_restore_value`'s Arrow upcast — so only
+            # genuine retypes (or the snapshot being NARROWER than a
+            # commit, i.e. a widening that arrived after reader start)
+            # fail the stream
             then = _phys_type_map(m["schemaString"])
             for pn, t in then.items():
                 now_t = self._types_by_phys.get(pn)
-                if now_t is not None and now_t != t:
+                if now_t is not None and not _widen_compat(t, now_t):
                     raise ValueError(
                         f"commit {v} changes column type ({pn!r}: "
-                        f"{t} -> {now_t} at the snapshot); restart "
-                        "the stream to adopt the new schema"
+                        f"{t.simpleString()} -> {now_t.simpleString()} "
+                        "at the snapshot); restart the stream to adopt "
+                        "the new schema"
                     )
         adds = [
             a["add"]
