@@ -321,34 +321,63 @@ _PRIORITY = [
     # text_vocab_build, text_zipf_fit, timeseries_max_drawdown,
     # funnel_time_to_convert, histogram_value_bins, anomaly_mad_robust,
     # graph_bfs_hops, fn_variant_json, window_nth_value, agg_string_agg.
+    # (wave 23, round 12 per VERDICT r11 items 1+2+8): the fifth census
+    # rotation. CENSUS at the start of round 12: registry 338 entries
+    # (340 after this round's two capability rows), strict hash-green
+    # union 265 across rounds 1-11 (windows-entered 268 — the delta is
+    # the three no_oracle sketch rows, stated per VERDICT r11 process
+    # finding 1), 70 never driver-run. This window keeps a 17-slot
+    # green-rep core (>=1 r11-green rep per SURVEY §2 family that has
+    # one; families whose reps rotate out keep r10/r11-ledger greens),
+    # adds the TWO round-12 capability rows (source_delta_merge_identity
+    # — engine-generated ids through MERGE, VERDICT r11 item 5;
+    # source_delta_cdf_mixed_derive — derived feed for non-CDF mixed
+    # commits, item 6), the THREE formerly-no_oracle sketch rows now
+    # carrying DERIVED oracles (VERDICT r11 item 2 executed: exact value
+    # + published-error-bound flag, the sort_within_partitions pattern —
+    # agg_approx_count_distinct, agg_hll_sketch_union,
+    # agg_percentiles_approx; zero no_oracle registry entries remain),
+    # and fills the remaining 28 slots with never-driver-run entries
+    # biased to the weakest families (4 dedup, 5 text incl. the
+    # now-oracle'd text_compression_ratio, 2 events, 2 orders,
+    # 1 timeseries, 2 join, 2 fn, 2 window, 2 graph, 2 agg,
+    # 2 versioned, 2 multimodal — ALL validated green against the
+    # sf0.01 driver-sim this session, as were the capability and sketch
+    # rows). 28 + 3 + 2 = 33 first-timers -> strict hash-green union
+    # 265 + 33 = 298 if all green (VERDICT r11 item 1 target: >=289).
+    # OUT (ALL r11-driver-green; each family keeps >=1 green rep in
+    # this window or the r10/r11 ledger): source_delta_row_tracking_idmap,
+    # source_delta_restore_cdf_evolved, source_delta_column_defaults,
+    # source_delta_type_widening, agg_bitmap_distinct,
+    # sort_within_partitions, events_periodicity_dft,
+    # events_burstiness_fano, events_behavior_entropy,
+    # events_error_burn_rate, dedup_simhash, dedup_containment_pairs,
+    # dedup_survivorship_best_record, dedup_threshold_sweep, text_stats,
+    # text_pii_redact, text_pmi_collocations, text_unigram_nll,
+    # orders_runs_test, orders_cohort_ltv_curve,
+    # orders_backlog_timeseries, embedding_matryoshka_energy,
+    # similarity_knn_graph, embedding_kcenter_coreset,
+    # timeseries_cusum_drift, timeseries_interval_union,
+    # join_lateral_topn, join_interval_overlap, fn_try_cast, fn_hash,
+    # graph_modularity, customer_spend_gini, part_brand_share_shift.
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
     "source_rtcdb_string_scan",
-    # delta green rep: the ALTER row stays in-window because round 11
-    # CHANGED it (it now renames a NESTED struct member, VERDICT r10
-    # item 6) — the driver should re-hash the new shape
+    # delta green rep (r11-green; the wider delta surface keeps 6 more
+    # r11-ledger greens)
     "source_delta_alter_columns",
-    # round-11 capability flagships (both sf0.01 driver-sim green)
-    "source_delta_row_tracking_idmap",
-    "source_delta_restore_cdf_evolved",
-    # C-I warehouse's green-rep slot goes to the round-11 COLUMN
-    # DEFAULTS flagship (late-swap): versioned_changes_feed rotates to
-    # the r10 ledger — the versioned family keeps it green there
-    "source_delta_column_defaults",
-    # C-III aggregates green rep
-    "agg_bitmap_distinct",
+    # round-12 capability flagships (both sf0.01 driver-sim green)
+    "source_delta_merge_identity", "source_delta_cdf_mixed_derive",
+    # the three formerly-no_oracle sketch rows, now DERIVED-oracle'd
+    # (VERDICT r11 item 2) — in-window to earn their first driver hash
+    "agg_approx_count_distinct", "agg_hll_sketch_union",
+    "agg_percentiles_approx",
     # C-IV joins green rep
     "join_asof_nearest",
-    # C-V sort/set green reps; sort_within_partitions now carries the
-    # derived oracle (VERDICT r10 §1) and re-enters to go hash-green
-    "set_except_all", "sort_within_partitions",
+    # C-V sort/set green rep (sort_within_partitions r11-green ledger)
+    "set_except_all",
     # C-VI windows green rep
     "window_running_frames",
-    # C-VII's green-rep slot goes to the round-11 TYPE WIDENING
-    # flagship (late-swap, the wave-19/20 precedent): fn_json_map
-    # rotates to the r10 ledger — the family keeps fn_variant_json
-    # r10-green there plus fn_try_cast/fn_hash first-timers in-window
-    "source_delta_type_widening",
     # C-VIII event-time + streaming green reps
     "stream_window_session", "stream_dedup_near_simhash_unordered",
     # C-IX text green rep (oracle-gated trained BPE)
@@ -357,41 +386,39 @@ _PRIORITY = [
     "dedup_exact",
     # C-IX similarity green rep (pinned-codebook PQ)
     "similarity_pq_topk",
-    # C-IX multimodal green rep (also VERDICT r10 item 3's isolation
-    # target — keeping it captured gives the judge the in-suite number
-    # next to the isolated one)
+    # C-IX multimodal green rep
     "multimodal_mp3_bitstream_decode",
     # streaming Delta green rep (exactly-once source, rate limits)
     "stream_delta_backfill_files",
     # events + profiling green reps
     "events_peak_concurrency", "profile_columns",
-    # --- 27 never-driver-run entries, census-biased (wave 22) ---
-    # events (5/11)
-    "events_periodicity_dft", "events_burstiness_fano",
-    "events_behavior_entropy", "events_error_burn_rate",
-    # dedup (11/23)
-    "dedup_simhash", "dedup_containment_pairs",
-    "dedup_survivorship_best_record", "dedup_threshold_sweep",
-    # text (14/27)
-    "text_stats", "text_pii_redact", "text_pmi_collocations",
-    "text_unigram_nll",
-    # orders-analytics (5/10)
-    "orders_runs_test", "orders_cohort_ltv_curve",
-    "orders_backlog_timeseries",
-    # embedding/similarity (10/16) — matryoshka carries the ADVICE fix
-    "embedding_matryoshka_energy", "similarity_knn_graph",
-    "embedding_kcenter_coreset",
-    # timeseries (4/7)
-    "timeseries_cusum_drift", "timeseries_interval_union",
-    # joins (10/16)
-    "join_lateral_topn", "join_interval_overlap",
-    # scalar functions (10/16); fn_array_setops was drafted here but
-    # returns ARRAY-typed columns the driver canonicalizer cannot hash
-    # (the mirror's window-schema guard caught it) — fn_hash, scalar
-    # output, takes the slot
-    "fn_try_cast", "fn_hash",
-    # graph (5/8) + the 1/2 one-off families
-    "graph_modularity", "customer_spend_gini", "part_brand_share_shift",
+    # --- 28 never-driver-run entries, census-biased (wave 23) ---
+    # dedup (15/23 after r11)
+    "dedup_connected_groups", "dedup_materialize_survivors",
+    "dedup_prefix_filter_pairs", "dedup_rate_by_source",
+    # text (18/27 after r11) — incl. the now-oracle'd compression row
+    "text_fingerprint", "text_repetition_quality", "text_chunk_overlap",
+    "text_oov_rate", "text_compression_ratio",
+    # events (9/11 after r11)
+    "events_bot_cadence_detect", "events_json_schema_profile",
+    # orders-analytics
+    "orders_ks_drift_test", "orders_seasonal_naive_backtest",
+    # timeseries
+    "timeseries_stl_decompose",
+    # joins
+    "join_bloom_prefilter", "join_fuzzy_levenshtein",
+    # scalar functions
+    "fn_bitwise", "fn_datetime_intervals",
+    # windows
+    "window_topk_per_group", "window_sliding",
+    # graph
+    "graph_degree_distribution", "graph_degree_assortativity",
+    # aggregates
+    "agg_mode", "agg_corr_regression",
+    # versioned warehouse
+    "versioned_time_travel", "versioned_optimize_compact",
+    # multimodal (both locally green in the judge's r11 fresh sample)
+    "multimodal_audio_silence_trim", "multimodal_jpeg_420_restart",
 ]
 
 _WAVE19 = [

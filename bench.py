@@ -178,6 +178,10 @@ HEADLINE = [
     # generations under one widened scan) + column defaults
     "source_delta_type_widening",
     "source_delta_column_defaults",
+    # round 12: MERGE with engine-generated identity ids; derived CDF
+    # over non-CDF mixed commits (DV delete + stats-disjoint overwrite)
+    "source_delta_merge_identity",
+    "source_delta_cdf_mixed_derive",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
