@@ -1680,6 +1680,47 @@ class TestIdentityColumns:
                 on=["k"],
             )
 
+    def test_merge_omitted_identity_composes_with_row_tracking(
+        self, spark, tmp_path
+    ):
+        """The two write-path features interleave in one MERGE: omitted
+        identity values generate on the insert branch while row ids stay
+        stable on the update branch — neither machinery clobbers the
+        other's extra columns."""
+        from rtcdb_spark.sources.delta_log import (
+            append_delta as _ad,
+            enable_row_tracking,
+            merge_delta,
+            read_delta_row_ids,
+        )
+
+        path = self._keyed_table(spark, tmp_path)
+        _ad(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            path,
+        )
+        enable_row_tracking(spark, path)
+        pre = {
+            r["k"]: (r["id"], r["_row_id"])
+            for r in read_delta_row_ids(spark, path).collect()
+        }
+        merge_delta(
+            spark, path,
+            spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+            on=["k"],
+        )
+        post = {
+            r["k"]: r for r in read_delta_row_ids(spark, path).collect()
+        }
+        # updated row: same identity, same row id
+        assert (post[2]["id"], post[2]["_row_id"]) == pre[2]
+        assert post[2]["v"] == "B"
+        assert (post[1]["id"], post[1]["_row_id"]) == pre[1]
+        # inserted row: fresh identity on the stride, fresh row id
+        assert post[3]["id"] > max(pre[k][0] for k in pre)
+        assert (post[3]["id"] - 10) % 3 == 0
+        assert post[3]["_row_id"] not in {pre[k][1] for k in pre}
+
     def test_merge_delete_omitted_identity(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import (
             append_delta as _ad,
