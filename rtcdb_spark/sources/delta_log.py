@@ -4509,6 +4509,145 @@ def _restore_phys_types(meta: dict) -> dict[str, str]:
     }
 
 
+_INT_RANGES = {
+    "tinyint": (-128, 127),
+    "smallint": (-32768, 32767),
+    "int": (-2147483648, 2147483647),
+}
+
+
+def _restore_stats_fit(
+    stats, key: str, lo: int, hi: int
+) -> tuple[bool, str]:
+    """True when a file's footer stats PROVE every value of physical
+    column ``key`` fits the closed range [lo, hi] (an all-null column
+    fits trivially). Missing or non-numeric stats prove nothing — the
+    caller refuses, it never guesses."""
+    if not stats:
+        return False, "file carries no stats"
+    try:
+        st = json.loads(stats) if isinstance(stats, str) else stats
+    except (TypeError, ValueError):
+        return False, "file stats unparseable"
+    n = st.get("numRecords")
+    if n is not None and (st.get("nullCount") or {}).get(key) == n:
+        return True, ""
+    mn = (st.get("minValues") or {}).get(key)
+    mx = (st.get("maxValues") or {}).get(key)
+    num = (int, float)
+    if (
+        not isinstance(mn, num)
+        or not isinstance(mx, num)
+        or isinstance(mn, bool)
+        or isinstance(mx, bool)
+    ):
+        return False, f"no numeric min/max for {key!r}"
+    if mn < lo or mx > hi:
+        return False, f"values [{mn}, {mx}] exceed [{lo}, {hi}]"
+    return True, ""
+
+
+def _restore_widen_gate(
+    meta_now: dict,
+    meta_old: dict,
+    retyped: list[str],
+    cur_changed: dict[str, dict],
+    adds_old: dict[str, dict],
+) -> tuple[dict, list[tuple[str, object]]]:
+    """RESTORE+CDF across a type change is derivable exactly when the
+    change is an int-family WIDENING made since the target version
+    (byte→short→int→long — `alter_delta_widen_column`'s ladder) and the
+    current side's changed files carry stats proving their values fit
+    the restored NARROW type. Then the row diff runs under the WIDE
+    schema — narrow files upcast natively, the same pinned read the
+    widening feature relies on — and the feed downcasts losslessly to
+    the target schema the restore reinstates. Restoring FORWARD to a
+    widened state is derivable for EVERY protocol widening with no
+    stats proof: the diff already runs wide. Returns (scan meta with
+    the target schema except retyped columns kept wide, [(logical name,
+    narrow type)] casts to apply to the feed). Anything unprovable
+    refuses naming the column, types, and file: non-int widenings
+    (int→double or date→timestamp_ntz feed rows need not be integral /
+    midnight, which no min/max can prove), nested retypes (stats are
+    top-level), files without usable stats. Files already live at the
+    target version are physically narrow and are exempt from the stats
+    proof. O(changed files) driver-side metadata — no extra Spark job
+    beyond the diff the feed needs anyway."""
+    from pyspark.sql.types import (
+        ArrayType,
+        ByteType,
+        IntegerType,
+        LongType,
+        MapType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    ints = (ByteType, ShortType, IntegerType, LongType)
+    st_now = StructType.fromJson(json.loads(meta_now["schemaString"]))
+    st_old = StructType.fromJson(json.loads(meta_old["schemaString"]))
+    now_by_phys = {_physical_name(f): f for f in st_now.fields}
+    retyped_set = set(retyped)
+    casts: list[tuple[str, object]] = []
+    out_fields = []
+    for f in st_old.fields:
+        pn = _physical_name(f)
+        if pn not in retyped_set:
+            out_fields.append(f)
+            continue
+        old_dt, now_dt = f.dataType, now_by_phys[pn].dataType
+        pair = f"{f.name}: {old_dt.simpleString()} -> {now_dt.simpleString()}"
+        if isinstance(
+            old_dt, (StructType, ArrayType, MapType)
+        ) or isinstance(now_dt, (StructType, ArrayType, MapType)):
+            raise NotImplementedError(
+                "RESTORE with Change Data Feed across a NESTED column "
+                f"TYPE change ({pair}) — file stats cover top-level "
+                "columns only, so the feed's narrow fit is unprovable"
+            )
+        if _widening_allowed(now_dt, old_dt):
+            # restoring FORWARD to the widened state: the target schema
+            # is already the wide one, current-side narrow files upcast
+            # natively under it (the pinned widening read) — no downcast
+            # anywhere, so ANY protocol-allowed widening derives with no
+            # stats proof
+            out_fields.append(f)
+            continue
+        if not (
+            isinstance(old_dt, ints)
+            and isinstance(now_dt, ints)
+            and _widening_allowed(old_dt, now_dt)
+        ):
+            raise NotImplementedError(
+                f"RESTORE with Change Data Feed across a column TYPE "
+                f"change ({pair}) — derivable only for int-family type "
+                "WIDENINGS made since the target version (the feed must "
+                "downcast to the restored type, which stats can prove "
+                "lossless only on the byte/short/int/long ladder)"
+            )
+        lo, hi = _INT_RANGES[old_dt.simpleString()]
+        for p in sorted(cur_changed):
+            if p in adds_old:
+                continue  # live at the target: written physically narrow
+            ok, why = _restore_stats_fit(
+                cur_changed[p].get("stats"), pn, lo, hi
+            )
+            if not ok:
+                raise NotImplementedError(
+                    f"RESTORE with Change Data Feed across a column "
+                    f"TYPE change ({pair}): {why} (file {p!r}), so the "
+                    "feed's fit in the restored narrow type is unprovable"
+                )
+        casts.append((f.name, old_dt))
+        out_fields.append(
+            StructField(f.name, now_dt, f.nullable, f.metadata)
+        )
+    scan_meta = dict(meta_old)
+    scan_meta["schemaString"] = StructType(out_fields).json()
+    return scan_meta, casts
+
+
 def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF (round 9, Delta's RESTORE):
     ONE new commit that makes the live set (and the metaData, if it
@@ -4570,20 +4709,17 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         # columns a file lacks (the streaming reader's rule): files
         # written after a DROP simply yield nulls for the resurrected
         # column, files written after an ADD have their extra column
-        # ignored. Only a RETYPE under the same physical name (or a
-        # partitioning change) makes one side's files unreadable under
-        # the target schema — still refused.
+        # ignored. A RETYPE under the same physical name is derivable
+        # when it is an int-family WIDENING with stats-provable narrow
+        # fit (round 12, `_restore_widen_gate` — diff under the wide
+        # schema, downcast the feed); anything else, and a partitioning
+        # change, still refuses.
         _tp_now = _restore_phys_types(meta_now)
         _tp_old = _restore_phys_types(meta_old)
         retyped = sorted(
             n for n in _tp_now.keys() & _tp_old.keys()
             if _tp_now[n] != _tp_old[n]
         )
-        if retyped:
-            raise NotImplementedError(
-                "RESTORE with Change Data Feed across a column TYPE "
-                f"change ({retyped})"
-            )
         if (meta_now.get("partitionColumns") or []) != (
             meta_old.get("partitionColumns") or []
         ):
@@ -4596,13 +4732,18 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         cur_changed, tgt_changed = _restore_changed_sets(
             adds_now, adds_old
         )
+        scan_meta, feed_casts = meta_old, []
+        if retyped:
+            scan_meta, feed_casts = _restore_widen_gate(
+                meta_now, meta_old, retyped, cur_changed, adds_old
+            )
         plan = _ScanPlan(spark, meta_old)
         cols = [f.name for f in plan.schema.fields]
         cur = _scan_snapshot(
-            spark, path, meta_old, cur_changed
+            spark, path, scan_meta, cur_changed
         ).select(*cols)
         tgt = _scan_snapshot(
-            spark, path, meta_old, tgt_changed
+            spark, path, scan_meta, tgt_changed
         ).select(*cols)
         feed = (
             cur.exceptAll(tgt)
@@ -4613,6 +4754,10 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
                 )
             )
         )
+        for _name, _dt in feed_casts:
+            # provably lossless per the stats gate above: the wide-space
+            # diff values all fit the restored narrow type
+            feed = feed.withColumn(_name, F.col(_name).cast(_dt))
         cdc_actions = _write_cdc_files(feed, path, plan)
     _write_commit(
         path, v, actions + cdc_actions,

@@ -2705,6 +2705,95 @@ class TestRestoreCDC:
         with pytest.raises(NotImplementedError, match="TYPE change"):
             dl.restore_delta(spark, path, 0)
 
+    def test_restore_cdc_across_widening_derives(self, spark, tmp_path):
+        """Round 12: RESTORE+CDF BACK across an int-family widening —
+        the diff runs under the WIDE schema (target-side narrow files
+        upcast natively), the feed downcasts to the restored narrow
+        type, lossless per the current-side files' stats proof."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_widen_column,
+            delta_changes_cdf,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "rwd")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 10), (2, 20)], "k int, v int"
+            ).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        alter_delta_widen_column(path, "v", "bigint")        # v1
+        append_delta(
+            spark.createDataFrame(
+                [(3, 30), (4, 40)], "k int, v bigint"
+            ).coalesce(1),
+            path,
+        )                                                    # v2
+        v3 = restore_delta(spark, path, 0)
+        back = read_delta(spark, path)
+        assert dict(back.dtypes)["v"] == "int"               # narrow again
+        feed = delta_changes_cdf(spark, path, v3, v3)
+        assert dict(feed.dtypes)["v"] == "int"               # feed narrow too
+        got = sorted(
+            (r["k"], r["v"], r["_change_type"]) for r in feed.collect()
+        )
+        assert got == [(3, 30, "delete"), (4, 40, "delete")]
+        # FORWARD back to the widened state: no downcast anywhere, the
+        # restored-narrow files upcast under the wide target schema
+        v4 = restore_delta(spark, path, 2)
+        feed4 = delta_changes_cdf(spark, path, v4, v4)
+        assert dict(feed4.dtypes)["v"] == "bigint"
+        got4 = sorted(
+            (r["k"], r["v"], r["_change_type"]) for r in feed4.collect()
+        )
+        assert got4 == [(3, 30, "insert"), (4, 40, "insert")]
+        assert sorted(
+            (r["k"], r["v"]) for r in read_delta(spark, path).collect()
+        ) == [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+    def test_restore_cdc_widening_refusals(self, spark, tmp_path):
+        """The narrow gate: values whose stats exceed the restored
+        type's range, and non-int widenings (feed rows need not be
+        integral), refuse naming the column and types."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_widen_column,
+            restore_delta,
+        )
+
+        over = str(tmp_path / "over")
+        write_delta(
+            spark.createDataFrame([(1, 10)], "k int, v int").coalesce(1),
+            over,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        alter_delta_widen_column(over, "v", "bigint")
+        append_delta(
+            spark.createDataFrame(
+                [(2, 2**40)], "k int, v bigint"
+            ).coalesce(1),
+            over,
+        )
+        with pytest.raises(NotImplementedError, match="exceed"):
+            restore_delta(spark, over, 0)
+
+        dbl = str(tmp_path / "dbl")
+        write_delta(
+            spark.createDataFrame([(1, 10)], "k int, v int").coalesce(1),
+            dbl,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        alter_delta_widen_column(dbl, "v", "double")
+        append_delta(
+            spark.createDataFrame(
+                [(2, 2.5)], "k int, v double"
+            ).coalesce(1),
+            dbl,
+        )
+        with pytest.raises(NotImplementedError, match="int-family"):
+            restore_delta(spark, dbl, 0)
+
     def test_restore_changed_sets_pure(self):
         from rtcdb_spark.sources.delta_log import _restore_changed_sets
 
