@@ -4712,21 +4712,14 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         # ignored. A RETYPE under the same physical name is derivable
         # when it is an int-family WIDENING with stats-provable narrow
         # fit (round 12, `_restore_widen_gate` — diff under the wide
-        # schema, downcast the feed); anything else, and a partitioning
-        # change, still refuses.
+        # schema, downcast the feed); a PARTITIONING change derives by
+        # scanning each side under its own layout; other retypes refuse.
         _tp_now = _restore_phys_types(meta_now)
         _tp_old = _restore_phys_types(meta_old)
         retyped = sorted(
             n for n in _tp_now.keys() & _tp_old.keys()
             if _tp_now[n] != _tp_old[n]
         )
-        if (meta_now.get("partitionColumns") or []) != (
-            meta_old.get("partitionColumns") or []
-        ):
-            raise NotImplementedError(
-                "RESTORE with Change Data Feed across a partitioning "
-                "change"
-            )
         from pyspark.sql import functions as F
 
         cur_changed, tgt_changed = _restore_changed_sets(
@@ -4737,13 +4730,47 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             scan_meta, feed_casts = _restore_widen_gate(
                 meta_now, meta_old, retyped, cur_changed, adds_old
             )
+        # Partitioning change since the target (round 12): each side
+        # scans under its OWN partition layout — a repartitioning moves
+        # partition-column values between file bytes and log metadata,
+        # but every row reconstructs either way, so the feed derives;
+        # only the per-side scan metas differ. A conformant
+        # repartitioning rewrites every file in the same commit, so a
+        # file live on BOTH sides with a changed action would have to
+        # conform to two layouts at once — refused as corrupt. A
+        # partition column outside the target schema (repartitioned by
+        # a column added since the target) is refused: the diff runs
+        # under the target schema.
+        scan_cur = scan_tgt = scan_meta
+        now_pcols = meta_now.get("partitionColumns") or []
+        old_pcols = meta_old.get("partitionColumns") or []
+        if now_pcols != old_pcols:
+            alien = sorted(
+                set(now_pcols) - set(_restore_phys_types(meta_old))
+            )
+            if alien:
+                raise NotImplementedError(
+                    "RESTORE with Change Data Feed across a "
+                    "partitioning change onto columns outside the "
+                    f"target schema ({alien})"
+                )
+            overlap = sorted(set(cur_changed) & set(adds_old))
+            if overlap:
+                raise ValueError(
+                    "partitioning changed since the target but these "
+                    "files are live on both sides with differing "
+                    f"actions: {overlap[:3]} — a conformant "
+                    "repartitioning rewrites every file"
+                )
+            scan_cur = dict(scan_meta)
+            scan_cur["partitionColumns"] = now_pcols
         plan = _ScanPlan(spark, meta_old)
         cols = [f.name for f in plan.schema.fields]
         cur = _scan_snapshot(
-            spark, path, scan_meta, cur_changed
+            spark, path, scan_cur, cur_changed
         ).select(*cols)
         tgt = _scan_snapshot(
-            spark, path, scan_meta, tgt_changed
+            spark, path, scan_tgt, tgt_changed
         ).select(*cols)
         feed = (
             cur.exceptAll(tgt)

@@ -2753,6 +2753,86 @@ class TestRestoreCDC:
             (r["k"], r["v"]) for r in read_delta(spark, path).collect()
         ) == [(1, 10), (2, 20), (3, 30), (4, 40)]
 
+    def test_restore_cdc_across_partitioning_change(self, spark, tmp_path):
+        """Round 12: RESTORE+CDF across a REPARTITIONING — a foreign
+        REPLACE commit drops the partitioning and rewrites the table as
+        one unpartitioned file (+1 row). Each diff side scans under its
+        OWN layout (partition values come from the log on one side,
+        file bytes on the other), so the feed derives both ways."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import (
+            delta_changes_cdf,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "rpc")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 10, 1), (2, 20, 1), (3, 30, 2), (4, 40, 2)],
+                "k bigint, v bigint, p bigint",
+            ).repartition("p"),
+            path,
+            partition_by=["p"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        # foreign REPLACE at v1: same schema, partitionColumns dropped,
+        # every v0 file removed, one unpartitioned file (p in the bytes
+        # now) carrying the old rows plus (9, 90, 1)
+        v0c = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        acts = [json.loads(x) for x in open(v0c).read().splitlines()]
+        meta = next(a["metaData"] for a in acts if "metaData" in a)
+        adds0 = [a["add"]["path"] for a in acts if "add" in a]
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [1, 2, 3, 4, 9],
+                    "v": [10, 20, 30, 40, 90],
+                    "p": [1, 1, 2, 2, 1],
+                }
+            ),
+            os.path.join(path, "replaced-0.parquet"),
+        )
+        new_meta = dict(meta)
+        new_meta["partitionColumns"] = []
+        with open(
+            os.path.join(path, "_delta_log", f"{1:020d}.json"), "w"
+        ) as fh:
+            for a in (
+                [{"metaData": new_meta}]
+                + [
+                    {"remove": {"path": p, "deletionTimestamp": 1,
+                                "dataChange": True}}
+                    for p in adds0
+                ]
+                + [{"add": {
+                    "path": "replaced-0.parquet", "partitionValues": {},
+                    "size": os.path.getsize(
+                        os.path.join(path, "replaced-0.parquet")),
+                    "modificationTime": 1, "dataChange": True}}]
+            ):
+                fh.write(json.dumps(a) + "\n")
+        assert read_delta(spark, path).count() == 5
+        v2 = restore_delta(spark, path, 0)
+        back = read_delta(spark, path)
+        assert back.count() == 4
+        feed = delta_changes_cdf(spark, path, v2, v2)
+        got = sorted(
+            (r["k"], r["v"], r["p"], r["_change_type"])
+            for r in feed.collect()
+        )
+        assert got == [(9, 90, 1, "delete")]
+        # and FORWARD again onto the unpartitioned layout
+        v3 = restore_delta(spark, path, 1)
+        feed3 = delta_changes_cdf(spark, path, v3, v3)
+        got3 = sorted(
+            (r["k"], r["v"], r["p"], r["_change_type"])
+            for r in feed3.collect()
+        )
+        assert got3 == [(9, 90, 1, "insert")]
+        assert read_delta(spark, path).count() == 5
+
     def test_restore_cdc_widening_refusals(self, spark, tmp_path):
         """The narrow gate: values whose stats exceed the restored
         type's range, and non-int widenings (feed rows need not be
