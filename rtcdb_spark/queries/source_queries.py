@@ -2795,3 +2795,193 @@ def source_delta_cdf_mixed_derive(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("_commit_version", "_change_type")
     )
+
+
+@query(
+    "source_delta_restore_cdf_widened",
+    """
+    WITH odd AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(o_custkey) AS BIGINT) AS s
+            FROM odd)
+    SELECT stage, change_type, cust_dtype, n_rows, cust_sum
+    FROM (
+        SELECT 'back' AS stage, 'delete' AS change_type,
+               'int' AS cust_dtype, n AS n_rows, s AS cust_sum
+        FROM agg
+        UNION ALL
+        SELECT 'forward', 'insert', 'bigint', n, s FROM agg
+    )
+    ORDER BY stage
+    """,
+    tags=("source", "delta", "interchange", "restore", "cdf",
+          "type-widening"),
+)
+def source_delta_restore_cdf_widened(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTORE with Change Data Feed ACROSS a TYPE WIDENING (round 12 —
+    the composition `_restore_widen_gate` derives, previously refused):
+    the even half of orders lands with o_custkey cast DOWN to int (the
+    narrow generation), `alter_delta_widen_column` widens it to bigint,
+    the odd half appends wide. RESTORE back to v0 reinstates the narrow
+    schema and derives the feed by diffing under the WIDE schema (the
+    narrow target files upcast natively — the same pinned read the
+    widening feature uses) then downcasting the feed, lossless because
+    the appended files' footer stats prove every value fits int; the
+    feed's o_custkey dtype flips to int, asserted in-query and emitted
+    as a literal the DuckDB twin must match. RESTORE forward to the wide
+    head needs no proof at all (the diff already runs wide) and
+    re-inserts the odd half as bigint. O(changed files) metadata plus
+    one symmetric-difference diff per restore — at 100 TB the stats
+    proof reads zero data bytes and the diff scans only the files the
+    restore actually flips."""
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        alter_delta_widen_column,
+        append_delta,
+        delta_changes_cdf,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_rcw_")
+    shutil.rmtree(path)
+    write_delta(
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_custkey", F.col("o_custkey").cast("int")),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    alter_delta_widen_column(path, "o_custkey", "bigint")
+    append_delta(o.filter(F.col("o_orderkey") % 2 == 1), path)
+    v_back = restore_delta(spark, path, 0)
+    assert dict(read_delta(spark, path).dtypes)["o_custkey"] == "int", (
+        "restore must reinstate the narrow type"
+    )
+    back_feed = delta_changes_cdf(spark, path, v_back, v_back)
+    back = back_feed.agg(
+        F.first(F.col("_change_type")).alias("change_type"),
+        F.lit(dict(back_feed.dtypes)["o_custkey"]).alias("cust_dtype"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+    ).select(F.lit("back").alias("stage"), "*")
+    v_fwd = restore_delta(spark, path, 2)
+    fwd_feed = delta_changes_cdf(spark, path, v_fwd, v_fwd)
+    fwd = fwd_feed.agg(
+        F.first(F.col("_change_type")).alias("change_type"),
+        F.lit(dict(fwd_feed.dtypes)["o_custkey"]).alias("cust_dtype"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+    ).select(F.lit("forward").alias("stage"), "*")
+    return back.unionByName(fwd).orderBy("stage")
+
+
+@query(
+    "source_delta_restore_cdf_repartitioned",
+    """
+    WITH odd AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(o_custkey) AS BIGINT) AS s
+            FROM odd)
+    SELECT stage, change_type, layout, n_rows, cust_sum
+    FROM (
+        SELECT 'back' AS stage, 'delete' AS change_type,
+               'o_orderstatus' AS layout, n AS n_rows, s AS cust_sum
+        FROM agg
+        UNION ALL
+        SELECT 'forward', 'insert', '', n, s FROM agg
+    )
+    ORDER BY stage
+    """,
+    tags=("source", "delta", "interchange", "restore", "cdf",
+          "partitioning", "foreign-writer"),
+)
+def source_delta_restore_cdf_repartitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTORE with Change Data Feed ACROSS a PARTITIONING change
+    (round 12 — previously refused): the even half of orders lands
+    partitioned by o_orderstatus, then a FOREIGN REPLACE commit
+    (hand-written JSON, the protocol's reconciliation semantics — this
+    engine has no repartitioning op on purpose) drops the partitioning
+    and rewrites the table as unpartitioned files carrying the full set
+    (odd half added). Each diff side scans under its OWN layout — the
+    partition column's values come from log metadata on the partitioned
+    side and file bytes on the other — so the feed derives both ways:
+    back to v0 the odd half deletes, forward the odd half re-inserts.
+    The post-restore layout (the metaData's partitionColumns) is
+    emitted as a literal the DuckDB twin must match. O(changed files)
+    both ways; a conformant REPLACE rewrites every file, so no file
+    needs reading under two layouts — at 100 TB the diff touches only
+    the replaced generation, never the shared history."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources import delta_log as dl
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    base = o.filter(F.col("o_orderkey") % 2 == 0)
+    extra = o.filter(F.col("o_orderkey") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_rcp_")
+    shutil.rmtree(path)
+    dl.write_delta(
+        base.repartition("o_orderstatus"),
+        path,
+        partition_by=["o_orderstatus"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # the foreign REPLACE: full rows, unpartitioned, staged then moved
+    staged = path + "-stage"
+    base.unionByName(extra).coalesce(2).write.parquet(staged)
+    v, state = dl._next_version(path)
+    meta = dict(state["meta"])
+    meta["partitionColumns"] = []
+    actions = [{"metaData": meta}] + [
+        {"remove": {"path": p, "deletionTimestamp": 1,
+                    "dataChange": True}}
+        for p in sorted(state["adds"])
+    ]
+    for i, a in enumerate(dl._adds_for_dir(staged, [])):
+        rel = f"replaced-{i}.parquet"
+        os.rename(
+            os.path.join(staged, a["add"]["path"]),
+            os.path.join(path, rel),
+        )
+        actions.append(
+            {"add": {**a["add"], "path": rel, "dataChange": True}}
+        )
+    shutil.rmtree(staged)
+    dl._write_commit(path, v, actions, op="REPLACE")
+    v_back = dl.restore_delta(spark, path, 0)
+    meta_back, _adds, _s = dl._snapshot_state(path, None)
+    back = dl.delta_changes_cdf(spark, path, v_back, v_back).agg(
+        F.first(F.col("_change_type")).alias("change_type"),
+        F.lit(",".join(meta_back.get("partitionColumns") or []))
+        .alias("layout"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+    ).select(F.lit("back").alias("stage"), "*")
+    v_fwd = dl.restore_delta(spark, path, v)
+    meta_fwd, _adds, _s = dl._snapshot_state(path, None)
+    fwd = dl.delta_changes_cdf(spark, path, v_fwd, v_fwd).agg(
+        F.first(F.col("_change_type")).alias("change_type"),
+        F.lit(",".join(meta_fwd.get("partitionColumns") or []))
+        .alias("layout"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+    ).select(F.lit("forward").alias("stage"), "*")
+    return back.unionByName(fwd).orderBy("stage")
