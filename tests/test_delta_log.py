@@ -1175,13 +1175,21 @@ class TestChangeDataFeed:
         assert sorted(r["k"] for r in feed.collect()) == list(range(10))
         assert {r["_change_type"] for r in feed.collect()} == {"delete"}
 
-    def test_mixed_commit_without_cdc_refused(self, spark, tmp_path):
+    def test_mixed_commit_without_cdc_derives_dv_growth(
+        self, spark, tmp_path
+    ):
+        """Round 12 flip of the old refusal: a DV delete on a non-CDF
+        table is the same-path DV-growth shape `_derive_mixed_commit`
+        decomposes (deletes = dv_new \\ dv_old), so the feed derives;
+        TestMixedCommitCdfDerivation pins the still-refusing shapes."""
         from rtcdb_spark.sources.delta_log import delete_delta, delta_changes_cdf
 
         path = self._table(spark, tmp_path, cdf=False)
         v = delete_delta(spark, path, "k = 3")  # DV delete, no CDF
-        with pytest.raises(NotImplementedError, match="not derivable"):
-            delta_changes_cdf(spark, path, v, v)
+        feed = delta_changes_cdf(spark, path, v, v)
+        assert [
+            (r["k"], r["_change_type"]) for r in feed.collect()
+        ] == [(3, "delete")]
 
     def test_update_delta_config_enables_feed(self, spark, tmp_path):
         from rtcdb_spark.sources.delta_log import (
