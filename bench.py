@@ -182,6 +182,11 @@ HEADLINE = [
     # over non-CDF mixed commits (DV delete + stats-disjoint overwrite)
     "source_delta_merge_identity",
     "source_delta_cdf_mixed_derive",
+    # round 12, late wave: RESTORE+CDF derived across a type widening
+    # (stats-proved narrow feed) and across a foreign REPLACE
+    # repartitioning (per-side scan layouts)
+    "source_delta_restore_cdf_widened",
+    "source_delta_restore_cdf_repartitioned",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
