@@ -2841,6 +2841,78 @@ class TestRestoreCDC:
         assert got3 == [(9, 90, 1, "insert")]
         assert read_delta(spark, path).count() == 5
 
+    def test_restore_cdc_widening_and_repartition_compose(
+        self, spark, tmp_path
+    ):
+        """Both round-12 derivations in ONE restore: the foreign REPLACE
+        drops the partitioning AND the replaced file carries the widened
+        type — the diff runs wide under per-side layouts, the feed
+        downcasts, and the restored table is narrow and partitioned."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_widen_column,
+            delta_changes_cdf,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "rwp")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 10, 1), (2, 20, 2)], "k int, v int, p bigint"
+            ).repartition("p"),
+            path,
+            partition_by=["p"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        alter_delta_widen_column(path, "v", "bigint")     # v1
+        # foreign REPLACE at v2: unpartitioned, v physically wide (but
+        # in-range), one extra row
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 9], type=pa.int32()),
+                    "v": pa.array([10, 20, 90], type=pa.int64()),
+                    "p": [1, 2, 1],
+                }
+            ),
+            os.path.join(path, "replaced-0.parquet"),
+        )
+        from rtcdb_spark.sources import delta_log as dl
+
+        v, state = dl._next_version(path)
+        meta = dict(state["meta"])
+        meta["partitionColumns"] = []
+        acts = [{"metaData": meta}] + [
+            {"remove": {"path": p, "deletionTimestamp": 1,
+                        "dataChange": True}}
+            for p in sorted(state["adds"])
+        ] + [{"add": {
+            "path": "replaced-0.parquet", "partitionValues": {},
+            "size": os.path.getsize(
+                os.path.join(path, "replaced-0.parquet")),
+            "modificationTime": 1, "dataChange": True,
+            "stats": json.dumps({
+                "numRecords": 3,
+                "minValues": {"k": 1, "v": 10, "p": 1},
+                "maxValues": {"k": 9, "v": 90, "p": 2},
+                "nullCount": {"k": 0, "v": 0, "p": 0}})}}]
+        dl._write_commit(path, v, acts, op="REPLACE")
+        v3 = restore_delta(spark, path, 0)
+        back = read_delta(spark, path)
+        assert dict(back.dtypes)["v"] == "int"
+        feed = delta_changes_cdf(spark, path, v3, v3)
+        assert dict(feed.dtypes)["v"] == "int"
+        got = sorted(
+            (r["k"], r["v"], r["p"], r["_change_type"])
+            for r in feed.collect()
+        )
+        assert got == [(9, 90, 1, "delete")]
+        assert sorted(
+            (r["k"], r["v"], r["p"]) for r in back.collect()
+        ) == [(1, 10, 1), (2, 20, 2)]
+
     def test_restore_cdc_widening_refusals(self, spark, tmp_path):
         """The narrow gate: values whose stats exceed the restored
         type's range, and non-int widenings (feed rows need not be
