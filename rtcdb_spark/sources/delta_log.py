@@ -3451,6 +3451,88 @@ def _derive_mixed_commit(
     return reduce(lambda a, b: a.unionByName(b), parts), None
 
 
+def _cdf_meta_changed(a: dict, b: dict) -> bool:
+    """True when two metaData actions differ in schema or partitioning
+    — the properties that decide how a commit's files must be scanned."""
+    return a["schemaString"] != b["schemaString"] or (
+        a.get("partitionColumns") or []
+    ) != (b.get("partitionColumns") or [])
+
+
+def _cdf_align(
+    df: DataFrame,
+    commit_meta: dict,
+    end_meta: dict,
+    stats_adds: list[dict] | None,
+    v: int,
+) -> DataFrame:
+    """Align one commit's change rows (scanned under the schema IN
+    FORCE at that commit) to the end-of-range schema the feed reports
+    (round 12). Fields pair by PHYSICAL name, so mid-range renames
+    align; a column the commit predates null-fills; a column the end
+    dropped is projected away. Type drift along the protocol's widening
+    ladder casts UP losslessly; the reverse (a restore reverted a
+    widening inside the range) casts DOWN only for int-family pairs
+    whose source files' footer stats prove every value fits
+    (`_restore_stats_fit`) — rows from CDC files carry no stats, so an
+    unprovable downcast refuses naming the commit and column rather
+    than silently wrapping. Cross-family drift refuses."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    c_st = StructType.fromJson(json.loads(commit_meta["schemaString"]))
+    e_st = StructType.fromJson(json.loads(end_meta["schemaString"]))
+    by_phys = {_physical_name(f): f for f in c_st.fields}
+    cols = []
+    for ef in e_st.fields:
+        cf = by_phys.get(_physical_name(ef))
+        if cf is None:
+            cols.append(F.lit(None).cast(ef.dataType).alias(ef.name))
+            continue
+        if cf.dataType == ef.dataType:
+            cols.append(F.col(cf.name).alias(ef.name))
+            continue
+        pair = (
+            f"{ef.name}: {cf.dataType.simpleString()} -> "
+            f"{ef.dataType.simpleString()}"
+        )
+        if _widening_allowed(cf.dataType, ef.dataType):
+            cols.append(F.col(cf.name).cast(ef.dataType).alias(ef.name))
+            continue
+        if _widening_allowed(ef.dataType, cf.dataType):
+            rng = _INT_RANGES.get(ef.dataType.simpleString())
+            if rng is None or stats_adds is None:
+                reason = (
+                    "outside the int-family ladder"
+                    if rng is None
+                    else "for stats-less CDC rows"
+                )
+                raise NotImplementedError(
+                    f"change feed: commit {v}'s rows carry "
+                    f"{cf.dataType.simpleString()} but the range ends "
+                    f"{ef.dataType.simpleString()} ({pair}) and the "
+                    f"downcast is unprovable {reason} — narrow the "
+                    "range to end before the reverting restore"
+                )
+            pn = _physical_name(ef)
+            for a in stats_adds:
+                ok, why = _restore_stats_fit(
+                    a.get("stats"), pn, rng[0], rng[1]
+                )
+                if not ok:
+                    raise NotImplementedError(
+                        f"change feed: commit {v}'s downcast ({pair}) "
+                        f"is unprovable: {why} (file {a.get('path')!r})"
+                    )
+            cols.append(F.col(cf.name).cast(ef.dataType).alias(ef.name))
+            continue
+        raise NotImplementedError(
+            f"change feed: commit {v}'s schema and the end-of-range "
+            f"schema differ beyond the widening ladder ({pair})"
+        )
+    return df.select(*cols, "_change_type")
+
+
 def delta_changes_cdf(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
@@ -3471,8 +3553,13 @@ def delta_changes_cdf(
     proven row-disjoint by numeric footer stats; genuinely undecidable
     mixed commits still raise per-commit, naming the undecidable pair
     (delta-spark refuses ALL of these). Maintenance commits
-    (dataChange=false) contribute nothing. The schema in force at the
-    END of the range plans every scan. Column-mapped 'name'-mode tables
+    (dataChange=false) contribute nothing. Each commit's files scan
+    under the schema/partitioning in force AT THAT COMMIT and align to
+    the end-of-range schema by physical name (round 12, `_cdf_align` —
+    widening upcasts are free, reverted widenings downcast under the
+    stats proof, renames/ADD/DROP/repartitionings align structurally),
+    so ranges spanning schema changes read where delta-spark refuses
+    them. Column-mapped 'name'-mode tables
     read too (round 8 wave 5): CDC files carry physical column names
     plus a verbatim `_change_type`, and the derived insert/delete paths
     route through the shared mapped scan."""
@@ -3501,8 +3588,31 @@ def delta_changes_cdf(
         "_change_type", "_commit_version",
     ]
     parts: list[DataFrame] = []
+    # Round 12: each commit's files scan under the schema/partitioning
+    # IN FORCE AT THAT COMMIT (tracked incrementally from one snapshot
+    # replay before the range start), then `_cdf_align` maps the rows
+    # onto the end-of-range schema by physical name. Ranges spanning a
+    # widening, an ADD/DROP, a repartitioning, or a restore of any of
+    # these read correctly — previously every scan used the end meta,
+    # which null-filled partition values across a foreign REPLACE and
+    # crashed the reader on physically-wide files after a reverting
+    # restore (delta-spark refuses every such range). Ranges with no
+    # schema/partitioning drift take the exact pre-round-12 path.
+    meta_run = (
+        _snapshot_state(path, from_version - 1)[0]
+        if from_version > 0
+        else None
+    )
     for v in range(from_version, until + 1):
         actions = _commit_actions(path, v, versions)
+        meta_before = meta_run
+        for act in actions:
+            if act.get("metaData") is not None:
+                meta_run = act["metaData"]
+        if meta_before is None:
+            meta_before = meta_run  # v0 always carries the metaData
+        same = not _cdf_meta_changed(meta_run, meta)
+        same_before = not _cdf_meta_changed(meta_before, meta)
         cdcs = {}
         for act in actions:
             if act.get("cdc") is not None:
@@ -3510,7 +3620,22 @@ def delta_changes_cdf(
                 c["partitionValues"] = _demap(c.get("partitionValues")) or {}
                 cdcs[c["path"]] = c
         if cdcs:
-            df = _scan_snapshot(spark, path, cdc_meta, cdcs)
+            if same:
+                df = _scan_snapshot(spark, path, cdc_meta, cdcs)
+            else:
+                cm = dict(meta_run)
+                cm["schemaString"] = StructType(
+                    list(
+                        StructType.fromJson(
+                            json.loads(meta_run["schemaString"])
+                        ).fields
+                    )
+                    + [StructField("_change_type", StringType(), True)]
+                ).json()
+                df = _cdf_align(
+                    _scan_snapshot(spark, path, cm, cdcs),
+                    meta_run, meta, None, v,
+                )
         else:
             dc_adds = {}
             dc_removes = {}
@@ -3530,11 +3655,24 @@ def delta_changes_cdf(
                 # derivable mixed shapes — same-path DV growth,
                 # fully-dead removes, stats-disjoint rewrites — read
                 # through; only genuinely undecidable commits refuse
+                if _cdf_meta_changed(meta_before, meta_run):
+                    raise NotImplementedError(
+                        f"commit {v} changes the schema or partitioning "
+                        "AND mixes data adds and removes without CDC "
+                        "files (a REPLACE shape) — not derivable; set "
+                        "delta.enableChangeDataFeed before such commits"
+                    )
                 prev_adds = _snapshot_state(path, v - 1)[1] if v > 0 else {}
-                derived, why = _derive_mixed_commit(
-                    spark, path, meta, plan, v, dc_adds, dc_removes,
-                    prev_adds,
-                )
+                if same:
+                    derived, why = _derive_mixed_commit(
+                        spark, path, meta, plan, v, dc_adds, dc_removes,
+                        prev_adds,
+                    )
+                else:
+                    derived, why = _derive_mixed_commit(
+                        spark, path, meta_run, _ScanPlan(spark, meta_run),
+                        v, dc_adds, dc_removes, prev_adds,
+                    )
                 if derived is None:
                     raise NotImplementedError(
                         f"commit {v} mixes data adds and removes without "
@@ -3544,14 +3682,28 @@ def delta_changes_cdf(
                 if isinstance(derived, str):  # "empty": no visible changes
                     continue
                 df = derived
+                if not same:
+                    df = _cdf_align(
+                        df, meta_run, meta,
+                        list(dc_adds.values())
+                        + [prev_adds[p] for p in dc_removes
+                           if p in prev_adds],
+                        v,
+                    )
             elif dc_adds:
-                df = _scan_snapshot(spark, path, meta, dc_adds).withColumn(
-                    "_change_type", F.lit("insert")
-                )
+                df = _scan_snapshot(
+                    spark, path, meta if same else meta_run, dc_adds
+                ).withColumn("_change_type", F.lit("insert"))
+                if not same:
+                    df = _cdf_align(
+                        df, meta_run, meta, list(dc_adds.values()), v
+                    )
             elif dc_removes:
                 # the deleted rows are the removed files AS OF the commit
                 # before: use the pre-commit add actions so partition
-                # values AND any prior deletion vector still apply
+                # values AND any prior deletion vector still apply —
+                # scanned under the PRE-commit meta (the layout those
+                # files conform to)
                 prev_adds = _snapshot_state(path, v - 1)[1] if v > 0 else {}
                 radds = {}
                 for p, r in dc_removes.items():
@@ -3562,9 +3714,14 @@ def delta_changes_cdf(
                             f"at version {v - 1}"
                         )
                     radds[p] = prev
-                df = _scan_snapshot(spark, path, meta, radds).withColumn(
-                    "_change_type", F.lit("delete")
-                )
+                df = _scan_snapshot(
+                    spark, path, meta if same_before else meta_before,
+                    radds,
+                ).withColumn("_change_type", F.lit("delete"))
+                if not same_before:
+                    df = _cdf_align(
+                        df, meta_before, meta, list(radds.values()), v
+                    )
             else:
                 continue  # maintenance-only commit
         parts.append(

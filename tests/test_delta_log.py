@@ -5729,3 +5729,129 @@ class TestMixedCommitCdfDerivation:
             for r in delta_changes_cdf(spark, path, 2, 2).collect()
         )
         assert got == [(2, "insert"), (3, "insert")]
+
+
+class TestCdfRangeAcrossSchemaChanges:
+    """Round 12: `delta_changes_cdf` scans each commit under the schema
+    and partitioning IN FORCE at that commit, aligned to the
+    end-of-range schema (`_cdf_align`) — ranges delta-spark refuses."""
+
+    def test_range_across_widening_and_reverting_restore(
+        self, spark, tmp_path
+    ):
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_widen_column,
+            delta_changes_cdf,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "cwr")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 10), (2, 20)], "k int, v int"
+            ).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        alter_delta_widen_column(path, "v", "bigint")        # v1
+        append_delta(
+            spark.createDataFrame([(3, 30)], "k int, v bigint").coalesce(1),
+            path,
+        )                                                    # v2
+        # range ending at the WIDE head: v0's narrow rows upcast
+        feed_w = delta_changes_cdf(spark, path, 0, 2)
+        assert dict(feed_w.dtypes)["v"] == "bigint"
+        assert sorted(
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in feed_w.collect()
+        ) == [(1, 10, "insert", 0), (2, 20, "insert", 0),
+              (3, 30, "insert", 2)]
+        restore_delta(spark, path, 0)                        # v3, narrow again
+        # range spanning the widening AND its reverting restore, ending
+        # NARROW: v2's physically-wide rows downcast under the stats
+        # proof instead of crashing the reader
+        feed_n = delta_changes_cdf(spark, path, 0, 3)
+        assert dict(feed_n.dtypes)["v"] == "int"
+        assert sorted(
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in feed_n.collect()
+        ) == [(1, 10, "insert", 0), (2, 20, "insert", 0),
+              (3, 30, "delete", 3), (3, 30, "insert", 2)]
+
+    def test_range_across_repartition_keeps_partition_values(
+        self, spark, tmp_path
+    ):
+        """v0's partition-column values come from the LOG; before round
+        12 a range ending after a foreign REPLACE null-filled them."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rtcdb_spark.sources import delta_log as dl
+
+        path = str(tmp_path / "crp")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 1), (2, 2)], "k bigint, p bigint"
+            ).repartition("p"),
+            path,
+            partition_by=["p"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        pq.write_table(
+            pa.table({"k": [1, 2, 9], "p": [1, 2, 1]}),
+            os.path.join(path, "replaced-0.parquet"),
+        )
+        v, state = dl._next_version(path)
+        meta = dict(state["meta"])
+        meta["partitionColumns"] = []
+        acts = [{"metaData": meta}] + [
+            {"remove": {"path": p, "deletionTimestamp": 1,
+                        "dataChange": True}}
+            for p in sorted(state["adds"])
+        ] + [{"add": {"path": "replaced-0.parquet", "partitionValues": {},
+                      "size": os.path.getsize(
+                          os.path.join(path, "replaced-0.parquet")),
+                      "modificationTime": 1, "dataChange": True}}]
+        dl._write_commit(path, v, acts, op="REPLACE")
+        # the v0-only range under the unpartitioned END meta still
+        # reconstructs p from the v0 log metadata
+        feed0 = dl.delta_changes_cdf(spark, path, 0, 0)
+        assert sorted((r["k"], r["p"]) for r in feed0.collect()) == [
+            (1, 1), (2, 2),
+        ]
+        # the REPLACE commit itself: schema/partitioning change + mixed
+        # adds/removes without CDC is the one genuinely underivable
+        # shape — refused naming it
+        with pytest.raises(NotImplementedError, match="REPLACE shape"):
+            dl.delta_changes_cdf(spark, path, 0, 1)
+
+    def test_wide_cdc_rows_to_narrow_end_refuse(self, spark, tmp_path):
+        """A forward restore's CDC files carry WIDE values and no
+        stats; a range ending narrow cannot prove the downcast."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_widen_column,
+            delta_changes_cdf,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "cwn")
+        write_delta(
+            spark.createDataFrame([(1, 10)], "k int, v int").coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        alter_delta_widen_column(path, "v", "bigint")        # v1
+        append_delta(
+            spark.createDataFrame([(3, 30)], "k int, v bigint").coalesce(1),
+            path,
+        )                                                    # v2
+        restore_delta(spark, path, 0)                        # v3 narrow
+        restore_delta(spark, path, 2)                        # v4 wide, CDC wide
+        restore_delta(spark, path, 0)                        # v5 narrow
+        with pytest.raises(NotImplementedError, match="stats-less CDC"):
+            delta_changes_cdf(spark, path, 4, 5)
+        # narrowing the range to end before the reverting restore works
+        feed = delta_changes_cdf(spark, path, 4, 4)
+        assert dict(feed.dtypes)["v"] == "bigint"
+        assert [(r["k"], r["v"], r["_change_type"])
+                for r in feed.collect()] == [(3, 30, "insert")]
