@@ -187,6 +187,8 @@ HEADLINE = [
     # repartitioning (per-side scan layouts)
     "source_delta_restore_cdf_widened",
     "source_delta_restore_cdf_repartitioned",
+    # round 12, late wave: VARIANT data type end-to-end
+    "source_delta_variant_json",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -2985,3 +2985,85 @@ def source_delta_restore_cdf_repartitioned(
         F.sum("o_custkey").cast("bigint").alias("cust_sum"),
     ).select(F.lit("forward").alias("stage"), "*")
     return back.unionByName(fwd).orderBy("stage")
+
+
+@query(
+    "source_delta_variant_json",
+    """
+    WITH t AS (
+        SELECT o_orderstatus AS s, o_custkey AS c FROM orders
+    )
+    SELECT s, 'variant' AS v_dtype,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c) AS BIGINT) AS cust_sum,
+           CAST(MAX(c) AS BIGINT) AS max_cust
+    FROM t GROUP BY s ORDER BY s
+    """,
+    tags=("source", "delta", "interchange", "variant", "json"),
+)
+def source_delta_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT columns end-to-end (round 12, the protocol's Variant
+    Data Type chapter): orders rows become JSON documents, `parse_json`
+    turns them into a VARIANT column, `write_delta` persists the table
+    with the `variantType` reader-writer feature from version 0 (the
+    even half) plus an append (the odd half) — parquet stores the
+    VARIANT logical type, which Spark 4.1 writes and reads natively
+    under the explicit schema while pyarrow cannot even parse the
+    footer (the adds therefore omit stats, asserted in-query along with
+    the protocol features and the read-back dtype). The read side
+    extracts typed paths with `variant_get` and aggregates per status;
+    the DuckDB twin reconstructs the same aggregate from the raw
+    columns. Embarrassingly parallel at 100 TB: variant encode/decode
+    is per-row inside the scan/write stages, no extra shuffle, and the
+    feature gates (streaming/nested-id refusals) fail fast instead of
+    mid-job."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import (
+        append_delta,
+        delta_versions,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.parse_json(
+            F.to_json(F.struct(
+                F.col("o_custkey").alias("c"),
+                F.col("o_orderstatus").alias("s"),
+            ))
+        ).alias("v"),
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_var_")
+    shutil.rmtree(path)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path)
+    append_delta(o.filter(F.col("o_orderkey") % 2 == 1), path)
+    with open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json")
+    ) as fh:
+        acts = [_json.loads(x) for x in fh.read().splitlines()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "variantType" in (proto.get("readerFeatures") or []), proto
+    assert "variantType" in (proto.get("writerFeatures") or []), proto
+    assert all(
+        "stats" not in a["add"] for a in acts if "add" in a
+    ), "variant adds must omit footer stats (pyarrow-opaque)"
+    back = read_delta(spark, path)
+    assert dict(back.dtypes)["v"] == "variant", back.dtypes
+    return (
+        back.select(
+            F.variant_get("v", "$.s", "string").alias("s"),
+            F.variant_get("v", "$.c", "long").alias("c"),
+        )
+        .groupBy("s")
+        .agg(
+            F.lit(dict(back.dtypes)["v"]).alias("v_dtype"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("c").cast("bigint").alias("cust_sum"),
+            F.max("c").cast("bigint").alias("max_cust"),
+        )
+        .orderBy("s")
+    )

@@ -264,6 +264,15 @@ _READER_FEATURES = {
     # vacuum_delta folds the snapshot through _check_protocol on every
     # run, so the requirement holds by construction
     "vacuumProtocolCheck",
+    # variantType (round 12, the protocol's Variant Data Type chapter):
+    # schema fields typed "variant", stored in parquet as the VARIANT
+    # logical type (a value/metadata binary group) — Spark 4.1 reads
+    # and writes it natively under the explicit schema, and
+    # parse_json/variant_get/to_json operate on the column. pyarrow
+    # cannot parse VARIANT footers, so footer stats are omitted for
+    # such files (sound: absence never prunes) and the Arrow-backed
+    # STREAMING source refuses variant tables fail-fast.
+    "variantType", "variantType-preview",
 }
 
 
@@ -1228,11 +1237,23 @@ def _adds_for_dir(path: str, pcols: list[str]) -> list[dict]:
                         "size": os.path.getsize(full),
                         "modificationTime": int(os.path.getmtime(full) * 1000),
                         "dataChange": True,
-                        "stats": json.dumps(_file_stats(full)),
+                        **_stats_or_omit(full),
                     }
                 }
             )
     return adds
+
+
+def _stats_or_omit(full: str) -> dict:
+    """``{"stats": ...}`` from the parquet footer, or ``{}`` when the
+    footer is unreadable by pyarrow (round 12: files carrying the
+    parquet VARIANT logical type fail thrift parsing) — stats are
+    optional in the protocol and absence never prunes, so omission is
+    the sound fallback."""
+    try:
+        return {"stats": json.dumps(_file_stats(full))}
+    except Exception:
+        return {}
 
 
 def write_delta(
@@ -1258,6 +1279,13 @@ def write_delta(
         # physical-translation/field-id machinery appends use, and the
         # protocol speaks the mapping versions from version 0
         base_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+    if _schema_has_variant(df.schema):
+        # VARIANT columns (round 12, the protocol's Variant Data Type
+        # chapter): reader-writer feature from version 0; Spark writes
+        # the parquet VARIANT logical type and reads it natively under
+        # the explicit schema. The Arrow stage writer (nested id
+        # mapping) has no VARIANT type — gated below.
+        base_proto = _with_reader_writer_feature(base_proto, "variantType")
     proto_action = {"protocol": base_proto}
     track_rows = (configuration or {}).get("delta.enableRowTracking") == "true"
     if track_rows:
@@ -1469,6 +1497,13 @@ def _stage_new_files(
     import shutil
 
     if meta is not None and _nested_id_mapped(meta):
+        if _schema_has_variant(df.schema):
+            raise NotImplementedError(
+                "VARIANT columns on nested-id-mapped tables: the Arrow "
+                "stage writer has no VARIANT type (pyarrow cannot emit "
+                "the parquet VARIANT logical type) — use name mapping "
+                "or flat id mapping"
+            )
         return _stage_new_files_arrow(df, path, pcols, meta, n_extra)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("error")
@@ -2383,6 +2418,44 @@ def _with_writer_feature(proto: dict | None, feature: str) -> dict:
     return out
 
 
+def _with_reader_writer_feature(proto: dict | None, feature: str) -> dict:
+    """The protocol action that adds a READER-WRITER table feature
+    (reader 3 / writer 7), enumerating what the legacy versions implied
+    on both lists — the upgrade shape `alter_delta_widen_column`
+    pioneered in round 11, shared since round 12."""
+    p = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    up = _with_writer_feature(p, feature)
+    rf = set(up.get("readerFeatures") or [])
+    if not rf and p.get("minReaderVersion", 1) >= 2:
+        rf |= {"columnMapping"}  # enumerate what legacy v2 implied
+    rf.add(feature)
+    up["minReaderVersion"] = 3
+    up["readerFeatures"] = sorted(rf)
+    return up
+
+
+def _schema_has_variant(dt) -> bool:
+    """True when a Spark data type tree contains a VariantType leaf."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructType,
+        VariantType,
+    )
+
+    if isinstance(dt, VariantType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_schema_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _schema_has_variant(dt.elementType)
+    if isinstance(dt, MapType):
+        return _schema_has_variant(dt.keyType) or _schema_has_variant(
+            dt.valueType
+        )
+    return False
+
+
 def enable_column_mapping(path: str, mode: str = "name") -> int:
     """ALTER TABLE ... SET ('delta.columnMapping.mode' = 'name') on an
     EXISTING table (round 10 — the migration that unlocks RENAME/DROP
@@ -2877,14 +2950,9 @@ def alter_delta_widen_column(path: str, col: str, new_type: str) -> int:
     actions: list[dict] = []
     proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
     if "typeWidening" not in set(proto.get("readerFeatures") or []):
-        up = _with_writer_feature(proto, "typeWidening")
-        rf = set(up.get("readerFeatures") or [])
-        if not rf and proto.get("minReaderVersion", 1) >= 2:
-            rf |= {"columnMapping"}  # enumerate what legacy v2 implied
-        rf.add("typeWidening")
-        up["minReaderVersion"] = 3
-        up["readerFeatures"] = sorted(rf)
-        actions.append({"protocol": up})
+        actions.append(
+            {"protocol": _with_reader_writer_feature(proto, "typeWidening")}
+        )
     actions.append({"metaData": meta})
     _write_commit(
         path, v, actions,
@@ -3885,6 +3953,24 @@ def delete_delta(spark: SparkSession, path: str, where: str) -> int:
             "total": total,
             "dv": a.get("deletionVector"),
         }
+    missing_total = [b for b, i in file_info.items() if i["total"] is None]
+    if missing_total:
+        # one raw Spark count job for files whose add carries no
+        # numRecords AND whose footer pyarrow cannot open (round 12:
+        # parquet VARIANT files) — physical row count, DVs not applied.
+        # Bounded collect: one row per stats-less file.
+        from pyspark.sql import functions as F  # noqa: F401
+
+        mp = [
+            os.path.abspath(_resolve(path, base_to_rel[b]))
+            for b in missing_total
+        ]
+        for r in (
+            spark.read.schema(plan.read_schema).parquet(*mp)
+            .withColumn(_NAME_COL, _key_col(k))
+            .groupBy(_NAME_COL).count().collect()
+        ):
+            file_info[r[_NAME_COL]]["total"] = r["count"]
 
     # apply_dvs=True: rows already deleted by existing deletion vectors
     # must NOT re-match (ADVICE r8 medium — with a raw scan, overlapping

@@ -793,6 +793,15 @@ class DeltaStreamDataSource(DataSource):
             raise ValueError("delta_stream requires option 'path'")
         meta, _adds, _state = _snapshot_state(path)
         base = StructType.fromJson(json.loads(meta["schemaString"]))
+        from rtcdb_spark.sources.delta_log import _schema_has_variant
+
+        if _schema_has_variant(base):
+            raise NotImplementedError(
+                "delta_stream over a table with VARIANT columns: the "
+                "streaming source reads files through pyarrow, which "
+                "cannot parse the parquet VARIANT logical type — read "
+                "the table in batch (read_delta handles variant)"
+            )
         if str(self.options.get("readchangefeed", "false")).lower() in (
             "true", "1", "yes",
         ):

@@ -5855,3 +5855,110 @@ class TestCdfRangeAcrossSchemaChanges:
         assert dict(feed.dtypes)["v"] == "bigint"
         assert [(r["k"], r["v"], r["_change_type"])
                 for r in feed.collect()] == [(3, 30, "insert")]
+
+
+class TestVariantType:
+    """Round 12: the protocol's Variant Data Type chapter — schema
+    fields typed 'variant', parquet VARIANT logical type (Spark 4.1
+    native both directions), reader-writer feature `variantType`."""
+
+    def _vt(self, spark, tmp_path, cdf=False):
+        path = str(tmp_path / "vt")
+        df = spark.createDataFrame(
+            [('{"a":1,"t":"x"}', 1), ('{"a":2,"t":"y"}', 2)],
+            "j string, k bigint",
+        ).select("k", F.parse_json("j").alias("v"))
+        cfg = {"delta.enableChangeDataFeed": "true"} if cdf else None
+        write_delta(df, path, configuration=cfg)
+        return path
+
+    def test_roundtrip_protocol_and_extract(self, spark, tmp_path):
+        path = self._vt(spark, tmp_path)
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json")
+        ) as fh:
+            acts = [json.loads(x) for x in fh.read().splitlines()]
+        proto = next(a["protocol"] for a in acts if "protocol" in a)
+        assert proto["minReaderVersion"] == 3
+        assert proto["minWriterVersion"] == 7
+        assert "variantType" in proto["readerFeatures"]
+        assert "variantType" in proto["writerFeatures"]
+        back = read_delta(spark, path)
+        assert dict(back.dtypes)["v"] == "variant"
+        got = sorted(
+            (r["k"], r["a"], r["t"]) for r in back.select(
+                "k",
+                F.variant_get("v", "$.a", "int").alias("a"),
+                F.variant_get("v", "$.t", "string").alias("t"),
+            ).collect()
+        )
+        assert got == [(1, 1, "x"), (2, 2, "y")]
+        # variant files' footers are opaque to pyarrow: the add omits
+        # stats (sound — absence never prunes)
+        add = next(a["add"] for a in acts if "add" in a)
+        assert "stats" not in add
+
+    def test_append_dv_delete_and_cdf(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            delete_delta,
+            delta_changes_cdf,
+        )
+
+        path = self._vt(spark, tmp_path, cdf=True)
+        append_delta(
+            spark.createDataFrame([('{"a":3}', 3)], "j string, k bigint")
+            .select("k", F.parse_json("j").alias("v")),
+            path,
+        )
+        delete_delta(spark, path, "k = 1")  # needs the Spark row-count
+        # fallback: no stats numRecords AND pyarrow cannot open footers
+        assert sorted(
+            r["k"] for r in read_delta(spark, path).select("k").collect()
+        ) == [2, 3]
+        feed = delta_changes_cdf(spark, path, 1, 2)
+        assert sorted(
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in feed.collect()
+        ) == [(1, "delete", 2), (3, "insert", 1)]
+        # the surviving variant payloads still parse
+        assert sorted(
+            r["s"] for r in read_delta(spark, path)
+            .select(F.to_json("v").alias("s")).collect()
+        ) == ['{"a":2,"t":"y"}', '{"a":3}']
+
+    def test_foreign_reader_feature_accepted(self):
+        from rtcdb_spark.sources.delta_log import _check_protocol
+
+        _check_protocol(
+            {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["variantType"],
+             "writerFeatures": ["variantType"]}
+        )
+        with pytest.raises(NotImplementedError, match="collations"):
+            _check_protocol(
+                {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["collations"]}
+            )
+
+    def test_nested_id_mapped_refused(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import _stage_new_files
+
+        df = spark.createDataFrame(
+            [('{"a":1}',)], "j string"
+        ).select(F.parse_json("j").alias("v"))
+        meta = {
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "s", "type": {"type": "struct", "fields": [
+                    {"name": "a", "type": "long", "nullable": True,
+                     "metadata": {"delta.columnMapping.id": 2,
+                                  "delta.columnMapping.physicalName":
+                                      "col-2"}}]},
+                 "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName":
+                                  "col-1"}}]}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }
+        with pytest.raises(NotImplementedError, match="VARIANT"):
+            _stage_new_files(df, str(tmp_path / "x"), [], meta)

@@ -1320,3 +1320,28 @@ class TestStreamOverWidenedTable:
                       for r in got.collect()) == [
             (0, 7, "b0"), (1, 8, "b1"), (2, 2 ** 34, "b2"),
         ]
+
+
+class TestVariantStreamGate:
+    def test_variant_table_refused_fail_fast(self, spark, tmp_path):
+        """Round 12: the streaming source reads through pyarrow, which
+        cannot parse the parquet VARIANT logical type — refuse at
+        schema resolution, not mid-stream."""
+        from pyspark.sql import functions as F
+
+        from rtcdb_spark.sources.delta_log import write_delta
+
+        path = str(tmp_path / "vs")
+        write_delta(
+            spark.createDataFrame([('{"a":1}', 1)], "j string, k bigint")
+            .select("k", F.parse_json("j").alias("v")),
+            path,
+        )
+        from rtcdb_spark.sources.delta_stream import DeltaStreamDataSource
+
+        src = DeltaStreamDataSource.__new__(DeltaStreamDataSource)
+        src.options = {"path": path}
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="VARIANT"):
+            src.schema()
