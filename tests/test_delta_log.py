@@ -5962,3 +5962,23 @@ class TestVariantType:
         }
         with pytest.raises(NotImplementedError, match="VARIANT"):
             _stage_new_files(df, str(tmp_path / "x"), [], meta)
+
+    def test_variant_v2_checkpoint_roundtrip(self, spark, tmp_path):
+        """Variant tables checkpoint through the v2 writer (the classic
+        writer correctly refuses reader-feature tables) and fold back —
+        stats-less adds included."""
+        from rtcdb_spark.sources.delta_log import checkpoint_delta_v2
+
+        path = self._vt(spark, tmp_path)
+        append_delta(
+            spark.createDataFrame([('{"a":3}', 3)], "j string, k bigint")
+            .select("k", F.parse_json("j").alias("v")),
+            path,
+        )
+        checkpoint_delta_v2(path)
+        back = read_delta(spark, path)
+        assert sorted(
+            (r["k"], r["a"]) for r in back.select(
+                "k", F.variant_get("v", "$.a", "int").alias("a")
+            ).collect()
+        ) == [(1, 1), (2, 2), (3, 3)]
