@@ -360,16 +360,18 @@ _PRIORITY = [
     # timeseries_cusum_drift, timeseries_interval_union,
     # join_lateral_topn, join_interval_overlap, fn_try_cast, fn_hash,
     # graph_modularity, customer_spend_gini, part_brand_share_shift.
-    # (late round 12, post-census): three additive capability rows
+    # (late round 12, post-census): four additive capability rows
     # landed AFTER this window was validated —
     # source_delta_restore_cdf_widened / _repartitioned (RESTORE+CDF
-    # across a type widening / a partitioning change) and
+    # across a type widening / a partitioning change),
     # source_delta_variant_json (the protocol's Variant Data Type,
-    # Spark-native parquet VARIANT), all sf0.01 driver-sim green. They
-    # stay OUT of this window (it is validated as-is) and join the
-    # never-run tail, which after this round's 33 first-timers is 45
-    # entries — 45 + 5 green reps = one round-13 window, closing the
-    # whole registry.
+    # Spark-native parquet VARIANT), and source_delta_collated_strings
+    # (the preview Collations chapter: __COLLATIONS schema metadata,
+    # case-insensitive joins from the read schema, skipping disabled on
+    # collated columns), all sf0.01 driver-sim green. They stay OUT of
+    # this window (it is validated as-is) and join the never-run tail,
+    # which after this round's 33 first-timers is 46 entries — 46 + 4
+    # green reps = one round-13 window, closing the whole registry.
     "q1_pricing_summary", "scan_filter_project",
     "source_db_api_roundtrip",
     "source_rtcdb_string_scan",

@@ -187,8 +187,10 @@ HEADLINE = [
     # repartitioning (per-side scan layouts)
     "source_delta_restore_cdf_widened",
     "source_delta_restore_cdf_repartitioned",
-    # round 12, late wave: VARIANT data type end-to-end
+    # round 12, late wave: VARIANT data type end-to-end; collated
+    # strings (case-insensitive join from the read schema)
     "source_delta_variant_json",
+    "source_delta_collated_strings",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -3067,3 +3067,95 @@ def source_delta_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s")
     )
+
+
+@query(
+    "source_delta_collated_strings",
+    """
+    SELECT lower(o_orderpriority) AS p,
+           'string collate UTF8_LCASE' AS s_dtype,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders GROUP BY p ORDER BY p
+    """,
+    tags=("source", "delta", "interchange", "collations"),
+)
+def source_delta_collated_strings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLLATED strings end-to-end (round 12, the protocol's preview
+    Collations chapter): order priorities land in a Delta table as a
+    UTF8_LCASE-collated column with deliberately MIXED case (even keys
+    upper, odd keys lower), the `__COLLATIONS` field metadata riding
+    the schemaString and the `collations-preview` writer feature on the
+    protocol (both asserted in-query). The read side broadcast-joins
+    the collated column against the lowercase canonical priorities —
+    the join key matches case-insensitively purely from the read
+    schema's collation, no lower()/upper() normalization anywhere in
+    the plan — and aggregates per canonical priority; a row count
+    assert pins that EVERY row matched despite the case split. The
+    DuckDB twin normalizes explicitly with lower(). At 100 TB the
+    collation rides the type system (zero extra expressions in the
+    scan), the dim side is a broadcast, and data skipping on collated
+    columns is disabled by rule rather than mis-pruning."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from rtcdb_spark.sources.delta_log import read_delta, write_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    fact = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        ).otherwise(F.lower("o_orderpriority"))
+        .cast("string collate UTF8_LCASE").alias("s"),
+        F.col("o_custkey").alias("c"),
+    )
+    path = tempfile.mkdtemp(prefix="rtcdb_delta_coll_")
+    shutil.rmtree(path)
+    write_delta(fact, path)
+    with open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json")
+    ) as fh:
+        acts = [_json.loads(x) for x in fh.read().splitlines()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "collations-preview" in (
+        proto.get("writerFeatures") or []
+    ), proto
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    sfield = next(
+        f for f in _json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "s"
+    )
+    assert sfield["metadata"].get("__COLLATIONS") == {
+        "s": "spark.UTF8_LCASE"
+    }, sfield
+    back = read_delta(spark, path)
+    assert dict(back.dtypes)["s"] == "string collate UTF8_LCASE", (
+        back.dtypes
+    )
+    dim = o.select(
+        F.lower("o_orderpriority").alias("p")
+    ).distinct()
+    joined = back.join(
+        F.broadcast(dim),
+        back["s"] == dim["p"].cast("string collate UTF8_LCASE"),
+    )
+    total = back.count()
+    res = (
+        joined.groupBy("p")
+        .agg(
+            F.lit(dict(back.dtypes)["s"]).alias("s_dtype"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("c").cast("bigint").alias("cust_sum"),
+        )
+        .orderBy("p")
+    )
+    matched = res.agg(F.sum("n_rows")).collect()[0][0]
+    assert matched == total, (
+        f"collated join matched {matched} of {total} rows"
+    )
+    return res

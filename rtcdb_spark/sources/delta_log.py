@@ -273,6 +273,15 @@ _READER_FEATURES = {
     # such files (sound: absence never prunes) and the Arrow-backed
     # STREAMING source refuses variant tables fail-fast.
     "variantType", "variantType-preview",
+    # collations (round 12, the protocol's preview Collations chapter):
+    # collation metadata rides the schemaString's `__COLLATIONS` field
+    # metadata (Spark 4.1's own schema-JSON representation, byte-equal
+    # to the spec's), physical storage is plain strings, and this
+    # reader materializes the collated Spark type straight from the
+    # schema — comparisons/sorts then follow the collation in every
+    # plan. Data skipping NEVER prunes on a collated column (binary
+    # min/max proves nothing under a collation; `delta_plan_files`).
+    "collations", "collations-preview",
 }
 
 
@@ -1286,6 +1295,16 @@ def write_delta(
         # the explicit schema. The Arrow stage writer (nested id
         # mapping) has no VARIANT type — gated below.
         base_proto = _with_reader_writer_feature(base_proto, "variantType")
+    if _schema_has_collation(df.schema):
+        # COLLATED strings (round 12, the protocol's preview Collations
+        # chapter): collation info rides the schemaString's
+        # `__COLLATIONS` field metadata — Spark's schema JSON emits the
+        # spec's exact shape — and physical storage stays plain
+        # strings; the writer feature marks the table for writers that
+        # must preserve the metadata
+        base_proto = _with_writer_feature(
+            base_proto, "collations-preview"
+        )
     proto_action = {"protocol": base_proto}
     track_rows = (configuration or {}).get("delta.enableRowTracking") == "true"
     if track_rows:
@@ -2434,6 +2453,29 @@ def _with_reader_writer_feature(proto: dict | None, feature: str) -> dict:
     return up
 
 
+def _schema_has_collation(dt) -> bool:
+    """True when a Spark data type tree contains a string with a
+    non-default (non-UTF8_BINARY) collation."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StringType,
+        StructType,
+    )
+
+    if isinstance(dt, StringType):
+        return not dt.isUTF8BinaryCollation()
+    if isinstance(dt, StructType):
+        return any(_schema_has_collation(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _schema_has_collation(dt.elementType)
+    if isinstance(dt, MapType):
+        return _schema_has_collation(dt.keyType) or _schema_has_collation(
+            dt.valueType
+        )
+    return False
+
+
 def _schema_has_variant(dt) -> bool:
     """True when a Spark data type tree contains a VariantType leaf."""
     from pyspark.sql.types import (
@@ -2957,6 +2999,57 @@ def alter_delta_widen_column(path: str, col: str, new_type: str) -> int:
     _write_commit(
         path, v, actions,
         op="CHANGE COLUMN", params={"column": col, "type": new_type},
+    )
+    return v
+
+
+def alter_delta_collate_column(path: str, col: str, collation: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... COLLATE (round 12, the
+    protocol's preview Collations chapter): a metadata-only commit
+    swapping a STRING column's collation — physical bytes are
+    collation-independent, so no file is touched; the schemaString's
+    `__COLLATIONS` field metadata (Spark's own schema-JSON shape, which
+    matches the spec) carries the new collation and every subsequent
+    plan compares/sorts under it. The protocol takes the
+    `collations-preview` writer feature. ``col`` may be a dotted path;
+    ``'UTF8_BINARY'`` restores the default. Non-string columns refuse."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    v, state = _next_version(path)
+    meta = dict(state["meta"])
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    segs = col.split(".")
+
+    def _collate(st, member):
+        f = next((x for x in st.fields if x.name == member), None)
+        if f is None:
+            raise ValueError(f"unknown column {col!r}")
+        if not isinstance(f.dataType, StringType):
+            raise ValueError(
+                f"{col!r} is {f.dataType.simpleString()}, not a string —"
+                " only strings collate"
+            )
+        return StructType([
+            StructField(
+                x.name, StringType(collation), x.nullable, x.metadata
+            )
+            if x.name == member else x
+            for x in st.fields
+        ])
+
+    meta["schemaString"] = _struct_path_apply(schema, segs, _collate).json()
+    actions: list[dict] = []
+    proto = state["protocol"] or {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    if "collations-preview" not in set(proto.get("writerFeatures") or []):
+        actions.append(
+            {"protocol": _with_writer_feature(proto, "collations-preview")}
+        )
+    actions.append({"metaData": meta})
+    _write_commit(
+        path, v, actions,
+        op="CHANGE COLUMN", params={"column": col, "collation": collation},
     )
     return v
 
@@ -5135,10 +5228,23 @@ def delta_plan_files(
             raise ValueError(f"unknown column {col!r}")
         key = by_logical[col]
     pcols = meta.get("partitionColumns", []) or []
-    is_string = any(
-        f.name == col and f.dataType.simpleString() == "string"
-        for f in want.fields
+    from pyspark.sql.types import StringType
+
+    col_dt = next(
+        (f.dataType for f in want.fields if f.name == col), None
     )
+    if (
+        isinstance(col_dt, StringType)
+        and not col_dt.isUTF8BinaryCollation()
+    ):
+        # COLLATED string column (round 12): footer min/max and
+        # partitionValues order by BINARY comparison, but the column's
+        # predicate semantics follow its collation ('apple' can match
+        # 'APPLE' under UTF8_LCASE) — a binary interval proves nothing,
+        # so pruning on this column keeps every file. Sound, never
+        # fast-wrong.
+        return sorted(adds), len(adds)
+    is_string = isinstance(col_dt, StringType)
     pv_parse = None
     if key in pcols:
         dt = next(

@@ -5982,3 +5982,144 @@ class TestVariantType:
                 "k", F.variant_get("v", "$.a", "int").alias("a")
             ).collect()
         ) == [(1, 1), (2, 2), (3, 3)]
+
+
+class TestCollations:
+    """Round 12: the protocol's preview Collations chapter — collation
+    metadata rides the schemaString's `__COLLATIONS` field metadata
+    (Spark 4.1's schema JSON emits the spec's exact shape), physical
+    storage stays plain strings."""
+
+    def _ct(self, spark, tmp_path):
+        path = str(tmp_path / "ct")
+        df = spark.sql(
+            "SELECT * FROM VALUES ('Apple', 1), ('BANANA', 2), "
+            "('apple', 3) AS t(s, k)"
+        ).select(
+            F.expr("cast(s as string collate UTF8_LCASE)").alias("s"), "k"
+        )
+        write_delta(df.coalesce(1), path)
+        return path
+
+    def test_roundtrip_preserves_collation_semantics(
+        self, spark, tmp_path
+    ):
+        path = self._ct(spark, tmp_path)
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json")
+        ) as fh:
+            acts = [json.loads(x) for x in fh.read().splitlines()]
+        proto = next(a["protocol"] for a in acts if "protocol" in a)
+        assert "collations-preview" in proto["writerFeatures"]
+        meta = next(a["metaData"] for a in acts if "metaData" in a)
+        sfield = next(
+            f for f in json.loads(meta["schemaString"])["fields"]
+            if f["name"] == "s"
+        )
+        assert sfield["type"] == "string"  # physical type unannotated
+        assert sfield["metadata"]["__COLLATIONS"] == {
+            "s": "spark.UTF8_LCASE"
+        }  # the spec's representation, emitted by Spark's schema JSON
+        back = read_delta(spark, path)
+        assert dict(back.dtypes)["s"] == "string collate UTF8_LCASE"
+        # case-insensitive equality engages from the read schema alone
+        assert sorted(
+            r["k"] for r in back.filter(
+                F.col("s") == F.lit("APPLE")
+            ).collect()
+        ) == [1, 3]
+        # collated min: 'Apple'/'apple' tie under LCASE; max is BANANA
+        assert back.agg(F.max("s").alias("m")).collect()[0]["m"] == "BANANA"
+
+    def test_skipping_never_prunes_collated_columns(self, spark, tmp_path):
+        """File stats order by BINARY comparison; under UTF8_LCASE the
+        interval ['APPLE','APPLE'] must still match a file whose
+        binary range is ['apple','apple'] — pruning keeps every file."""
+        from rtcdb_spark.sources.delta_log import delta_plan_files
+
+        path = str(tmp_path / "cp")
+        df = spark.sql(
+            "SELECT * FROM VALUES ('apple', 1), ('banana', 2) AS t(s, k)"
+        ).select(
+            F.expr("cast(s as string collate UTF8_LCASE)").alias("s"), "k"
+        )
+        write_delta(df.repartition(2, "k"), path)
+        keep, total = delta_plan_files(path, "s", "APPLE", "APPLE")
+        assert total >= 2 and len(keep) == total  # no binary mis-prune
+        # the numeric column still prunes normally on the same table
+        keep_k, total_k = delta_plan_files(path, "k", 100, 200)
+        assert len(keep_k) < total_k
+
+    def test_alter_collate_column(self, spark, tmp_path):
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_collate_column,
+        )
+
+        path = str(tmp_path / "ca")
+        write_delta(
+            spark.createDataFrame(
+                [("Apple", 1), ("apple", 2)], "s string, k bigint"
+            ).coalesce(1),
+            path,
+        )
+        v = alter_delta_collate_column(path, "s", "UTF8_LCASE")
+        assert v == 1
+        back = read_delta(spark, path)
+        assert dict(back.dtypes)["s"] == "string collate UTF8_LCASE"
+        assert sorted(
+            r["k"] for r in back.filter(
+                F.col("s") == F.lit("APPLE")
+            ).collect()
+        ) == [1, 2]
+        # revert to the default
+        alter_delta_collate_column(path, "s", "UTF8_BINARY")
+        back2 = read_delta(spark, path)
+        assert dict(back2.dtypes)["s"] == "string"
+        assert back2.filter(F.col("s") == F.lit("APPLE")).count() == 0
+        # non-strings refuse
+        with pytest.raises(ValueError, match="not a string"):
+            alter_delta_collate_column(path, "k", "UTF8_LCASE")
+
+    def test_foreign_collated_log_reads(self, spark, tmp_path):
+        """A FOREIGN hand-written log carrying `__COLLATIONS` metadata
+        and the collations-preview features: the collated type
+        materializes straight from the schemaString."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "cf")
+        os.makedirs(os.path.join(path, "_delta_log"))
+        pq.write_table(
+            pa.table({"s": ["Mixed", "MIXED"], "k": [1, 2]}),
+            os.path.join(path, "part-0.parquet"),
+        )
+        fields = [
+            {"name": "s", "type": "string", "nullable": True,
+             "metadata": {"__COLLATIONS": {"s": "spark.UTF8_LCASE"}}},
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+        ]
+        with open(
+            os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in [
+                {"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["collations-preview"],
+                    "writerFeatures": ["collations-preview"]}},
+                {"metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}),
+                    "partitionColumns": [], "configuration": {},
+                    "createdTime": 0}},
+                {"add": {"path": "part-0.parquet", "partitionValues": {},
+                         "size": os.path.getsize(
+                             os.path.join(path, "part-0.parquet")),
+                         "modificationTime": 0, "dataChange": True}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        back = read_delta(spark, path)
+        assert dict(back.dtypes)["s"] == "string collate UTF8_LCASE"
+        assert back.filter(F.col("s") == F.lit("mixed")).count() == 2
