@@ -5856,6 +5856,66 @@ class TestCdfRangeAcrossSchemaChanges:
         assert [(r["k"], r["v"], r["_change_type"])
                 for r in feed.collect()] == [(3, 30, "insert")]
 
+    def test_range_across_rename_aligns_by_physical_name(
+        self, spark, tmp_path
+    ):
+        """A mid-range RENAME (mapped table): pre-rename commits scan
+        under the old logical name and align to the end name by
+        PHYSICAL identity — values flow, no null-fill."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_rename_column,
+            delta_changes_cdf,
+            enable_column_mapping,
+        )
+
+        path = str(tmp_path / "crn")
+        write_delta(
+            spark.createDataFrame(
+                [(1, 10), (2, 20)], "k bigint, val bigint"
+            ).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        enable_column_mapping(path)                          # v1
+        alter_delta_rename_column(path, "val", "amount")     # v2
+        append_delta(
+            spark.createDataFrame([(3, 30)], "k bigint, amount bigint")
+            .coalesce(1),
+            path,
+        )                                                    # v3
+        feed = delta_changes_cdf(spark, path, 0, 3)
+        assert "amount" in feed.columns and "val" not in feed.columns
+        assert sorted(
+            (r["k"], r["amount"], r["_commit_version"])
+            for r in feed.collect()
+        ) == [(1, 10, 0), (2, 20, 0), (3, 30, 3)]
+
+    def test_range_across_add_column_null_fills(self, spark, tmp_path):
+        """Commits predating an ADD COLUMN null-fill it in the aligned
+        feed; commits after carry real values."""
+        from rtcdb_spark.sources.delta_log import (
+            alter_delta_add_column,
+            delta_changes_cdf,
+        )
+
+        path = str(tmp_path / "cad")
+        write_delta(
+            spark.range(2).select(F.col("id").alias("k")).coalesce(1),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        alter_delta_add_column(path, "extra", "long")        # v1
+        append_delta(
+            spark.createDataFrame([(7, 70)], "k bigint, extra bigint")
+            .coalesce(1),
+            path,
+        )                                                    # v2
+        feed = delta_changes_cdf(spark, path, 0, 2)
+        assert sorted(
+            (r["k"], r["extra"], r["_commit_version"])
+            for r in feed.collect()
+        ) == [(0, None, 0), (1, None, 0), (7, 70, 2)]
+
 
 class TestVariantType:
     """Round 12: the protocol's Variant Data Type chapter — schema
