@@ -190,18 +190,19 @@ class TestDeltaGates:
         df = spark.range(3).select(F.col("id").alias("k"))
         path = str(tmp_path / "t")
         write_delta(df, path)
-        # v3 demanding a feature we can't honor (collated strings) refuses
-        # (typeWidening moved to the SUPPORTED list in round 11)
+        # v3 demanding a feature we can't honor (shredded variants)
+        # refuses (typeWidening joined the SUPPORTED list in round 11,
+        # collations + variantType in round 12)
         self._set_protocol(
             path,
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["collations"],
-                "writerFeatures": ["collations"],
+                "readerFeatures": ["variantShredding-preview"],
+                "writerFeatures": ["variantShredding-preview"],
             },
         )
-        with pytest.raises(NotImplementedError, match="collations"):
+        with pytest.raises(NotImplementedError, match="variantShredding"):
             read_delta(spark, path)
         # v3 whose features are all covered reads fine (round 7)
         self._set_protocol(
@@ -5994,10 +5995,12 @@ class TestVariantType:
              "readerFeatures": ["variantType"],
              "writerFeatures": ["variantType"]}
         )
-        with pytest.raises(NotImplementedError, match="collations"):
+        with pytest.raises(
+            NotImplementedError, match="variantShredding"
+        ):
             _check_protocol(
                 {"minReaderVersion": 3, "minWriterVersion": 7,
-                 "readerFeatures": ["collations"]}
+                 "readerFeatures": ["variantShredding-preview"]}
             )
 
     def test_nested_id_mapped_refused(self, spark, tmp_path):
