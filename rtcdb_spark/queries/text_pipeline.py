@@ -812,38 +812,29 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIGHTMOST tie-break → adjacent duplicate selections collapse. The
     guarantee that makes it the plagiarism/near-copy filter of record:
     any shared substring of length ≥ w + k - 1 = 11 yields a shared
-    fingerprint, at expected density 2/(w+1) of the k-grams. Everything
-    is one pure column expression (`functions.text.winnow_select_expr`) —
-    whole-stage codegen, map-only, zero shuffles at any corpus size. The
-    oracle replays the identical selection in DuckDB; per-doc fingerprint
-    count, modular hash sum, and min/max must all hash-match, so one
-    wrong tie-break or window boundary breaks the gate."""
-    from rtcdb_spark.functions.text import winnow_select_expr
+    fingerprint, at expected density 2/(w+1) of the k-grams. The k-gram
+    hashing + window selection run as a vectorized NumPy kernel inside
+    `mapInArrow` (`functions.winnow_np`): one batched single-block MD5
+    pass per task — bit-identical to the column-expression formulation
+    (`functions.text.winnow_select_expr`, kept and cross-checked by
+    test), which Spark executes in the interpreted HOF evaluator at
+    ~50x the CPU per k-gram. Still map-only — zero shuffles at any
+    corpus size (the explicit repartition only spreads the small
+    fixture's single parquet split across cores; hashing dominates it
+    by orders of magnitude). The oracle replays the identical selection
+    in DuckDB; per-doc fingerprint count, modular hash sum, and min/max
+    must all hash-match, so one wrong tie-break or window boundary
+    breaks the gate."""
+    from rtcdb_spark.functions.winnow_np import OUT_DDL, winnow_stats_batches
 
-    sel = winnow_select_expr("text", _WINNOW_K, _WINNOW_W)
     d = load_table(spark, sf_dir, "documents")
-    kg_size = f"greatest(length(text) - {_WINNOW_K - 1}, 1)"
-    # Materialize the selection ONCE, then derive the four outputs from
-    # the column reference: embedding {sel} in each output column
-    # re-evaluated the whole k-gram + window pass per column (4x the
-    # work — CollapseProject keeps the alias because HOFs are non-cheap).
-    picked = d.select(
-        "doc_id",
-        F.expr(kg_size).cast("bigint").alias("n_kgrams"),
-        F.expr(sel).alias("wf"),
+    nparts = spark.sparkContext.defaultParallelism
+    return (
+        d.select("doc_id", "text")
+        .repartition(nparts)
+        .mapInArrow(winnow_stats_batches, OUT_DDL)
+        .orderBy("doc_id")
     )
-    fp_at = "transform(wf.picks, p -> element_at(wf.hs, p))"
-    return picked.select(
-        "doc_id",
-        "n_kgrams",
-        F.expr("size(wf.picks)").cast("bigint").alias("n_fingerprints"),
-        F.expr(
-            f"aggregate({fp_at}, CAST(0 AS BIGINT), "
-            "(a, f) -> a + f % 1000000007)"
-        ).alias("fp_sum"),
-        F.expr(f"array_min({fp_at})").alias("min_fp"),
-        F.expr(f"array_max({fp_at})").alias("max_fp"),
-    ).orderBy("doc_id")
 
 
 _HTML_WRAP_SQL = (
