@@ -335,14 +335,43 @@ def simhash64_rowwise(
     """64-bit SimHash per document → (id, sim_hi, sim_lo) with ZERO shuffle.
 
     Value-identical to :func:`simhash64` (same md5 prefix-window token
-    hashes, same ±1 occurrence-weighted bit sums, same word split), but
-    computed per ROW with higher-order functions instead of an
-    explode+groupBy: `aggregate` folds the token array into a 64-element
-    ±1-sum accumulator, entirely inside whole-stage codegen. No token
-    explode, no signature shuffle — the map-side shape a streaming operator
-    needs (a stateless projection can precede `applyInPandasWithState`,
-    where a streaming groupBy could not) and the cheaper shape at 100 TB
-    (the per-doc signature never leaves its input partition).
+    hashes, same ±1 occurrence-weighted bit sums, same word split) and to
+    :func:`simhash64_rowwise_expr` (pinned by test), but computed as a
+    vectorized NumPy kernel behind a pandas UDF
+    (`functions.simhash_np.simhash64_sig`): one batched single-block MD5
+    pass per Arrow batch instead of the interpreted HOF fold, ~30-50x less
+    CPU per token (guide §4.2 — hand whole batches to vectorized native
+    code). Still a stateless per-row projection: legal in front of
+    `applyInPandasWithState` in a streaming query, no token explode, no
+    signature shuffle — the per-doc signature never leaves its input
+    partition, at any corpus size.
+    """
+    from rtcdb_spark.functions.simhash_np import simhash64_sig
+
+    carried = [F.col(c) for c in (extra_cols or [])]
+    sigged = docs.select(
+        F.col(id_col), *carried, simhash64_sig(F.col(text_col)).alias("_sig")
+    )
+    return sigged.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.col("_sig.sim_hi").alias("sim_hi"),
+        F.col("_sig.sim_lo").alias("sim_lo"),
+    )
+
+
+def simhash64_rowwise_expr(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """The pure-column-expression formulation of :func:`simhash64_rowwise`
+    (the pre-optimization implementation, kept as the cross-check twin and
+    for plan-shape tests): `aggregate` folds the token array into a
+    64-element ±1-sum accumulator per row — correct everywhere, but the
+    fold runs in the interpreted HOF evaluator, which is why the kernel
+    form replaced it on the hot paths.
 
     The one-element ``transform(array(...))[0]`` wrapper binds the
     accumulator once so the two output words don't re-fold the token array.

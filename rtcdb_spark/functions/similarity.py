@@ -31,6 +31,25 @@ def _dot(a: str, b: str) -> F.Column:
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
 
+def _l2sq_unrolled(a: str, b: str, n: int) -> F.Column:
+    """Sum of squared differences with statically-known length, unrolled to
+    plain arithmetic for whole-stage codegen.
+
+    Spark evaluates higher-order functions (zip_with/aggregate) in the
+    interpreted evaluator, so the fold costs ~10x per element when it sits
+    on a corpus×m×k scored stream (the PQ paths, subspace dim 8). Only
+    worth it for SHORT static lengths on wide streams: unrolling the 64-dim
+    kmeans/IVF distance measured a wash (iteration job floors dominate) and
+    paid seconds of first-run codegen compilation, so those keep the fold.
+    Bit-identical result: the explicit leading `0D +` reproduces the fold's
+    seed so the add chain associates exactly as `((0D + t0) + t1) + ...`,
+    and every square is non-negative so the seed add is exact."""
+    terms = " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(n)
+    )
+    return F.expr(f"0D + {terms}")
+
+
 def with_norm(df: DataFrame, vec_col: str = "v", out: str = "norm") -> DataFrame:
     return df.withColumn(out, F.sqrt(_dot(vec_col, vec_col)))
 
@@ -343,16 +362,12 @@ def pq_train(
         .localCheckpoint()
     )
     for _ in range(n_iter):
-        # same map-side MIN(struct) argmin as kmeans_centroids
+        # same map-side MIN(struct) argmin as kmeans_centroids; distance
+        # unrolled over the static subspace dim (codegen, not the
+        # interpreted fold — this stream is corpus × m × k rows)
         best = (
             subs.join(F.broadcast(cents), "sub")
-            .withColumn(
-                "d2",
-                F.expr(
-                    "aggregate(zip_with(sv, cv, (x, y) -> (x-y)*(x-y)),"
-                    " 0D, (a, x) -> a + x)"
-                ),
-            )
+            .withColumn("d2", _l2sq_unrolled("sv", "cv", sd))
             .groupBy(id_col, "sub")
             .agg(F.min(F.struct("d2", "cid", "sv")).alias("m"))
             .select("sub", F.col("m.cid").alias("cid"), F.col("m.sv").alias("sv"))
@@ -409,10 +424,7 @@ def pq_encode(
     ).select(id_col, "s.sub", "s.sv")
     scored = (
         subs.join(F.broadcast(books), "sub")
-        .withColumn(
-            "d2",
-            F.expr("aggregate(zip_with(sv, cv, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x)"),
-        )
+        .withColumn("d2", _l2sq_unrolled("sv", "cv", sd))
         # map-side MIN(struct) argmin: the corpus×k scored rows collapse
         # to one row per (id, sub) inside their own partition instead of
         # shuffling into a window sort (round 7)

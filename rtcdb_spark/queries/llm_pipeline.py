@@ -1363,11 +1363,21 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized stream is touched only by hash aggregates. No
     driver-side model state: the "model" stays distributed, which is
     exactly how n-gram LM filtering runs on web-scale corpora."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
+    # Tokenize ONCE and persist: DataFrame reuse does not dedupe physical
+    # subtrees, so the pre-optimization plan re-ran the regex+explode scan
+    # for every consumer (bi_doc, the c2 LM branch, the vocabulary count —
+    # 26 Exchanges, regexp_extract_all evaluated 3-4x per doc; see
+    # plans/r12/text_bigram_perplexity_before.txt). Persisting the token
+    # table pins one regex pass; it is an intermediate of THIS computation
+    # (recomputed from parquet on every invocation), the established
+    # pattern of the iterative operators here.
     toks = d.select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ts"),
-    )
+    ).persist()
     bi = (
         toks.filter(F.size("ts") >= 2)
         .select(
@@ -1380,38 +1390,37 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("bs").alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
-    # Aggregate CASCADE: the corpus-wide bigram explode feeds exactly one
-    # hash aggregate (bi_doc); c2 and c1 derive from it by re-aggregation
-    # of vocabulary-sized tables — the rollup_cascade pattern, saving two
-    # full re-evaluations of the explode at 100 TB.
+    # One hash aggregate over the corpus bigram stream; the LM's context
+    # counts come from WINDOW sums over bi_doc instead of the former
+    # c2⋈c1 join chain — the (w1) window is planned first so the (w1, w2)
+    # window reuses its exchange (hashpartitioning(w1) clusters both), so
+    # training adds ONE exchange total. Same add-k arithmetic, same
+    # per-distinct-bigram probability, identical values.
     bi_doc = bi.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("n_dw")
     )
-    c2 = bi_doc.groupBy("w1", "w2").agg(F.sum("n_dw").alias("n2"))
-    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     v = toks.select(F.explode("ts").alias("w")).agg(
         F.countDistinct("w").alias("vocab")
     )
-    lm = (
-        c2.join(c1, ["w1"])
+    scored = (
+        bi_doc.withColumn("n1", F.sum("n_dw").over(Window.partitionBy("w1")))
+        .withColumn(
+            "n2", F.sum("n_dw").over(Window.partitionBy("w1", "w2"))
+        )
         .crossJoin(F.broadcast(v))
-        .select(
-            "w1",
-            "w2",
-            (
-                -F.log(
-                    (2 * F.col("n2") + 1).cast("double")
-                    / (2 * F.col("n1") + F.col("vocab")).cast("double")
-                )
-            ).alias("nll"),
+        .withColumn(
+            "nll",
+            -F.log(
+                (2 * F.col("n2") + 1).cast("double")
+                / (2 * F.col("n1") + F.col("vocab")).cast("double")
+            ),
         )
     )
     avg_nll = F.round(
         F.sum(F.col("n_dw") * F.col("nll")) / F.sum("n_dw"), 9
     )
     return (
-        bi_doc.join(lm, ["w1", "w2"])
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.sum("n_dw").cast("bigint").alias("n_bigrams"),
             avg_nll.alias("avg_nll"),

@@ -826,10 +826,19 @@ def multimodal_mp3_bitstream_decode(
     mis-parsed side-info field, a sign flip, a wrong quad complement,
     or an off-by-one in the bit budget breaks the hash. Scale: the
     codec runs inside `mapInPandas` over Arrow batches — embarrassingly
-    parallel, no shuffle before the final sort."""
+    parallel, no shuffle before the final sort. The id column is
+    round-robin repartitioned first (the `_fan_out` treatment every other
+    codec row already gets): the one-row-group parquet fixture is a
+    single split, which would otherwise serialize all 5 000 pure-Python
+    codec runs onto ONE task — an 8-byte/row exchange buys a
+    core-count-wide decode (guide §2.5, unsplittable-input repartition)."""
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def _work(batches):
         from rtcdb_spark.functions import mp3
