@@ -57,9 +57,30 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def fan_out_small(df: DataFrame) -> DataFrame:
+    """Round-robin-rebalance a DataFrame whose scan has fewer partitions
+    than the session's parallelism — the small-fixture / unsplittable-file
+    case (optimization guide §2.5: repartition immediately after an
+    un-parallel read) — so the heavy map stage that follows uses every
+    core instead of one task. No-op when the input is already at least
+    core-parallel, so at corpus scale (thousands of scan splits) this
+    never adds a shuffle."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct (id, shingle_hash) pairs — the set representation used by
-    MinHash and Jaccard. Hashes are in [0, P)."""
+    MinHash and Jaccard. Hashes are in [0, P).
+
+    The shingle explode + md5 map stage is the expensive part; the input
+    is rebalanced first when its scan is narrower than the session's
+    parallelism (`fan_out_small`) — before that, every consumer of this
+    function ran its whole hash stage on the fixture's single parquet
+    split."""
+    docs = fan_out_small(docs)
     return (
         docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
         .select(id_col, stable_hash_mod("shingle").alias("sh"))
@@ -348,6 +369,10 @@ def simhash64_rowwise(
     """
     from rtcdb_spark.functions.simhash_np import simhash64_sig
 
+    if not docs.isStreaming:
+        # batch consumers read the single-split fixture: spread the kernel
+        # across cores (streaming partitioning is the source's business)
+        docs = fan_out_small(docs)
     carried = [F.col(c) for c in (extra_cols or [])]
     sigged = docs.select(
         F.col(id_col), *carried, simhash64_sig(F.col(text_col)).alias("_sig")
