@@ -485,7 +485,14 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         _grams(d.filter(F.col("doc_id") < _BENCH_DOCS)).select("gram").distinct()
     )
-    hit = _grams(d.filter(F.col("doc_id") >= _BENCH_DOCS)).join(
+    # training side: gram explode + broadcast probe are the heavy map —
+    # rebalance the single-split fixture scan across cores first (no-op on
+    # a many-split corpus; the bench side stays a structurally-filtered
+    # scan so its doc_id pushdown is untouched)
+    from rtcdb_spark.functions.dedup import fan_out_small
+
+    train = fan_out_small(d.filter(F.col("doc_id") >= _BENCH_DOCS))
+    hit = _grams(train).join(
         F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
     )
     scored = hit.groupBy("doc_id").agg(
