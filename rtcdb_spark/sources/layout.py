@@ -25,6 +25,9 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -168,8 +171,7 @@ def _parquet_file_count(path: str) -> int:
 
 
 def hilbert_value(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
-    """2-D Hilbert curve index over two numeric columns, as a pure column
-    expression (an `aggregate` fold over bit planes — JVM-side, no UDF).
+    """2-D Hilbert curve index over two numeric columns.
 
     The Hilbert curve preserves locality strictly better than the Morton
     (Z-order) curve: consecutive curve positions are always adjacent cells
@@ -177,9 +179,14 @@ def hilbert_value(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
     from contiguous curve ranges have tighter per-dimension min/max boxes —
     the same reason Delta's liquid clustering moved from Z-order to Hilbert.
     Columns are min/max-normalized to ``bits`` bits exactly like
-    :func:`zorder_value`; the fold is Hamilton's standard xy→d transform
-    (rotate/reflect per bit plane, state (x, y, d) carried through a
-    named_struct accumulator). 2·bits ≤ 62 keeps d in a signed long.
+    :func:`zorder_value` (codegen column expressions); the xy→d transform
+    is Hamilton's standard rotate/reflect fold over bit planes, computed as
+    a vectorized NumPy loop behind a pandas UDF (round-12 optimization:
+    the former `aggregate` fold over a named_struct accumulator ran in the
+    interpreted HOF evaluator at ~16 struct allocations per row — pure
+    integer math, so the kernel is exact; the full-grid reference test in
+    tests/test_layout.py pins the values). 2·bits ≤ 62 keeps d in a
+    signed long.
     """
     if len(cols) != 2:
         raise ValueError("hilbert_value supports exactly 2 columns")
@@ -195,20 +202,28 @@ def hilbert_value(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
         lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
         span = (hi - lo) or 1.0
         norm.append(
-            f"CAST(least({top}, floor((CAST({c} AS DOUBLE) - {lo!r}) "
-            f"/ {span!r} * {top + 1})) AS BIGINT)"
+            F.expr(
+                f"CAST(least({top}, floor((CAST({c} AS DOUBLE) - {lo!r}) "
+                f"/ {span!r} * {top + 1})) AS BIGINT)"
+            )
         )
-    s = "shiftleft(CAST(1 AS BIGINT), i)"
-    rx = f"IF((acc.x & {s}) != 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
-    ry = f"IF((acc.y & {s}) != 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
-    expr = (
-        f"aggregate(sequence({bits - 1}, 0, -1), "
-        f"named_struct('x', {norm[0]}, 'y', {norm[1]}, 'd', CAST(0 AS BIGINT)), "
-        f"(acc, i) -> named_struct("
-        # reflect (when ry=0 and rx=1) then swap (when ry=0); s-1-v reflects
-        f"'x', IF({ry} = 0, IF({rx} = 1, {s} - 1 - acc.y, acc.y), acc.x), "
-        f"'y', IF({ry} = 0, IF({rx} = 1, {s} - 1 - acc.x, acc.x), acc.y), "
-        f"'d', acc.d + {s} * {s} * CAST((3 * {rx}) ^ {ry} AS BIGINT)), "
-        f"acc -> acc.d)"
-    )
-    return F.expr(expr)
+
+    @F.pandas_udf("long")
+    def _hilbert_d(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        x = xs.to_numpy(dtype=np.int64, copy=True)
+        y = ys.to_numpy(dtype=np.int64, copy=True)
+        d = np.zeros(len(x), dtype=np.int64)
+        for i in range(bits - 1, 0 - 1, -1):
+            s = np.int64(1 << i)
+            rx = ((x & s) != 0).astype(np.int64)
+            ry = ((y & s) != 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate/reflect the sub-quadrant where ry == 0
+            m = ry == 0
+            refl = m & (rx == 1)
+            x_new = np.where(m, np.where(refl, s - 1 - y, y), x)
+            y_new = np.where(m, np.where(refl, s - 1 - x, x), y)
+            x, y = x_new, y_new
+        return pd.Series(d)
+
+    return _hilbert_d(norm[0], norm[1])
