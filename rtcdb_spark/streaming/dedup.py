@@ -521,11 +521,14 @@ def stream_ingest_near_dedup_to_versioned(
         )
         seen.add(txn)
 
-    q = (
-        flags.writeStream.foreachBatch(_commit_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from rtcdb_spark.streaming.events import stream_shuffle_throttle
+
+    with stream_shuffle_throttle(docs.sparkSession):
+        q = (
+            flags.writeStream.foreachBatch(_commit_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rtcdb_spark.deterministic import dsum
+from rtcdb_spark.streaming.events import stream_shuffle_throttle
 
 
 def _restore_if_interrupted(out_dir: str) -> None:
@@ -90,17 +91,18 @@ def stream_to_parquet(
     """Stateless filter+project streamed to an append-mode parquet sink,
     exactly-once under restart (checkpoint + `_spark_metadata` commit log).
     Runs to completion over available input (`availableNow`)."""
-    q = (
-        events.filter(F.col("value") >= F.lit(min_value))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_throttle(events.sparkSession):
+        q = (
+            events.filter(F.col("value") >= F.lit(min_value))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_agg_foreach_batch(
@@ -136,14 +138,15 @@ def stream_agg_foreach_batch(
             ).unionByName(batch_df)
         _swap_in(merged, out_dir)
 
-    q = (
-        agg.writeStream.foreachBatch(_write_snapshot)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_throttle(events.sparkSession):
+        q = (
+            agg.writeStream.foreachBatch(_write_snapshot)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_rollup_cascade(
@@ -191,14 +194,15 @@ def stream_rollup_cascade(
             ).agg(F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec"))
             _swap_in(rolled, f"{out_dir}/{level}")
 
-    q = (
-        minute.writeStream.foreachBatch(_apply)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_throttle(events.sparkSession):
+        q = (
+            minute.writeStream.foreachBatch(_apply)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_to_versioned(
@@ -309,15 +313,16 @@ def stream_to_versioned(
                 zorder_by=autocompact_zorder_by,
             )
 
-    q = (
-        events.select("event_id", "ts", "user_id", "event_type", "value")
-        .writeStream.foreachBatch(_commit_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_throttle(events.sparkSession):
+        q = (
+            events.select("event_id", "ts", "user_id", "event_type", "value")
+            .writeStream.foreachBatch(_commit_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_cdc_upsert(
@@ -363,15 +368,16 @@ def stream_cdc_upsert(
         )
         _swap_in(merged, out_dir)
 
-    q = (
-        events.select(*cols)
-        .writeStream.foreachBatch(_apply)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_throttle(events.sparkSession):
+        q = (
+            events.select(*cols)
+            .writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_to_rtcdb(
@@ -408,14 +414,15 @@ def stream_to_rtcdb(
         )
         write_rtcdb(cols, root, table)
 
-    q = (
-        events.writeStream.foreachBatch(_append)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_throttle(events.sparkSession):
+        q = (
+            events.writeStream.foreachBatch(_append)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_cdc_with_tombstones(
@@ -459,15 +466,16 @@ def stream_cdc_with_tombstones(
             )
         _swap_in(merged, out_dir)
 
-    q = (
-        events.select(*cols)
-        .writeStream.foreachBatch(_apply)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_throttle(events.sparkSession):
+        q = (
+            events.select(*cols)
+            .writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def read_cdc_snapshot(spark, out_dir: str) -> DataFrame:
@@ -536,11 +544,12 @@ def stream_to_delta(
             dl.write_delta(batch_df, table_path, extra_actions=[txn])
         hw[0] = batch_id
 
-    q = (
-        events.writeStream.foreachBatch(_commit_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_throttle(events.sparkSession):
+        q = (
+            events.writeStream.foreachBatch(_commit_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
