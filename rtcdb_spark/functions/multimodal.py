@@ -749,12 +749,23 @@ def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
     CPU-bound per row, and a coarse upstream layout (e.g. a one-row-group
     parquet fixture -> ONE input partition) would serialize the whole
     corpus onto a single task. Repartitioning the id column is an 8-byte/
-    row round-robin exchange — negligible data movement next to the codec
-    compute it parallelizes. On a real many-file corpus the exchange is
-    still correct: it rebalances skewed file sizes before the expensive
-    map."""
+    row exchange — negligible data movement next to the codec compute it
+    parallelizes. On a real many-file corpus the exchange is still
+    correct: it rebalances skewed file sizes before the expensive map.
+
+    RANGE partitioning on the id (round 13), not round-robin: the codec
+    queries' output contract is ORDER BY id, and a global sort ABOVE the
+    codec map runs the range-partitioner's sampling pass over the map's
+    output — executing every per-row codec TWICE per run (measured with
+    an accumulator: 2N rows processed for N inputs). Range-partitioning
+    the 8-byte input instead puts the sampling pass on the scan, so each
+    partition holds one contiguous id range, the codec runs ONCE, and a
+    shuffle-free sortWithinPartitions on the map output yields the same
+    globally ordered result (partitions are collected in range order)."""
     spark = df.sparkSession
-    return df.select(id_col).repartition(spark.sparkContext.defaultParallelism)
+    return df.select(id_col).repartitionByRange(
+        spark.sparkContext.defaultParallelism, id_col
+    )
 
 
 def extract_payload_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
