@@ -64,11 +64,48 @@ def fan_out_small(df: DataFrame) -> DataFrame:
     un-parallel read) — so the heavy map stage that follows uses every
     core instead of one task. No-op when the input is already at least
     core-parallel, so at corpus scale (thousands of scan splits) this
-    never adds a shuffle."""
+    never adds a shuffle.
+
+    Streaming DataFrames pass through untouched: their partitioning is the
+    source's per-micro-batch layout, and ``df.rdd`` (the partition-count
+    probe below) is illegal on a streaming plan. Note the probe's cost on
+    batch plans: ``df.rdd.getNumPartitions()`` forces physical planning of
+    ``df`` once — cheap for the scan-rooted inputs this guards, but not
+    free on very wide plans, so call it on the raw scan, not downstream."""
+    if df.isStreaming:
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+def fan_out_small_ordered(df: DataFrame, id_col: str) -> tuple[DataFrame, bool]:
+    """`fan_out_small` for map-only kernels whose output contract is
+    ORDER BY ``id_col``. A global sort ABOVE an expensive map runs the
+    range partitioner's sampling pass over the map's output — executing
+    the whole kernel TWICE per run (verified with an accumulator). When
+    the scan is narrower than the session's parallelism, RANGE-partition
+    the input on the id instead of round-robin: the sampling pass then
+    reads only the cheap input, each partition holds one contiguous id
+    range, and the caller finishes with a shuffle-free
+    ``sortWithinPartitions(id_col)`` for the same globally ordered rows
+    (partitions are collected in range order).
+
+    Returns ``(df, ordered)``: ``ordered=True`` → finish with
+    ``sortWithinPartitions``; ``False`` (input already core-parallel —
+    the corpus-scale case) → the input is untouched and the caller must
+    ``orderBy``. At that scale the honest choice is the plain global
+    sort: pre-shuffling the full text bytes to dodge the sampling pass
+    would move strictly more data than the duplicated kernel saves only
+    when the kernel is cheap, and a real pipeline materializes kernel
+    output once and sorts the stats table instead."""
+    if df.isStreaming:
+        return df, False
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df, False
+    return df.repartitionByRange(n, id_col), True
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:

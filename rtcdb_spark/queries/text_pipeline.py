@@ -819,22 +819,24 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`functions.text.winnow_select_expr`, kept and cross-checked by
     test), which Spark executes in the interpreted HOF evaluator at
     ~50x the CPU per k-gram. Still map-only — zero shuffles at any
-    corpus size (the explicit repartition only spreads the small
-    fixture's single parquet split across cores; hashing dominates it
-    by orders of magnitude). The oracle replays the identical selection
+    corpus size (`fan_out_small` round-robins the small fixture's single
+    parquet split across cores and is a NO-OP once the scan is already
+    core-parallel, so a real corpus never shuffles its text bytes; hashing
+    dominates the small-fixture exchange by orders of magnitude). The
+    oracle replays the identical selection
     in DuckDB; per-doc fingerprint count, modular hash sum, and min/max
     must all hash-match, so one wrong tie-break or window boundary
     breaks the gate."""
+    from rtcdb_spark.functions.dedup import fan_out_small_ordered
     from rtcdb_spark.functions.winnow_np import OUT_DDL, winnow_stats_batches
 
     d = load_table(spark, sf_dir, "documents")
-    nparts = spark.sparkContext.defaultParallelism
-    return (
-        d.select("doc_id", "text")
-        .repartition(nparts)
-        .mapInArrow(winnow_stats_batches, OUT_DDL)
-        .orderBy("doc_id")
-    )
+    src, ordered = fan_out_small_ordered(d.select("doc_id", "text"), "doc_id")
+    out = src.mapInArrow(winnow_stats_batches, OUT_DDL)
+    # ordered => input was range-partitioned on doc_id, so the global
+    # order comes shuffle-free and the kernel runs ONCE (a global sort
+    # above the kernel would re-execute it for range-boundary sampling).
+    return out.sortWithinPartitions("doc_id") if ordered else out.orderBy("doc_id")
 
 
 _HTML_WRAP_SQL = (
@@ -877,10 +879,18 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IDENTICAL frame and runs the IDENTICAL chain in DuckDB
     (`sql_html_to_text`), and the md5 of every extracted document must
     hash-match — content equality, not just statistics. Map-only at any
-    scale: no shuffle anywhere in the operator."""
+    scale: no shuffle anywhere in the operator. The small-fixture read is
+    range-partitioned on doc_id first (`fan_out_small_ordered`): the
+    regexp chain then runs core-parallel and exactly ONCE — with the
+    plain global sort on top, the range sampling pass re-evaluated the
+    whole extraction a second time per run."""
+    from rtcdb_spark.functions.dedup import fan_out_small_ordered
     from rtcdb_spark.functions.text import html_to_text
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d, _ordered = fan_out_small_ordered(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     html = F.concat(
         F.lit("<html><head><title>doc "),
         F.col("doc_id"),
@@ -896,12 +906,12 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p></body></html>"),
     )
     txt = html_to_text(html)
+    out = d.select(
+        "doc_id",
+        F.md5(txt).alias("content_md5"),
+        F.length(txt).cast("bigint").alias("n_chars"),
+        F.size(F.split(txt, " ")).cast("bigint").alias("n_tokens"),
+    )
     return (
-        d.select(
-            "doc_id",
-            F.md5(txt).alias("content_md5"),
-            F.length(txt).cast("bigint").alias("n_chars"),
-            F.size(F.split(txt, " ")).cast("bigint").alias("n_tokens"),
-        )
-        .orderBy("doc_id")
+        out.sortWithinPartitions("doc_id") if _ordered else out.orderBy("doc_id")
     )
