@@ -53,6 +53,7 @@ surface for a 100 TB multimodal corpus.
 
 from __future__ import annotations
 
+import functools
 import math
 import struct
 
@@ -166,9 +167,21 @@ _ZIGZAG = _zigzag_order()  # zigzag position -> natural (row-major) index
 assert sorted(_ZIGZAG) == list(range(64))
 
 
+@functools.lru_cache(maxsize=None)
+def _zz64():
+    """_ZIGZAG as a cached int64 numpy index array (read-only)."""
+    import numpy as np
+
+    return np.array(_ZIGZAG, dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=None)
 def _dct_matrix():
     """Orthonormal 8-point DCT-II matrix C; forward is C @ f @ C.T,
-    inverse is C.T @ F @ C."""
+    inverse is C.T @ F @ C. Cached (round 13): the matrix is a pure
+    constant, but the fixture images are tiny (<= 21x13 px), so per-image
+    reconstruction dominated the codec rows' profile. Callers treat the
+    returned array as read-only."""
     import numpy as np
 
     c = np.zeros((8, 8), dtype=np.float64)
@@ -180,7 +193,14 @@ def _dct_matrix():
 
 
 def _scaled_quant(base: list[int], quality: int):
-    """IJG quality scaling of an Annex-K table (public libjpeg formula)."""
+    """IJG quality scaling of an Annex-K table (public libjpeg formula).
+    Cached per (table, quality) — 3 qualities x 2 tables in the fixture
+    corpus; the returned array is read-only by convention."""
+    return _scaled_quant_cached(tuple(base), quality)
+
+
+@functools.lru_cache(maxsize=64)
+def _scaled_quant_cached(base: tuple, quality: int):
     import numpy as np
 
     q = max(1, min(100, quality))
@@ -190,7 +210,15 @@ def _scaled_quant(base: list[int], quality: int):
 
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman construction (T.81 C.2): symbol -> (code, length)."""
+    """Canonical Huffman construction (T.81 C.2): symbol -> (code, length).
+    Cached: encoders rebuild the four Annex-K tables per image, decoders
+    rebuild them per DHT segment — a handful of distinct tables total.
+    Callers only index the returned dict."""
+    return _build_codes_cached(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=256)
+def _build_codes_cached(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
     codes: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -322,7 +350,7 @@ def _compute_coefficients(pixels, quality: int):
         plane_tbl = [0, 1, 1]
 
     cmat = _dct_matrix()
-    zz = np.array(_ZIGZAG, dtype=np.int64)
+    zz = _zz64()
     comp_coeffs = []
     for plane, tbl in zip(planes, plane_tbl):
         padded = _pad_replicate(plane, h8, w8) - 128.0
@@ -342,12 +370,15 @@ def _header_bytes(
     marker and its scan script)."""
     import numpy as np
 
-    zz = np.array(_ZIGZAG, dtype=np.int64)
+    zz = _zz64()
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tid, q in enumerate(quants):
         qz = q.reshape(-1)[zz]  # DQT payload is in zigzag order
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(int(x) for x in qz)
+        # values are 1..255 ints; uint8 tobytes == bytes(int(x) for x in qz)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + np.asarray(
+            qz, dtype=np.uint8
+        ).tobytes()
     ncomp = 1 if gray else 3
     if sampling is None:
         sampling = [0x11] * ncomp
@@ -474,7 +505,7 @@ def _compute_coefficients_420(pixels, quality: int):
         _scaled_quant(_QUANT_CHROMA, quality),
     ]
     cmat = _dct_matrix()
-    zz = np.array(_ZIGZAG, dtype=np.int64)
+    zz = _zz64()
 
     def coefs(plane, q):
         blocks = _to_blocks(plane - 128.0)
@@ -970,6 +1001,14 @@ def _extend(v: int, ssss: int) -> int:
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
+@functools.lru_cache(maxsize=256)
+def _decode_table(bits: tuple, vals: tuple) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol decode dict for one DHT table, cached by
+    the table's BITS/HUFFVAL content (read-only to callers)."""
+    codes = _build_codes_cached(bits, vals)
+    return {(length, code): sym for sym, (code, length) in codes.items()}
+
+
 def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code = 0
     for length in range(1, 17):
@@ -1228,7 +1267,7 @@ def decode_jpeg(payload: bytes):
                     raise NotImplementedError("16-bit quant tables not supported")
                 zz_tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.float64)
                 nat = np.empty(64, dtype=np.float64)
-                nat[np.array(_ZIGZAG)] = zz_tbl  # de-zigzag into natural order
+                nat[_zz64()] = zz_tbl  # de-zigzag into natural order
                 quant[tq] = nat.reshape(8, 8)
                 p += 65
         elif marker in (0xC0, 0xC2, 0xC9, 0xCA):  # sequential/progressive x huffman/arith
@@ -1295,8 +1334,7 @@ def decode_jpeg(payload: bytes):
                 bits = list(seg[p + 1 : p + 17])
                 nvals = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nvals])
-                codes = _build_codes(bits, vals)
-                huff[(tc, th)] = {(length, code): sym for sym, (code, length) in codes.items()}
+                huff[(tc, th)] = _decode_table(tuple(bits), tuple(vals))
                 p += 17 + nvals
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             dri = struct.unpack(">H", seg[0:2])[0]
@@ -1448,7 +1486,7 @@ def decode_jpeg(payload: bytes):
     h, w, comps = frame
     ncomp = len(comps)
     cmat = _dct_matrix()
-    zz = np.array(_ZIGZAG)
+    zz = _zz64()
     planes = []
     for ci in range(ncomp):
         tq, hi, vi = comps[ci][1], comps[ci][2], comps[ci][3]

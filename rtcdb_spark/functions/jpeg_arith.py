@@ -585,7 +585,7 @@ def encode_jpeg_arith(pixels, quality: int = 90, restart_interval: int = 0) -> b
     file's coefficients bit-exactly (interop-tested). Typically ~5-10%
     smaller than the huffman form, which is arithmetic coding's pitch."""
     from rtcdb_spark.functions.jpeg import (
-        _ZIGZAG,
+        _zz64,
         _compute_coefficients,
     )
 
@@ -599,7 +599,7 @@ def encode_jpeg_arith(pixels, quality: int = 90, restart_interval: int = 0) -> b
     cond = {t: (DEFAULT_DC_L, DEFAULT_DC_U) for t in set(comp_tbl)}
     kx = {t: DEFAULT_AC_KX for t in set(comp_tbl)}
 
-    zz = np.array(_ZIGZAG, dtype=np.int64)
+    zz = _zz64()
     out = bytearray(b"\xff\xd8")
     out += (
         b"\xff\xe0" + struct.pack(">H", 16)
@@ -891,9 +891,9 @@ def encode_jpeg_progressive_arith(pixels, quality: int = 90) -> bytes:
     import numpy as np
 
     from rtcdb_spark.functions.jpeg import (
-        _ZIGZAG,
         _compute_coefficients,
         _sos_header,
+        _zz64,
     )
 
     gray, h, w, quants, plane_tbl, comp_coeffs = _compute_coefficients(
@@ -905,7 +905,7 @@ def encode_jpeg_progressive_arith(pixels, quality: int = 90) -> bytes:
     kx = {t: DEFAULT_AC_KX for t in set(comp_tbl)}
     n_blocks = comp_coeffs[0].shape[0]
 
-    zz = np.array(_ZIGZAG, dtype=np.int64)
+    zz = _zz64()
     out = bytearray(b"\xff\xd8")
     out += (
         b"\xff\xe0" + struct.pack(">H", 16)

@@ -46,6 +46,7 @@ from __future__ import annotations
 import struct
 
 from rtcdb_spark.functions.jpeg import (
+    _zz64,
     _AC_CHROMA_BITS,
     _AC_CHROMA_VALS,
     _AC_LUMA_BITS,
@@ -122,7 +123,7 @@ def _frame_coefficients(planes, quants, plane_tbl, differential: bool):
     import numpy as np
 
     cmat = _dct_matrix()
-    zz = np.array(_ZIGZAG, dtype=np.int64)
+    zz = _zz64()
     inv = np.argsort(zz)
     comp_coeffs, recons = [], []
     for plane, tbl in zip(planes, plane_tbl):
@@ -250,7 +251,7 @@ def encode_jpeg_hierarchical(pixels, levels: int = 3, quality: int = 90) -> byte
         pyramid.append([_downsample2(p) for p in pyramid[-1]])
     pyramid.reverse()  # coarsest first
 
-    zz = np.array(_ZIGZAG, dtype=np.int64)
+    zz = _zz64()
     out = bytearray(b"\xff\xd8")
     out += (
         b"\xff\xe0"
@@ -327,7 +328,7 @@ def decode_jpeg_hierarchical(payload: bytes):
     pending_exp = (0, 0)
     refs: list | None = None
     cmat = _dct_matrix()
-    inv_zz = np.argsort(np.array(_ZIGZAG, dtype=np.int64))
+    inv_zz = np.argsort(_zz64())
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -344,7 +345,7 @@ def decode_jpeg_hierarchical(payload: bytes):
             while q < len(seg):
                 tid = seg[q] & 0x0F
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[np.array(_ZIGZAG, dtype=np.int64)] = np.frombuffer(
+                tbl[_zz64()] = np.frombuffer(
                     seg[q + 1 : q + 65], dtype=np.uint8
                 )
                 quant[tid] = tbl.reshape(8, 8)
