@@ -40,8 +40,11 @@ from rtcdb_spark.functions.md5np import md5_u32_pair_var
 
 _SIG_TYPE = StructType(
     [
-        StructField("sim_hi", LongType(), False),
-        StructField("sim_lo", LongType(), False),
+        # Nullable: a NULL text propagates a NULL signature (matching the
+        # expression twin) instead of failing the task — values on non-null
+        # input are unchanged.
+        StructField("sim_hi", LongType(), True),
+        StructField("sim_lo", LongType(), True),
     ]
 )
 
@@ -54,13 +57,25 @@ def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    # The data buffer is None for an empty / all-empty-string array.
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
     return data, offs
 
 
 def simhash64_batch(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(sim_hi, sim_lo) int64 arrays for one Arrow string array."""
+    """(sim_hi, sim_lo) int64 arrays for one Arrow string array.
+
+    NULL entries are the caller's concern (`simhash64_sig` masks them out
+    and emits NULL signatures); this kernel requires a null-free array."""
     ndocs = len(texts)
+    if ndocs == 0:
+        # reduceat on an empty matrix raises; the empty batch IS the answer
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     if texts.null_count:
         raise ValueError("simhash_np: NULL text is not supported")
     data, offs = _string_bytes(texts)
@@ -112,5 +127,16 @@ def simhash64_batch(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 @F.pandas_udf(_SIG_TYPE)
 def simhash64_sig(texts: pd.Series) -> pd.DataFrame:
     arr = pa.Array.from_pandas(texts, type=pa.string())
+    if arr.null_count:
+        # Propagate NULL text -> NULL signature, exactly like the
+        # expression twin (simhash64_rowwise_expr): hash with nulls
+        # blanked, then mask the outputs back to NULL.
+        mask = arr.is_null().to_numpy(zero_copy_only=False)
+        sim_hi, sim_lo = simhash64_batch(arr.fill_null(""))
+        hi = pd.array(sim_hi, dtype="Int64")
+        lo = pd.array(sim_lo, dtype="Int64")
+        hi[mask] = pd.NA
+        lo[mask] = pd.NA
+        return pd.DataFrame({"sim_hi": hi, "sim_lo": lo})
     sim_hi, sim_lo = simhash64_batch(arr)
     return pd.DataFrame({"sim_hi": sim_hi, "sim_lo": sim_lo})

@@ -210,20 +210,45 @@ def hilbert_value(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
 
     @F.pandas_udf("long")
     def _hilbert_d(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        x = xs.to_numpy(dtype=np.int64, copy=True)
-        y = ys.to_numpy(dtype=np.int64, copy=True)
-        d = np.zeros(len(x), dtype=np.int64)
-        for i in range(bits - 1, 0 - 1, -1):
-            s = np.int64(1 << i)
-            rx = ((x & s) != 0).astype(np.int64)
-            ry = ((y & s) != 0).astype(np.int64)
-            d += s * s * ((3 * rx) ^ ry)
-            # rotate/reflect the sub-quadrant where ry == 0
-            m = ry == 0
-            refl = m & (rx == 1)
-            x_new = np.where(m, np.where(refl, s - 1 - y, y), x)
-            y_new = np.where(m, np.where(refl, s - 1 - x, x), y)
-            x, y = x_new, y_new
-        return pd.Series(d)
+        return _hilbert_d_arrays(xs, ys, bits)
 
     return _hilbert_d(norm[0], norm[1])
+
+
+def _hilbert_d_arrays(xs: "pd.Series", ys: "pd.Series", bits: int) -> "pd.Series":
+    """Vectorized Hamilton xy→d transform over normalized coordinates.
+
+    NULL/NaN coordinates can't arise from `hilbert_value`'s own norm
+    expression (Spark's `least` absorbs a NULL input into the top cell),
+    but callers feeding the kernel directly may pass them: to_numpy(int64)
+    would raise and fail the whole task, so mask them out and return NULL
+    d for those rows (repartitionByRange sorts NULLS FIRST, same as the
+    zorder expression twin would for an explicitly NULL key)."""
+    import numpy as np
+    import pandas as pd
+
+    na = xs.isna() | ys.isna()
+    if na.any():
+        x_in = xs.fillna(0)
+        y_in = ys.fillna(0)
+    else:
+        x_in, y_in = xs, ys
+    x = x_in.to_numpy(dtype=np.int64, copy=True)
+    y = y_in.to_numpy(dtype=np.int64, copy=True)
+    d = np.zeros(len(x), dtype=np.int64)
+    for i in range(bits - 1, 0 - 1, -1):
+        s = np.int64(1 << i)
+        rx = ((x & s) != 0).astype(np.int64)
+        ry = ((y & s) != 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate/reflect the sub-quadrant where ry == 0
+        m = ry == 0
+        refl = m & (rx == 1)
+        x_new = np.where(m, np.where(refl, s - 1 - y, y), x)
+        y_new = np.where(m, np.where(refl, s - 1 - x, x), y)
+        x, y = x_new, y_new
+    out = pd.Series(d)
+    if na.any():
+        out = out.astype("Int64")
+        out[na.to_numpy()] = pd.NA
+    return out
