@@ -256,7 +256,20 @@ def main() -> None:
             )
     except Exception:
         pass
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Belt and braces (round 13, additions-only): the round-11 driver lost
+    # its bench comparison to a stdout capture/parse failure (PERF_r12:
+    # prev_bench_ok false, n_common 0) even though the JSON line was
+    # printed with rc 0. Persist the same line to a file so one lost
+    # stdout line cannot erase a round's comparison again.
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".", "bench_last.json"), "w"
+        ) as f:
+            f.write(line + "\n")
+    except Exception:
+        pass
     spark.stop()
 
 
