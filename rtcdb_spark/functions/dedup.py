@@ -662,12 +662,20 @@ def connected_components_star(
         return hang_nbrs.union(hang_self).filter(F.col("u") != F.col("v")).distinct()
 
     sig = signature(e)
-    for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=False)
-        new_sig = signature(e)
-        if new_sig == sig:
-            break
-        sig = new_sig
+    # Loop shuffles sized to the EDGE relation, not the session width: the
+    # rounds' per-task floor dominates on contracted graphs (the signature
+    # action materializes each round inside the throttle, so the width
+    # applies to the real execution). Width derives from the measured edge
+    # count — scale-adaptive, see session.iter_shuffle_throttle.
+    from rtcdb_spark.session import iter_shuffle_throttle
+
+    with iter_shuffle_throttle(edges.sparkSession, sig[0]):
+        for _ in range(max_iter):
+            e = small_star(large_star(e)).localCheckpoint(eager=False)
+            new_sig = signature(e)
+            if new_sig == sig:
+                break
+            sig = new_sig
     # Fixpoint edges are (child, root) star links; roots label themselves.
     children = e.select(F.col("u").alias("node"), F.col("v").alias("group_id"))
     roots = e.select(F.col("v").alias("node"), F.col("v").alias("group_id")).distinct()

@@ -76,6 +76,7 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    m = edges.count()  # materializes the persisted edge list; sizes the loop
     # Out-degrees are loop-invariant: persist so the per-iteration plan reads
     # a cached node-sized table instead of re-aggregating the edge list.
     out = degrees(edges).persist()
@@ -109,6 +110,20 @@ def pagerank(
         # job here — same trick as the star-CC rounds.
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
+    # Execute the whole power iteration HERE, with loop shuffles sized to
+    # the edge relation instead of the session width (same-JVM A/B at
+    # sf0.1: 3.54 s -> 1.76 s; the per-task floor of edge-sized joins at
+    # full width dominated the tiny rounds). The eager localCheckpoint is
+    # the action that runs the loop inside the throttle; it also lets the
+    # loop-invariant caches be RELEASED before returning — the round-12
+    # persists outlived the query and late-suite rows paid their GC tax.
+    from rtcdb_spark.session import iter_shuffle_throttle
+
+    with iter_shuffle_throttle(edges.sparkSession, m):
+        ranks = ranks.localCheckpoint()
+    out.unpersist()
+    nodes.unpersist()
+    edges.unpersist()
     return ranks
 
 
@@ -185,6 +200,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    m = edges.count()  # materializes the caller's persist; sizes the loop
     for _ in range(n_iter):
         counts = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -199,4 +215,12 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
                 "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
             ).alias("label")
         )
-    return labels
+    # Run the unrolled rounds here with loop shuffles sized to the edge
+    # relation (scale-adaptive; see session.iter_shuffle_throttle) — the
+    # eager localCheckpoint is the action that executes them inside the
+    # throttle, and it truncates the n_iter-deep lineage the downstream
+    # aggregate would otherwise carry.
+    from rtcdb_spark.session import iter_shuffle_throttle
+
+    with iter_shuffle_throttle(edges.sparkSession, m):
+        return labels.localCheckpoint()
